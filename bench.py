@@ -1,0 +1,85 @@
+"""Benchmark runner: headline inventory queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (count of the materialized result,
+so the full plan runs; nothing is collected to the driver beyond the
+count).  Timing includes plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphd_spark.session import get_spark  # noqa: E402
+from graphd_spark import inventory, inventory_pipeline  # noqa: E402,F401
+
+# headline set: the operator families that dominate real workloads —
+# the graphd template-join shape, top-k/window paths, versioning dedup,
+# and the scale-critical pipeline ops (near-dup detection, ANN).
+HEADLINE = [
+    "scan_project_filter",
+    "linkage_join_2hop",
+    "semi_join_exists",
+    "anti_join_count0",
+    "cardinality_atleast",
+    "isa_distinct_expand",
+    "count_per_parent",
+    "sort_multikey_topk",
+    "topk_per_group",
+    "newest_version_dedup",
+    "timestamp_range_agg",
+    "events_window_agg",
+    "collect_contents",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_spark("graphd_spark_bench")
+    # warm the JVM + load table metadata outside the timed region
+    from graphd_spark.session import load_tables
+
+    load_tables(spark, sf_dir)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = inventory.QUERIES[name]
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "inventory_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
