@@ -1,0 +1,170 @@
+"""Constraint-tree IR: the parsed form of read/write templates.
+
+Dataclasses mirroring the reference's constraint IR
+(ref graphd/graphd.h:1131-1413 graphd_constraint) — but only the parts
+that carry query semantics; iterator/runtime state stays out.
+
+Linkage encoding (ref graphd/graphd.h:1197-1211): a subconstraint is
+related to its parent either as
+
+- ``("my", L)``  — my linkage field L points at my parent
+                   (self.L == parent.guid), or
+- ``("iam", L)`` — I am my parent's L (parent.L == self.guid).
+
+Meta arrows (ref graphd/graphd-semantic.c:677-730): ``->`` without a
+keyword means "my parent is my left; my first free child is my right";
+``<-`` means "my parent is my right; my first free child is my left".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+LINKAGES = ("left", "right", "typeguid", "scope")
+
+# flag tri-state (ref graphd/graphd.h:419-426)
+UNSPECIFIED, TRUE, FALSE, DONTCARE = "unspecified", "true", "false", "dontcare"
+
+
+@dataclass
+class StrCon:
+    """One string constraint: value/name/type OP strings.
+
+    ``values`` may hold several strings (``value=("a" "b")`` is an OR of
+    equalities, ref graphd/graphd.h:537-557); None means null.
+    """
+
+    op: str  # '=', '!=', '~=', '<', '<=', '>', '>='
+    values: list[Optional[str]]
+
+
+@dataclass
+class GuidCon:
+    """GUID / linkage-GUID constraint (ref graphd/graphd.h:487-514).
+
+    ``guids`` is the matched set; [None] expresses ``=null``.
+    """
+
+    op: str  # '=', '!=', '~='
+    guids: list[Optional[str]]
+
+
+@dataclass
+class GenCon:
+    """newest=/oldest= generational constraint (ref graphd/graphd.h:458-472)."""
+
+    field: str  # 'newest' | 'oldest'
+    op: str
+    n: int
+
+
+@dataclass
+class TsCon:
+    """timestamp OP literal (ref libgdp/gdp-parse.c:1696-1760)."""
+
+    op: str
+    text: str  # raw literal; bound to a 48-bit ts at compile time
+
+
+@dataclass
+class Pattern:
+    """Result pattern node (ref graphd/graphd.h:567-677 pattern enum)."""
+
+    kind: str  # 'list' | 'guid' | 'type' | 'name' | 'value' | 'datatype'
+    # | 'left' | 'right' | 'typeguid' | 'scope' | 'meta' | 'live'
+    # | 'archival' | 'timestamp' | 'contents' | 'count' | 'cursor'
+    # | 'literal' | 'variable' | 'none' | 'generation' | 'previous'
+    # | 'next' | 'estimate' | 'estimate-count' | 'iterator' | 'timeout'
+    children: list["Pattern"] = field(default_factory=list)
+    literal: Optional[str] = None  # for kind == 'literal'
+    var: Optional[str] = None  # for kind == 'variable'
+    negated: bool = False  # sort direction marker ('-' prefix)
+
+    def walk(self):
+        yield self
+        for c in self.children:
+            yield from c.walk()
+
+
+@dataclass
+class SortKey:
+    pattern: Pattern
+    descending: bool = False
+
+
+@dataclass
+class Constraint:
+    """One node of the constraint tree (ref graphd/graphd.h:1131-1413)."""
+
+    meta: str = UNSPECIFIED  # 'node' | 'to' (<-) | 'from' (->) | 'any'
+    linkage: Optional[tuple[str, str]] = None  # ('my'|'iam', linkage)
+
+    guid: list[GuidCon] = field(default_factory=list)
+    prev: list[GuidCon] = field(default_factory=list)
+    next: list[GuidCon] = field(default_factory=list)
+    links: dict[str, list[GuidCon]] = field(default_factory=dict)
+
+    type_strcons: list[StrCon] = field(default_factory=list)
+    name_strcons: list[StrCon] = field(default_factory=list)
+    value_strcons: list[StrCon] = field(default_factory=list)
+
+    valuetype: Optional[int] = None
+    timestamps: list[TsCon] = field(default_factory=list)
+    gens: list[GenCon] = field(default_factory=list)
+
+    live: str = UNSPECIFIED
+    archival: str = UNSPECIFIED
+    false: bool = False
+
+    count_min: Optional[int] = None  # atleast= / count>=; optional => 0
+    count_max: Optional[int] = None  # count<=
+    count_eq: Optional[int] = None  # count=
+    pagesize: Optional[int] = None
+    resultpagesize: Optional[int] = None
+    countlimit: Optional[int] = None
+    start: int = 0
+    cursor: Optional[str] = None
+    dateline: Optional[str] = None
+
+    comparator: Optional[str] = None
+    sort_comparators: list[str] = field(default_factory=list)
+    sort: Optional[list[SortKey]] = None
+
+    result: Optional[Pattern] = None
+    assignments: list[tuple[str, Pattern]] = field(default_factory=list)
+
+    # write-side (ref doc/gr-protocol.txt:661-857)
+    unique: Optional[list[str]] = None
+    key: Optional[list[str]] = None
+    anchor: bool = False
+
+    subs: list["Constraint"] = field(default_factory=list)
+    #: or-chains (ref libgdp/gdp-parse.c:2056-2134): each chain is a list
+    #: of alternative branch constraints; the primitive must satisfy one
+    #: branch of every chain (chains AND together, branches OR).
+    or_chains: list[list["Constraint"]] = field(default_factory=list)
+    or_short_circuit: bool = False
+    parent: Optional["Constraint"] = None
+
+    def walk(self):
+        yield self
+        for s in self.subs:
+            yield from s.walk()
+        for chain in self.or_chains:
+            for b in chain:
+                yield from b.walk()
+
+    @property
+    def is_optional(self) -> bool:
+        return self.count_min == 0 and self.count_eq is None
+
+
+@dataclass
+class Request:
+    """A parsed protocol request line."""
+
+    command: str  # read | write | dump | restore | set | status | sync | ...
+    modifiers: dict[str, str] = field(default_factory=dict)
+    constraint: Optional[Constraint] = None
+    rest: list = field(default_factory=list)  # non-template args (dump/set/...)

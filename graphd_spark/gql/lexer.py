@@ -1,0 +1,141 @@
+"""Tokenizer for the graph query language.
+
+Token inventory and character classes follow the reference lexer
+(ref libgdp/gdp-lexer.c): atoms starting with a letter/underscore
+continue over [A-Za-z0-9_] plus interior '-' (trailing dashes are put
+back); atoms starting with a digit continue over the numeric-literal
+charset (hex digits, '-', '.', ':', 'T', 'Z', 't', 'z') which covers
+decimals, GUIDs and timestamps; strings are double-quoted with
+backslash escapes (\\\\, \\", \\n; any other escaped char stands for
+itself, ref fix_string); symbols: ( ) { } = != ~= < <= > >= <- -> | ||
+- + and the cursor brackets (: :).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+class LexError(Exception):
+    pass
+
+
+# token kinds
+OPAR, CPAR, OBRC, CBRC = "(", ")", "{", "}"
+CBEGIN, CEND = "(:", "):"  # cursor string brackets
+EQ, NE, FE, LT, LE, GT, GE = "=", "!=", "~=", "<", "<=", ">", ">="
+RARR, LARR = "->", "<-"
+BOR, LOR = "|", "||"
+MINUS, PLUS = "-", "+"
+ATOM, STR, VAR, END = "atom", "str", "var", "end"
+
+_OP_KINDS = {EQ, NE, FE, LT, LE, GT, GE}
+
+
+def _is_alnum_c(c: str) -> bool:
+    return c.isalnum() or c == "_"
+
+
+def _is_num_c(c: str) -> bool:
+    # ref is_num_c: alnum/underscore plus - . : (T/Z/t/z are alnum anyway)
+    return _is_alnum_c(c) or c in "-.:"
+
+
+@dataclass
+class Token:
+    kind: str
+    text: str
+    pos: int
+
+    def matches(self, word: str) -> bool:
+        return self.kind == ATOM and self.text.lower() == word.lower()
+
+
+def tokenize(s: str) -> list[Token]:
+    toks: list[Token] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+            continue
+        start = i
+        if c.isalpha() or c == "_":
+            # atom: alnum/_ plus interior dashes; trailing dashes put back
+            j = i
+            dashes = 0
+            while j < n:
+                ch = s[j]
+                if ch == "-":
+                    dashes += 1
+                elif _is_alnum_c(ch):
+                    dashes = 0
+                else:
+                    break
+                j += 1
+            j -= dashes  # put trailing dashes back
+            toks.append(Token(ATOM, s[i:j], start))
+            i = j
+            continue
+        if c.isdigit():
+            j = i
+            while j < n and _is_num_c(s[j]):
+                j += 1
+            toks.append(Token(ATOM, s[i:j], start))
+            i = j
+            continue
+        if c == '"':
+            j = i + 1
+            out = []
+            esc = False
+            while True:
+                if j >= n:
+                    raise LexError(f"unterminated string at {start}")
+                ch = s[j]
+                if esc:
+                    out.append({"\\": "\\", '"': '"', "n": "\n"}.get(ch, ch))
+                    esc = False
+                elif ch == "\\":
+                    esc = True
+                elif ch == '"':
+                    j += 1
+                    break
+                else:
+                    out.append(ch)
+                j += 1
+            toks.append(Token(STR, "".join(out), start))
+            i = j
+            continue
+        if c == "$":
+            j = i + 1
+            if j >= n or not (s[j].isalpha() or s[j] == "_"):
+                raise LexError(f"bad variable at {start}")
+            dashes = 0
+            while j < n:
+                ch = s[j]
+                if ch == "-":
+                    dashes += 1
+                elif _is_alnum_c(ch):
+                    dashes = 0
+                else:
+                    break
+                j += 1
+            j -= dashes
+            toks.append(Token(VAR, s[i:j], start))
+            i = j
+            continue
+        # symbols
+        two = s[i : i + 2]
+        if two in ("(:", "):"):
+            toks.append(Token(two, two, start))
+            i += 2
+        elif two in ("->", "<-", "<=", ">=", "!=", "~=", "||"):
+            toks.append(Token(two, two, start))
+            i += 2
+        elif c in "(){}=<>|+-":
+            toks.append(Token(c, c, start))
+            i += 1
+        else:
+            raise LexError(f"unexpected character {c!r} at {start}")
+    toks.append(Token(END, "", n))
+    return toks

@@ -1,0 +1,770 @@
+"""Recursive-descent parser: request line -> Request / Constraint tree.
+
+Clean-room implementation of the grammar in doc/gr-protocol.txt,
+structured after the reference parser's productions
+(ref libgdp/gdp-parse.c): parse_request -> parse_constraints ->
+parse_con (or-chains, ref :2056-2134) -> parse_or_con dispatch
+(ref :1916-2053).  Semantic defaults (live=true, count_min=start+1,
+meta-arrow linkage inference) are applied in a separate pass, mirroring
+graphd_semantic_constraint_complete_parse
+(ref graphd/graphd-semantic.c:628-760).
+"""
+
+from __future__ import annotations
+
+from graphd_spark.gql import lexer as L
+from graphd_spark.gql.ir import (
+    Constraint,
+    GenCon,
+    GuidCon,
+    Pattern,
+    Request,
+    SortKey,
+    StrCon,
+    TsCon,
+    LINKAGES,
+    DONTCARE,
+    FALSE,
+    TRUE,
+    UNSPECIFIED,
+)
+from graphd_spark.model import DATATYPE_CODES, guid_normalize
+
+
+class ParseError(Exception):
+    """Maps to an ``error SYNTAX``/``error SEMANTICS`` reply."""
+
+    def __init__(self, message: str, code: str = "SYNTAX"):
+        super().__init__(message)
+        self.code = code
+
+
+_STR_OPS = {L.EQ, L.NE, L.FE, L.LT, L.LE, L.GT, L.GE}
+
+#: result/sort pattern atoms (ref graphd/graphd.h:567-677)
+_PATTERN_ATOMS = {
+    "archival",
+    "contents",
+    "count",
+    "cursor",
+    "datatype",
+    "estimate",
+    "estimate-count",
+    "generation",
+    "guid",
+    "iterator",
+    "left",
+    "literal",
+    "live",
+    "meta",
+    "name",
+    "next",
+    "none",
+    "previous",
+    "prev",
+    "right",
+    "scope",
+    "timeout",
+    "timestamp",
+    "type",
+    "typeguid",
+    "value",
+    "valuetype",
+}
+
+_CLUSTER_FIELDS = {
+    "name",
+    "typeguid",
+    "datatype",
+    "valuetype",
+    "value",
+    "left",
+    "right",
+    "scope",
+    "timestamp",
+}
+
+
+class Parser:
+    def __init__(self, text: str, command: str = "read"):
+        self.toks = L.tokenize(text)
+        self.i = 0
+        self.command = command
+
+    # -- token plumbing ---------------------------------------------------
+
+    def peek(self, ahead: int = 0) -> L.Token:
+        j = min(self.i + ahead, len(self.toks) - 1)
+        return self.toks[j]
+
+    def next(self) -> L.Token:
+        t = self.toks[self.i]
+        if t.kind != L.END:
+            self.i += 1
+        return t
+
+    def expect(self, kind: str, what: str | None = None) -> L.Token:
+        t = self.next()
+        if t.kind != kind:
+            raise ParseError(f"expected {what or kind}, got {t.text!r}")
+        return t
+
+    # -- entry points -----------------------------------------------------
+
+    def parse_constraint(self) -> Constraint:
+        self.expect(L.OPAR, "'('")
+        con = self.parse_constraints()
+        self.expect(L.CPAR, "')'")
+        if self.peek().kind != L.END:
+            raise ParseError(f"trailing input: {self.peek().text!r}")
+        return con
+
+    def parse_constraints(self) -> Constraint:
+        """Parse constraint items until ')' / '}' / end into one node."""
+        con = Constraint()
+        while True:
+            t = self.peek()
+            if t.kind in (L.CPAR, L.CBRC, L.END):
+                return con
+            self.parse_con(con)
+
+    def parse_con(self, con: Constraint) -> None:
+        """One Constraint production: OrConstraint ('|' Constraint)?
+
+        Ref libgdp/gdp-parse.c:2060-2134: '|' binds single adjacent
+        clause items; an absent right-hand side is an empty (always
+        true) branch.
+        """
+        t = self.peek()
+        if t.kind in (L.BOR, L.LOR):
+            # leading '|': empty left branch
+            first = Constraint()
+        else:
+            first = Constraint()
+            self.parse_or_con(first)
+            if self.peek().kind not in (L.BOR, L.LOR):
+                self._merge_item(con, first)
+                return
+        branches = [first]
+        while self.peek().kind in (L.BOR, L.LOR):
+            self.next()
+            nxt = self.peek()
+            if nxt.kind in (L.CPAR, L.CBRC, L.END):
+                branches.append(Constraint())  # trailing '|': empty branch
+                break
+            b = Constraint()
+            self.parse_or_con(b)
+            branches.append(b)
+        con.or_chains.append(branches)
+
+    def _merge_item(self, con: Constraint, item: Constraint) -> None:
+        """Fold a single parsed clause item into the enclosing node."""
+        for f in (
+            "guid",
+            "prev",
+            "next",
+            "type_strcons",
+            "name_strcons",
+            "value_strcons",
+            "timestamps",
+            "gens",
+            "assignments",
+            "subs",
+        ):
+            getattr(con, f).extend(getattr(item, f))
+        for s in item.subs:
+            s.parent = con
+        for k, v in item.links.items():
+            con.links.setdefault(k, []).extend(v)
+        for f in (
+            "valuetype",
+            "count_min",
+            "count_max",
+            "count_eq",
+            "pagesize",
+            "resultpagesize",
+            "countlimit",
+            "cursor",
+            "dateline",
+            "comparator",
+            "sort",
+            "result",
+            "unique",
+            "key",
+            "linkage",
+        ):
+            v = getattr(item, f)
+            if v is not None:
+                if getattr(con, f) is not None and f not in ("linkage",):
+                    raise ParseError(f"duplicate {f} constraint", "SEMANTICS")
+                setattr(con, f, v)
+        if item.start:
+            con.start = item.start
+        if item.live != UNSPECIFIED:
+            con.live = item.live
+        if item.archival != UNSPECIFIED:
+            con.archival = item.archival
+        if item.meta != UNSPECIFIED:
+            con.meta = item.meta
+        if item.sort_comparators:
+            con.sort_comparators = item.sort_comparators
+        con.false = con.false or item.false
+        con.anchor = con.anchor or item.anchor
+        con.or_chains.extend(item.or_chains)
+
+    # -- single clause items ----------------------------------------------
+
+    def parse_or_con(self, con: Constraint) -> None:
+        t = self.peek()
+        if t.kind == L.STR:  # bare string literal = type constraint
+            self.next()
+            con.type_strcons.append(StrCon("=", [t.text]))
+            return
+        if t.kind in (L.LARR, L.RARR):
+            self.parse_arrow(con)
+            return
+        if t.kind == L.VAR:
+            self.parse_variable_assignment(con)
+            return
+        if t.kind == L.OPAR:
+            self.next()
+            sub = self.parse_constraints()
+            self.expect(L.CPAR, "')'")
+            sub.parent = con
+            con.subs.append(sub)
+            return
+        if t.kind == L.OBRC:
+            raise ParseError("'{...}' sequences are not supported yet")
+        if t.kind != L.ATOM:
+            raise ParseError(f"unexpected token {t.text!r}")
+        word = t.text.lower()
+        # linkage->( ... ) subconstraint form
+        if word in LINKAGES and self.peek(1).kind == L.RARR:
+            self.next()
+            self.next()
+            if self.peek().kind == L.OPAR:
+                self.next()
+                sub = self.parse_constraints()
+                self.expect(L.CPAR, "')'")
+                sub.parent = con
+                sub.linkage = ("iam", word)  # parent's L == sub.guid
+                con.subs.append(sub)
+                return
+            raise ParseError(f"expected '(' after {word}->")
+        handler = getattr(self, f"_con_{word.replace('-', '_')}", None)
+        if handler is None:
+            raise ParseError(f"invalid constraint {t.text!r}", "SEMANTICS")
+        handler()
+
+    # -- arrows -----------------------------------------------------------
+
+    def parse_arrow(self, con: Constraint) -> None:
+        t = self.next()
+        if t.kind == L.RARR:
+            con.meta = "from"
+            return
+        # '<-' [linkage], unless 'linkage OP ...' follows
+        nxt = self.peek()
+        if nxt.kind == L.ATOM and nxt.text.lower() in LINKAGES:
+            after = self.peek(1)
+            if after.kind not in _STR_OPS and after.kind != L.RARR:
+                self.next()
+                con.linkage = ("my", nxt.text.lower())  # my L == parent.guid
+                return
+        con.meta = "to"
+
+    def parse_variable_assignment(self, con: Constraint) -> None:
+        var = self.next().text
+        self.expect(L.EQ, "'='")
+        pat = self.parse_pattern()
+        con.assignments.append((var, pat))
+
+    # -- keyword clauses (each invoked with the keyword as lookahead) -----
+
+    def _op_and_stringset(self) -> StrCon:
+        op_tok = self.next()
+        if op_tok.kind not in _STR_OPS:
+            raise ParseError(f"expected operator, got {op_tok.text!r}")
+        values = self.parse_stringset()
+        return StrCon(op_tok.kind, values)
+
+    def parse_stringset(self) -> list[str | None]:
+        t = self.next()
+        if t.kind == L.STR:
+            return [t.text]
+        if t.kind == L.ATOM and t.text.lower() == "null":
+            return [None]
+        if t.kind == L.OPAR:
+            out: list[str | None] = []
+            while True:
+                t = self.next()
+                if t.kind == L.CPAR:
+                    return out
+                if t.kind == L.STR:
+                    out.append(t.text)
+                elif t.kind == L.ATOM and t.text.lower() == "null":
+                    out.append(None)
+                else:
+                    raise ParseError(f"expected string, got {t.text!r}")
+        raise ParseError(f"expected string, got {t.text!r}")
+
+    def _guidset(self) -> list[str | None]:
+        t = self.next()
+        if t.kind == L.ATOM:
+            return [guid_normalize(t.text)]
+        if t.kind == L.STR:
+            return [guid_normalize(t.text)]
+        if t.kind == L.OPAR:
+            out: list[str | None] = []
+            while True:
+                t = self.next()
+                if t.kind == L.CPAR:
+                    return out
+                if t.kind in (L.ATOM, L.STR):
+                    out.append(guid_normalize(t.text))
+                else:
+                    raise ParseError(f"expected GUID, got {t.text!r}")
+        raise ParseError(f"expected GUID, got {t.text!r}")
+
+    def _num(self) -> int:
+        t = self.expect(L.ATOM, "number")
+        try:
+            return int(t.text)
+        except ValueError:
+            raise ParseError(f"expected number, got {t.text!r}")
+
+    # -- patterns ---------------------------------------------------------
+
+    def parse_pattern(self, in_sort: bool = False) -> Pattern:
+        t = self.next()
+        neg = False
+        if t.kind in (L.MINUS, L.PLUS) and in_sort:
+            neg = t.kind == L.MINUS
+            t = self.next()
+        if t.kind == L.OPAR:
+            children = []
+            while self.peek().kind != L.CPAR:
+                if self.peek().kind == L.END:
+                    raise ParseError("unterminated pattern list")
+                children.append(self.parse_pattern(in_sort=in_sort))
+            self.next()
+            return Pattern("list", children=children, negated=neg)
+        if t.kind == L.VAR:
+            return Pattern("variable", var=t.text, negated=neg)
+        if t.kind == L.STR:
+            return Pattern("literal", literal=t.text, negated=neg)
+        if t.kind != L.ATOM:
+            raise ParseError(f"bad pattern token {t.text!r}")
+        word = t.text.lower()
+        if word == "literal":
+            self.expect(L.EQ, "'='")
+            s = self.expect(L.STR, "string")
+            return Pattern("literal", literal=s.text, negated=neg)
+        if word == "prev":
+            word = "previous"
+        if word not in _PATTERN_ATOMS:
+            raise ParseError(f"unknown pattern {t.text!r}", "SEMANTICS")
+        return Pattern(word, negated=neg)
+
+
+# ---------------------------------------------------------------------------
+# Keyword handlers.  parse_or_con stores the work-in-progress item on
+# self._item before dispatching, so handlers read/write it directly.
+# ---------------------------------------------------------------------------
+
+
+def _make_handlers():
+    P = Parser
+
+    def handler(name):
+        def deco(fn):
+            setattr(P, f"_con_{name.replace('-', '_')}", fn)
+            return fn
+
+        return deco
+
+    @handler("guid")
+    def _con_guid(self):
+        self.next()
+        op = self.next()
+        if op.kind not in (L.EQ, L.NE, L.FE):
+            raise ParseError("guid accepts =, != and ~= only")
+        self._item.guid.append(GuidCon(op.kind, self._guidset()))
+
+    @handler("prev")
+    def _con_prev(self):
+        self.next()
+        op = self.next()
+        if op.kind not in (L.EQ, L.NE):
+            raise ParseError("prev accepts = and != only")
+        self._item.prev.append(GuidCon(op.kind, self._guidset()))
+
+    setattr(P, "_con_previous", P._con_prev)
+
+    @handler("next")
+    def _con_next(self):
+        self.next()
+        op = self.next()
+        if op.kind not in (L.EQ, L.NE):
+            raise ParseError("next accepts = and != only")
+        self._item.next.append(GuidCon(op.kind, self._guidset()))
+
+    def _linkage_con(self, which):
+        self.next()
+        op = self.next()
+        if op.kind not in (L.EQ, L.NE, L.FE):
+            raise ParseError(f"{which} accepts =, != and ~= only")
+        self._item.links.setdefault(which, []).append(
+            GuidCon(op.kind, self._guidset())
+        )
+
+    for lk in LINKAGES:
+        setattr(
+            P,
+            f"_con_{lk}",
+            (lambda which: lambda self: _linkage_con(self, which))(lk),
+        )
+
+    def _string_con(self, which):
+        name = self.next().text.lower()
+        sc = self._op_and_stringset()
+        if name != "value" and sc.op not in (L.EQ, L.NE):
+            raise ParseError(
+                "operator can only be used with 'value' constraints",
+                "SEMANTICS",
+            )
+        getattr(self._item, f"{which}_strcons").append(sc)
+
+    for w in ("type", "name", "value"):
+        setattr(
+            P,
+            f"_con_{w}",
+            (lambda which: lambda self: _string_con(self, which))(w),
+        )
+
+    @handler("valuetype")
+    def _con_valuetype(self):
+        self.next()
+        self.expect(L.EQ, "'='")
+        t = self.next()
+        if t.kind == L.ATOM and t.text.lower() in DATATYPE_CODES:
+            self._item.valuetype = DATATYPE_CODES[t.text.lower()]
+        else:
+            try:
+                n = int(t.text)
+            except ValueError:
+                raise ParseError(f"bad valuetype {t.text!r}")
+            if not 1 <= n <= 255:
+                raise ParseError("valuetype out of range 1..255", "SEMANTICS")
+            self._item.valuetype = n
+
+    setattr(P, "_con_datatype", P._con_valuetype)
+
+    @handler("timestamp")
+    def _con_timestamp(self):
+        self.next()
+        op = self.next()
+        if op.kind not in _STR_OPS or op.kind == L.FE:
+            raise ParseError("bad timestamp operator")
+        t = self.next()
+        if t.kind == L.ATOM and t.text.lower() in ("newest", "oldest"):
+            # generational alias: timestamp=newest == newest=0
+            self._item.gens.append(GenCon(t.text.lower(), "=", 0))
+            return
+        if t.kind != L.ATOM:
+            raise ParseError(f"bad timestamp {t.text!r}")
+        self._item.timestamps.append(TsCon(op.kind, t.text))
+
+    @handler("newest")
+    def _con_newest(self):
+        which = self.next().text.lower()
+        op = self.next()
+        if op.kind not in _STR_OPS or op.kind == L.FE:
+            raise ParseError("bad generation operator")
+        self._item.gens.append(GenCon(which, op.kind, self._num()))
+
+    setattr(P, "_con_oldest", P._con_newest)
+
+    @handler("live")
+    def _con_live(self):
+        which = self.next().text.lower()
+        self.expect(L.EQ, "'='")
+        t = self.expect(L.ATOM, "true/false/dontcare")
+        val = {"true": TRUE, "false": FALSE, "dontcare": DONTCARE}.get(
+            t.text.lower()
+        )
+        if val is None:
+            raise ParseError(f"bad flag value {t.text!r}")
+        setattr(self._item, which, val)
+
+    setattr(P, "_con_archival", P._con_live)
+
+    @handler("false")
+    def _con_false(self):
+        self.next()
+        self._item.false = True
+
+    @handler("node")
+    def _con_node(self):
+        self.next()
+        self._item.meta = "node"
+
+    @handler("any")
+    def _con_any(self):
+        self.next()
+        self._item.meta = "any"
+
+    @handler("optional")
+    def _con_optional(self):
+        self.next()
+        self._item.count_min = 0
+
+    @handler("atleast")
+    def _con_atleast(self):
+        self.next()
+        self.expect(L.EQ, "'='")
+        self._item.count_min = self._num()
+
+    @handler("count")
+    def _con_count(self):
+        self.next()
+        op = self.next()
+        n = self._num()
+        if op.kind == L.EQ:
+            self._item.count_eq = n
+        elif op.kind == L.GE:
+            self._item.count_min = n
+        elif op.kind == L.GT:
+            self._item.count_min = n + 1
+        elif op.kind == L.LE:
+            self._item.count_max = n
+        elif op.kind == L.LT:
+            self._item.count_max = n - 1
+        else:
+            raise ParseError("bad count operator")
+
+    def _page_num(self, field):
+        self.next()
+        self.expect(L.EQ, "'='")
+        setattr(self._item, field, self._num())
+
+    setattr(P, "_con_pagesize", lambda self: _page_num(self, "pagesize"))
+    setattr(
+        P,
+        "_con_resultpagesize",
+        lambda self: _page_num(self, "resultpagesize"),
+    )
+    setattr(P, "_con_countlimit", lambda self: _page_num(self, "countlimit"))
+    setattr(P, "_con_start", lambda self: _page_num(self, "start"))
+
+    @handler("sort")
+    def _con_sort(self):
+        self.next()
+        self.expect(L.EQ, "'='")
+        pat = self.parse_pattern(in_sort=True)
+        keys = pat.children if pat.kind == "list" else [pat]
+        self._item.sort = [SortKey(k, k.negated) for k in keys]
+
+    @handler("comparator")
+    def _con_comparator(self):
+        self.next()
+        self.expect(L.EQ, "'='")
+        self._item.comparator = self.expect(L.STR, "string").text
+
+    setattr(P, "_con_value_comparator", P._con_comparator)
+
+    @handler("sort-comparator")
+    def _con_sort_comparator(self):
+        self.next()
+        self.expect(L.EQ, "'='")
+        t = self.next()
+        if t.kind == L.STR:
+            self._item.sort_comparators = [t.text]
+        elif t.kind == L.OPAR:
+            out = []
+            while self.peek().kind != L.CPAR:
+                out.append(self.expect(L.STR, "string").text)
+            self.next()
+            self._item.sort_comparators = out
+        else:
+            raise ParseError("expected string after sort-comparator=")
+
+    @handler("result")
+    def _con_result(self):
+        self.next()
+        self.expect(L.EQ, "'='")
+        self._item.result = self.parse_pattern()
+
+    @handler("cursor")
+    def _con_cursor(self):
+        self.next()
+        self.expect(L.EQ, "'='")
+        self._item.cursor = self.expect(L.STR, "string").text
+
+    @handler("dateline")
+    def _con_dateline(self):
+        self.next()
+        self.expect(L.EQ, "'='")
+        self._item.dateline = self.expect(L.STR, "string").text
+
+    def _cluster(self, field):
+        self.next()
+        self.expect(L.EQ, "'='")
+        t = self.next()
+        items = []
+        if t.kind == L.ATOM:
+            items = [t.text.lower()]
+        elif t.kind == L.OPAR:
+            while self.peek().kind != L.CPAR:
+                items.append(self.expect(L.ATOM, "field").text.lower())
+            self.next()
+        else:
+            raise ParseError(f"expected field list after {field}=")
+        for it in items:
+            if it not in _CLUSTER_FIELDS:
+                raise ParseError(f"bad {field} field {it!r}", "SEMANTICS")
+        setattr(self._item, field, items)
+
+    setattr(P, "_con_unique", lambda self: _cluster(self, "unique"))
+    setattr(P, "_con_key", lambda self: _cluster(self, "key"))
+
+    @handler("anchor")
+    def _con_anchor(self):
+        self.next()
+        self._item.anchor = True
+
+
+_make_handlers()
+
+
+# parse_or_con needs self._item available to handlers; patch it in:
+_orig_parse_or_con = Parser.parse_or_con
+
+
+def _parse_or_con(self, con):
+    self._item = con
+    return _orig_parse_or_con(self, con)
+
+
+Parser.parse_or_con = _parse_or_con
+
+
+# ---------------------------------------------------------------------------
+# semantic pass (ref graphd/graphd-semantic.c:628-760)
+# ---------------------------------------------------------------------------
+
+
+def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
+    """Defaults + meta-arrow linkage inference, applied recursively."""
+    if con.meta == "from":
+        # "->": parent is my left; first free child is my right
+        if con.linkage is None and con.parent is not None and "left" not in con.links:
+            con.linkage = ("my", "left")
+        if "right" not in con.links:
+            for sub in con.subs:
+                if sub.linkage is None:
+                    sub.linkage = ("iam", "right")
+                    break
+    elif con.meta == "to":
+        # "<-": parent is my right; first free child is my left
+        if con.linkage is None and con.parent is not None and "right" not in con.links:
+            con.linkage = ("my", "right")
+        if "left" not in con.links:
+            for sub in con.subs:
+                if sub.linkage is None:
+                    sub.linkage = ("iam", "left")
+                    break
+    if con.archival == UNSPECIFIED:
+        con.archival = DONTCARE
+    if con.live == UNSPECIFIED:
+        con.live = TRUE
+    if con.count_min is None:
+        con.count_min = con.start + 1
+    if any(g.op in ("=", "~=") and not g.guids for g in con.guid):
+        con.false = True
+    for sub in con.subs:
+        apply_semantics(sub, command)
+    for chain in con.or_chains:
+        for branch in chain:
+            branch.parent = con.parent
+            apply_semantics(branch, command)
+    return con
+
+
+# ---------------------------------------------------------------------------
+# request line parsing
+# ---------------------------------------------------------------------------
+
+_COMMANDS = {
+    "read",
+    "write",
+    "dump",
+    "restore",
+    "set",
+    "status",
+    "sync",
+    "iterate",
+    "verify",
+    "replica",
+    "replica-write",
+    "smp",
+    "crash",
+}
+
+#: request modifiers (ref doc/gr-protocol.txt:171-262)
+_MODIFIERS = {
+    "timeout",
+    "id",
+    "dateline",
+    "asof",
+    "cost",
+    "loglevel",
+    "heatmap",
+}
+
+
+def parse_request(line: str) -> Request:
+    p = Parser(line)
+    cmd_tok = p.expect(L.ATOM, "command")
+    cmd = cmd_tok.text.lower()
+    if cmd not in _COMMANDS:
+        raise ParseError(f"unknown command {cmd_tok.text!r}")
+    req = Request(command=cmd)
+    # request modifiers: atom '=' (atom|string) before the template
+    while (
+        p.peek().kind == L.ATOM
+        and p.peek().text.lower() in _MODIFIERS
+        and p.peek(1).kind == L.EQ
+    ):
+        name = p.next().text.lower()
+        p.next()
+        val = p.next()
+        if val.kind not in (L.ATOM, L.STR, L.OPAR):
+            raise ParseError(f"bad {name}= value")
+        if val.kind == L.OPAR:  # e.g. asof=(...) — keep raw tokens
+            depth = 1
+            parts = []
+            while depth:
+                t = p.next()
+                if t.kind == L.OPAR:
+                    depth += 1
+                elif t.kind == L.CPAR:
+                    depth -= 1
+                    if not depth:
+                        break
+                parts.append(t.text)
+            req.modifiers[name] = " ".join(parts)
+        else:
+            req.modifiers[name] = val.text
+        continue
+    if cmd in ("read", "write", "iterate", "verify"):
+        p.command = cmd
+        p.expect(L.OPAR, "'('")
+        con = p.parse_constraints()
+        p.expect(L.CPAR, "')'")
+        req.constraint = apply_semantics(con, cmd)
+    else:
+        # leave remaining tokens raw for the command dispatcher
+        while p.peek().kind != L.END:
+            req.rest.append(p.next())
+    return req

@@ -1,0 +1,208 @@
+"""Core data model: GUIDs, graph timestamps, datatypes, primitive schema.
+
+The reference stores the whole database as fixed-shape tuples
+("primitives", ref doc/gr-model.txt:10-17).  This module defines the
+value-level codecs that must match the reference byte-for-byte:
+
+- GUID: 128-bit = database id + 34-bit serial, rendered as 32 hex chars
+  (ref libgraph/graph.h:205-244, libgraph/graph-guid.c
+  graph_guid_from_db_serial).
+- graph timestamp: 48-bit ``time_t << 16 | seq`` (ref
+  libgraph/graph.h:375-425), rendered ISO-8601 with a 4-digit
+  sub-second sequence (ref libgraph/graph-timestamp.c
+  graph_timestamp_to_string).
+- datatypes: small-int enum with symbolic names (ref
+  doc/gr-protocol.txt:492-528).
+- the Spark schema of the ``primitives`` table (SURVEY.md §1.4).
+
+Predictable ("boring") mode constants: database id 0x123456 (ref
+libpdb/pdb-initialize.c:409) and timestamp = primitive count in 100µs
+ticks (ref graphd/graphd.c graphd_set_time).
+"""
+
+from __future__ import annotations
+
+import calendar
+import time
+from dataclasses import dataclass
+
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PREDICTABLE_DB_ID = 0x123456
+
+#: datatype enum (ref doc/gr-protocol.txt:492-528, libgraph/graph.h:296-365)
+DATATYPE_NAMES = {
+    1: "null",
+    2: "string",
+    3: "integer",
+    4: "float",
+    5: "guid",
+    6: "timestamp",
+    7: "url",
+    8: "bytestring",
+    9: "boolean",
+}
+DATATYPE_CODES = {v: k for k, v in DATATYPE_NAMES.items()}
+
+
+def guid_compose(db: int, serial: int) -> str:
+    """db + serial -> 32-hex GUID (ref graph_guid_from_db_serial)."""
+    a = ((db >> 16) << 32) | (4 << 28) | (db & 0xFFFF)
+    b = (2 << 62) | (serial & ((1 << 34) - 1))
+    return f"{a:016x}{b:016x}"
+
+
+def guid_serial(guid: str) -> int:
+    """Extract the 34-bit serial (ref GRAPH_GUID_SERIAL)."""
+    b = int(guid[16:], 16)
+    return b & ((1 << 34) - 1)
+
+
+def guid_db(guid: str) -> int:
+    """Extract the database id (ref GRAPH_GUID_DB)."""
+    a = int(guid[:16], 16)
+    return ((a >> 32) << 16) | (a & 0xFFFF)
+
+
+def guid_normalize(text: str) -> str | None:
+    """Parse a GUID literal; '0'/'null' mean the null GUID (-> None).
+
+    Ref graph_guid_from_string: 32-hex, or '0'/'null' synonyms.
+    """
+    t = text.strip().lower()
+    if t in ("0", "null"):
+        return None
+    if len(t) != 32 or any(c not in "0123456789abcdef" for c in t):
+        raise ValueError(f"bad GUID literal: {text!r}")
+    return t
+
+
+# --- graph timestamps (48-bit: time_t << 16 | seq) ----------------------
+
+
+def ts_make(seconds: int, seq: int) -> int:
+    return (seconds << 16) | (seq & 0xFFFF)
+
+
+def ts_predictable(count: int) -> int:
+    """Predictable-mode timestamp for the count-th primitive.
+
+    Ref graphd/graphd.c graphd_set_time: MAKE(count/10000, count%10000).
+    """
+    return ts_make(count // 10000, count % 10000)
+
+
+def ts_to_string(ts: int) -> str:
+    """Render like graph_timestamp_to_string: %Y-%m-%dT%H:%M:%S.%04dZ."""
+    secs = ts >> 16
+    seq = ts & 0xFFFF
+    tm = time.gmtime(secs)
+    return (
+        f"{tm.tm_year}-{tm.tm_mon:02d}-{tm.tm_mday:02d}"
+        f"T{tm.tm_hour:02d}:{tm.tm_min:02d}:{tm.tm_sec:02d}.{seq:04d}Z"
+    )
+
+
+def ts_from_string(s: str, round_up: bool = False) -> int:
+    """Parse a (possibly partial) timestamp literal.
+
+    Grammar (ref doc/gr-protocol.txt:560-580 and
+    libgraph/graph-timestamp.c graph_timestamp_from_string):
+    y?yyyy[-mm[-dd[Thh[:mm[:ss[.n+]]]]]][Z].  Unspecified parts default
+    to their minimum (or maximum when ``round_up`` — used for the upper
+    end of range comparisons on partial timestamps).
+    """
+    t = s.strip()
+    if t.endswith(("Z", "z")):
+        t = t[:-1]
+    date_part, _, time_part = t.partition("T")
+    dfields = date_part.split("-") if date_part else []
+    tfields = time_part.split(":") if time_part else []
+    sec_str, _, frac = (tfields[2] if len(tfields) > 2 else "").partition(".")
+
+    def pick(val: str, lo: int, hi: int) -> int:
+        if val == "":
+            return hi if round_up else lo
+        return int(val)
+
+    year = int(dfields[0])
+    mon = pick(dfields[1] if len(dfields) > 1 else "", 1, 12)
+    day_hi = calendar.monthrange(year, mon)[1]
+    day = pick(dfields[2] if len(dfields) > 2 else "", 1, day_hi)
+    hour = pick(tfields[0] if len(tfields) > 0 else "", 0, 23)
+    minute = pick(tfields[1] if len(tfields) > 1 else "", 0, 59)
+    sec = pick(sec_str, 0, 59)
+    if frac == "":
+        seq = 0xFFFF if round_up else 0
+    else:
+        seq = int(frac)
+    secs = calendar.timegm((year, mon, day, hour, minute, sec, 0, 0, 0))
+    return ts_make(secs, seq)
+
+
+# --- the primitives table ------------------------------------------------
+
+#: Spark schema of the primitive store (SURVEY.md §1.4).  ``lineage`` and
+#: ``generation`` are append-time enrichments that make the reference's
+#: generation index (libpdb/pdb-hmap gen map) a plain column: newest=0
+#: matching becomes a window/anti-join on ``lineage`` instead of a
+#: recursive prev-chain walk — the design that scales on Spark.
+PRIMITIVES_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("guid", StringType(), False),
+        StructField("typeguid", StringType(), True),
+        StructField("left", StringType(), True),
+        StructField("right", StringType(), True),
+        StructField("scope", StringType(), True),
+        StructField("prev", StringType(), True),
+        StructField("name", StringType(), True),
+        StructField("datatype", IntegerType(), False),
+        StructField("value", StringType(), True),
+        StructField("live", BooleanType(), False),
+        StructField("archival", BooleanType(), False),
+        StructField("txstart", BooleanType(), False),
+        StructField("timestamp", LongType(), False),
+        StructField("lineage", StringType(), False),
+        StructField("generation", IntegerType(), False),
+    ]
+)
+
+PRIMITIVE_FIELDS = [f.name for f in PRIMITIVES_SCHEMA.fields]
+
+
+@dataclass
+class Primitive:
+    """One tuple of the store (driver-side representation)."""
+
+    id: int
+    guid: str
+    typeguid: str | None = None
+    left: str | None = None
+    right: str | None = None
+    scope: str | None = None
+    prev: str | None = None
+    name: str | None = None
+    datatype: int = 1
+    value: str | None = None
+    live: bool = True
+    archival: bool = True
+    txstart: bool = False
+    timestamp: int = 0
+    lineage: str = ""
+    generation: int = 0
+
+    def as_row(self) -> tuple:
+        return tuple(getattr(self, f) for f in PRIMITIVE_FIELDS)
+
+    @property
+    def is_link(self) -> bool:
+        """A primitive with a left is a link (ref doc/gr-model.txt:164-183)."""
+        return self.left is not None
