@@ -144,6 +144,8 @@ class Constraint:
     #: of alternative branch constraints; the primitive must satisfy one
     #: branch of every chain (chains AND together, branches OR).
     or_chains: list[list["Constraint"]] = field(default_factory=list)
+    #: set on a branch joined to its predecessor by '||' (short-circuit:
+    #: only tried if earlier branches failed, ref graphd-constraint-or.c)
     or_short_circuit: bool = False
     parent: Optional["Constraint"] = None
 

@@ -8,7 +8,8 @@ charset (hex digits, '-', '.', ':', 'T', 'Z', 't', 'z') which covers
 decimals, GUIDs and timestamps; strings are double-quoted with
 backslash escapes (\\\\, \\", \\n; any other escaped char stands for
 itself, ref fix_string); symbols: ( ) { } = != ~= < <= > >= <- -> | ||
-- + and the cursor brackets (: :).
+- +.  '(: ... :)' spans are comments and are skipped (ref
+libgdp/gdp-lexer.c consume_comments_and_space).
 """
 
 from __future__ import annotations
@@ -22,7 +23,6 @@ class LexError(Exception):
 
 # token kinds
 OPAR, CPAR, OBRC, CBRC = "(", ")", "{", "}"
-CBEGIN, CEND = "(:", "):"  # cursor string brackets
 EQ, NE, FE, LT, LE, GT, GE = "=", "!=", "~=", "<", "<=", ">", ">="
 RARR, LARR = "->", "<-"
 BOR, LOR = "|", "||"
@@ -126,9 +126,14 @@ def tokenize(s: str) -> list[Token]:
             continue
         # symbols
         two = s[i : i + 2]
-        if two in ("(:", "):"):
-            toks.append(Token(two, two, start))
-            i += 2
+        if two == "(:":
+            # '(: ... :)' is a comment, skipped entirely (ref
+            # libgdp/gdp-lexer.c consume_comments_and_space: scan to the
+            # ':)' terminator; EOF inside a comment is a lexical error).
+            end = s.find(":)", i + 2)
+            if end < 0:
+                raise LexError(f"unterminated comment at {start}")
+            i = end + 2
         elif two in ("->", "<-", "<=", ">=", "!=", "~=", "||"):
             toks.append(Token(two, two, start))
             i += 2

@@ -147,13 +147,21 @@ class Parser:
                 return
         branches = [first]
         while self.peek().kind in (L.BOR, L.LOR):
-            self.next()
+            lor = self.next().kind == L.LOR
             nxt = self.peek()
             if nxt.kind in (L.CPAR, L.CBRC, L.END):
-                branches.append(Constraint())  # trailing '|': empty branch
+                b = Constraint()  # trailing '|': empty branch
+                b.or_short_circuit = lor
+                branches.append(b)
                 break
             b = Constraint()
             self.parse_or_con(b)
+            # '||' is short-circuit: this branch is only tried if the
+            # preceding branches failed (ref libgdp/gdp-parse.c:2136
+            # tkn_kind == TOK_LOR -> conlist_add_or short_circuit;
+            # graphd/graphd-constraint-or.c).  '|' and '||' can mix in
+            # one chain, so the flag lives on the joined branch.
+            b.or_short_circuit = lor
             branches.append(b)
         con.or_chains.append(branches)
 
@@ -308,12 +316,17 @@ class Parser:
                     raise ParseError(f"expected string, got {t.text!r}")
         raise ParseError(f"expected string, got {t.text!r}")
 
+    def _guid_lit(self, t: L.Token) -> str | None:
+        try:
+            return guid_normalize(t.text)
+        except ValueError:
+            # malformed GUID literal maps to an 'error SYNTAX' reply
+            raise ParseError(f"expected a GUID, got {t.text!r}")
+
     def _guidset(self) -> list[str | None]:
         t = self.next()
-        if t.kind == L.ATOM:
-            return [guid_normalize(t.text)]
-        if t.kind == L.STR:
-            return [guid_normalize(t.text)]
+        if t.kind in (L.ATOM, L.STR):
+            return [self._guid_lit(t)]
         if t.kind == L.OPAR:
             out: list[str | None] = []
             while True:
@@ -321,7 +334,7 @@ class Parser:
                 if t.kind == L.CPAR:
                     return out
                 if t.kind in (L.ATOM, L.STR):
-                    out.append(guid_normalize(t.text))
+                    out.append(self._guid_lit(t))
                 else:
                     raise ParseError(f"expected GUID, got {t.text!r}")
         raise ParseError(f"expected GUID, got {t.text!r}")
@@ -655,7 +668,21 @@ Parser.parse_or_con = _parse_or_con
 
 
 def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
-    """Defaults + meta-arrow linkage inference, applied recursively."""
+    """Defaults + meta-arrow linkage inference, applied post-order.
+
+    The reference completes constraints bottom-up: ast_conlist_add_subcon
+    runs validate_conlist when each subconstraint closes, before the
+    parent completes (ref graphd/graphd-ast.c).  So for nested
+    meta-arrows like ``read (-> (<- ...))`` the child's own '<-' rule
+    claims its linkage first, and the parent's arrow inference only
+    binds children still free.
+    """
+    for sub in con.subs:
+        apply_semantics(sub, command)
+    for chain in con.or_chains:
+        for branch in chain:
+            branch.parent = con.parent
+            apply_semantics(branch, command)
     if con.meta == "from":
         # "->": parent is my left; first free child is my right
         if con.linkage is None and con.parent is not None and "left" not in con.links:
@@ -682,12 +709,6 @@ def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
         con.count_min = con.start + 1
     if any(g.op in ("=", "~=") and not g.guids for g in con.guid):
         con.false = True
-    for sub in con.subs:
-        apply_semantics(sub, command)
-    for chain in con.or_chains:
-        for branch in chain:
-            branch.parent = con.parent
-            apply_semantics(branch, command)
     return con
 
 

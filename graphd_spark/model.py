@@ -110,19 +110,62 @@ def ts_to_string(ts: int) -> str:
     )
 
 
-def ts_from_string(s: str, round_up: bool = False) -> int:
-    """Parse a (possibly partial) timestamp literal.
+def _short_year(year: int, ndigits: int) -> int:
+    """2-/3-digit year adjustment (ref graph-timestamp.c:131-136)."""
+    if ndigits <= 2 and year < 50:
+        return year + 2000
+    if ndigits <= 3 and year < 150:
+        return year + 1900
+    return year
 
-    Grammar (ref doc/gr-protocol.txt:560-580 and
-    libgraph/graph-timestamp.c graph_timestamp_from_string):
-    y?yyyy[-mm[-dd[Thh[:mm[:ss[.n+]]]]]][Z].  Unspecified parts default
-    to their minimum (or maximum when ``round_up`` — used for the upper
-    end of range comparisons on partial timestamps).
+
+def ts_from_string(s: str, round_up: bool = False) -> int:
+    """Parse a timestamp literal (ref graph_timestamp_from_string,
+    libgraph/graph-timestamp.c:123-260).
+
+    Accepted forms:
+    - ``YY[YY[Y]]-MM-DD[T ]HH:MM:SS.NNNN[Z]`` and any dashed prefix of
+      it (``2005``, ``2005-02``, ...); 1-2 digit month/day/... fields;
+      short years get +2000/+1900.
+    - a long all-digit string >= 200 years of seconds: compact
+      ``YYYYMMDDHHMMSS`` date-time.
+    - a shorter all-digit string: seconds since the epoch.
+    Unspecified parts default to their minimum (or maximum when
+    ``round_up`` — used for the upper end of range comparisons).
+
+    Raises ValueError on malformed or out-of-range (not 1970..2105)
+    input, mirroring GRAPH_ERR_LEXICAL/SEMANTICS.
     """
     t = s.strip()
     if t.endswith(("Z", "z")):
         t = t[:-1]
-    date_part, _, time_part = t.partition("T")
+    if t.isdigit() and len(t) > 5:
+        num = int(t)
+        frac = 0
+        if num >= 200 * 365 * 24 * 60 * 60:
+            # compact date-without-dashes, e.g. 20050221230055
+            num, sec = divmod(num, 100)
+            num, minute = divmod(num, 100)
+            num, hour = divmod(num, 100)
+            num, day = divmod(num, 100)
+            year, mon = divmod(num, 100)
+            year = _short_year(year, 4)
+            if sec > 60 or minute > 60 or hour > 23 or day > 31 or mon > 12:
+                raise ValueError(f"bad compact timestamp {s!r}")
+        else:
+            # seconds since the epoch
+            tm = time.gmtime(num)
+            year, mon, day = tm.tm_year, tm.tm_mon, tm.tm_mday
+            hour, minute, sec = tm.tm_hour, tm.tm_min, tm.tm_sec
+        if not 1970 <= year < 2106:
+            raise ValueError(f"timestamp year out of range: {s!r}")
+        secs = calendar.timegm((year, mon, day, hour, minute, sec, 0, 0, 0))
+        return ts_make(secs, frac)
+
+    # dashed/structured form; 'T' or ' ' separates date and time
+    date_part, _, time_part = (
+        t.partition("T") if "T" in t else t.partition(" ")
+    )
     dfields = date_part.split("-") if date_part else []
     tfields = time_part.split(":") if time_part else []
     sec_str, _, frac = (tfields[2] if len(tfields) > 2 else "").partition(".")
@@ -130,9 +173,15 @@ def ts_from_string(s: str, round_up: bool = False) -> int:
     def pick(val: str, lo: int, hi: int) -> int:
         if val == "":
             return hi if round_up else lo
+        if not val.isdigit():
+            raise ValueError(f"bad timestamp field {val!r} in {s!r}")
         return int(val)
 
-    year = int(dfields[0])
+    if not dfields or not dfields[0].isdigit() or len(dfields[0]) > 5:
+        raise ValueError(f"bad timestamp {s!r}")
+    year = _short_year(int(dfields[0]), len(dfields[0]))
+    if not 1970 <= year < 2106:
+        raise ValueError(f"timestamp year out of range: {s!r}")
     mon = pick(dfields[1] if len(dfields) > 1 else "", 1, 12)
     day_hi = calendar.monthrange(year, mon)[1]
     day = pick(dfields[2] if len(dfields) > 2 else "", 1, day_hi)
