@@ -1,0 +1,143 @@
+"""GraphSession: the protocol-level engine entry point.
+
+One session = one database.  ``request(line)`` takes a protocol
+request exactly as the reference's TCP loop would (ref
+doc/gr-protocol.txt:47-69) and returns the reply line — this is what
+the golden-test harness drives, mirroring test/unit/rungraphd.
+
+Dispatch (ref graphd/graphd-request-run.c:287-368): write requests run
+the driver-side append pipeline (single-writer OLTP path); read
+requests compile to a DataFrame plan and execute on Spark.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from graphd_spark.compiler import Compiler
+from graphd_spark.gql.lexer import LexError
+from graphd_spark.gql.parser import ParseError, parse_request
+from graphd_spark.pattern import (
+    Assembler,
+    GraphdError,
+    default_write_pattern,
+)
+from graphd_spark.store import PrimitiveStore
+from graphd_spark.typesys import TypeSystem
+from graphd_spark.values import Guid, List, escape_string, render
+from graphd_spark.write import WriteError, WriteExecutor, WriteNode
+
+
+class GraphSession:
+    def __init__(self, spark=None):
+        self.spark = spark
+        self.store = PrimitiveStore()
+        self.types = TypeSystem(self.store)
+
+    def _require_spark(self):
+        if self.spark is None:
+            from graphd_spark.session import get_spark
+
+            self.spark = get_spark("graphd_engine")
+        return self.spark
+
+    # -- protocol ----------------------------------------------------------
+
+    def request(self, line: str) -> str:
+        """One request line in, one reply line out."""
+        line = line.strip()
+        if not line:
+            return ""
+        try:
+            req = parse_request(line)
+        except (ParseError, LexError) as e:
+            code = getattr(e, "code", "SYNTAX")
+            return self._error(code, str(e), self._id_of_line(line))
+        rid = req.modifiers.get("id")
+        try:
+            if req.command == "write":
+                return self._ok(self._do_write(req), rid)
+            if req.command == "read":
+                return self._ok(self._do_read(req), rid)
+            if req.command == "sync":
+                return self._ok(None, rid)
+            if req.command in ("status", "set"):
+                return self._ok(List([]), rid)
+            if req.command == "dump":
+                from graphd_spark.dump import do_dump
+
+                return self._ok(do_dump(self, req), rid)
+            if req.command == "restore":
+                from graphd_spark.dump import do_restore
+
+                return self._ok(do_restore(self, req), rid)
+            raise GraphdError(
+                "SEMANTICS", f"unsupported command {req.command!r}"
+            )
+        except (GraphdError, WriteError) as e:
+            return self._error(e.code, e.message, rid)
+
+    def request_script(self, text: str) -> list[str]:
+        """Run a batch of newline-separated requests (rungraphd -y)."""
+        return [
+            self.request(line)
+            for line in text.splitlines()
+            if line.strip()
+        ]
+
+    def _id_of_line(self, line: str) -> Optional[str]:
+        # best-effort id= echo for lines that failed to parse
+        import re
+
+        m = re.search(r'\bid="((?:[^"\\]|\\.)*)"', line)
+        return m.group(1) if m else None
+
+    # -- commands ----------------------------------------------------------
+
+    def _do_write(self, req):
+        self.store.begin()
+        try:
+            wx = WriteExecutor(self.store, self.types)
+            node = wx.execute(req.constraint)
+        except Exception:
+            self.store.rollback()
+            raise
+        self.store.commit()
+        return self._write_value(node)
+
+    def _write_value(self, node: WriteNode):
+        items = [Guid(node.guid)]
+        for c in node.children:
+            items.append(self._write_value(c))
+        return List(items)
+
+    def _do_read(self, req):
+        spark = self._require_spark()
+        asof = req.modifiers.get("asof")
+        compiler = Compiler(spark, self.store, self.types, asof=asof)
+        plan, rows, total = compiler.run(req.constraint)
+        asm = Assembler(self.store, self.types)
+        return asm.set_value(plan, rows, total)
+
+    # -- replies -----------------------------------------------------------
+
+    def _ok(self, value, rid: Optional[str]) -> str:
+        from graphd_spark.values import Splice
+
+        parts = ["ok"]
+        if rid is not None:
+            parts.append(f'id="{escape_string(rid)}"')
+        if isinstance(value, Splice):
+            # a set-level `contents` pattern splices the sub results
+            # directly into the reply
+            parts.extend(render(v) for v in value.items)
+        elif value is not None:
+            parts.append(render(value))
+        return " ".join(parts)
+
+    def _error(self, code: str, message: str, rid: Optional[str]) -> str:
+        parts = ["error", code]
+        if rid is not None:
+            parts.append(f'id="{escape_string(rid)}"')
+        parts.append(f'"{escape_string(message)}"')
+        return " ".join(parts)

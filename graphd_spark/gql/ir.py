@@ -80,6 +80,11 @@ class Pattern:
     literal: Optional[str] = None  # for kind == 'literal'
     var: Optional[str] = None  # for kind == 'variable'
     negated: bool = False  # sort direction marker ('-' prefix)
+    #: default-pattern element flags (ref graphd-pattern.c:38-59): a
+    #: link_only entry is emitted only for link primitives; a
+    #: contents_only entry only when the constraint has subconstraints.
+    link_only: bool = False
+    contents_only: bool = False
 
     def walk(self):
         yield self

@@ -709,7 +709,27 @@ def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
         con.count_min = con.start + 1
     if any(g.op in ("=", "~=") and not g.guids for g in con.guid):
         con.false = True
+    if con.result is not None:
+        _check_set_atom_depth(con.result, 0)
     return con
+
+
+_SET_VALUE_ATOMS = ("count", "cursor", "estimate", "estimate-count",
+                    "iterator", "timeout")
+
+
+def _check_set_atom_depth(pat, depth: int) -> None:
+    """Set-scoped atoms live at most one parenthesis deep (ref
+    graphd-constraint-clause.c result checking)."""
+    if pat.kind == "list":
+        for c in pat.children:
+            _check_set_atom_depth(c, depth + 1)
+    elif pat.kind in _SET_VALUE_ATOMS and depth > 1:
+        raise ParseError(
+            "'count', 'cursor', 'estimate', 'estimate-count', "
+            "'iterator', or 'timeout' can only appear inside at most "
+            "one set of parentheses"
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,279 @@
+"""Result patterns: analysis + driver-side reply assembly.
+
+The reference splits a ``result=`` pattern into a set frame and an
+element frame (ref graphd/graphd-pattern-frame.c): the pattern's top
+level describes the per-SET reply value (atoms like ``count`` are
+set-scoped; element-scoped atoms are *sampled* from the first element,
+the reference's pat_sample); a nested list inside the set list is the
+per-ELEMENT pattern, replicated once per matched primitive.
+``contents`` splices each subconstraint's set value inline (ref
+graphd-pattern.c CONTENTS).
+
+Assembly runs driver-side over the rows the compiler collected — the
+rows are already sorted/paginated by Spark; this module only maps
+struct fields to protocol values.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from graphd_spark.gql.ir import Constraint, Pattern
+from graphd_spark.model import DATATYPE_NAMES
+from graphd_spark.values import (
+    Atom,
+    Guid,
+    List,
+    Null,
+    Num,
+    Splice,
+    Str,
+    Ts,
+    render,
+)
+
+
+class GraphdError(Exception):
+    def __init__(self, code: str, message: str):
+        super().__init__(f"{code} {message}")
+        self.code = code
+        self.message = message
+
+
+def _p(kind, **kw) -> Pattern:
+    return Pattern(kind, **kw)
+
+
+def default_read_pattern() -> Pattern:
+    """ref graphd-pattern.c:38-59 default_read_pattern."""
+    return _p(
+        "list",
+        children=[
+            _p(
+                "list",
+                children=[
+                    _p("meta", link_only=True),
+                    _p("guid"),
+                    _p("type"),
+                    _p("name"),
+                    _p("datatype"),
+                    _p("value"),
+                    _p("scope"),
+                    _p("live"),
+                    _p("archival"),
+                    _p("timestamp"),
+                    _p("right", link_only=True),
+                    _p("left", link_only=True),
+                    _p("contents", contents_only=True),
+                ],
+            )
+        ],
+    )
+
+
+def default_write_pattern() -> Pattern:
+    """ref graphd-pattern.c:28-36 default_write_pattern."""
+    return _p(
+        "list",
+        children=[_p("guid"), _p("contents", contents_only=True)],
+    )
+
+
+#: pattern atoms whose value comes from the matched primitive
+ELEMENT_ATOMS = {
+    "guid", "type", "name", "datatype", "valuetype", "value", "scope",
+    "live", "archival", "timestamp", "left", "right", "typeguid", "meta",
+    "previous", "next", "generation", "contents", "literal", "variable",
+    "none",
+}
+
+#: set-scoped atoms (ref GRAPHD_PATTERN_IS_SET_VALUE)
+SET_ATOMS = {"count", "cursor", "estimate", "estimate-count", "iterator",
+             "timeout"}
+
+
+def pattern_shows_contents(pat: Optional[Pattern], con: Constraint) -> bool:
+    """Does this constraint's reply include its subs' results?"""
+    if pat is None:
+        pat = default_read_pattern()
+    return any(p.kind == "contents" for p in pat.walk())
+
+
+def pattern_uses_variable(pat: Optional[Pattern], name: str) -> bool:
+    if pat is None:
+        return False
+    return any(p.kind == "variable" and p.var == name for p in pat.walk())
+
+
+# --- assembly -------------------------------------------------------------
+
+
+class Assembler:
+    """Maps collected Rows to reply values.
+
+    ``types``/``store`` supply the driver-side point lookups the
+    reference does per result row: typeguid -> type name
+    (graphd_type_value_from_guid) and the ``next`` version pointer
+    (pdb_generation_nth).
+    """
+
+    def __init__(self, store, types):
+        self.store = store
+        self.types = types
+
+    # -- set level ---------------------------------------------------------
+
+    def set_value(self, plan, rows, total: int):
+        """Evaluate the set frame of plan.con over collected rows."""
+        con = plan.con
+        pat = con.result if con.result is not None else default_read_pattern()
+        return self._eval_set(pat, plan, rows, total)
+
+    def _eval_set(self, pat, plan, rows, total):
+        con = plan.con
+        if pat.kind == "list":
+            items = []
+            for child in pat.children:
+                if child.kind == "list":
+                    # element frame: one instance per element
+                    for row in rows:
+                        v = self._eval_elem(child, plan, row)
+                        items.extend(v.items) if isinstance(
+                            v, Splice
+                        ) else items.append(v)
+                else:
+                    v = self._eval_set_atom(child, plan, rows, total)
+                    items.extend(v.items) if isinstance(
+                        v, Splice
+                    ) else items.append(v)
+            return List(items)
+        return self._eval_set_atom(pat, plan, rows, total)
+
+    def _eval_set_atom(self, pat, plan, rows, total):
+        con = plan.con
+        if pat.kind == "count":
+            n = total
+            if con.countlimit is not None:
+                n = min(n, con.countlimit)
+            return Num(n)
+        if pat.kind == "cursor":
+            return Str(plan.cursor or "null:")
+        if pat.kind in ("estimate", "estimate-count"):
+            return Num(total)
+        if pat.kind in ("iterator", "timeout"):
+            return Atom("null")
+        if pat.kind == "none":
+            return Splice([])
+        if pat.kind == "literal":
+            return Atom(pat.literal or "")
+        # element-scoped atom at set level: sample from the first
+        # element (the reference's pat_sample); null when the set is
+        # empty (graphd_pattern_from_null)
+        if not rows:
+            return Null
+        return self._eval_elem(pat, plan, rows[0])
+
+    # -- element level -------------------------------------------------
+
+    def _eval_elem(self, pat, plan, row):
+        con = plan.con
+        k = pat.kind
+        if k == "list":
+            items = []
+            for child in pat.children:
+                if child.link_only and row["left"] is None and row[
+                    "right"
+                ] is None:
+                    continue
+                if child.contents_only and not con.subs:
+                    continue
+                v = self._eval_elem(child, plan, row)
+                items.extend(v.items) if isinstance(
+                    v, Splice
+                ) else items.append(v)
+            return List(items)
+        if k == "contents":
+            out = []
+            for i, sub in enumerate(con.subs):
+                sp = plan.sub_plans[i]
+                if sp is None or sp.arr_col is None:
+                    out.append(List([]))
+                    continue
+                sub_rows = row[sp.arr_col] or []
+                sub_total = row[sp.cnt_col] or 0
+                out.append(self.set_value(sp.plan, sub_rows, sub_total))
+            return Splice(out)
+        if k == "guid":
+            return Guid(row["guid"])
+        if k in ("left", "right", "typeguid", "scope"):
+            g = row[k]
+            return Guid(g) if g is not None else Null
+        if k == "name":
+            return Str(row["name"]) if row["name"] is not None else Null
+        if k == "value":
+            return Str(row["value"]) if row["value"] is not None else Null
+        if k == "type":
+            tg = row["typeguid"]
+            if tg is None:
+                return Null
+            nm = self.types.type_name(tg)
+            return Str(nm) if nm is not None else Null
+        if k == "datatype":
+            dt = row["datatype"]
+            nm = DATATYPE_NAMES.get(dt)
+            return Atom(nm) if nm is not None else Num(dt)
+        if k == "valuetype":
+            return Num(row["datatype"])
+        if k == "live":
+            return Atom("true" if row["live"] else "false")
+        if k == "archival":
+            return Atom("true" if row["archival"] else "false")
+        if k == "timestamp":
+            return Ts(row["timestamp"])
+        if k == "meta":
+            if row["left"] is None and row["right"] is None:
+                return Atom("node")
+            if con.linkage == ("my", "right"):
+                return Atom("<-")
+            return Atom("->")
+        if k == "previous":
+            p = row["prev"]
+            return Guid(p) if p is not None else Null
+        if k == "next":
+            nxt = self.store.next_version.get(row["guid"])
+            return Guid(nxt) if nxt is not None else Null
+        if k == "generation":
+            return Num(row["generation"])
+        if k == "literal":
+            return Atom(pat.literal or "")
+        if k == "none":
+            return Splice([])
+        if k == "variable":
+            col = plan.var_cols.get(pat.var)
+            if col is None:
+                return Null
+            v = row[col]
+            if v is None:
+                return Null
+            kind = plan.var_kinds.get(pat.var, "value")
+            return self._typed(kind, v)
+        if k in SET_ATOMS:
+            # set atom reached in element scope (e.g. nested list):
+            # not meaningful per element
+            return Null
+        raise GraphdError("SEMANTICS", f"unsupported pattern {k!r}")
+
+    def _typed(self, kind: str, v):
+        if kind in ("guid", "left", "right", "typeguid", "scope",
+                    "previous", "next"):
+            return Guid(v)
+        if kind == "timestamp":
+            return Ts(v)
+        if kind in ("live", "archival"):
+            return Atom("true" if v else "false")
+        if kind == "datatype":
+            nm = DATATYPE_NAMES.get(v)
+            return Atom(nm) if nm is not None else Num(v)
+        if kind in ("generation", "valuetype", "count"):
+            return Num(v)
+        return Str(v)
