@@ -56,11 +56,25 @@ class GraphSession:
         rid = req.modifiers.get("id")
         try:
             if req.command == "write":
-                return self._ok(self._do_write(req), rid)
+                val = self._do_write(req)
+                extra = None
+                if "dateline" in req.modifiers:
+                    # dateline="" asks for the post-write horizon,
+                    # echoed as the GUID of the next unwritten id
+                    from graphd_spark.model import guid_compose
+
+                    extra = 'dateline="{}"'.format(
+                        guid_compose(self.store.db_id, self.store.next_id)
+                    )
+                return self._ok(val, rid, extra)
             if req.command == "read":
                 return self._ok(self._do_read(req), rid)
             if req.command == "sync":
                 return self._ok(None, rid)
+            if req.command == "iterate":
+                # iterator self-tests (ref graphd-iterate.c): no
+                # analog needed; the reference replies "ok " bare
+                return "ok " if rid is None else f'ok id="{rid}" '
             if req.command in ("status", "set"):
                 return self._ok(List([]), rid)
             if req.command == "dump":
@@ -121,10 +135,13 @@ class GraphSession:
 
     # -- replies -----------------------------------------------------------
 
-    def _ok(self, value, rid: Optional[str]) -> str:
+    def _ok(self, value, rid: Optional[str], extra: Optional[str] = None
+            ) -> str:
         from graphd_spark.values import Splice
 
         parts = ["ok"]
+        if extra is not None:
+            parts.append(extra)
         if rid is not None:
             parts.append(f'id="{escape_string(rid)}"')
         if isinstance(value, Splice):

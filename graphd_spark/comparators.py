@@ -127,11 +127,40 @@ def fragments(s: str):
         i = r
 
 
-def decode_number(s: str) -> Optional[tuple[bool, bool, int, str]]:
-    """graph_decode_number (non-scientific): -> (positive, zero,
-    exponent, significant_digits) or None if not a number."""
+def decode_number(
+    s: str, scientific: bool = False
+) -> Optional[tuple[bool, bool, int, str]]:
+    """graph_decode_number: -> (positive, zero, exponent,
+    significant_digits) or None if not a number.
+
+    ``scientific`` additionally accepts inf/+inf/-inf (exponent field
+    None marks infinity) and an e/E exponent suffix
+    (ref libgraph/graph-fuzzy-compare.c:215-372).
+    """
     if not s:
         return None
+    if scientific:
+        low = s.lower()
+        if low in ("inf", "+inf"):
+            return True, False, None, ""
+        if low == "-inf":
+            return False, False, None, ""
+        epos = low.find("e")
+        if epos >= 0:
+            base = decode_number(s[:epos])
+            exp_s = s[epos + 1 :]
+            sign = 1
+            if exp_s[:1] == "-":
+                sign = -1
+                exp_s = exp_s[1:]
+            elif exp_s[:1] == "+":
+                exp_s = exp_s[1:]
+            if base is None or not exp_s.isdigit():
+                return None
+            positive, zero, exp, digits = base
+            if zero:
+                return positive, zero, exp, digits
+            return positive, zero, exp + sign * int(exp_s), digits
     i = 0
     positive = True
     if s[0] == "-":
@@ -178,6 +207,60 @@ def _ascii_lower(s: str) -> str:
     return "".join(
         chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s
     )
+
+
+def render_sci(dec: tuple[bool, bool, Optional[int], str]) -> str:
+    """Canonical number form (ref pdb_number_to_string,
+    libpdb/pdb-word.c:908-929): mantissa digits with an implicit
+    decimal point after the first, 'e', decimal exponent; zero is "0",
+    infinities are "+Inf"/"-Inf"."""
+    positive, zero, exp, digits = dec
+    if zero:
+        return "0"
+    if exp is None:
+        return "+Inf" if positive else "-Inf"
+    return f"{'' if positive else '-'}{digits}e{exp}"
+
+
+def normalize_value(s: str) -> str:
+    """The value-hash normalization (ref pdb_hmap_value_normalize,
+    libpdb/pdb-word.c:1098-1120): a value that parses as a (scientific)
+    number becomes its canonical number string; otherwise whitespace
+    runs collapse to one space, leading/trailing space is stripped, and
+    embedded number fragments are canonicalized.  Matching is
+    case-insensitive (pdb_case_insensitive_hash), so callers compare
+    the ascii-lowered form.
+
+    The engine stores this as the ``value_norm`` column at write time —
+    the Spark analog of the reference's hmap value index — so equality
+    filters stay native column comparisons.
+    """
+    dec = decode_number(s, scientific=True)
+    if dec is not None:
+        return render_sci(dec)
+    out: list[str] = []
+    for frag, typ in fragments(s):
+        if typ == SPACE:
+            if not out:
+                continue  # leading space stripped
+            out.append(" ")
+            continue
+        if typ == NUMBER:
+            d = decode_number(frag)
+            if d is not None:
+                out.append(render_sci(d))
+                continue
+        out.append(frag)
+    while out and out[-1] == " ":
+        out.pop()
+    return "".join(out)
+
+
+def value_norm_key(s: Optional[str]) -> Optional[str]:
+    """Case-folded normalized value (the stored ``value_norm``)."""
+    if s is None:
+        return None
+    return _ascii_lower(normalize_value(s))
 
 
 # --- order-preserving binary keys ---------------------------------------
@@ -266,6 +349,21 @@ def sort_key_column(col, comparator: str = "default"):
 
     if comparator in ("case", "octet"):
         return col.cast("binary")
+
+    if comparator == "__fuzzy_list":
+        # array<string> -> one binary key ordering arrays element-wise
+        # under fuzzy order (used for sort-by-set-shaped-variable)
+        @F.pandas_udf(BinaryType())
+        def _fuzzy_list(vs: pd.Series) -> pd.Series:
+            return vs.map(
+                lambda arr: None
+                if arr is None
+                else b"".join(
+                    (fuzzy_key(v) or b"") + b"\x00" for v in arr
+                )
+            )
+
+        return _fuzzy_list(col)
 
     if comparator in ("default", "unspecified", None):
 

@@ -37,7 +37,11 @@ from typing import Optional
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from graphd_spark.comparators import fuzzy_key, sort_key_column
+from graphd_spark.comparators import (
+    fuzzy_key,
+    sort_key_column,
+    value_norm_key,
+)
 from graphd_spark.gql.ir import (
     Constraint,
     DONTCARE,
@@ -76,6 +80,16 @@ class SetPlan:
     sub_plans: list = dfield(default_factory=list)
     var_cols: dict = dfield(default_factory=dict)   # '$name' -> column
     var_kinds: dict = dfield(default_factory=dict)  # '$name' -> pattern kind
+    #: '$name' -> (sub_plan, arr_col, cnt_col, Pattern): variables bound
+    #: to set-shaped patterns (e.g. $f=((value))), evaluated at assembly
+    #: over the sub's collected rows
+    var_patterns: dict = dfield(default_factory=dict)
+    #: set-shaped assignments of THIS constraint, waiting for the parent
+    #: to register them against its aggregated array column
+    pending_pattern_vars: list = dfield(default_factory=list)
+    #: SubPlans attached by or-branches (their cnt/arr columns must
+    #: ride along in the element struct for variable assembly)
+    or_sub_plans: list = dfield(default_factory=list)
     cursor: Optional[str] = None
 
 
@@ -110,9 +124,18 @@ class Compiler:
 
     def _asof_horizon(self, asof: str) -> int:
         """asof= binds to an id bound (ref graphd-read.c:203-486)."""
-        t = asof.strip().lower()
-        if len(t) == 32 and all(c in "0123456789abcdef" for c in t):
-            return guid_serial(t)
+        t = asof.strip()
+        tl = t.lower()
+        if len(tl) == 32 and all(c in "0123456789abcdef" for c in tl):
+            return guid_serial(tl)
+        # dateline form "db-id.count" (ref libgraph/graph-dateline.c):
+        # the count is the next unwritten id, so the horizon excludes it
+        if "." in tl:
+            db, _, count = tl.rpartition(".")
+            if count.isdigit() and db and all(
+                c in "0123456789abcdef" for c in db
+            ):
+                return int(count) - 1
         try:
             ts = ts_from_string(t, round_up=True)
         except ValueError:
@@ -154,19 +177,42 @@ class Compiler:
             .collect()
         ]
         pat = con.result if con.result is not None else default_read_pattern()
-        need_total = any(
-            p.kind in ("count", "estimate", "estimate-count")
-            for p in pat.walk()
+        need_total = (
+            any(
+                p.kind in ("count", "estimate", "estimate-count")
+                for p in pat.walk()
+            )
+            or con.count_eq is not None
+            or con.count_max is not None
+            or (con.count_min or 0) > 1
         )
-        if need_total and len(collected) >= limit:
+        # a page starting beyond the end is EMPTY (ref: default
+        # count-min is start+1), but an explicit count bound overrides
+        count_min_chk = (
+            con.count_min if con.count_min is not None else con.start + 1
+        )
+        if len(collected) < limit:
+            total = len(collected)  # page not full: exact
+        elif need_total:
             cdf = df
             if con.countlimit is not None:
                 cdf = cdf.limit(con.countlimit)
             total = cdf.count()
+        elif count_min_chk > len(collected):
+            # page capped below count_min (e.g. pagesize=0): probe just
+            # enough rows to decide emptiness, never a full count
+            total = df.limit(count_min_chk).count()
         else:
             total = len(collected)
-        count_min = con.count_min if con.count_min is not None else 1
-        if total < count_min:
+        # the root set's own count bounds (ref graphd-read.c:606:
+        # an unsatisfiable set answers "error EMPTY not found")
+        if con.count_eq is not None:
+            ok = total == con.count_eq
+        else:
+            ok = total >= count_min_chk and (
+                con.count_max is None or total <= con.count_max
+            )
+        if not ok:
             raise GraphdError("EMPTY", "not found")
         return plan, collected[con.start :], total
 
@@ -179,23 +225,19 @@ class Compiler:
             df = df.filter(pred)
         plan = SetPlan(con=con)
         for chain in con.or_chains:
-            df = self._apply_or_chain(df, chain)
+            df = self._apply_or_chain(df, chain, plan)
         for sub in con.subs:
-            df, sp = self._attach_sub(df, con, sub, exists_only)
+            df, sp, _flag = self._attach_sub(df, con, sub, exists_only)
             plan.sub_plans.append(sp)
             if sp.mode == "agg":
-                # sample child variables into parent columns (pat_sample)
-                for var, vcol in sp.plan.var_cols.items():
-                    self._n += 1
-                    newcol = f"v{self._n}"
-                    df = df.withColumn(
-                        newcol,
-                        F.try_element_at(F.col(sp.arr_col), F.lit(1))[vcol],
-                    )
-                    plan.var_cols[var] = newcol
-                    plan.var_kinds[var] = sp.plan.var_kinds[var]
+                df = self._import_sub_vars(df, plan, sp)
         for var, pat in con.assignments:
             expr = self._var_expr(pat)
+            if expr is None:
+                # set-shaped pattern ($f=((value))): the parent binds it
+                # against its aggregated array of this constraint's rows
+                plan.pending_pattern_vars.append((var, pat))
+                continue
             self._n += 1
             vcol = f"v{self._n}"
             df = df.withColumn(vcol, expr)
@@ -203,7 +245,29 @@ class Compiler:
             plan.var_kinds[var] = pat.kind
         return plan, df
 
+    def _import_sub_vars(self, df, plan: SetPlan, sp: "SubPlan"):
+        """Make a sub's variables visible to the parent (pat_sample:
+        scalar vars take the first child's value; set-shaped vars
+        evaluate over the whole child array at assembly time)."""
+        for var, vcol in sp.plan.var_cols.items():
+            self._n += 1
+            newcol = f"v{self._n}"
+            df = df.withColumn(
+                newcol,
+                F.try_element_at(F.col(sp.arr_col), F.lit(1))[vcol],
+            )
+            plan.var_cols[var] = newcol
+            plan.var_kinds[var] = sp.plan.var_kinds[var]
+        for var, pat in sp.plan.pending_pattern_vars:
+            plan.var_patterns[var] = (sp.plan, sp.arr_col, sp.cnt_col, pat)
+        # pass grandchild set-vars one more level up unchanged: they
+        # resolve against nested arrays inside this sub's elem structs
+        for var, entry in sp.plan.var_patterns.items():
+            plan.var_patterns.setdefault(var, entry)
+        return df
+
     def _var_expr(self, pat: Pattern):
+        """Scalar column for an assignment pattern; None if set-shaped."""
         k = pat.kind
         if k in ("value", "name", "guid", "left", "right", "typeguid",
                  "scope", "timestamp", "datatype", "valuetype",
@@ -215,14 +279,18 @@ class Compiler:
             return F.col(col)
         if k == "literal":
             return F.lit(pat.literal)
-        raise GraphdError(
-            "SEMANTICS", f"unsupported variable pattern {k!r}"
-        )
+        return None
 
     # -- subconstraints ----------------------------------------------------
 
     def _attach_sub(self, df, parent: Constraint, sub: Constraint,
-                    exists_only: bool):
+                    exists_only: bool, or_mode: bool = False):
+        """Join one subconstraint onto the parent candidate set.
+
+        Returns (df, SubPlan, flag): in or_mode nothing is filtered —
+        the returned boolean flag column says whether the sub's count
+        bounds hold for each parent row (the or-branch ORs flags).
+        """
         if sub.linkage is None:
             raise GraphdError(
                 "SEMANTICS", "subconstraint is not connected to its parent"
@@ -255,19 +323,19 @@ class Compiler:
         sub_plan, child_df = self._compile(sub, exists_only=not need_payload)
         child_df = child_df.filter(child_key.isNotNull())
 
-        if not need_payload and not counting:
+        if not or_mode and not need_payload and not counting:
             keys = child_df.select(child_key.alias("__k")).distinct()
             if sub.count_eq == 0:
                 out = df.join(
                     keys, parent_key == F.col("__k"), "left_anti"
                 )
-                return out, SubPlan("anti", sub_plan)
+                return out, SubPlan("anti", sub_plan), None
             if count_min >= 1:
                 out = df.join(
                     keys, parent_key == F.col("__k"), "left_semi"
                 )
-                return out, SubPlan("semi", sub_plan)
-            return df, SubPlan("skip", sub_plan)  # pure optional filter
+                return out, SubPlan("semi", sub_plan), None
+            return df, SubPlan("skip", sub_plan), None  # optional, unused
 
         # aggregation path: per-parent ordered contents + counts.
         self._n += 1
@@ -308,33 +376,51 @@ class Compiler:
             )
         agg = agg.withColumn(arr, F.slice(F.col(arr), 1, rps))
 
+        cnt_eff = F.coalesce(F.col(cnt), F.lit(0))
+        bounds = []
+        if sub.count_eq is not None:
+            bounds.append(cnt_eff == sub.count_eq)
+        else:
+            if count_min > 0:
+                bounds.append(cnt_eff >= count_min)
+            if sub.count_max is not None:
+                bounds.append(cnt_eff <= sub.count_max)
+        flag = F.lit(True)
+        for b in bounds:
+            flag = flag & b
+
+        if or_mode:
+            out = df.join(agg, parent_key == agg["__k"], "left").drop("__k")
+            return out, SubPlan("agg", sub_plan, cnt_col=cnt,
+                                arr_col=arr), flag
+
         outer = count_min == 0 or sub.count_eq == 0
         out = df.join(
             agg,
             parent_key == agg["__k"],
             "left" if outer else "inner",
         ).drop("__k")
-        cnt_eff = F.coalesce(F.col(cnt), F.lit(0))
-        if sub.count_eq is not None:
-            out = out.filter(cnt_eff == sub.count_eq)
-        if count_min > 1:
-            out = out.filter(cnt_eff >= count_min)
-        if sub.count_max is not None:
-            out = out.filter(cnt_eff <= sub.count_max)
-        return out, SubPlan("agg", sub_plan, cnt_col=cnt, arr_col=arr)
+        if bounds and (outer or sub.count_eq is not None
+                       or count_min > 1 or sub.count_max is not None):
+            out = out.filter(flag)
+        return out, SubPlan("agg", sub_plan, cnt_col=cnt, arr_col=arr), None
 
     def _has_deep_assignments(self, con: Constraint) -> bool:
         return any(bool(c.assignments) for c in con.walk())
 
     # -- or-chains ---------------------------------------------------------
 
-    def _apply_or_chain(self, df, chain):
+    def _apply_or_chain(self, df, chain, plan: SetPlan):
         """A primitive matches if any branch accepts it.
 
         Pure-intrinsic branches fold into one disjunctive filter (no
-        shuffle); branches with subconstraints fall back to a union of
-        semi-join id sets.  '||' short-circuit affects evaluation
-        preference, not membership, so both operators compile alike.
+        shuffle).  Branches with subconstraints left-join their sub
+        aggregates and contribute a per-row match flag; the chain
+        filters on the OR of flags, so variables bound inside branches
+        stay available (null when the branch didn't match).  '||'
+        short-circuit selects the first matching branch's bindings —
+        with '|' too, earlier branches win, matching the reference's
+        evaluation order.
         """
         if all(self._branch_is_intrinsic(b) for b in chain):
             pred = None
@@ -344,21 +430,73 @@ class Compiler:
                     return df  # empty branch: chain always true
                 pred = p if pred is None else (pred | p)
             return df.filter(pred) if pred is not None else df
-        matched = None
+
+        flags = []
         for b in chain:
-            bdf = df
-            p = self._intrinsic_pred(b)
-            if p is not None:
-                bdf = bdf.filter(p)
+            pred = self._intrinsic_pred(b)
+            flag = pred if pred is not None else F.lit(True)
+            bvars: dict = {}
+            bkinds: dict = {}
+            bpats: list = []  # (var, sub_plan, arr_col, cnt_col, pattern)
             for sub in b.subs:
-                bdf, _ = self._attach_sub(bdf, b, sub, exists_only=True)
-            ids = bdf.select("id")
-            matched = ids if matched is None else matched.union(ids)
-        return df.join(
-            matched.distinct().withColumnRenamed("id", "__oid"),
-            F.col("id") == F.col("__oid"),
-            "left_semi",
-        )
+                df, sp, sflag = self._attach_sub(
+                    df, b, sub, exists_only=False, or_mode=True
+                )
+                if sflag is not None:
+                    flag = flag & sflag
+                if sp.mode == "agg":
+                    plan.or_sub_plans.append(sp)
+                    for var, vcol in sp.plan.var_cols.items():
+                        bvars[var] = F.try_element_at(
+                            F.col(sp.arr_col), F.lit(1)
+                        )[vcol]
+                        bkinds[var] = sp.plan.var_kinds[var]
+                    for var, pat in sp.plan.pending_pattern_vars:
+                        bpats.append(
+                            (var, sp.plan, sp.arr_col, sp.cnt_col, pat)
+                        )
+            for var, pat in b.assignments:
+                expr = self._var_expr(pat)
+                if expr is not None:
+                    bvars[var] = expr
+                    bkinds[var] = pat.kind
+            flags.append((flag, bvars, bkinds, bpats))
+
+        # merge variables: the FIRST matching branch's bindings apply —
+        # a later branch's assignment stays null for rows an earlier
+        # branch already accepted (or4: '{} || (... $a=...)' binds
+        # nothing), matching the reference's in-order or evaluation
+        all_vars: dict = {}
+        prior = None
+        for flag, bvars, bkinds, bpats in flags:
+            eff = flag if prior is None else (flag & ~prior)
+            for var in bvars:
+                all_vars.setdefault(var, []).append((eff, bvars[var]))
+                plan.var_kinds.setdefault(var, bkinds[var])
+            for var, sub_plan, arr_col, cnt_col, pat in bpats:
+                # guard the set-shaped var's array: null unless this
+                # branch is the first match
+                self._n += 1
+                gcol = f"v{self._n}"
+                df = df.withColumn(gcol, F.when(eff, F.col(arr_col)))
+                plan.var_patterns[var] = (sub_plan, gcol, cnt_col, pat)
+                plan.var_cols.pop(var, None)
+            prior = flag if prior is None else (prior | flag)
+        for var, cases in all_vars.items():
+            expr = None
+            for flag, v in cases:
+                expr = (
+                    F.when(flag, v) if expr is None else expr.when(flag, v)
+                )
+            self._n += 1
+            vcol = f"v{self._n}"
+            df = df.withColumn(vcol, expr)
+            plan.var_cols[var] = vcol
+
+        pred = None
+        for flag, _, _, _ in flags:
+            pred = flag if pred is None else (pred | flag)
+        return df.filter(pred)
 
     def _branch_is_intrinsic(self, b: Constraint) -> bool:
         return not b.subs and not b.or_chains and not b.assignments
@@ -366,13 +504,19 @@ class Compiler:
     # -- element structs ---------------------------------------------------
 
     def _elem_struct(self, con: Constraint, plan: SetPlan):
-        fields = [F.col(f) for f in PRIM_ELEM_FIELDS]
-        for sp in plan.sub_plans:
+        names: list[str] = list(PRIM_ELEM_FIELDS)
+        for sp in list(plan.sub_plans) + list(plan.or_sub_plans):
             if sp.mode == "agg":
-                fields.append(F.col(sp.cnt_col))
-                fields.append(F.col(sp.arr_col))
-        for var, col in plan.var_cols.items():
-            fields.append(F.col(col))
+                names.extend([sp.cnt_col, sp.arr_col])
+        names.extend(plan.var_cols.values())
+        for _sp, acol, _ccol, _pat in plan.var_patterns.values():
+            names.append(acol)
+        seen = set()
+        fields = []
+        for n in names:
+            if n not in seen:
+                seen.add(n)
+                fields.append(F.col(n))
         return F.struct(*fields)
 
     # -- sorting -----------------------------------------------------------
@@ -420,16 +564,37 @@ class Compiler:
             return F.col(k)
         if k == "variable":
             vcol = plan.var_cols.get(pat.var)
-            if vcol is None:
-                return None
-            if plan.var_kinds.get(pat.var) in ("value", "name", "type"):
-                return sort_key_column(F.col(vcol), comparator)
-            return F.col(vcol)
+            if vcol is not None:
+                if plan.var_kinds.get(pat.var) in (
+                    "value", "name", "type", "literal"
+                ):
+                    return sort_key_column(F.col(vcol), comparator)
+                return F.col(vcol)
+            entry = plan.var_patterns.get(pat.var)
+            if entry is not None:
+                # set-shaped var: order by the array of element keys
+                # (arrays compare element-wise, so this reproduces the
+                # reference's list comparison)
+                _sp, acol, _ccol, vpat = entry
+                field = self._pattern_scalar_field(vpat)
+                if field is not None:
+                    arr = F.transform(F.col(acol), lambda x: x[field])
+                    return sort_key_column(arr, "__fuzzy_list")
+            return None
         if k == "literal":
             return F.lit(pat.literal)
         if k == "list" and pat.children:
             return self._sort_key_col(pat.children[0], con, plan, comparator)
         raise GraphdError("SEMANTICS", f"unsupported sort key {k!r}")
+
+    def _pattern_scalar_field(self, pat: Pattern):
+        """First primitive-scalar atom inside a set-shaped pattern."""
+        for p in pat.walk():
+            if p.kind in ("value", "name"):
+                return p.kind
+            if p.kind == "guid":
+                return "guid"
+        return None
 
     # -- intrinsic predicates ----------------------------------------------
 
@@ -466,11 +631,13 @@ class Compiler:
             conds.append(self._type_cond(sc))
         for sc in con.name_strcons:
             conds.append(
-                self._string_cond(F.col("name"), sc, con.comparator)
+                self._string_cond(F.col("name"), sc, con.comparator,
+                                  is_value=False)
             )
         for sc in con.value_strcons:
             conds.append(
-                self._string_cond(F.col("value"), sc, con.comparator)
+                self._string_cond(F.col("value"), sc, con.comparator,
+                                  is_value=True)
             )
 
         if con.valuetype is not None:
@@ -607,20 +774,28 @@ class Compiler:
             pred = p2 if pred is None else (pred & p2)
         return pred if pred is not None else F.lit(True)
 
-    def _string_cond(self, col, sc, comparator):
+    def _string_cond(self, col, sc, comparator, is_value: bool = False):
         comp = comparator or "default"
         ci = comp in ("default", "unspecified", None)
         nonnull = [v for v in sc.values if v is not None]
         has_null = any(v is None for v in sc.values)
+        if ci and is_value:
+            # equality under the default comparator matches the
+            # hash-normalized value (whitespace collapse + canonical
+            # numbers, ref pdb_hmap_value_normalize) — precomputed in
+            # the value_norm column, so this is a native comparison
+            eq_col = F.col("value_norm")
+            eq_lits = [value_norm_key(v) for v in nonnull]
+        elif ci:
+            eq_col = F.lower(col)
+            eq_lits = [v.lower() for v in nonnull]
+        else:
+            eq_col = col
+            eq_lits = nonnull
         if sc.op == "=":
             parts = []
             if nonnull:
-                if ci:
-                    parts.append(
-                        F.lower(col).isin([v.lower() for v in nonnull])
-                    )
-                else:
-                    parts.append(col.isin(nonnull))
+                parts.append(eq_col.isin(eq_lits))
             if has_null:
                 parts.append(col.isNull())
             if not parts:
@@ -632,11 +807,7 @@ class Compiler:
         if sc.op == "!=":
             pred = None
             if nonnull:
-                if ci:
-                    pred = ~F.lower(col).isin([v.lower() for v in nonnull])
-                else:
-                    pred = ~col.isin(nonnull)
-                pred = col.isNull() | pred
+                pred = col.isNull() | ~eq_col.isin(eq_lits)
             if has_null:
                 p2 = col.isNotNull()
                 pred = p2 if pred is None else (pred & p2)

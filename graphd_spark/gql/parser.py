@@ -242,7 +242,17 @@ class Parser:
             con.subs.append(sub)
             return
         if t.kind == L.OBRC:
-            raise ParseError("'{...}' sequences are not supported yet")
+            # '{ ... }' groups a clause list into one unit, so an
+            # or-chain can bind more than a single adjacent clause
+            # (ref libgdp/gdp-parse.c sequence braces, used as
+            # '{...} || {...}' in e.g. test/unit/varsort.sh)
+            self.next()
+            while self.peek().kind != L.CBRC:
+                if self.peek().kind == L.END:
+                    raise ParseError("unterminated '{...}' sequence")
+                self.parse_con(con)
+            self.next()
+            return
         if t.kind != L.ATOM:
             raise ParseError(f"unexpected token {t.text!r}")
         word = t.text.lower()
@@ -371,7 +381,9 @@ class Parser:
         word = t.text.lower()
         if word == "literal":
             self.expect(L.EQ, "'='")
-            s = self.expect(L.STR, "string")
+            s = self.next()
+            if s.kind not in (L.STR, L.ATOM):
+                raise ParseError(f"expected literal value, got {s.text!r}")
             return Pattern("literal", literal=s.text, negated=neg)
         if word == "prev":
             word = "previous"
@@ -466,9 +478,17 @@ def _make_handlers():
             try:
                 n = int(t.text)
             except ValueError:
-                raise ParseError(f"bad valuetype {t.text!r}")
+                raise ParseError(
+                    f"on line 1, column {t.pos + 1}: '{t.text}': "
+                    "invalid datatype",
+                    "SEMANTICS",
+                )
             if not 1 <= n <= 255:
-                raise ParseError("valuetype out of range 1..255", "SEMANTICS")
+                raise ParseError(
+                    f"on line 1, column {t.pos + 1}: '{t.text}': "
+                    "invalid datatype",
+                    "SEMANTICS",
+                )
             self._item.valuetype = n
 
     setattr(P, "_con_datatype", P._con_valuetype)
@@ -486,6 +506,16 @@ def _make_handlers():
             return
         if t.kind != L.ATOM:
             raise ParseError(f"bad timestamp {t.text!r}")
+        from graphd_spark.model import ts_from_string
+
+        try:
+            ts_from_string(t.text)
+        except ValueError:
+            raise ParseError(
+                f"on line 1, column {t.pos + 1}: '{t.text}': expected "
+                "a timestamp value",
+                "SEMANTICS",
+            )
         self._item.timestamps.append(TsCon(op.kind, t.text))
 
     @handler("newest")
@@ -514,7 +544,13 @@ def _make_handlers():
 
     @handler("false")
     def _con_false(self):
-        self.next()
+        t = self.next()
+        if self.command == "write":
+            raise ParseError(
+                f"on line 1, column {t.pos + 1}: '{t.text}': constraint "
+                "can only be used in read requests",
+                "SEMANTICS",
+            )
         self._item.false = True
 
     @handler("node")
@@ -529,7 +565,13 @@ def _make_handlers():
 
     @handler("optional")
     def _con_optional(self):
-        self.next()
+        t = self.next()
+        if self.command == "write":
+            raise ParseError(
+                f"on line 1, column {t.pos + 1}: '{t.text}': constraint "
+                "can only be used in read requests",
+                "SEMANTICS",
+            )
         self._item.count_min = 0
 
     @handler("atleast")
@@ -622,6 +664,8 @@ def _make_handlers():
 
     def _cluster(self, field):
         self.next()
+        if self.command != "write":
+            raise ParseError(f'"{field}=" only works with "write"')
         self.expect(L.EQ, "'='")
         t = self.next()
         items = []
@@ -643,7 +687,12 @@ def _make_handlers():
 
     @handler("anchor")
     def _con_anchor(self):
-        self.next()
+        t = self.next()
+        if self.command != "write":
+            raise ParseError(
+                f"on line 1, column {t.pos + 1}: '{t.text}': \"anchor\" "
+                f"flag cannot be used in a \"{self.command}\" command"
+            )
         self._item.anchor = True
 
 
@@ -705,8 +754,6 @@ def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
         con.archival = DONTCARE
     if con.live == UNSPECIFIED:
         con.live = TRUE
-    if con.count_min is None:
-        con.count_min = con.start + 1
     if any(g.op in ("=", "~=") and not g.guids for g in con.guid):
         con.false = True
     if con.result is not None:

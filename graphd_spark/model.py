@@ -215,6 +215,10 @@ PRIMITIVES_SCHEMA = StructType(
         StructField("name", StringType(), True),
         StructField("datatype", IntegerType(), False),
         StructField("value", StringType(), True),
+        # case-folded hash-normalized value (ref pdb_hmap_value_normalize)
+        # — precomputed at write time so value-equality filters are
+        # native column comparisons, like the reference's hmap index
+        StructField("value_norm", StringType(), True),
         StructField("live", BooleanType(), False),
         StructField("archival", BooleanType(), False),
         StructField("txstart", BooleanType(), False),
@@ -241,6 +245,7 @@ class Primitive:
     name: str | None = None
     datatype: int = 1
     value: str | None = None
+    value_norm: str | None = None
     live: bool = True
     archival: bool = True
     txstart: bool = False

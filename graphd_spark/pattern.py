@@ -250,13 +250,29 @@ class Assembler:
             return Splice([])
         if k == "variable":
             col = plan.var_cols.get(pat.var)
-            if col is None:
-                return Null
-            v = row[col]
-            if v is None:
-                return Null
-            kind = plan.var_kinds.get(pat.var, "value")
-            return self._typed(kind, v)
+            if col is not None:
+                try:
+                    v = row[col]
+                except (KeyError, ValueError):
+                    return Null
+                if v is None:
+                    return Null
+                kind = plan.var_kinds.get(pat.var, "value")
+                return self._typed(kind, v)
+            entry = plan.var_patterns.get(pat.var)
+            if entry is not None:
+                sub_plan, arr_col, cnt_col, vpat = entry
+                try:
+                    sub_rows = row[arr_col]
+                    sub_total = row[cnt_col]
+                except (KeyError, ValueError):
+                    return Null
+                if sub_rows is None:
+                    return Null
+                return self._eval_set(
+                    vpat, sub_plan, sub_rows, sub_total or 0
+                )
+            return Null
         if k in SET_ATOMS:
             # set atom reached in element scope (e.g. nested list):
             # not meaningful per element
@@ -264,6 +280,8 @@ class Assembler:
         raise GraphdError("SEMANTICS", f"unsupported pattern {k!r}")
 
     def _typed(self, kind: str, v):
+        if kind == "literal":
+            return Atom(v)  # literals print as bare atoms
         if kind in ("guid", "left", "right", "typeguid", "scope",
                     "previous", "next"):
             return Guid(v)

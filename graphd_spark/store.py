@@ -147,6 +147,8 @@ class PrimitiveStore:
             self.next_version[prev] = guid
         else:
             lineage, generation = guid, 0
+        from graphd_spark.comparators import value_norm_key
+
         p = Primitive(
             id=id,
             guid=guid,
@@ -158,6 +160,7 @@ class PrimitiveStore:
             name=name,
             datatype=datatype,
             value=value,
+            value_norm=value_norm_key(value),
             live=live,
             archival=archival,
             txstart=txstart,

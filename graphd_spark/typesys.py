@@ -147,7 +147,8 @@ class TypeSystem:
         """Look up or create the type object for ``name``.
 
         graphd_type_make_name: bootstrap if needed, search, else create
-        the anonymous node + has_key link in the bootstrap namespace.
+        the anonymous node + has_key link in the *root* namespace
+        (ref graphd-type.c:1077 make_node_has_key(g_namespace_root)).
         """
         self.ensure_bootstrap()
         found = self._find_named(name)
@@ -155,7 +156,7 @@ class TypeSystem:
             return found
         node = self.store.append(scope=self.core_scope).guid
         self.store.append(
-            left=self.namespace_bootstrap,
+            left=self.namespace_root,
             right=node,
             typeguid=self.attribute_has_key,
             scope=self.core_scope,

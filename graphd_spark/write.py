@@ -86,18 +86,21 @@ class WriteExecutor:
     # -- allocation --------------------------------------------------------
 
     def _write_node(self, con: Constraint, parent_guid: str | None) -> WriteNode:
-        # 1. pointees first: subs the parent will point at.
-        iam_results: dict[int, WriteNode] = {}
-        for i, sub in enumerate(con.subs):
-            if sub.linkage and sub.linkage[0] == "iam":
-                iam_results[i] = self._write_node(sub, parent_guid=None)
-
-        # 2. resolve the type string (may create type primitives).
+        # 1. resolve the type string first (may create type
+        # primitives) — the reference binds a constraint's typeguid
+        # before descending into its children (see
+        # test/unit/version2.out.exp GUID order).
         typeguid = None
         if con.type_strcons:
             tname = _single(con.type_strcons[0].values, "type")
             if tname is not None:
                 typeguid = self.types.make_name(tname)
+
+        # 2. pointees next: subs the parent will point at.
+        iam_results: dict[int, WriteNode] = {}
+        for i, sub in enumerate(con.subs):
+            if sub.linkage and sub.linkage[0] == "iam":
+                iam_results[i] = self._write_node(sub, parent_guid=None)
 
         # 3. linkage fields: literals, parent linkage, pointee children.
         links: dict[str, str | None] = {}
@@ -158,7 +161,7 @@ class WriteExecutor:
                 if not self.store.is_newest(target):
                     raise WriteError(
                         "OUTDATED",
-                        f"guid={target} has been versioned",
+                        f'"{target}" has been versioned',
                     )
                 prev = target
             elif gc.op == "~=":

@@ -15,11 +15,39 @@ from graphd_spark.api import GraphSession
 from golden import run_golden
 
 GOLDENS = [
-    "sort4",
-    "or",
-    "countabunch",
+    "100x100",
+    "asof",
     "atleast",
+    "bootstrap",
+    "compare2",
+    "countabunch",
+    "count2",
+    "datatype",
+    "false",
+    "guid",
+    "optional",
+    "or",
+    "or4",
+    "pagesize",
+    "previous",
+    "sort1",
+    "sort2",
+    "sort4",
+    "sort5",
+    "sort6",
+    "sort10",
+    "start",
+    "substring2",
+    "substring3",
+    "timestamp",
+    "twovars",
+    "valuetype",
+    "varor",
     "vars",
+    "varsort",
+    "version1",
+    "version2",
+    "version3",
 ]
 
 

@@ -69,7 +69,7 @@ def test_parse_simple_value_read():
     assert con.value_strcons[0].op == "="
     assert con.value_strcons[0].values == ["foo"]
     assert con.live == "true"  # default
-    assert con.count_min == 1  # default: start+1
+    assert con.count_min is None  # unconstrained (compiler defaults to 1)
 
 
 def test_parse_value_set():
