@@ -333,6 +333,68 @@ def fuzzy_cmp(a: Optional[str], b: Optional[str]) -> int:
     return (ka > kb) - (ka < kb)
 
 
+# --- other comparators ----------------------------------------------------
+
+KNOWN_COMPARATORS = {"default", "case", "octet", "number", "datetime"}
+
+
+def resolve_comparator(name: Optional[str]) -> str:
+    """Comparator names may carry a locale prefix ("i;octet") and
+    aliases (ref graphd/graphd-comparator.c graphd_comparator_from_string;
+    "unspecified" aliases default)."""
+    if name is None:
+        return "default"
+    if ";" in name:
+        name = name.rsplit(";", 1)[1]
+    name = name.strip().lower()
+    if name in ("", "unspecified"):
+        return "default"
+    if name in KNOWN_COMPARATORS:
+        return name
+    return "default"
+
+
+def number_sort_key(s: Optional[str]) -> Optional[bytes]:
+    """Order-preserving key for the ``number`` comparator (ref
+    graphd_number_compare, graphd-comparator-number.c:498-538):
+    parseable (scientific) numbers order numerically and sort before
+    everything else; non-numbers compare case-insensitively."""
+    if s is None:
+        return None
+    dec = decode_number(s, scientific=True)
+    if dec is None:
+        return b"\x02" + _ascii_lower(s).encode("utf-8", "surrogateescape")
+    positive, zero, exp, digits = dec
+    if exp is None:  # infinities
+        return b"\x013" if positive else b"\x01/"
+    return _number_key(positive, zero, exp, digits)
+
+
+def datetime_sort_key(s: Optional[str]) -> Optional[bytes]:
+    """Order-preserving key for the ``datetime`` comparator (ref
+    datetime_sort_compare, graphd-comparator-datetime.c): plain
+    case-insensitive byte order, except two BCE dates ('-'-prefixed)
+    compare in reverse."""
+    if s is None:
+        return None
+    if s.startswith("-"):
+        body = _ascii_lower(s[1:]).encode("utf-8", "surrogateescape")
+        return b"\x00" + bytes(0xFF - b for b in body) + b"\xff"
+    return b"\x01" + _ascii_lower(s).encode("utf-8", "surrogateescape")
+
+
+def literal_key(lit: str, comparator: str) -> bytes:
+    """Driver-side sort key of a literal, for range predicates."""
+    comp = resolve_comparator(comparator)
+    if comp == "number":
+        return number_sort_key(lit)
+    if comp == "datetime":
+        return datetime_sort_key(lit)
+    if comp in ("case", "octet"):
+        return lit.encode("utf-8", "surrogateescape")
+    return fuzzy_key(lit)
+
+
 # --- Spark integration ---------------------------------------------------
 
 
@@ -364,6 +426,22 @@ def sort_key_column(col, comparator: str = "default"):
             )
 
         return _fuzzy_list(col)
+
+    if comparator == "number":
+
+        @F.pandas_udf(BinaryType())
+        def _numkey(vs: pd.Series) -> pd.Series:
+            return vs.map(number_sort_key)
+
+        return _numkey(col)
+
+    if comparator == "datetime":
+
+        @F.pandas_udf(BinaryType())
+        def _dtkey(vs: pd.Series) -> pd.Series:
+            return vs.map(datetime_sort_key)
+
+        return _dtkey(col)
 
     if comparator in ("default", "unspecified", None):
 

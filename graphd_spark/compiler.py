@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from graphd_spark.comparators import (
+    decode_number,
     fuzzy_key,
+    literal_key,
+    resolve_comparator,
     sort_key_column,
     value_norm_key,
 )
@@ -548,6 +551,11 @@ class Compiler:
     def _sort_key_col(self, pat: Pattern, con: Constraint, plan: SetPlan,
                       comparator: str):
         k = pat.kind
+        comparator = resolve_comparator(comparator)
+        if k == "value" and comparator == "default":
+            # sorted natively by the stored fuzzy key — no Python in
+            # the sort path
+            return F.col("value_fkey")
         if k in ("value", "name"):
             return sort_key_column(F.col(k), comparator)
         if k == "guid":
@@ -583,6 +591,16 @@ class Compiler:
             return None
         if k == "literal":
             return F.lit(pat.literal)
+        if k == "contents":
+            # order elements by their (first) child set's values,
+            # compared element-wise (ref sort9.sh)
+            for sp in plan.sub_plans:
+                if sp.mode == "agg":
+                    arr = F.transform(
+                        F.col(sp.arr_col), lambda x: x["value"]
+                    )
+                    return sort_key_column(arr, "__fuzzy_list")
+            return None
         if k == "list" and pat.children:
             return self._sort_key_col(pat.children[0], con, plan, comparator)
         raise GraphdError("SEMANTICS", f"unsupported sort key {k!r}")
@@ -775,23 +793,38 @@ class Compiler:
         return pred if pred is not None else F.lit(True)
 
     def _string_cond(self, col, sc, comparator, is_value: bool = False):
-        comp = comparator or "default"
-        ci = comp in ("default", "unspecified", None)
+        comp = resolve_comparator(comparator)
         nonnull = [v for v in sc.values if v is not None]
         has_null = any(v is None for v in sc.values)
-        if ci and is_value:
-            # equality under the default comparator matches the
-            # hash-normalized value (whitespace collapse + canonical
-            # numbers, ref pdb_hmap_value_normalize) — precomputed in
-            # the value_norm column, so this is a native comparison
+
+        # equality column + literal encodings, per comparator:
+        # - default: fuzzy-key equality (word-aware, numbers normalize;
+        #   validated by test/unit/numberequal r1/r8) via the stored
+        #   value_fkey column
+        # - number/datetime: hash-normalized equality (value_norm)
+        # - case/octet: exact bytes
+        if is_value and comp == "default":
+            eq_col = F.col("value_fkey")
+            eq_lits = [fuzzy_key(v) for v in nonnull]
+        elif is_value and comp == "number":
+            # strict: only parseable numbers equal a number literal
+            eq_col = F.col("value_num")
+            eq_lits = [
+                value_norm_key(v) if decode_number(
+                    v, scientific=True
+                ) is not None else v.lower()
+                for v in nonnull
+            ]
+        elif is_value and comp == "datetime":
             eq_col = F.col("value_norm")
             eq_lits = [value_norm_key(v) for v in nonnull]
-        elif ci:
-            eq_col = F.lower(col)
-            eq_lits = [v.lower() for v in nonnull]
-        else:
+        elif comp in ("case", "octet"):
             eq_col = col
             eq_lits = nonnull
+        else:
+            eq_col = F.lower(col)
+            eq_lits = [v.lower() for v in nonnull]
+
         if sc.op == "=":
             parts = []
             if nonnull:
@@ -820,15 +853,29 @@ class Compiler:
             lit = nonnull[0] if nonnull else None
             if lit is None:
                 return F.lit(False)
-            key = sort_key_column(col, comp)
-            litkey = (
-                F.lit(fuzzy_key(lit))
-                if comp in ("default", "unspecified")
-                else F.lit(lit.encode())
-            )
-            return _OPS[sc.op](key, litkey)
+            if is_value and comp == "default":
+                key = F.col("value_fkey")
+            else:
+                key = sort_key_column(col, comp)
+            pred = _OPS[sc.op](key, F.lit(literal_key(lit, comp)))
+            if comp == "number":
+                # number-comparator ranges only yield parseable
+                # numbers (ref number_value_in_range rejects
+                # non-numbers); number keys sort below the \x02
+                # non-number class
+                pred = pred & (key < F.lit(b"\x02"))
+            return pred
         if sc.op == "~=":
+            if comp == "number":
+                raise GraphdError(
+                    "SEMANTICS",
+                    'cannot use ~= with comparator="number"',
+                )
             from graphd_spark.glob import glob_column
 
-            return glob_column(col, nonnull[0] if nonnull else "")
+            return glob_column(
+                col,
+                nonnull[0] if nonnull else "",
+                case_sensitive=comp in ("case", "octet"),
+            )
         raise GraphdError("SEMANTICS", f"unsupported operator {sc.op!r}")

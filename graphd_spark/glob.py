@@ -39,8 +39,14 @@ def _is_word_char(c: str) -> bool:
 
 
 @lru_cache(maxsize=1024)
-def compile_glob(pattern: str):
-    """graphd glob -> compiled regex (None = matches nothing)."""
+def compile_glob(pattern: str, case_sensitive: bool = False):
+    """graphd glob -> (compiled regex, [canonical numbers per group]).
+
+    Returns None when the pattern can never match.  Unescaped number
+    runs in the pattern become capture groups matched numerically
+    afterwards ("01" matches "1", ref the numbers rule in
+    graphd-comparator-default.c:86-88 and test/unit/numbermatch.sh).
+    """
     anchored_front = pattern.startswith("^")
     if anchored_front:
         pattern = pattern[1:]
@@ -49,6 +55,7 @@ def compile_glob(pattern: str):
         pattern = pattern[:-1]
 
     parts: list[str] = []
+    numbers: list[str] = []
     i, n = 0, len(pattern)
     first_tok: str | None = None
     last_tok: str | None = None
@@ -57,7 +64,10 @@ def compile_glob(pattern: str):
         tok = None
         if c == "\\" and i + 1 < n:
             lit = pattern[i + 1]
-            parts.append(f"(?-i:{re.escape(lit)})")
+            if case_sensitive:
+                parts.append(re.escape(lit))
+            else:
+                parts.append(f"(?-i:{re.escape(lit)})")
             tok = "lit"
             i += 2
         elif c == "*":
@@ -70,6 +80,30 @@ def compile_glob(pattern: str):
                 j += 1
             parts.append(f"[{_BREAK}]+")
             tok = "space"
+            i = j
+        elif c.isdigit():
+            # unescaped number: match any number run, compare
+            # numerically post-hoc
+            from graphd_spark.comparators import decode_number, render_sci
+
+            j = i
+            while j < n and (
+                pattern[j].isdigit()
+                or (
+                    pattern[j] == "."
+                    and j + 1 < n
+                    and pattern[j + 1].isdigit()
+                )
+            ):
+                j += 1
+            frag = pattern[i:j]
+            dec = decode_number(frag)
+            if dec is not None:
+                numbers.append(render_sci(dec))
+                parts.append(r"([0-9]+(?:\.[0-9]+)?|\.[0-9]+)")
+            else:
+                parts.append(re.escape(frag))
+            tok = "word"
             i = j
         elif _is_word_char(c):
             parts.append(re.escape(c))
@@ -98,19 +132,35 @@ def compile_glob(pattern: str):
         suffix = ""
     else:
         suffix = f"(?=$|[{_BREAK}])"
+    flags = re.DOTALL if case_sensitive else (re.IGNORECASE | re.DOTALL)
     try:
-        return re.compile(prefix + body + suffix, re.IGNORECASE | re.DOTALL)
+        return re.compile(prefix + body + suffix, flags), numbers
     except re.error:
         return None
 
 
-def glob_match(pattern: str, value: str | None) -> bool:
+def glob_match(pattern: str, value: str | None,
+               case_sensitive: bool = False) -> bool:
     if value is None:
         return False
-    rx = compile_glob(pattern)
-    if rx is None:
+    compiled = compile_glob(pattern, case_sensitive)
+    if compiled is None:
         return False
-    return rx.search(value) is not None
+    rx, numbers = compiled
+    if not numbers:
+        return rx.search(value) is not None
+    from graphd_spark.comparators import decode_number, render_sci
+
+    for m in rx.finditer(value):
+        ok = True
+        for want, got in zip(numbers, m.groups()):
+            dec = decode_number(got) if got is not None else None
+            if dec is None or render_sci(dec) != want:
+                ok = False
+                break
+        if ok:
+            return True
+    return False
 
 
 def literal_prefix(pattern: str) -> str | None:
@@ -126,11 +176,11 @@ def literal_prefix(pattern: str) -> str | None:
     return "".join(out) or None
 
 
-def glob_column(col, pattern: str):
+def glob_column(col, pattern: str, case_sensitive: bool = False):
     """Boolean Column: does ``col`` match the glob?
 
-    The regex runs in an Arrow-vectorized pandas UDF; when the pattern
-    is front-anchored with a literal prefix, a native case-insensitive
+    The matcher runs in an Arrow-vectorized pandas UDF; when the
+    pattern is front-anchored with a literal prefix, a native
     ``startswith`` prefilter is AND-ed in front so the scan can skip
     non-candidates without entering Python.
     """
@@ -139,15 +189,15 @@ def glob_column(col, pattern: str):
 
     @F.pandas_udf(BooleanType())
     def _match(vs: pd.Series) -> pd.Series:
-        rx = compile_glob(pattern)
-        if rx is None:
-            return pd.Series([False] * len(vs))
         return vs.map(
-            lambda v: v is not None and rx.search(v) is not None
+            lambda v: glob_match(pattern, v, case_sensitive)
         ).astype(bool)
 
     cond = _match(col)
     prefix = literal_prefix(pattern)
-    if prefix:
-        cond = F.lower(col).startswith(prefix.lower()) & cond
+    if prefix and not any(c.isdigit() for c in prefix):
+        if case_sensitive:
+            cond = col.startswith(prefix) & cond
+        else:
+            cond = F.lower(col).startswith(prefix.lower()) & cond
     return cond

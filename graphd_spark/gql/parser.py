@@ -765,6 +765,151 @@ _SET_VALUE_ATOMS = ("count", "cursor", "estimate", "estimate-count",
                     "iterator", "timeout")
 
 
+# ---------------------------------------------------------------------------
+# variable analysis (ref graphd/graphd-variable-analysis.c)
+# ---------------------------------------------------------------------------
+
+
+def _pattern_vars(pat) -> list[str]:
+    return [p.var for p in pat.walk() if p.kind == "variable"]
+
+
+def _render_pattern(pat) -> str:
+    """Pattern -> source-ish text for error messages."""
+    if pat.kind == "list":
+        return "(" + " ".join(_render_pattern(c) for c in pat.children) + ")"
+    if pat.kind == "variable":
+        return pat.var
+    if pat.kind == "literal":
+        return f'literal="{pat.literal}"'
+    return pat.kind
+
+
+def _subst_pattern(pat, assigns, stack):
+    """Deep-copy ``pat`` with same-level variable references replaced
+    by their assignment patterns (the reference treats same-level
+    variables as aliases, ref graphd-variable-analysis.c)."""
+    from dataclasses import replace
+
+    if pat.kind == "variable" and pat.var in assigns:
+        if pat.var in stack:
+            raise ParseError(
+                f"circular assignment of {stack[0]} to itself"
+            )
+        inner = _subst_pattern(
+            assigns[pat.var], assigns, stack + [pat.var]
+        )
+        if pat.negated:
+            inner = replace(inner, negated=True)
+        return inner
+    return replace(
+        pat,
+        children=[_subst_pattern(c, assigns, stack) for c in pat.children],
+    )
+
+
+def _assigned_below(con) -> set[str]:
+    out: set[str] = set()
+    for c in con.walk():
+        out.update(v for v, _ in c.assignments)
+    return out
+
+
+def analyze_variables(con) -> None:
+    """Same-level variable substitution + the reference's validation
+    errors, applied post-order."""
+    for sub in con.subs:
+        analyze_variables(sub)
+    for chain in con.or_chains:
+        for b in chain:
+            analyze_variables(b)
+
+    assigns: dict[str, object] = {}
+    names = [v for v, _ in con.assignments]
+    for var, pat in con.assignments:
+        if var not in assigns:
+            assigns[var] = pat
+
+    # 1. circular same-level assignment chains
+    def _dfs(var, stack):
+        pat = assigns.get(var)
+        if pat is None:
+            return
+        for ref in _pattern_vars(pat):
+            if ref in stack:
+                raise ParseError(
+                    f"circular assignment of {stack[0]} to itself"
+                )
+            if ref in assigns:
+                _dfs(ref, stack + [ref])
+
+    for var in names:
+        _dfs(var, [var])
+
+    # 2. referenced but assigned nowhere in this subtree
+    referenced: list[str] = []
+    for _, pat in con.assignments:
+        referenced.extend(_pattern_vars(pat))
+    if con.result is not None:
+        referenced.extend(_pattern_vars(con.result))
+    if con.sort:
+        for sk in con.sort:
+            referenced.extend(_pattern_vars(sk.pattern))
+    below = _assigned_below(con)
+    for ref in referenced:
+        if ref not in assigns and ref not in below:
+            raise ParseError(
+                f"variable {ref} is returned, but not set in the "
+                "constraint or any subconstraint"
+            )
+
+    # 3. duplicate assignment
+    seen: set[str] = set()
+    for v in names:
+        if v in seen:
+            raise ParseError(f"variable {v} is assigned to twice")
+        seen.add(v)
+
+    # 4. substitute same-level aliases into result/sort/assignments
+    if assigns:
+        resolved = {
+            v: _subst_pattern(p, {k: q for k, q in assigns.items()
+                                  if k != v}, [v])
+            for v, p in assigns.items()
+        }
+        con.assignments = [(v, resolved[v]) for v, _ in con.assignments
+                           if v in resolved]
+        if con.result is not None:
+            con.result = _subst_pattern(con.result, resolved, [])
+        if con.sort:
+            new_keys = []
+            for sk in con.sort:
+                pat = _subst_pattern(sk.pattern, resolved, [])
+                desc = sk.descending or pat.negated
+                if pat.kind == "list":
+                    raise ParseError("cannot sort by nested lists.")
+                sk.pattern = pat
+                sk.descending = desc
+                new_keys.append(sk)
+            con.sort = new_keys
+
+    # 5. result patterns nest at most two list levels
+    if con.result is not None:
+        _check_result_depth(con.result, 0)
+
+
+def _check_result_depth(pat, depth: int) -> None:
+    if pat.kind == "list":
+        if depth >= 2:
+            raise ParseError(
+                f'result expression "{_render_pattern(pat)}" nests '
+                "lists more than two levels deep",
+                "SEMANTICS",
+            )
+        for c in pat.children:
+            _check_result_depth(c, depth + 1)
+
+
 def _check_set_atom_depth(pat, depth: int) -> None:
     """Set-scoped atoms live at most one parenthesis deep (ref
     graphd-constraint-clause.c result checking)."""
@@ -851,6 +996,8 @@ def parse_request(line: str) -> Request:
         con = p.parse_constraints()
         p.expect(L.CPAR, "')'")
         req.constraint = apply_semantics(con, cmd)
+        if cmd == "read":
+            analyze_variables(req.constraint)
     else:
         # leave remaining tokens raw for the command dispatcher
         while p.peek().kind != L.END:

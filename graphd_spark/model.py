@@ -27,6 +27,7 @@ import time
 from dataclasses import dataclass
 
 from pyspark.sql.types import (
+    BinaryType,
     BooleanType,
     IntegerType,
     LongType,
@@ -216,9 +217,19 @@ PRIMITIVES_SCHEMA = StructType(
         StructField("datatype", IntegerType(), False),
         StructField("value", StringType(), True),
         # case-folded hash-normalized value (ref pdb_hmap_value_normalize)
-        # — precomputed at write time so value-equality filters are
-        # native column comparisons, like the reference's hmap index
+        # — precomputed at write time so number/datetime-comparator
+        # equality is a native column comparison, like the reference's
+        # hmap index
         StructField("value_norm", StringType(), True),
+        # strict scientific canonical form, null when the value is not
+        # a parseable number — drives number-comparator equality
+        # (" 0" is NOT a number, ref graph_decode_number)
+        StructField("value_num", StringType(), True),
+        # order-preserving fuzzy sort key (graph_fuzzycmp encoding) —
+        # default-comparator equality, ranges and sorts are native
+        # binary comparisons against this column, no Python in the
+        # read path
+        StructField("value_fkey", BinaryType(), True),
         StructField("live", BooleanType(), False),
         StructField("archival", BooleanType(), False),
         StructField("txstart", BooleanType(), False),
@@ -246,6 +257,8 @@ class Primitive:
     datatype: int = 1
     value: str | None = None
     value_norm: str | None = None
+    value_num: str | None = None
+    value_fkey: bytes | None = None
     live: bool = True
     archival: bool = True
     txstart: bool = False

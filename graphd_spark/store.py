@@ -147,7 +147,12 @@ class PrimitiveStore:
             self.next_version[prev] = guid
         else:
             lineage, generation = guid, 0
-        from graphd_spark.comparators import value_norm_key
+        from graphd_spark.comparators import (
+            decode_number,
+            fuzzy_key,
+            render_sci,
+            value_norm_key,
+        )
 
         p = Primitive(
             id=id,
@@ -161,6 +166,13 @@ class PrimitiveStore:
             datatype=datatype,
             value=value,
             value_norm=value_norm_key(value),
+            value_num=(
+                None
+                if value is None
+                or (dec := decode_number(value, scientific=True)) is None
+                else render_sci(dec)
+            ),
+            value_fkey=None if value is None else fuzzy_key(value),
             live=live,
             archival=archival,
             txstart=txstart,

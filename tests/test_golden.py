@@ -30,11 +30,15 @@ GOLDENS = [
     "or4",
     "pagesize",
     "previous",
+    "numbermatch",
     "sort1",
     "sort2",
     "sort4",
     "sort5",
     "sort6",
+    "sort7",
+    "sort8",
+    "sort9",
     "sort10",
     "start",
     "substring2",

@@ -186,7 +186,25 @@ def test_variables():
     req = parse("read ($v=value sort=($v))")
     con = req.constraint
     assert con.assignments[0][0] == "$v"
-    assert con.sort[0].pattern.kind == "variable"
+    # same-level variables are substituted (ref variable-analysis):
+    # sort=($v) with $v=value compiles as sort=value
+    assert con.sort[0].pattern.kind == "value"
+
+
+def test_variable_errors():
+    with pytest.raises(ParseError, match="circular"):
+        parse("read ($v=$v)")
+    with pytest.raises(ParseError, match="assigned to twice"):
+        parse("read ($v=value $v=name)")
+    with pytest.raises(ParseError, match="not set"):
+        parse("read (result=($q))")
+
+
+def test_cross_level_variable_not_substituted():
+    req = parse('read (result=(($x)) (<-left $x=value))')
+    con = req.constraint
+    pats = [p.kind for p in con.result.walk()]
+    assert "variable" in pats  # resolved from the child at runtime
 
 
 def test_write_unique_key():
