@@ -383,6 +383,30 @@ def datetime_sort_key(s: Optional[str]) -> Optional[bytes]:
     return b"\x01" + _ascii_lower(s).encode("utf-8", "surrogateescape")
 
 
+def value_eq(comparator: Optional[str], a: Optional[str],
+             b: Optional[str]) -> bool:
+    """Comparator-aware value equality (driver side, for the write
+    pipeline's embedded matches: unique/key/anchor)."""
+    if a is None or b is None:
+        return a is None and b is None
+    comp = resolve_comparator(comparator)
+    if comp in ("case", "octet"):
+        return a == b
+    if comp == "number":
+        da = decode_number(a, scientific=True)
+        db = decode_number(b, scientific=True)
+        if da is not None or db is not None:
+            return (
+                da is not None
+                and db is not None
+                and render_sci(da) == render_sci(db)
+            )
+        return _ascii_lower(a) == _ascii_lower(b)
+    if comp == "datetime":
+        return value_norm_key(a) == value_norm_key(b)
+    return fuzzy_key(a) == fuzzy_key(b)
+
+
 def literal_key(lit: str, comparator: str) -> bytes:
     """Driver-side sort key of a literal, for range predicates."""
     comp = resolve_comparator(comparator)

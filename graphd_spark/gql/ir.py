@@ -143,6 +143,9 @@ class Constraint:
     unique: Optional[list[str]] = None
     key: Optional[list[str]] = None
     anchor: bool = False
+    #: anchor=local matches on the node's own fields only, ignoring
+    #: subconstraints (ref test/unit/anchor3.sh)
+    anchor_local: bool = False
 
     subs: list["Constraint"] = field(default_factory=list)
     #: or-chains (ref libgdp/gdp-parse.c:2056-2134): each chain is a list

@@ -218,6 +218,7 @@ class Parser:
             con.sort_comparators = item.sort_comparators
         con.false = con.false or item.false
         con.anchor = con.anchor or item.anchor
+        con.anchor_local = con.anchor_local or item.anchor_local
         con.or_chains.extend(item.or_chains)
 
     # -- single clause items ----------------------------------------------
@@ -694,6 +695,10 @@ def _make_handlers():
                 f"flag cannot be used in a \"{self.command}\" command"
             )
         self._item.anchor = True
+        if self.peek().kind == L.EQ:
+            self.next()
+            v = self.expect(L.ATOM, "anchor mode").text.lower()
+            self._item.anchor_local = v == "local"
 
 
 _make_handlers()
@@ -756,6 +761,13 @@ def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
         con.live = TRUE
     if any(g.op in ("=", "~=") and not g.guids for g in con.guid):
         con.false = True
+    if command == "write" and con.key is not None and any(
+        g.op == "~=" for g in con.guid
+    ):
+        raise ParseError(
+            'cannot mix "key=" and "guid~=" constraints - did you '
+            'mean "unique"?'
+        )
     if con.result is not None:
         _check_set_atom_depth(con.result, 0)
     return con

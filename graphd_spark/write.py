@@ -1,32 +1,43 @@
 """The write pipeline: literal constraint tree -> appended primitives.
 
 Mirrors the reference's staged write state machine (ref
-graphd/graphd-write.c:596-782): anchors/keys/uniques are annotated by
-embedded reads first, then primitives are allocated in dependency
-order — a link's endpoints must exist before the link, so
+graphd/graphd-write.c:596-782): before anything is written, embedded
+reads annotate the tree —
 
-- subconstraints the parent points at (``("iam", L)``: parent.L ==
-  sub.guid) are written *before* the parent,
-- subconstraints pointing at the parent (``("my", L)``: sub.L ==
-  parent.guid) are written *after* it,
+1. **anchor** constraints must match exactly one existing primitive
+   (else ``EMPTY "anchor constraint not found"``); the whole matched
+   subtree's GUIDs are reused, and a matched child's linkage can
+   resolve its *parent* (ref graphd-write-annotate-anchor.c; see
+   test/unit/anchor.out.exp where '(<-left ... anchor)' pins the root);
+2. **unique** constraints fail with ``EXISTS`` if any primitive
+   matches the listed fields (ref graphd-write-check-unique.c);
+3. **key** constraints upsert: match by the key fields; identical
+   explicit fields reuse the old primitive, differing ones version it
+   (ref graphd-write-annotate-keyed.c);
 
-which reproduces the reference's GUID assignment order exactly (see
-test/unit/vars.out.exp: root 9, then per '->' link: type a,b; node c;
-link d).  Type strings are resolved (creating type primitives on
-demand) immediately before the primitive that uses them
-(graphd_type_make_name, ref graphd/graphd-type.c).
+then primitives are allocated in dependency order — a link's endpoints
+before the link:
 
-Each write request is atomic: the engine brackets execute() in a store
-transaction and rolls back on error (ref
-doc/a-brief-tour-of-graphd.md:73-82).
+- subconstraints the parent points at (``("iam", L)``) are written
+  *before* the parent,
+- subconstraints pointing at the parent (``("my", L)``) after it,
+
+reproducing reference GUID assignment byte-for-byte (see
+test/unit/vars.out.exp).  Type strings bind (creating type primitives
+on demand) before a node's children (test/unit/version2.out.exp).
+
+Embedded matches run driver-side over the store's point indexes — the
+same shape as the reference's hmap lookups; the analytical read path
+never comes through here.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from graphd_spark.comparators import value_eq
 from graphd_spark.gql.ir import Constraint, LINKAGES
-from graphd_spark.model import DATATYPE_NAMES, ts_from_string
+from graphd_spark.model import DATATYPE_NAMES, Primitive, ts_from_string
 from graphd_spark.store import PrimitiveStore
 from graphd_spark.typesys import TypeSystem
 
@@ -40,10 +51,16 @@ class WriteError(Exception):
 
 @dataclass
 class WriteNode:
-    """Reply-shaped result: one written primitive + child results."""
+    """Reply-shaped result: one primitive GUID + child results."""
 
     guid: str
     children: list["WriteNode"] = field(default_factory=list)
+
+
+@dataclass
+class Match:
+    prim: Primitive
+    subs: dict[int, "Match"] = field(default_factory=dict)
 
 
 def _single(values, what: str) -> str | None:
@@ -58,10 +75,47 @@ class WriteExecutor:
     def __init__(self, store: PrimitiveStore, types: TypeSystem):
         self.store = store
         self.types = types
+        #: id(con) -> reused GUID (anchor/key matches)
+        self.resolved: dict[int, str] = {}
+        #: id(con) -> GUID of the primitive this node versions (key=)
+        self.version_of: dict[int, str] = {}
 
     def execute(self, con: Constraint) -> WriteNode:
+        """Staged pipeline per graphd-write.c:596-782: validate ->
+        version targets -> anchors -> keys -> pointed reuse -> unique
+        checks -> allocation."""
         self._validate(con)
+        self._check_versioning(con)
+        self._annotate_anchors(con)
+        self._annotate_keys(con)
+        self._annotate_pointed(con)
+        self._check_unique(con)
         return self._write_node(con, parent_guid=None)
+
+    def _check_versioning(self, con: Constraint) -> None:
+        """guid=/guid~= targets must exist (and be newest for '=')
+        before any other annotation runs (ref anchor2.out.exp: the
+        OUTDATED error wins over the anchor EMPTY).  An opportunistic
+        guid~= whose lineage head already equals the template reuses
+        it instead of versioning (ref anchor2.sh last write).  guid=
+        on an anchored node is a match pin, not versioning."""
+        if con.guid and not con.anchor:
+            gc = con.guid[0]
+            target = _single(gc.guids, "guid")
+            if target is None:
+                raise WriteError("SEMANTICS", "cannot version the null GUID")
+            old = self.store.get(target)
+            if old is None:
+                raise WriteError(
+                    "SEMANTICS",
+                    f"not found: cannot read predecessor record {target}",
+                )
+            if gc.op == "=" and not self.store.is_newest(target):
+                raise WriteError(
+                    "OUTDATED", f'"{target}" has been versioned'
+                )
+        for sub in con.subs:
+            self._check_versioning(sub)
 
     # -- validation --------------------------------------------------------
 
@@ -83,26 +137,429 @@ class WriteExecutor:
                 )
             self._validate(sub)
 
-    # -- allocation --------------------------------------------------------
+    # -- template field extraction ----------------------------------------
 
-    def _write_node(self, con: Constraint, parent_guid: str | None) -> WriteNode:
-        # 1. resolve the type string first (may create type
-        # primitives) — the reference binds a constraint's typeguid
-        # before descending into its children (see
-        # test/unit/version2.out.exp GUID order).
+    def _literal_fields(self, con: Constraint) -> dict:
+        """The explicitly-specified fields of a write constraint."""
+        out: dict = {}
+        if con.value_strcons:
+            out["value"] = _single(con.value_strcons[0].values, "value")
+        if con.name_strcons:
+            out["name"] = _single(con.name_strcons[0].values, "name")
+        if con.type_strcons:
+            tname = _single(con.type_strcons[0].values, "type")
+            # read-only resolution: matching never creates types
+            out["typeguid"] = (
+                self.types.resolve(tname) if tname is not None else None
+            )
+            out["__type_unresolved"] = (
+                tname is not None and out["typeguid"] is None
+            )
+        for lk in LINKAGES:
+            for gc in con.links.get(lk, ()):
+                if gc.op != "=":
+                    raise WriteError(
+                        "SYNTAX",
+                        f"\"{lk}\" in a write template only accepts \"=\"",
+                    )
+                out[lk] = _single(gc.guids, lk)
+        if con.valuetype is not None:
+            out["datatype"] = con.valuetype
+        return out
+
+    # -- embedded matching (the write path's point reads) ------------------
+
+    def _match_tree(
+        self,
+        con: Constraint,
+        parent_prim: Primitive | None,
+        fields: set[str] | None = None,
+        local_only: bool = False,
+    ) -> list[Match]:
+        """Existing primitives matching this constraint (and subs)."""
+        lits = self._literal_fields(con)
+        if lits.pop("__type_unresolved", False):
+            return []  # unknown type name matches nothing
+
+        cands: list[Primitive]
+        kind_lk = con.linkage or (None, None)
+        if con.guid and con.guid[0].op == "=":
+            # guid= on an anchored node pins the match
+            # (ref test/unit/anchor3.sh GUID=... anchor=local)
+            t = con.guid[0].guids[0]
+            p = self.store.get(t) if t else None
+            cands = [p] if p is not None else []
+        elif parent_prim is not None and kind_lk[0] == "iam":
+            # parent points at the match: direct lookup
+            g = getattr(parent_prim, kind_lk[1])
+            p = self.store.get(g) if g else None
+            cands = [p] if p is not None else []
+        elif "value" in lits and lits["value"] is not None:
+            cands = list(self.store.find_by_value(lits["value"]))
+            # comparator-normalized forms hash apart driver-side, so
+            # widen to a scan for lenient comparators ("A B" ~ "A  B")
+            seen = {p.guid for p in cands}
+            cands.extend(
+                p
+                for p in self.store.rows
+                if p.value is not None
+                and p.guid not in seen
+                and value_eq(con.comparator, lits["value"], p.value)
+            )
+            cands.sort(key=lambda p: p.id)
+        elif "name" in lits and lits["name"] is not None:
+            cands = list(self.store.find_by_name(lits["name"]))
+        else:
+            cands = list(self.store.rows)
+
+        # linkage pointers already resolved on pointee subs narrow the
+        # match (unique clusters span connected primitives, ref
+        # doc/gr-protocol.txt:661-743)
+        for sub in con.subs:
+            if (
+                sub.linkage
+                and sub.linkage[0] == "iam"
+                and id(sub) in self.resolved
+            ):
+                lits.setdefault(
+                    sub.linkage[1], self.resolved[id(sub)]
+                )
+
+        check = fields  # None = all specified fields
+        out: list[Match] = []
+        for p in cands:
+            if p is None or not p.live or not self.store.is_newest(p.guid):
+                continue
+            if not self._prim_matches(p, con, lits, parent_prim, check):
+                continue
+            m = Match(prim=p)
+            ok = True
+            if not local_only:
+                for i, sub in enumerate(con.subs):
+                    sub_ms = self._match_tree(sub, p)
+                    if not sub_ms:
+                        ok = False
+                        break
+                    m.subs[i] = sub_ms[0]
+            if ok:
+                out.append(m)
+        return out
+
+    def _prim_matches(
+        self,
+        p: Primitive,
+        con: Constraint,
+        lits: dict,
+        parent_prim: Primitive | None,
+        fields: set[str] | None,
+    ) -> bool:
+        def want(f):
+            return fields is None or f in fields
+
+        if want("value") and "value" in lits:
+            if not value_eq(con.comparator, lits["value"], p.value):
+                return False
+        if want("name") and "name" in lits:
+            a, b = lits["name"], p.name
+            if (a is None) != (b is None):
+                return False
+            if a is not None and a.lower() != b.lower():
+                return False
+        if want("typeguid") and "typeguid" in lits:
+            if p.typeguid != lits["typeguid"]:
+                return False
+        for lk in LINKAGES:
+            if lk == "typeguid":
+                continue
+            if want(lk) and lk in lits:
+                if getattr(p, lk) != lits[lk]:
+                    return False
+        if want("datatype") and "datatype" in lits:
+            if p.datatype != lits["datatype"]:
+                return False
+        if want("timestamp") and con.timestamps:
+            tc = con.timestamps[0]
+            try:
+                if p.timestamp != ts_from_string(tc.text):
+                    return False
+            except ValueError:
+                return False
+        if parent_prim is not None and con.linkage is not None:
+            kind, lk = con.linkage
+            if kind == "my":
+                if getattr(p, lk) != parent_prim.guid:
+                    return False
+            else:  # iam: parent.lk == p.guid, pre-filtered above
+                if getattr(parent_prim, lk) != p.guid:
+                    return False
+        elif con.linkage is not None and con.linkage[0] == "my":
+            # linkage exists but the parent is not yet bound: the
+            # match must at least have the pointer
+            if getattr(p, con.linkage[1]) is None:
+                return False
+        return True
+
+    # -- pass 1: anchors ---------------------------------------------------
+
+    def _annotate_anchors(self, con: Constraint) -> None:
+        if con.anchor and id(con) not in self.resolved:
+            parent_prim = self._parent_context(con)
+            matches = self._match_tree(
+                con, parent_prim, local_only=con.anchor_local
+            )
+            if len(matches) != 1:
+                raise WriteError("EMPTY", "anchor constraint not found")
+            self._adopt_match(con, matches[0])
+            # a matched child's linkage resolves an unbound parent
+            # (ref anchor.out.exp: '(<-left ... anchor)' pins the root)
+            if (
+                con.parent is not None
+                and id(con.parent) not in self.resolved
+                and con.linkage is not None
+                and con.linkage[0] == "my"
+            ):
+                pg = getattr(matches[0].prim, con.linkage[1])
+                if pg is not None:
+                    self.resolved[id(con.parent)] = pg
+        for sub in con.subs:
+            self._annotate_anchors(sub)
+
+    def _adopt_match(self, con: Constraint, m: Match) -> None:
+        self.resolved[id(con)] = m.prim.guid
+        for i, sub in enumerate(con.subs):
+            if i in m.subs:
+                self._adopt_match(sub, m.subs[i])
+
+    # -- pass 2/3: unique + keys ------------------------------------------
+
+    def _parent_prim(self, con: Constraint):
+        if con.parent is not None and id(con.parent) in self.resolved:
+            return self.store.get(self.resolved[id(con.parent)])
+        return None
+
+    def _parent_context(self, con: Constraint):
+        """Parent primitive for matching: resolved, or — for a parent
+        that versions a lineage — that lineage's head (an anchored
+        child of a guid~= write matches against the current version,
+        ref anchor2.sh)."""
+        p = self._parent_prim(con)
+        if p is not None:
+            return p
+        parent = con.parent
+        if parent is not None and parent.guid:
+            t = parent.guid[0].guids[0]
+            if t is not None:
+                return self.store.newest_of(t)
+        return None
+
+    def _annotate_keys(self, con: Constraint) -> None:
+        if con.key is not None and con.key and id(con) not in self.resolved:
+            # key=() is an explicit "no key": always creates
+            # (ref test/unit/keyburn6.sh 'node key=()')
+            fields = self._cluster_fields(con.key)
+            matches = self._match_tree(
+                con, self._parent_prim(con), fields, local_only=True
+            )
+            if matches:
+                old = matches[0].prim
+                if self._differs(con, old, exclude=fields):
+                    self.version_of[id(con)] = old.guid
+                else:
+                    self.resolved[id(con)] = old.guid
+        for sub in con.subs:
+            self._annotate_keys(sub)
+
+    def _annotate_pointed(self, con: Constraint) -> None:
+        """Pointed reuse (ref graphd-write-annotate-pointed.c,
+        test/unit/keyburn3.sh): an unkeyed primitive pointed at by a
+        matched cluster, whose explicit fields the pointee already
+        satisfies, is not re-created."""
+        changed = True
+        while changed:
+            changed = False
+            for node in con.walk():
+                if id(node) not in self.resolved:
+                    continue
+                prim = self.store.get(self.resolved[id(node)])
+                if prim is None:
+                    continue
+                # upward: this match's linkage pointer names the parent
+                parent = node.parent
+                if (
+                    parent is not None
+                    and id(parent) not in self.resolved
+                    and node.linkage is not None
+                    and node.linkage[0] == "my"
+                    and parent.key is None
+                    and parent.unique is None
+                    and not parent.guid
+                ):
+                    pg = getattr(prim, node.linkage[1])
+                    cand = self.store.get(pg) if pg else None
+                    if cand is not None and cand.live and (
+                        self.store.is_newest(cand.guid)
+                    ):
+                        lits = self._literal_fields(parent)
+                        if not lits.pop("__type_unresolved", False) and (
+                            self._prim_matches(cand, parent, lits,
+                                               None, None)
+                        ):
+                            self.resolved[id(parent)] = cand.guid
+                            changed = True
+                # downward: pointees of the matched primitive
+                for sub in node.subs:
+                    if (
+                        id(sub) in self.resolved
+                        or sub.linkage is None
+                        or sub.linkage[0] != "iam"
+                        or sub.key is not None
+                        or sub.unique is not None
+                        or sub.guid
+                    ):
+                        continue
+                    sg = getattr(prim, sub.linkage[1])
+                    cand = self.store.get(sg) if sg else None
+                    if cand is not None and cand.live and (
+                        self.store.is_newest(cand.guid)
+                    ):
+                        lits = self._literal_fields(sub)
+                        if not lits.pop("__type_unresolved", False) and (
+                            self._prim_matches(cand, sub, lits, None, None)
+                        ):
+                            self.resolved[id(sub)] = cand.guid
+                            changed = True
+
+    def _check_unique(self, con: Constraint, in_cluster: bool = False
+                      ) -> None:
+        """Unique clusters span connected unique-tagged primitives
+        (ref doc/gr-protocol.txt:661-743, test/unit/unique4.sh): the
+        EXISTS test matches the whole connected cluster as a tree —
+        all or nothing, no partial reuse."""
+        if (
+            con.unique is not None
+            and not in_cluster
+            and id(con) not in self.resolved
+        ):
+            matches = self._cluster_matches(con, self._parent_prim(con))
+            # a write that versions a lineage may collide with that
+            # lineage's own primitives (ref test/unit/unique3.sh)
+            if con.guid:
+                target = _single(con.guid[0].guids, "guid")
+                old = self.store.get(target) if target else None
+                if old is not None:
+                    matches = [
+                        m for m in matches if m.lineage != old.lineage
+                    ]
+            if matches:
+                raise WriteError(
+                    "EXISTS", "primitive tagged as unique already exist"
+                )
+        for sub in con.subs:
+            self._check_unique(
+                sub, in_cluster=self._in_parent_cluster(con, sub)
+            )
+
+    def _in_parent_cluster(self, parent: Constraint, sub: Constraint
+                           ) -> bool:
+        """Is the sub part of the parent's unique cluster?  Only when
+        their *connection* is in the unique field set (ref
+        test/unit/uniquecluster.sh case 7: unconnected unique tags are
+        separate clusters)."""
+        if parent.unique is None or sub.unique is None or (
+            sub.linkage is None
+        ):
+            return False
+        kind, lk = sub.linkage
+        if kind == "iam":
+            return lk in self._cluster_fields(parent.unique)
+        return lk in self._cluster_fields(sub.unique)
+
+    def _cluster_matches(self, con: Constraint,
+                         parent_prim: Primitive | None) -> list[Primitive]:
+        """Primitives matching this unique node AND its whole
+        connected cluster.  Non-unique subs whose linkage is named in
+        the unique fields constrain the match (uniquecluster cases
+        8/9) without joining the cluster."""
+        fields = self._cluster_fields(con.unique or [])
+        ms = self._match_tree(con, parent_prim, fields, local_only=True)
+        out = []
+        for m in ms:
+            ok = True
+            for sub in con.subs:
+                if sub.linkage is None:
+                    continue
+                kind, lk = sub.linkage
+                if sub.unique is not None and self._in_parent_cluster(
+                    con, sub
+                ):
+                    if not self._cluster_matches(sub, m.prim):
+                        ok = False
+                        break
+                elif kind == "iam" and lk in fields:
+                    if not self._match_tree(sub, m.prim):
+                        ok = False
+                        break
+            if ok:
+                out.append(m.prim)
+        return out
+
+    def _cluster_fields(self, names: list[str]) -> set[str]:
+        out = set()
+        for n in names:
+            out.add({"valuetype": "datatype"}.get(n, n))
+        return out
+
+    def _differs(self, con: Constraint, old: Primitive,
+                 exclude: set[str]) -> bool:
+        """Does any explicit non-key field differ from the old
+        primitive?  Unspecified fields never differ (ref octet.sh:
+        key=value write against a named primitive reuses it)."""
+        lits = self._literal_fields(con)
+        lits.pop("__type_unresolved", None)
+        for f, v in lits.items():
+            if f in exclude:
+                continue
+            if f == "value":
+                if not value_eq(con.comparator, v, old.value):
+                    return True
+            elif f == "name":
+                a, b = v, old.name
+                if (a is None) != (b is None) or (
+                    a is not None and a.lower() != b.lower()
+                ):
+                    return True
+            elif getattr(old, f) != v:
+                return True
+        return False
+
+    # -- pass 4: allocation ------------------------------------------------
+
+    def _write_node(self, con: Constraint, parent_guid: str | None
+                    ) -> WriteNode:
+        if id(con) in self.resolved:
+            out = WriteNode(guid=self.resolved[id(con)])
+            for sub in con.subs:
+                out.children.append(
+                    self._write_node(sub, parent_guid=out.guid)
+                )
+            return out
+
+        # 1. bind the type first (may create type primitives) — the
+        # reference resolves a constraint's typeguid before its
+        # children (see test/unit/version2.out.exp GUID order)
         typeguid = None
         if con.type_strcons:
             tname = _single(con.type_strcons[0].values, "type")
             if tname is not None:
                 typeguid = self.types.make_name(tname)
 
-        # 2. pointees next: subs the parent will point at.
+        # 2. pointees next: subs this primitive will point at
         iam_results: dict[int, WriteNode] = {}
         for i, sub in enumerate(con.subs):
             if sub.linkage and sub.linkage[0] == "iam":
                 iam_results[i] = self._write_node(sub, parent_guid=None)
 
-        # 3. linkage fields: literals, parent linkage, pointee children.
+        # 3. linkage fields: literals, parent linkage, pointee children
         links: dict[str, str | None] = {}
         for lk in LINKAGES:
             for gc in con.links.get(lk, ()):
@@ -122,21 +579,20 @@ class WriteExecutor:
             if sub.linkage and sub.linkage[0] == "iam":
                 links[sub.linkage[1]] = iam_results[i].guid
 
-        # 4. scalar literals.
+        # 4. scalar literals
         name = value = None
         if con.name_strcons:
             name = _single(con.name_strcons[0].values, "name")
         if con.value_strcons:
             value = _single(con.value_strcons[0].values, "value")
         datatype = con.valuetype
-        if datatype is not None and datatype not in DATATYPE_NAMES:
-            pass  # any 1..255 allowed (ref gr-protocol.txt:520)
         timestamp = None
         if con.timestamps:
             tc = con.timestamps[0]
             if tc.op != "=":
                 raise WriteError(
-                    "SYNTAX", "timestamp in a write template only accepts \"=\""
+                    "SYNTAX",
+                    "timestamp in a write template only accepts \"=\"",
                 )
             try:
                 timestamp = ts_from_string(tc.text)
@@ -145,10 +601,9 @@ class WriteExecutor:
         live = con.live != "false"
         archival = con.archival != "false"
 
-        # 5. versioning (ref doc/gr-protocol.txt:531-554): guid= is
-        # pessimistic (target must still be newest), guid~= follows the
-        # lineage to its head.
-        prev = None
+        # 5. versioning: explicit guid=/guid~= (ref
+        # doc/gr-protocol.txt:531-554) or a key= match
+        prev = self.version_of.get(id(con))
         if con.guid:
             gc = con.guid[0]
             target = _single(gc.guids, "guid")
@@ -156,7 +611,10 @@ class WriteExecutor:
                 raise WriteError("SEMANTICS", "cannot version the null GUID")
             old = self.store.get(target)
             if old is None:
-                raise WriteError("EMPTY", "not found")
+                raise WriteError(
+                    "SEMANTICS",
+                    f"not found: cannot read predecessor record {target}",
+                )
             if gc.op == "=":
                 if not self.store.is_newest(target):
                     raise WriteError(
@@ -185,7 +643,7 @@ class WriteExecutor:
             timestamp=timestamp,
         )
 
-        # 6. dependents after: subs pointing at this primitive.
+        # 6. dependents after: subs pointing at this primitive
         out = WriteNode(guid=p.guid)
         for i, sub in enumerate(con.subs):
             if sub.linkage and sub.linkage[0] == "iam":

@@ -16,21 +16,33 @@ from golden import run_golden
 
 GOLDENS = [
     "100x100",
+    "anchor",
+    "anchor2",
+    "anchor3",
+    "anchor4",
     "asof",
     "atleast",
+    "bigkey",
     "bootstrap",
     "compare2",
     "countabunch",
     "count2",
     "datatype",
+    "dump",
     "false",
     "guid",
+    "keyburn",
+    "keyburn3",
+    "keyburn4",
+    "keyburn5",
+    "keyburn6",
+    "numbermatch",
+    "octet",
     "optional",
     "or",
     "or4",
     "pagesize",
     "previous",
-    "numbermatch",
     "sort1",
     "sort2",
     "sort4",
@@ -40,11 +52,18 @@ GOLDENS = [
     "sort8",
     "sort9",
     "sort10",
+    "spacematch",
     "start",
     "substring2",
     "substring3",
     "timestamp",
     "twovars",
+    "unique1",
+    "unique2",
+    "unique3",
+    "unique4",
+    "unique6",
+    "uniquecluster",
     "valuetype",
     "varor",
     "vars",
@@ -52,6 +71,9 @@ GOLDENS = [
     "version1",
     "version2",
     "version3",
+    "version4",
+    "version5",
+    "version7",
 ]
 
 
