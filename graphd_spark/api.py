@@ -28,9 +28,41 @@ from graphd_spark.values import Guid, List, escape_string, render
 from graphd_spark.write import WriteError, WriteExecutor, WriteNode
 
 
+def _ship_package(spark) -> None:
+    """Make graphd_spark importable on executors.
+
+    Python workers don't inherit the driver's sys.path, so
+    module-level functions referenced from pandas UDFs (the glob
+    matcher, comparator keys) would fail to unpickle.  Shipping the
+    package once per session via addPyFile fixes every worker."""
+    sc = spark.sparkContext
+    if getattr(sc, "_graphd_pkg_shipped", False):
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    import graphd_spark
+
+    pkgdir = os.path.dirname(os.path.abspath(graphd_spark.__file__))
+    root = os.path.dirname(pkgdir)
+    fd, zpath = tempfile.mkstemp(suffix="_graphd_spark.zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for dirpath, _dirs, files in os.walk(pkgdir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(dirpath, f)
+                    z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._graphd_pkg_shipped = True
+
+
 class GraphSession:
     def __init__(self, spark=None):
         self.spark = spark
+        if spark is not None:
+            _ship_package(spark)
         self.store = PrimitiveStore()
         self.types = TypeSystem(self.store)
 
@@ -39,6 +71,7 @@ class GraphSession:
             from graphd_spark.session import get_spark
 
             self.spark = get_spark("graphd_engine")
+            _ship_package(self.spark)
         return self.spark
 
     # -- protocol ----------------------------------------------------------

@@ -219,6 +219,17 @@ class Compiler:
             raise GraphdError("EMPTY", "not found")
         return plan, collected[con.start :], total
 
+    def compile(self, con: Constraint):
+        """Public entry: compile a read constraint to its candidate
+        DataFrame (one row per matching primitive, child aggregates
+        and variables attached).  Sorting/pagination are separate —
+        see run() — so callers can keep the full distributed frame."""
+        return self._compile(con)
+
+    def sort_columns(self, con: Constraint, plan: "SetPlan"):
+        """The orderBy columns run() would use (comparator keys)."""
+        return self._sort_exprs(con, plan)
+
     # -- recursive compilation --------------------------------------------
 
     def _compile(self, con: Constraint, exists_only: bool = False):
@@ -299,12 +310,16 @@ class Compiler:
                 "SEMANTICS", "subconstraint is not connected to its parent"
             )
         kind, lk = sub.linkage
+        # joins run on lineage-canonical keys: a linkage GUID denotes
+        # every version of its target (ref doc/gr-model.txt:47-50), so
+        # a link written against an old generation still joins the
+        # newest one
         if kind == "my":
-            child_key = F.col(lk)      # child.lk == parent.guid
-            parent_key = F.col("guid")
+            child_key = F.col(f"{lk}_lin")  # child.lk ~ parent lineage
+            parent_key = F.col("lineage")
         else:
-            child_key = F.col("guid")  # parent.lk == child.guid
-            parent_key = F.col(lk)
+            child_key = F.col("lineage")    # parent.lk ~ child lineage
+            parent_key = F.col(f"{lk}_lin")
 
         count_min = sub.count_min if sub.count_min is not None else 1
         parent_pat = (
@@ -763,8 +778,8 @@ class Compiler:
 
     def _type_cond(self, sc):
         """type="name": bind names to typeguids pre-plan
-        (ref graphd-read.c:36-135)."""
-        col = F.col("typeguid")
+        (ref graphd-read.c:36-135); matching is lineage-canonical."""
+        col = F.col("typeguid_lin")
         guids = []
         has_null = False
         for nm in sc.values:
@@ -773,7 +788,8 @@ class Compiler:
                 continue
             g = self.types.resolve(nm)
             if g is not None:
-                guids.append(g)
+                p = self.store.get(g)
+                guids.append(p.lineage if p is not None else g)
         if sc.op == "=":
             parts = []
             if guids:

@@ -1,0 +1,253 @@
+"""Driver-contract entries that exercise the GQL engine end-to-end.
+
+Each ``gql_*`` query builds a small graph from the driver's parquet
+tables **through the protocol surface** (GraphSession writes: type
+bootstrap, linkage, versioning), parses a graphd query string, and
+compiles it with the constraint-tree -> DataFrame compiler — the same
+path the golden tests drive — then returns the resulting DataFrame for
+the driver's DuckDB hash-comparison.
+
+Graph shape (deterministic; ids assigned in write order):
+- one node per region   (name="region", value=r_name), ids 0..4
+- one node per nation   (name="nation", value=n_name) with an
+  "in-region" link (left=nation node, right=its region's node)
+- finally the nation with n_nationkey=0 is versioned (guid~=) to
+  value='RENAMED', so generation filtering is observable.
+
+The oracles recompute the same answers directly from the parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphd_spark.api import GraphSession
+from graphd_spark.compiler import Compiler
+from graphd_spark.gql.parser import parse_request
+from graphd_spark.inventory import q
+from graphd_spark.model import guid_compose, PREDICTABLE_DB_ID
+
+_SESSIONS: dict = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> GraphSession:
+    key = (id(spark), sf_dir)
+    gs = _SESSIONS.get(key)
+    if gs is not None:
+        return gs
+    gs = GraphSession(spark)
+    regions = sorted(
+        spark.read.parquet(f"{sf_dir}/region.parquet").collect(),
+        key=lambda r: r["r_regionkey"],
+    )
+    nations = sorted(
+        spark.read.parquet(f"{sf_dir}/nation.parquet").collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    region_guid = {}
+    for r in regions:
+        reply = gs.request(f'write (name="region" value="{r["r_name"]}")')
+        region_guid[r["r_regionkey"]] = reply.split("(")[1].rstrip(")")
+    nation_guid = {}
+    for n in nations:
+        rg = region_guid[n["n_regionkey"]]
+        reply = gs.request(
+            f'write (name="nation" value="{n["n_name"]}" '
+            f'(<-left name="in-region" right={rg}))'
+        )
+        nation_guid[n["n_nationkey"]] = reply.split("(")[1].split(" ")[0]
+    # version nation 0: the old value must disappear from newest reads
+    gs.request(
+        f'write (guid~={nation_guid[0]} name="nation" value="RENAMED")'
+    )
+    _SESSIONS[key] = gs
+    return gs
+
+
+def _compiled(gs: GraphSession, query: str, asof: str | None = None):
+    req = parse_request(query)
+    comp = Compiler(gs.spark, gs.store, gs.types, asof=asof)
+    return comp, *comp.compile(req.constraint)
+
+
+# n_nationkey=0 is versioned to RENAMED: every oracle rewrites its name
+_N_NAME = "CASE WHEN n_nationkey = 0 THEN 'RENAMED' ELSE n_name END"
+
+
+@q(
+    "gql_value_range",
+    f"""
+    SELECT {_N_NAME} AS value FROM nation
+    WHERE lower({_N_NAME}) >= 'm'
+    """,
+)
+def gql_value_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`read (name="nation" value>="M")` through parser + compiler.
+
+    The value range compiles to a native binary comparison on the
+    stored fuzzy sort key (comparators.py); newest-generation
+    filtering is the default, so the versioned nation appears only
+    under its new value."""
+    gs = _graph(spark, sf_dir)
+    _, plan, df = _compiled(gs, 'read (name="nation" value>="M")')
+    return df.select("value")
+
+
+@q(
+    "gql_linkage_semi",
+    f"""
+    SELECT {_N_NAME} AS value FROM nation
+    JOIN region ON region.r_regionkey = nation.n_regionkey
+    WHERE region.r_name = 'ASIA'
+    """,
+)
+def gql_linkage_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested linkage constraints -> semi-join plan.
+
+    `read (name="nation" (<-left name="in-region" right->(name="region"
+    value="ASIA")))`: the link sub filters nations without contributing
+    contents, so the compiler emits left-semi hash joins end to end."""
+    gs = _graph(spark, sf_dir)
+    _, plan, df = _compiled(
+        gs,
+        'read (name="nation" result=((value)) '
+        '(<-left name="in-region" right->(name="region" value="ASIA")))',
+    )
+    return df.select("value")
+
+
+@q(
+    "gql_anti_count0",
+    f"""
+    SELECT r_name AS value FROM region
+    WHERE NOT EXISTS (
+      SELECT 1 FROM nation
+      WHERE nation.n_regionkey = region.r_regionkey
+        AND lower({_N_NAME}) >= 'r')
+    """,
+)
+def gql_anti_count0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count=0 subconstraint -> left-anti join.
+
+    `read (name="region" (<-right name="in-region" count=0
+    left->(name="nation" value>="R")))`: regions whose nations all
+    sort below "R" (only the renamed one doesn't)."""
+    gs = _graph(spark, sf_dir)
+    _, plan, df = _compiled(
+        gs,
+        'read (name="region" result=((value)) '
+        '(<-right name="in-region" count=0 '
+        'left->(name="nation" value>="R")))',
+    )
+    return df.select("value")
+
+
+@q(
+    "gql_contents_count",
+    """
+    SELECT r_name AS value, CAST(count(n_nationkey) AS BIGINT) AS n_members
+    FROM region LEFT JOIN nation ON nation.n_regionkey = region.r_regionkey
+    GROUP BY r_name
+    """,
+)
+def gql_contents_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-parent child aggregation (the contents/count machinery).
+
+    `read (name="region" ((<-right name="in-region")))` compiles the
+    link sub through the collect_list aggregation path; the per-parent
+    count column is surfaced directly."""
+    gs = _graph(spark, sf_dir)
+    _, plan, df = _compiled(
+        gs, 'read (name="region" (<-right name="in-region" optional))'
+    )
+    sp = plan.sub_plans[0]
+    return df.select(
+        "value",
+        F.coalesce(F.col(sp.cnt_col), F.lit(0))
+        .cast("bigint")
+        .alias("n_members"),
+    )
+
+
+@q(
+    "gql_newest_version",
+    f"""
+    SELECT {_N_NAME} AS value FROM nation
+    """,
+)
+def gql_newest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioning + newest=0 default (append-only lineage dedup).
+
+    The versioned nation's old value is gone, its new value present —
+    generation filtering is one window over the lineage column."""
+    gs = _graph(spark, sf_dir)
+    _, plan, df = _compiled(gs, 'read (name="nation" result=((value)))')
+    return df.select("value")
+
+
+@q(
+    "gql_glob_prefix",
+    f"""
+    SELECT {_N_NAME} AS value FROM nation
+    WHERE lower({_N_NAME}) LIKE 'n%'
+    """,
+)
+def gql_glob_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`value~="^n*"`: the default comparator's glob with prefix
+    pushdown (native startswith prefilter ahead of the matcher; the
+    matcher itself is an Arrow-batched UDF shipped to workers)."""
+    gs = _graph(spark, sf_dir)
+    _, plan, df = _compiled(
+        gs, 'read (name="nation" value~="^n*" result=((value)))'
+    )
+    return df.select("value")
+
+
+@q(
+    "gql_sort_topk",
+    f"""
+    SELECT value FROM (
+      SELECT {_N_NAME} AS value FROM nation
+      ORDER BY lower(regexp_replace({_N_NAME}, '_[0-9]+$', '')) DESC,
+               coalesce(TRY_CAST(nullif(
+                 regexp_extract({_N_NAME}, '([0-9]+)$', 1), '')
+                 AS INT), -1) DESC
+      LIMIT 5) t
+    """,
+)
+def gql_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort=-value pagesize=5 -> TakeOrderedAndProject on the stored
+    binary sort key (descending, top-k, no global shuffle).
+
+    graphd's default comparator orders number fragments numerically
+    (NATION_24 > NATION_9); the oracle reproduces that natural order
+    explicitly."""
+    gs = _graph(spark, sf_dir)
+    comp, plan, df = _compiled(
+        gs, 'read (name="nation" sort=-value pagesize=5)'
+    )
+    order = comp.sort_columns(
+        parse_request(
+            'read (name="nation" sort=-value pagesize=5)'
+        ).constraint,
+        plan,
+    )
+    return df.orderBy(*order).limit(5).select("value")
+
+
+@q(
+    "gql_asof_timetravel",
+    """
+    SELECT r_name AS value FROM region
+    """,
+)
+def gql_asof_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """asof= time travel: the id horizon hides everything written
+    after the last region node (partition-prunable id predicate)."""
+    gs = _graph(spark, sf_dir)
+    horizon = guid_compose(PREDICTABLE_DB_ID, 4)  # last region node
+    _, plan, df = _compiled(
+        gs, "read (any result=((value)))", asof=horizon
+    )
+    return df.select("value")

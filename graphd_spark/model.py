@@ -213,6 +213,15 @@ PRIMITIVES_SCHEMA = StructType(
         StructField("right", StringType(), True),
         StructField("scope", StringType(), True),
         StructField("prev", StringType(), True),
+        # lineage-canonical linkage pointers: a GUID reference denotes
+        # the whole version chain (ref doc/gr-model.txt:47-50 "find the
+        # current version of any GUID in constant time"), so joins run
+        # on these write-time-canonicalized columns instead of chasing
+        # prev chains at read time
+        StructField("typeguid_lin", StringType(), True),
+        StructField("left_lin", StringType(), True),
+        StructField("right_lin", StringType(), True),
+        StructField("scope_lin", StringType(), True),
         StructField("name", StringType(), True),
         StructField("datatype", IntegerType(), False),
         StructField("value", StringType(), True),
@@ -253,6 +262,10 @@ class Primitive:
     right: str | None = None
     scope: str | None = None
     prev: str | None = None
+    typeguid_lin: str | None = None
+    left_lin: str | None = None
+    right_lin: str | None = None
+    scope_lin: str | None = None
     name: str | None = None
     datatype: int = 1
     value: str | None = None

@@ -154,6 +154,14 @@ class PrimitiveStore:
             value_norm_key,
         )
 
+        def lin(g: str | None) -> str | None:
+            # canonicalize a linkage reference to its lineage head
+            # (unknown/foreign guids canonicalize to themselves)
+            if g is None:
+                return None
+            t = self.by_guid.get(g)
+            return t.lineage if t is not None else g
+
         p = Primitive(
             id=id,
             guid=guid,
@@ -162,6 +170,10 @@ class PrimitiveStore:
             right=right,
             scope=scope,
             prev=prev,
+            typeguid_lin=lin(typeguid),
+            left_lin=lin(left),
+            right_lin=lin(right),
+            scope_lin=lin(scope),
             name=name,
             datatype=datatype,
             value=value,
