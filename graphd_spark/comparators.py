@@ -335,7 +335,8 @@ def fuzzy_cmp(a: Optional[str], b: Optional[str]) -> int:
 
 # --- other comparators ----------------------------------------------------
 
-KNOWN_COMPARATORS = {"default", "case", "octet", "number", "datetime"}
+KNOWN_COMPARATORS = {"default", "case", "octet", "number", "datetime",
+                     "case-insensitive"}
 
 
 def resolve_comparator(name: Optional[str]) -> str:
@@ -416,6 +417,8 @@ def literal_key(lit: str, comparator: str) -> bytes:
         return datetime_sort_key(lit)
     if comp in ("case", "octet"):
         return lit.encode("utf-8", "surrogateescape")
+    if comp == "case-insensitive":
+        return _ascii_lower(lit).encode("utf-8", "surrogateescape")
     return fuzzy_key(lit)
 
 
@@ -435,6 +438,11 @@ def sort_key_column(col, comparator: str = "default"):
 
     if comparator in ("case", "octet"):
         return col.cast("binary")
+
+    if comparator == "case-insensitive":
+        # plain case-folded byte order — lexicographic, not word-aware
+        # (ref test/unit/sortcomparators.sh)
+        return F.lower(col).cast("binary")
 
     if comparator == "__fuzzy_list":
         # array<string> -> one binary key ordering arrays element-wise

@@ -135,10 +135,10 @@ class Compiler:
         # the count is the next unwritten id, so the horizon excludes it
         if "." in tl:
             db, _, count = tl.rpartition(".")
-            if count.isdigit() and db and all(
-                c in "0123456789abcdef" for c in db
+            if count and db and all(
+                c in "0123456789abcdef" for c in db + count
             ):
-                return int(count) - 1
+                return int(count, 16) - 1
         try:
             ts = ts_from_string(t, round_up=True)
         except ValueError:
@@ -167,6 +167,18 @@ class Compiler:
         """
         plan, df = self._compile(con)
         order = self._sort_exprs(con, plan)
+        if con.sort is None and any(
+            sc.op in ("<", "<=", ">", ">=") for sc in con.value_strcons
+        ) and resolve_comparator(
+            con.value_comparator or con.comparator
+        ) == "default":
+            # unsorted range reads surface in the reference's value-bin
+            # scan order — lexicographic by value, ids within
+            # (ref libpdb/pdb-bins-strtable.c; test/unit/intrange.sh)
+            order = [
+                F.lower(F.col("value")).asc_nulls_last(),
+                F.col("id").asc(),
+            ]
         pagesize = (
             con.pagesize if con.pagesize is not None else DEFAULT_PAGESIZE
         )
@@ -246,6 +258,17 @@ class Compiler:
             if sp.mode == "agg":
                 df = self._import_sub_vars(df, plan, sp)
         for var, pat in con.assignments:
+            if pat.kind == "variable":
+                # alias to a child-sampled variable ($b=$a, david_9.sh)
+                src = plan.var_cols.get(pat.var)
+                if src is not None:
+                    plan.var_cols[var] = src
+                    plan.var_kinds[var] = plan.var_kinds.get(
+                        pat.var, "value"
+                    )
+                elif pat.var in plan.var_patterns:
+                    plan.var_patterns[var] = plan.var_patterns[pat.var]
+                continue
             expr = self._var_expr(pat)
             if expr is None:
                 # set-shaped pattern ($f=((value))): the parent binds it
@@ -595,10 +618,13 @@ class Compiler:
                 return F.col(vcol)
             entry = plan.var_patterns.get(pat.var)
             if entry is not None:
+                _sp, acol, ccol, vpat = entry
+                if any(p.kind == "count" for p in vpat.walk()):
+                    # $v=count: order by the child-set count
+                    return F.coalesce(F.col(ccol), F.lit(0))
                 # set-shaped var: order by the array of element keys
                 # (arrays compare element-wise, so this reproduces the
                 # reference's list comparison)
-                _sp, acol, _ccol, vpat = entry
                 field = self._pattern_scalar_field(vpat)
                 if field is not None:
                     arr = F.transform(F.col(acol), lambda x: x[field])
@@ -645,10 +671,12 @@ class Compiler:
             conds.append(~F.col("archival"))
         if con.meta == "node":
             conds.append(F.col("left").isNull() & F.col("right").isNull())
-        elif con.meta in ("to", "from"):
-            conds.append(
-                F.col("left").isNotNull() | F.col("right").isNotNull()
-            )
+        # 'to'/'from' arrows are linkage-direction markers, not
+        # is-a-link filters: a parentless '->' matches nodes too
+        # (ref test/unit/nullguid2.sh)
+
+        if con.dateline is not None:
+            conds.append(self._dateline_cond(con.dateline))
 
         for gc in con.guid:
             conds.append(self._guid_cond(F.col("guid"), gc, nullable=False))
@@ -662,14 +690,16 @@ class Compiler:
 
         for sc in con.type_strcons:
             conds.append(self._type_cond(sc))
+        # value-comparator overrides matching only (david_8.sh)
+        match_comp = con.value_comparator or con.comparator
         for sc in con.name_strcons:
             conds.append(
-                self._string_cond(F.col("name"), sc, con.comparator,
+                self._string_cond(F.col("name"), sc, match_comp,
                                   is_value=False)
             )
         for sc in con.value_strcons:
             conds.append(
-                self._string_cond(F.col("value"), sc, con.comparator,
+                self._string_cond(F.col("value"), sc, match_comp,
                                   is_value=True)
             )
 
@@ -712,6 +742,23 @@ class Compiler:
         for c in conds[1:]:
             pred = pred & c
         return pred
+
+    def _dateline_cond(self, dl):
+        """dateline OP "db.count": id-horizon predicate (ref
+        graphd/graphd-dateline.c; partition-prunable at scale)."""
+        op, text = dl
+        t = text.strip().lower()
+        db, _, count = t.rpartition(".")
+        try:
+            n = int(count, 16)  # dateline counts are hexadecimal
+        except ValueError:
+            return F.lit(False)  # unparseable dateline matches nothing
+        c = F.col("id")
+        return {
+            "=": c == n, "!=": c != n,
+            "<": c < n, "<=": c < n,
+            ">": c >= n, ">=": c >= n,
+        }[op]
 
     def _guid_cond(self, col, gc, nullable: bool):
         if gc.op == "~=":
@@ -843,6 +890,17 @@ class Compiler:
 
         if sc.op == "=":
             parts = []
+            if is_value and "" in nonnull:
+                # empty-string values are stored null with a string
+                # datatype (test/unit/nullvalue.sh); value="" finds them
+                parts.append(
+                    col.isNull() & (F.col("datatype") == 2)
+                )
+                pairs = [
+                    (v, e) for v, e in zip(nonnull, eq_lits) if v != ""
+                ]
+                nonnull = [v for v, _ in pairs]
+                eq_lits = [e for _, e in pairs]
             if nonnull:
                 parts.append(eq_col.isin(eq_lits))
             if has_null:
@@ -854,6 +912,18 @@ class Compiler:
                 pred = pred | p
             return pred
         if sc.op == "!=":
+            if not nonnull and not has_null:
+                # != () — the empty exclusion set still demands the
+                # field exist (ref test/unit/ne.sh 'name!=()')
+                return col.isNotNull()
+            if is_value:
+                # value!= requires the value to exist and differ; a
+                # null value never satisfies it — but name!=/type!=
+                # DO match unnamed primitives (ref test/unit/ne.out.exp)
+                pred = col.isNotNull()
+                if nonnull:
+                    pred = pred & ~eq_col.isin(eq_lits)
+                return pred
             pred = None
             if nonnull:
                 pred = col.isNull() | ~eq_col.isin(eq_lits)
@@ -880,6 +950,11 @@ class Compiler:
                 # non-numbers); number keys sort below the \x02
                 # non-number class
                 pred = pred & (key < F.lit(b"\x02"))
+            elif is_value and sc.op in (">", ">="):
+                # null values compare greater than any string under
+                # the default ordering (graph_fuzzycmp NULL rule), so
+                # they satisfy > ranges (ref test/unit/david_5.sh)
+                pred = pred | col.isNull()
             return pred
         if sc.op == "~=":
             if comp == "number":
@@ -889,9 +964,13 @@ class Compiler:
                 )
             from graphd_spark.glob import glob_column
 
-            return glob_column(
-                col,
-                nonnull[0] if nonnull else "",
-                case_sensitive=comp in ("case", "octet"),
-            )
+            cs = comp in ("case", "octet")
+            pred = None
+            if has_null:
+                # value~=null matches null values (test/unit/nullvalue.sh)
+                pred = col.isNull()
+            for v in nonnull:
+                g = glob_column(col, v, case_sensitive=cs)
+                pred = g if pred is None else (pred | g)
+            return pred if pred is not None else F.lit(False)
         raise GraphdError("SEMANTICS", f"unsupported operator {sc.op!r}")

@@ -29,13 +29,18 @@ from graphd_spark.values import Atom, Guid, List, Num, Splice, Str, Ts
 
 
 def _tuple_value(session, p):
+    """Version-6 dump tuple: (guid typeguid name datatype value scope
+    live archival txstart timestamp left right prev); null typeguid
+    prints ``null``, null linkage GUIDs print ``0`` (see
+    test/unit/dumpnl.out.exp)."""
+
     def g(x):
         return Guid(x) if x is not None else Num(0)
 
     return List(
         [
             Guid(p.guid),
-            g(p.typeguid),
+            Guid(p.typeguid) if p.typeguid is not None else Atom("null"),
             Str(p.name) if p.name is not None else Atom("null"),
             Atom(DATATYPE_NAMES.get(p.datatype, str(p.datatype)))
             if p.value is not None or p.datatype != 1
@@ -44,7 +49,8 @@ def _tuple_value(session, p):
             g(p.scope),
             Atom("true" if p.live else "false"),
             Atom("true" if p.archival else "false"),
-            Atom(ts_to_string(p.timestamp)[:-1]),  # dump drops the Z
+            Atom("true" if p.txstart else "false"),
+            Atom(ts_to_string(p.timestamp)),
             g(p.left),
             g(p.right),
             g(p.prev),
@@ -53,13 +59,20 @@ def _tuple_value(session, p):
 
 
 def do_dump(session, req):
-    """dump [start end] -> ("5" start end (tuple)...)."""
+    """dump [start end] -> ("6" start end (tuple)...)."""
+    for t in req.rest:
+        if t.kind == L.STR:
+            raise GraphdError(
+                "SYNTAX",
+                f'on line 1, column {t.pos + 1}: "{t.text}": expected '
+                "a dump constraint, or ')'",
+            )
     nums = [t for t in req.rest if t.kind == L.ATOM and t.text.isdigit()]
     start = int(nums[0].text) if nums else 0
     end = int(nums[1].text) if len(nums) > 1 else len(session.store.rows)
     if start > end:
         raise GraphdError("SEMANTICS", f"start {start} exceeds end {end}")
-    items = [Str("5"), Num(start), Num(end)]
+    items = [Str("6"), Num(start), Num(end)]
     for p in session.store.rows[start:end]:
         items.append(_tuple_value(session, p))
     return List(items)
@@ -89,16 +102,25 @@ def do_restore(session, req):
     if t.kind != L.OPAR:
         raise GraphdError("SYNTAX", "expected '(' after restore")
     version = next_tok().text
-    if version not in ("2", "4", "5", "6"):
+    if version not in ("1", "2", "4", "5", "6"):
         raise GraphdError("SEMANTICS", f"unsupported dump version {version!r}")
     start = int(next_tok().text)
-    next_tok()  # end marker (informational)
-
-    store = session.store
-    if start == 0 and len(store.rows) > 0:
+    end_tok = next_tok()
+    if start > int(end_tok.text):
         raise GraphdError(
-            "SEMANTICS", "restore start=0 requires an empty database"
+            "SEMANTICS",
+            f"on line 1, column {end_tok.pos + 1}: '{end_tok.text}': "
+            "start value cannot exceed end value",
         )
+
+    if start == 0 and len(session.store.rows) > 0:
+        # restore from 0 destroys existing state
+        # (ref doc/gr-protocol.txt:1271-1296)
+        from graphd_spark.store import PrimitiveStore
+
+        session.store = PrimitiveStore()
+        session.types.__init__(session.store)
+    store = session.store
     store.begin()
     try:
         while True:
@@ -107,18 +129,31 @@ def do_restore(session, req):
                 break
             if t.kind != L.OPAR:
                 raise GraphdError("SYNTAX", "expected tuple in restore")
+            if version in ("1", "2"):
+                # pre-typeguid dumps require the reference's migration
+                # (type strings -> type system, guid recompression);
+                # only empty v1/v2 payloads are accepted
+                raise GraphdError(
+                    "SEMANTICS",
+                    f"cannot migrate dump version {version!r} payloads",
+                )
             fields = []
             while True:
                 ft = next_tok()
                 if ft.kind == L.CPAR:
                     break
                 fields.append(ft)
-            if len(fields) < 12:
+            want = 13 if version == "6" else 12
+            if len(fields) < want:
                 raise GraphdError(
                     "SYNTAX", "short tuple in restore payload"
                 )
-            (guid, typeguid, name, datatype, value, scope, live,
-             archival, ts, left, right, prev) = fields[:12]
+            if version == "6":
+                (guid, typeguid, name, datatype, value, scope, live,
+                 archival, _txstart, ts, left, right, prev) = fields[:13]
+            else:
+                (guid, typeguid, name, datatype, value, scope, live,
+                 archival, ts, left, right, prev) = fields[:12]
             dt = 1
             if datatype.kind == L.ATOM and datatype.text.lower() != "null":
                 dtt = datatype.text.lower()

@@ -133,8 +133,13 @@ class Constraint:
     dateline: Optional[str] = None
 
     comparator: Optional[str] = None
+    #: value-comparator= overrides matching only, never sorting
+    #: (ref test/unit/david_8.sh)
+    value_comparator: Optional[str] = None
     sort_comparators: list[str] = field(default_factory=list)
     sort: Optional[list[SortKey]] = None
+    #: source position of this constraint's closing ')' (error replies)
+    src_close: Optional[int] = None
 
     result: Optional[Pattern] = None
     assignments: list[tuple[str, Pattern]] = field(default_factory=list)

@@ -195,6 +195,7 @@ class Parser:
             "cursor",
             "dateline",
             "comparator",
+            "value_comparator",
             "sort",
             "result",
             "unique",
@@ -204,7 +205,10 @@ class Parser:
             v = getattr(item, f)
             if v is not None:
                 if getattr(con, f) is not None and f not in ("linkage",):
-                    raise ParseError(f"duplicate {f} constraint", "SEMANTICS")
+                    raise ParseError(
+                        f"more than one value for {f.replace('_', '-')}",
+                        "SEMANTICS",
+                    )
                 setattr(con, f, v)
         if item.start:
             con.start = item.start
@@ -238,7 +242,8 @@ class Parser:
         if t.kind == L.OPAR:
             self.next()
             sub = self.parse_constraints()
-            self.expect(L.CPAR, "')'")
+            close = self.expect(L.CPAR, "')'")
+            sub.src_close = close.pos
             sub.parent = con
             con.subs.append(sub)
             return
@@ -272,7 +277,11 @@ class Parser:
             raise ParseError(f"expected '(' after {word}->")
         handler = getattr(self, f"_con_{word.replace('-', '_')}", None)
         if handler is None:
-            raise ParseError(f"invalid constraint {t.text!r}", "SEMANTICS")
+            raise ParseError(
+                f"on line 1, column {t.pos + 1}: '{t.text}': "
+                "invalid constraint",
+                "SEMANTICS",
+            )
         handler()
 
     # -- arrows -----------------------------------------------------------
@@ -339,15 +348,23 @@ class Parser:
         if t.kind in (L.ATOM, L.STR):
             return [self._guid_lit(t)]
         if t.kind == L.OPAR:
+            opar = t
             out: list[str | None] = []
             while True:
                 t = self.next()
                 if t.kind == L.CPAR:
-                    return out
+                    break
                 if t.kind in (L.ATOM, L.STR):
                     out.append(self._guid_lit(t))
                 else:
                     raise ParseError(f"expected GUID, got {t.text!r}")
+            if self.command == "write" and len(out) > 1:
+                raise ParseError(
+                    f"on line 1, column {opar.pos + 1}: '(': multiple "
+                    "GUID values are only allowed in read requests",
+                    "SEMANTICS",
+                )
+            return out
         raise ParseError(f"expected GUID, got {t.text!r}")
 
     def _num(self) -> int:
@@ -381,7 +398,13 @@ class Parser:
             raise ParseError(f"bad pattern token {t.text!r}")
         word = t.text.lower()
         if word == "literal":
-            self.expect(L.EQ, "'='")
+            nxt = self.peek()
+            if nxt.kind != L.EQ:
+                raise ParseError(
+                    f"on line 1, column {nxt.pos + 1}: '{nxt.text}': "
+                    "missing '=' after 'literal'"
+                )
+            self.next()
             s = self.next()
             if s.kind not in (L.STR, L.ATOM):
                 raise ParseError(f"expected literal value, got {s.text!r}")
@@ -452,13 +475,23 @@ def _make_handlers():
         )
 
     def _string_con(self, which):
-        name = self.next().text.lower()
+        self.next()
+        op_tok = self.peek()
         sc = self._op_and_stringset()
-        if name != "value" and sc.op not in (L.EQ, L.NE):
+        if self.command == "write" and sc.op != L.EQ:
             raise ParseError(
+                f"on line 1, column {op_tok.pos + 1}: '{op_tok.text}': "
+                "operator cannot be used in write requests",
+                "SEMANTICS",
+            )
+        if which != "value" and sc.op not in (L.EQ, L.NE):
+            raise ParseError(
+                f"on line 1, column {op_tok.pos + 1}: '{op_tok.text}': "
                 "operator can only be used with 'value' constraints",
                 "SEMANTICS",
             )
+        if self.command == "write" and len(sc.values) > 1:
+            raise ParseError(f'more than one value for "{which}"')
         getattr(self._item, f"{which}_strcons").append(sc)
 
     for w in ("type", "name", "value"):
@@ -627,7 +660,13 @@ def _make_handlers():
         self.expect(L.EQ, "'='")
         self._item.comparator = self.expect(L.STR, "string").text
 
-    setattr(P, "_con_value_comparator", P._con_comparator)
+    @handler("value-comparator")
+    def _con_value_comparator(self):
+        # overrides matching only; sorting keeps using comparator=
+        # (ref test/unit/david_8.sh)
+        self.next()
+        self.expect(L.EQ, "'='")
+        self._item.value_comparator = self.expect(L.STR, "string").text
 
     @handler("sort-comparator")
     def _con_sort_comparator(self):
@@ -660,8 +699,10 @@ def _make_handlers():
     @handler("dateline")
     def _con_dateline(self):
         self.next()
-        self.expect(L.EQ, "'='")
-        self._item.dateline = self.expect(L.STR, "string").text
+        op = self.next()
+        if op.kind not in (L.EQ, L.NE, L.LT, L.LE, L.GT, L.GE):
+            raise ParseError("bad dateline operator")
+        self._item.dateline = (op.kind, self.expect(L.STR, "string").text)
 
     def _cluster(self, field):
         self.next()
@@ -761,6 +802,31 @@ def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
         con.live = TRUE
     if any(g.op in ("=", "~=") and not g.guids for g in con.guid):
         con.false = True
+    # a sub whose linkage neither its own arrows nor the parent's
+    # inference determined cannot join (ref gdp-parse: 'unknown
+    # subconstraint linkage' at the sub's closing paren)
+    for sub in con.subs:
+        if sub.linkage is None:
+            col = (sub.src_close or 0) + 1
+            raise ParseError(
+                f"on line 1, column {col}: ')': unknown subconstraint "
+                "linkage",
+                "SEMANTICS",
+            )
+    if command == "write":
+        for which, scs in (
+            ("type", con.type_strcons),
+            ("name", con.name_strcons),
+            ("value", con.value_strcons),
+        ):
+            if sum(len(sc.values) for sc in scs) > 1:
+                raise ParseError(f'more than one value for "{which}"')
+        if con.type_strcons and con.links.get("typeguid"):
+            raise ParseError(
+                "can't have a type and a typeguid in the same write "
+                "request.",
+                "SEMANTICS",
+            )
     if command == "write" and con.key is not None and any(
         g.op == "~=" for g in con.guid
     ):
@@ -918,8 +984,33 @@ def _check_result_depth(pat, depth: int) -> None:
                 "lists more than two levels deep",
                 "SEMANTICS",
             )
+        if sum(1 for c in pat.children if c.kind == "list") > 1:
+            raise ParseError(
+                "can only have one nested list per result list - "
+                "(x (y)) and ((x y)) work, ((x) (y)) doesn't."
+            )
         for c in pat.children:
             _check_result_depth(c, depth + 1)
+
+
+def _check_contents_usage(con) -> None:
+    """An explicit ``contents`` pattern needs subconstraints (ref
+    test/unit/nick1.sh)."""
+    if con.result is not None and not con.subs:
+        if any(
+            p.kind == "contents" and not p.contents_only
+            for p in con.result.walk()
+        ):
+            raise ParseError(
+                'can\'t use "contents" return instruction in template '
+                "without contained templates",
+                "SEMANTICS",
+            )
+    for sub in con.subs:
+        _check_contents_usage(sub)
+    for chain in con.or_chains:
+        for b in chain:
+            _check_contents_usage(b)
 
 
 def _check_set_atom_depth(pat, depth: int) -> None:
@@ -973,7 +1064,10 @@ def parse_request(line: str) -> Request:
     cmd_tok = p.expect(L.ATOM, "command")
     cmd = cmd_tok.text.lower()
     if cmd not in _COMMANDS:
-        raise ParseError(f"unknown command {cmd_tok.text!r}")
+        raise ParseError(
+            f"on line 1, column {cmd_tok.pos + 1}: '{cmd_tok.text}': "
+            "no such request"
+        )
     req = Request(command=cmd)
     # request modifiers: atom '=' (atom|string) before the template
     while (
@@ -1008,7 +1102,16 @@ def parse_request(line: str) -> Request:
         con = p.parse_constraints()
         p.expect(L.CPAR, "')'")
         req.constraint = apply_semantics(con, cmd)
+        if req.constraint.linkage is not None:
+            kind, lk = req.constraint.linkage
+            arrow = f"<-{lk}" if kind == "my" else f"{lk}->"
+            raise ParseError(
+                f"can't use ({arrow} ..) on the outermost constraint - "
+                f"do you mean {lk}=GUID?",
+                "SEMANTICS",
+            )
         if cmd == "read":
+            _check_contents_usage(req.constraint)
             analyze_variables(req.constraint)
     else:
         # leave remaining tokens raw for the command dispatcher

@@ -217,7 +217,11 @@ class Assembler:
             if tg is None:
                 return Null
             nm = self.types.type_name(tg)
-            return Str(nm) if nm is not None else Null
+            if nm is not None:
+                return Str(nm)
+            # unnamed typeguids render as "#<guid>" strings (ref
+            # graphd_type_value_from_guid; see rerestore.out.exp)
+            return Str(f"#{tg}")
         if k == "datatype":
             dt = row["datatype"]
             nm = DATATYPE_NAMES.get(dt)

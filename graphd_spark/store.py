@@ -41,7 +41,24 @@ from graphd_spark.model import (
 
 
 class StoreError(Exception):
-    pass
+    code = "SYSTEM"
+
+    @property
+    def message(self) -> str:
+        return str(self)
+
+
+class TooBigError(StoreError):
+    """Primitive exceeds the storage format's size fields (ref
+    libpdb/pdb-primitive-alloc.c:88-115, graphd-write.c:273)."""
+
+    code = "TOOBIG"
+
+
+#: name length field is 2 bytes (ref PDB_PRIMITIVE_NAMELEN_SIZE)
+NAME_MAX = (1 << 16) - 1
+#: one istore tile bounds the whole primitive (ref libaddb/addb-tiled)
+PRIMITIVE_MAX = 32 * 1024
 
 
 class PrimitiveStore:
@@ -127,6 +144,11 @@ class PrimitiveStore:
         write_primitive); predictable timestamps count primitives (ref
         graphd/graphd-predictable.c).
         """
+        if name is not None and len(name) + 1 > NAME_MAX:
+            raise TooBigError("name too long")
+        total = (len(name) if name else 0) + (len(value) if value else 0)
+        if total + 128 > PRIMITIVE_MAX:
+            raise TooBigError("primitive too big")
         id = self.next_id
         if txstart is None:
             # first primitive of the current write transaction (ref

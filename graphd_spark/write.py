@@ -204,7 +204,8 @@ class WriteExecutor:
                 for p in self.store.rows
                 if p.value is not None
                 and p.guid not in seen
-                and value_eq(con.comparator, lits["value"], p.value)
+                and value_eq(con.value_comparator or con.comparator,
+                             lits["value"], p.value)
             )
             cands.sort(key=lambda p: p.id)
         elif "name" in lits and lits["name"] is not None:
@@ -257,7 +258,8 @@ class WriteExecutor:
             return fields is None or f in fields
 
         if want("value") and "value" in lits:
-            if not value_eq(con.comparator, lits["value"], p.value):
+            comp = con.value_comparator or con.comparator
+            if not value_eq(comp, lits["value"], p.value):
                 return False
         if want("name") and "name" in lits:
             a, b = lits["name"], p.name
@@ -520,7 +522,9 @@ class WriteExecutor:
             if f in exclude:
                 continue
             if f == "value":
-                if not value_eq(con.comparator, v, old.value):
+                if not value_eq(
+                    con.value_comparator or con.comparator, v, old.value
+                ):
                     return True
             elif f == "name":
                 a, b = v, old.name
@@ -586,6 +590,10 @@ class WriteExecutor:
         if con.value_strcons:
             value = _single(con.value_strcons[0].values, "value")
         datatype = con.valuetype
+        if con.value_strcons and datatype is None:
+            # any explicit value literal — even null — defaults the
+            # datatype to string (ref test/unit/nullvalue.out.exp)
+            datatype = 2
         timestamp = None
         if con.timestamps:
             tc = con.timestamps[0]

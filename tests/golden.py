@@ -16,20 +16,50 @@ GOLDEN_DIR = "/root/reference/test/unit"
 
 
 def extract_script(name: str) -> str | None:
-    """Pull the single rungraphd heredoc out of NAME.sh.
+    """Pull the rungraphd input out of NAME.sh.
 
-    Returns None for shapes the harness doesn't model (multiple server
-    runs with persistent state, extra graphd options, input files).
+    Handles heredocs and ``rungraphd < file`` input redirection;
+    consecutive server runs concatenate (the database persists between
+    them) unless an ``rm -rf`` intervenes, which the harness doesn't
+    model (state reset mid-test).
     """
     path = os.path.join(GOLDEN_DIR, f"{name}.sh")
     with open(path) as f:
-        text = f.read()
-    blocks = re.findall(
-        r"rungraphd [^\n]*<<-?\s*'?EOF'?\n(.*?)\n\s*EOF", text, re.S
-    )
-    if len(blocks) != 1:
+        lines = f.read().splitlines()
+    scripts: list[str] = []
+    i = 0
+    saw_rm_after_block = False
+    while i < len(lines):
+        line = lines[i]
+        if re.search(r"\brm -rf\b", line) and scripts:
+            saw_rm_after_block = True
+        m = re.search(r"rungraphd [^\n<]*<<-?\s*'?EOF'?", line)
+        if m:
+            if saw_rm_after_block:
+                return None
+            i += 1
+            block = []
+            while i < len(lines) and lines[i].strip() != "EOF":
+                block.append(lines[i].lstrip("\t "))
+                i += 1
+            scripts.append("\n".join(block))
+            i += 1
+            continue
+        m = re.search(r"rungraphd [^\n]*< *(\S+)\s*$", line)
+        if m and not line.rstrip().endswith("EOF"):
+            if saw_rm_after_block:
+                return None
+            fname = os.path.join(GOLDEN_DIR, m.group(1))
+            if not os.path.exists(fname):
+                return None
+            with open(fname) as f:
+                scripts.append(f.read())
+            i += 1
+            continue
+        i += 1
+    if not scripts:
         return None
-    return "\n".join(line.lstrip("\t ") for line in blocks[0].splitlines())
+    return "\n".join(scripts)
 
 
 def expected_output(name: str) -> list[str]:
@@ -40,24 +70,40 @@ def expected_output(name: str) -> list[str]:
 
 def split_requests(text: str) -> list[str]:
     """Group heredoc lines into requests (templates span lines until
-    their parentheses balance outside string literals)."""
+    their parentheses balance outside strings and '(: :)' comments)."""
     reqs: list[str] = []
     buf: list[str] = []
     depth = 0
     in_str = False
+    in_comment = False
     esc = False
     for line in text.splitlines():
         if not line.strip() and not buf:
             continue
-        for ch in line:
+        i = 0
+        while i < len(line):
+            ch = line[i]
             if esc:
                 esc = False
+                i += 1
+                continue
+            if in_comment:
+                if line.startswith(":)", i):
+                    in_comment = False
+                    i += 2
+                    continue
+                i += 1
                 continue
             if in_str:
                 if ch == "\\":
                     esc = True
                 elif ch == '"':
                     in_str = False
+                i += 1
+                continue
+            if line.startswith("(:", i):
+                in_comment = True
+                i += 2
                 continue
             if ch == '"':
                 in_str = True
@@ -65,17 +111,71 @@ def split_requests(text: str) -> list[str]:
                 depth += 1
             elif ch == ")":
                 depth -= 1
+            i += 1
         buf.append(line)
-        if depth == 0 and not in_str:
+        if depth == 0 and not in_str and not in_comment:
             req = " ".join(buf).strip()
             if req:
-                reqs.append(req)
+                # pipelined input: several requests may share one line
+                # (ref test/unit/micro.sh); split where parens rebalance
+                reqs.extend(_split_inline(req))
             buf = []
     if buf:
         req = " ".join(buf).strip()
         if req:
             reqs.append(req)
     return reqs
+
+
+def _split_inline(req: str) -> list[str]:
+    out = []
+    depth = 0
+    in_str = False
+    in_comment = False
+    esc = False
+    start = 0
+    seen_paren = False
+    i = 0
+    while i < len(req):
+        ch = req[i]
+        if esc:
+            esc = False
+            i += 1
+            continue
+        if in_comment:
+            if req.startswith(":)", i):
+                in_comment = False
+                i += 2
+                continue
+            i += 1
+            continue
+        if in_str:
+            if ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            i += 1
+            continue
+        if req.startswith("(:", i):
+            in_comment = True
+            i += 2
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "(":
+            depth += 1
+            seen_paren = True
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and seen_paren:
+                out.append(req[start : i + 1].strip())
+                start = i + 1
+                seen_paren = False
+        i += 1
+    tail = req[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
 
 
 def run_golden(session_factory, name: str):
@@ -85,5 +185,9 @@ def run_golden(session_factory, name: str):
     if script is None:
         return None
     session = session_factory()
-    got = [session.request(r) for r in split_requests(script)]
+    got = [
+        reply
+        for r in split_requests(script)
+        if (reply := session.request(r)) != ""
+    ]
     return got, expected_output(name)

@@ -139,17 +139,22 @@ def test_or_chain_and_short_circuit_flags():
 
 
 def test_count_operators():
-    con = parse("read ((count>=2 count<=5))").constraint.subs[0]
+    con = parse("read ((<-left count>=2 count<=5))").constraint.subs[0]
     assert con.count_min == 2
     assert con.count_max == 5
-    con = parse("read ((count=0))").constraint.subs[0]
+    con = parse("read ((<-left count=0))").constraint.subs[0]
     assert con.count_eq == 0
 
 
 def test_optional_is_count_min_zero():
-    con = parse("read ((optional))").constraint.subs[0]
+    con = parse("read ((<-left optional))").constraint.subs[0]
     assert con.count_min == 0
     assert con.is_optional
+
+
+def test_unlinked_sub_is_error():
+    with pytest.raises(ParseError, match="unknown subconstraint linkage"):
+        parse('read (name="x" (value="y"))')
 
 
 def test_sort_and_result_patterns():
