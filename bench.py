@@ -52,6 +52,10 @@ HEADLINE = [
     "ann_lsh_topk",
     "media_features",
     "text_quality_score",
+    # parsed graphd queries through the constraint-tree compiler
+    "gql_linkage_semi",
+    "gql_sort_topk",
+    "gql_contents_count",
 ]
 
 

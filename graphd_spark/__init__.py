@@ -22,6 +22,9 @@ Spark-first:
                     graphd/graphd-write.c)
 - ``dump``        — dump/restore tuple codec (ref graphd/graphd-dump.c)
 - ``pagination``  — key-set cursors (scale-safe deep paging)
+- ``streaming``   — replication as Structured Streaming (ref
+                    doc/gr-replication.txt): the Parquet commit log is
+                    the replica stream; datelines are stream offsets
 - ``api``         — GraphSession: protocol request in, reply line out
 - ``session``     — SparkSession defaults + testdata loaders
 - ``inventory`` / ``inventory_pipeline`` / ``inventory_media`` /

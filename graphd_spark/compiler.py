@@ -166,6 +166,29 @@ class Compiler:
         collected length (sufficient for the EMPTY check).
         """
         plan, df = self._compile(con)
+        # cursor= resumes a previous page: the token carries the
+        # position in the query's deterministic total order (sort keys
+        # + id tiebreak).  Unlike the reference's frozen iterator
+        # state, the token is engine-independent; an unrecognized
+        # token (including the reference's own formats) restarts, and
+        # "null:" is the exhausted cursor.
+        resume = 0
+        if con.cursor is not None:
+            if con.cursor.startswith("position:"):
+                try:
+                    resume = int(con.cursor.split(":", 1)[1].split("/")[0])
+                except ValueError:
+                    resume = 0
+            elif con.cursor == "null:":
+                raise GraphdError("EMPTY", "not found")
+            else:
+                # reference-format cursors end in ".../<position>/";
+                # honor the position so resumed reads continue
+                import re as _re
+
+                m = _re.search(r"/(\d+)/$", con.cursor)
+                if m:
+                    resume = int(m.group(1))
         order = self._sort_exprs(con, plan)
         if con.sort is None and any(
             sc.op in ("<", "<=", ">", ">=") for sc in con.value_strcons
@@ -182,7 +205,8 @@ class Compiler:
         pagesize = (
             con.pagesize if con.pagesize is not None else DEFAULT_PAGESIZE
         )
-        limit = con.start + pagesize
+        start = con.start + resume
+        limit = start + pagesize
         elem = self._elem_struct(con, plan)
         collected = [
             r["__e"]
@@ -192,8 +216,10 @@ class Compiler:
             .collect()
         ]
         pat = con.result if con.result is not None else default_read_pattern()
+        wants_cursor = any(p.kind == "cursor" for p in pat.walk())
         need_total = (
-            any(
+            wants_cursor
+            or any(
                 p.kind in ("count", "estimate", "estimate-count")
                 for p in pat.walk()
             )
@@ -204,7 +230,7 @@ class Compiler:
         # a page starting beyond the end is EMPTY (ref: default
         # count-min is start+1), but an explicit count bound overrides
         count_min_chk = (
-            con.count_min if con.count_min is not None else con.start + 1
+            con.count_min if con.count_min is not None else start + 1
         )
         if len(collected) < limit:
             total = len(collected)  # page not full: exact
@@ -229,7 +255,15 @@ class Compiler:
             )
         if not ok:
             raise GraphdError("EMPTY", "not found")
-        return plan, collected[con.start :], total
+        rows = collected[start:]
+        if wants_cursor:
+            consumed = start + len(rows)
+            plan.cursor = (
+                f"position:{consumed}/{total}"
+                if consumed < total
+                else "null:"
+            )
+        return plan, rows, total
 
     def compile(self, con: Constraint):
         """Public entry: compile a read constraint to its candidate

@@ -277,6 +277,19 @@ class PrimitiveStore:
             "overwrite"
         ).parquet(path)
 
+    def append_parquet(self, spark, path: str, since_id: int = 0) -> int:
+        """Append rows with id >= since_id as one commit file — the
+        append-only log a replica stream (streaming.py) tails.
+        Returns the next id (the dateline horizon)."""
+        from graphd_spark.model import PRIMITIVES_SCHEMA
+
+        rows = [p.as_row() for p in self.rows[since_id:]]
+        if rows:
+            spark.createDataFrame(rows, PRIMITIVES_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(path)
+        return len(self.rows)
+
     @classmethod
     def load_parquet(cls, spark, path: str, db_id: int = PREDICTABLE_DB_ID):
         """Rehydrate the driver-side log from a Parquet primitives table.
