@@ -92,7 +92,10 @@ class GraphSession:
             req = parse_request(line)
         except (ParseError, LexError) as e:
             code = getattr(e, "code", "SYNTAX")
-            return self._error(code, str(e), self._id_of_line(line))
+            return self._error(
+                code, str(e), self._id_of_line(line),
+                extra=self._dateline_echo_of_line(line),
+            )
         rid = req.modifiers.get("id")
         try:
             if req.command == "write":
@@ -156,6 +159,18 @@ class GraphSession:
         m = re.search(r'\bid="((?:[^"\\]|\\.)*)"', line)
         return m.group(1) if m else None
 
+    def _dateline_echo_of_line(self, line: str) -> Optional[str]:
+        # dateline="" requests echo the horizon even on errors
+        import re
+
+        from graphd_spark.model import guid_compose
+
+        if re.search(r'\bdateline=""', line):
+            return 'dateline="{}"'.format(
+                guid_compose(self.store.db_id, self.store.next_id)
+            )
+        return None
+
     # -- commands ----------------------------------------------------------
 
     def _do_write(self, req):
@@ -214,8 +229,11 @@ class GraphSession:
             parts.append(render(value))
         return " ".join(parts)
 
-    def _error(self, code: str, message: str, rid: Optional[str]) -> str:
+    def _error(self, code: str, message: str, rid: Optional[str],
+               extra: Optional[str] = None) -> str:
         parts = ["error", code]
+        if extra is not None:
+            parts.append(extra)
         if rid is not None:
             parts.append(f'id="{escape_string(rid)}"')
         parts.append(f'"{escape_string(message)}"')

@@ -85,11 +85,25 @@ _CLUSTER_FIELDS = {
 }
 
 
+
+def _linecol(text: str, pos: int) -> tuple[int, int]:
+    """1-based (line, column) of a character offset (requests may span
+    newlines; the reference reports positions per line)."""
+    line = text.count("\n", 0, pos) + 1
+    nl = text.rfind("\n", 0, pos)
+    return line, pos - (nl + 1) + 1
+
+
 class Parser:
     def __init__(self, text: str, command: str = "read"):
+        self.text = text
         self.toks = L.tokenize(text)
         self.i = 0
         self.command = command
+
+    def at(self, pos: int) -> str:
+        l, c = _linecol(self.text, pos)
+        return f"on line {l}, column {c}"
 
     # -- token plumbing ---------------------------------------------------
 
@@ -278,7 +292,7 @@ class Parser:
         handler = getattr(self, f"_con_{word.replace('-', '_')}", None)
         if handler is None:
             raise ParseError(
-                f"on line 1, column {t.pos + 1}: '{t.text}': "
+                f"{self.at(t.pos)}: '{t.text}': "
                 "invalid constraint",
                 "SEMANTICS",
             )
@@ -360,7 +374,7 @@ class Parser:
                     raise ParseError(f"expected GUID, got {t.text!r}")
             if self.command == "write" and len(out) > 1:
                 raise ParseError(
-                    f"on line 1, column {opar.pos + 1}: '(': multiple "
+                    f"{self.at(opar.pos)}: '(': multiple "
                     "GUID values are only allowed in read requests",
                     "SEMANTICS",
                 )
@@ -401,7 +415,7 @@ class Parser:
             nxt = self.peek()
             if nxt.kind != L.EQ:
                 raise ParseError(
-                    f"on line 1, column {nxt.pos + 1}: '{nxt.text}': "
+                    f"{self.at(nxt.pos)}: '{nxt.text}': "
                     "missing '=' after 'literal'"
                 )
             self.next()
@@ -480,13 +494,13 @@ def _make_handlers():
         sc = self._op_and_stringset()
         if self.command == "write" and sc.op != L.EQ:
             raise ParseError(
-                f"on line 1, column {op_tok.pos + 1}: '{op_tok.text}': "
+                f"{self.at(op_tok.pos)}: '{op_tok.text}': "
                 "operator cannot be used in write requests",
                 "SEMANTICS",
             )
         if which != "value" and sc.op not in (L.EQ, L.NE):
             raise ParseError(
-                f"on line 1, column {op_tok.pos + 1}: '{op_tok.text}': "
+                f"{self.at(op_tok.pos)}: '{op_tok.text}': "
                 "operator can only be used with 'value' constraints",
                 "SEMANTICS",
             )
@@ -513,13 +527,13 @@ def _make_handlers():
                 n = int(t.text)
             except ValueError:
                 raise ParseError(
-                    f"on line 1, column {t.pos + 1}: '{t.text}': "
+                    f"{self.at(t.pos)}: '{t.text}': "
                     "invalid datatype",
                     "SEMANTICS",
                 )
             if not 1 <= n <= 255:
                 raise ParseError(
-                    f"on line 1, column {t.pos + 1}: '{t.text}': "
+                    f"{self.at(t.pos)}: '{t.text}': "
                     "invalid datatype",
                     "SEMANTICS",
                 )
@@ -546,7 +560,7 @@ def _make_handlers():
             ts_from_string(t.text)
         except ValueError:
             raise ParseError(
-                f"on line 1, column {t.pos + 1}: '{t.text}': expected "
+                f"{self.at(t.pos)}: '{t.text}': expected "
                 "a timestamp value",
                 "SEMANTICS",
             )
@@ -581,7 +595,7 @@ def _make_handlers():
         t = self.next()
         if self.command == "write":
             raise ParseError(
-                f"on line 1, column {t.pos + 1}: '{t.text}': constraint "
+                f"{self.at(t.pos)}: '{t.text}': constraint "
                 "can only be used in read requests",
                 "SEMANTICS",
             )
@@ -602,7 +616,7 @@ def _make_handlers():
         t = self.next()
         if self.command == "write":
             raise ParseError(
-                f"on line 1, column {t.pos + 1}: '{t.text}': constraint "
+                f"{self.at(t.pos)}: '{t.text}': constraint "
                 "can only be used in read requests",
                 "SEMANTICS",
             )
@@ -732,7 +746,7 @@ def _make_handlers():
         t = self.next()
         if self.command != "write":
             raise ParseError(
-                f"on line 1, column {t.pos + 1}: '{t.text}': \"anchor\" "
+                f"{self.at(t.pos)}: '{t.text}': \"anchor\" "
                 f"flag cannot be used in a \"{self.command}\" command"
             )
         self._item.anchor = True
@@ -762,7 +776,8 @@ Parser.parse_or_con = _parse_or_con
 # ---------------------------------------------------------------------------
 
 
-def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
+def apply_semantics(con: Constraint, command: str = "read",
+                    text: str = "") -> Constraint:
     """Defaults + meta-arrow linkage inference, applied post-order.
 
     The reference completes constraints bottom-up: ast_conlist_add_subcon
@@ -773,11 +788,11 @@ def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
     binds children still free.
     """
     for sub in con.subs:
-        apply_semantics(sub, command)
+        apply_semantics(sub, command, text)
     for chain in con.or_chains:
         for branch in chain:
             branch.parent = con.parent
-            apply_semantics(branch, command)
+            apply_semantics(branch, command, text)
     if con.meta == "from":
         # "->": parent is my left; first free child is my right
         if con.linkage is None and con.parent is not None and "left" not in con.links:
@@ -807,10 +822,10 @@ def apply_semantics(con: Constraint, command: str = "read") -> Constraint:
     # subconstraint linkage' at the sub's closing paren)
     for sub in con.subs:
         if sub.linkage is None:
-            col = (sub.src_close or 0) + 1
+            line, col = _linecol(text, sub.src_close or 0)
             raise ParseError(
-                f"on line 1, column {col}: ')': unknown subconstraint "
-                "linkage",
+                f"on line {line}, column {col}: ')': unknown "
+                "subconstraint linkage",
                 "SEMANTICS",
             )
     if command == "write":
@@ -1101,7 +1116,7 @@ def parse_request(line: str) -> Request:
         p.expect(L.OPAR, "'('")
         con = p.parse_constraints()
         p.expect(L.CPAR, "')'")
-        req.constraint = apply_semantics(con, cmd)
+        req.constraint = apply_semantics(con, cmd, p.text)
         if req.constraint.linkage is not None:
             kind, lk = req.constraint.linkage
             arrow = f"<-{lk}" if kind == "my" else f"{lk}->"

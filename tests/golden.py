@@ -114,14 +114,14 @@ def split_requests(text: str) -> list[str]:
             i += 1
         buf.append(line)
         if depth == 0 and not in_str and not in_comment:
-            req = " ".join(buf).strip()
+            req = "\n".join(buf).strip()
             if req:
                 # pipelined input: several requests may share one line
                 # (ref test/unit/micro.sh); split where parens rebalance
                 reqs.extend(_split_inline(req))
             buf = []
     if buf:
-        req = " ".join(buf).strip()
+        req = "\n".join(buf).strip()
         if req:
             reqs.append(req)
     return reqs
