@@ -178,16 +178,54 @@ def _split_inline(req: str) -> list[str]:
     return out
 
 
+def _gen_david_1() -> list[str]:
+    # ref test/unit/david_1.sh:29-39 — shell loop writes 500 requests
+    # into david_1.in, then two reads in a heredoc
+    reqs = [
+        'write (value="%d" (<-left) (<-left) (<-left) (<-left) (<-left)'
+        " (<-left) (<-left) (<-left) (<-left))" % t
+        for t in range(500, 0, -1)
+    ]
+    reqs.append('read ( left->(value="499"))')
+    reqs.append('read ( left->(value="9"))')
+    return reqs
+
+
+def _gen_david_2() -> list[str]:
+    # ref test/unit/david_2.sh:30-43 — 1 head + 20,000 left= writes,
+    # then one pagesize=64000 read
+    reqs = ['write (name="head")']
+    reqs += [
+        'write (value="%d" left=00000012400034568000000000000000)' % t
+        for t in range(20000, 0, -1)
+    ]
+    reqs.append(
+        "read (pagesize=64000 left=00000012400034568000000000000000"
+        " result=((value)))"
+    )
+    return reqs
+
+
+# Scripts whose rungraphd input is generated by a shell loop rather
+# than a literal heredoc; reproduced here from the .sh source.
+GENERATED_INPUTS = {
+    "david_1": _gen_david_1,
+    "david_2": _gen_david_2,
+}
+
+
 def run_golden(session_factory, name: str):
     """Run one golden; returns (got_lines, expected_lines) or None if
     the script shape is unsupported."""
-    script = extract_script(name)
-    if script is None:
-        return None
+    if name in GENERATED_INPUTS:
+        reqs = GENERATED_INPUTS[name]()
+    else:
+        script = extract_script(name)
+        if script is None:
+            return None
+        reqs = split_requests(script)
     session = session_factory()
     got = [
-        reply
-        for r in split_requests(script)
-        if (reply := session.request(r)) != ""
+        reply for r in reqs if (reply := session.request(r)) != ""
     ]
     return got, expected_output(name)
