@@ -214,20 +214,21 @@ class GraphSession:
 
     def _ok(self, value, rid: Optional[str], extra: Optional[str] = None
             ) -> str:
-        from graphd_spark.values import Splice
+        from graphd_spark.values import Splice, join_values
 
-        parts = ["ok"]
+        lead = ["ok"]
         if extra is not None:
-            parts.append(extra)
+            lead.append(extra)
         if rid is not None:
-            parts.append(f'id="{escape_string(rid)}"')
-        if isinstance(value, Splice):
-            # a set-level `contents` pattern splices the sub results
-            # directly into the reply
-            parts.extend(render(v) for v in value.items)
-        elif value is not None:
-            parts.append(render(value))
-        return " ".join(parts)
+            lead.append(f'id="{escape_string(rid)}"')
+        if value is None:
+            return " ".join(lead)
+        # a set-level `contents` pattern splices the sub results
+        # directly into the reply
+        items = value.items if isinstance(value, Splice) else [value]
+        # the reply keyword's trailing space leaves a separator pending,
+        # so an Empty whole-result yields "ok " (ref test emptylit)
+        return " ".join(lead) + " " + join_values(items, sep_pending=True)
 
     def _error(self, code: str, message: str, rid: Optional[str],
                extra: Optional[str] = None) -> str:

@@ -157,10 +157,21 @@ def decode_number(
                 exp_s = exp_s[1:]
             if base is None or not exp_s.isdigit():
                 return None
+            # the reference accumulates the exponent into a C int and
+            # treats wraparound as "not a number" (strntoi, ref
+            # libgraph/graph-fuzzy-compare.c:168-198; test sortnumber's
+            # 1e-123123123123123123123 is a plain string)
+            n = 0
+            for ch in exp_s:
+                on = n
+                n = n * 10 + ord(ch) - 48
+                n = (n + 2**31) % 2**32 - 2**31  # wrap to int32
+                if on > n:
+                    return None
             positive, zero, exp, digits = base
             if zero:
                 return positive, zero, exp, digits
-            return positive, zero, exp + sign * int(exp_s), digits
+            return positive, zero, exp + sign * n, digits
     i = 0
     positive = True
     if s[0] == "-":
@@ -270,31 +281,38 @@ _K_NUM = b"\x01"
 _K_STR = b"\x02"
 # sign classes within numbers
 _K_NEG, _K_ZERO, _K_POS = b"0", b"1", b"2"
-_EXP_BIAS = 0x8000
+
+
+def _exp_key(e: int) -> bytes:
+    """Order-preserving encoding of an arbitrary-size integer exponent
+    (the reference compares exponents as unbounded decimal strings, ref
+    graphd-comparator-number.c; test sortnumber uses e-1.2e20)."""
+    if e >= 0:
+        m = e.to_bytes(max(1, (e.bit_length() + 7) // 8), "big")
+        # longer magnitude = larger value; length byte keeps order
+        return b"\x02" + len(m).to_bytes(2, "big") + m
+    m = (-e).to_bytes(max(1, ((-e).bit_length() + 7) // 8), "big")
+    comp = bytes(0xFF - b for b in m)
+    return b"\x00" + (0xFFFF - len(m)).to_bytes(2, "big") + comp
 
 
 def _number_key(positive: bool, zero: bool, exp: int, digits: str) -> bytes:
     if zero:
         return _K_NUM + _K_ZERO
-    e = exp + _EXP_BIAS
     if positive:
         return (
             _K_NUM
             + _K_POS
-            + e.to_bytes(3, "big")
+            + _exp_key(exp)
             + digits.encode()
             + b"\x00"
         )
     # negative: invert exponent and nine's-complement the digits so
     # bytewise ascending equals numeric ascending
     comp = bytes(ord("9") - ord(d) + ord("0") for d in digits)
-    return (
-        _K_NUM
-        + _K_NEG
-        + (0xFFFFFF - e).to_bytes(3, "big")
-        + comp
-        + b"\xff"
-    )
+    neg_exp = _exp_key(exp)
+    neg_exp = bytes(0xFF - b for b in neg_exp)  # flip for negatives
+    return _K_NUM + _K_NEG + neg_exp + comp + b"\xff"
 
 
 def fuzzy_key(s: Optional[str]) -> Optional[bytes]:
@@ -338,6 +356,15 @@ def fuzzy_cmp(a: Optional[str], b: Optional[str]) -> int:
 KNOWN_COMPARATORS = {"default", "case", "octet", "number", "datetime",
                      "case-insensitive"}
 
+#: registered aliases (ref graphd-comparator-{case,number,octet}.c
+#: cmp_alias tables: "case" aliases the case-insensitive comparator,
+#: "case-sensitive" aliases octet, "numeric" aliases number)
+_COMPARATOR_ALIASES = {
+    "case": "case-insensitive",
+    "numeric": "number",
+    "case-sensitive": "octet",
+}
+
 
 def resolve_comparator(name: Optional[str]) -> str:
     """Comparator names may carry a locale prefix ("i;octet") and
@@ -350,6 +377,7 @@ def resolve_comparator(name: Optional[str]) -> str:
     name = name.strip().lower()
     if name in ("", "unspecified"):
         return "default"
+    name = _COMPARATOR_ALIASES.get(name, name)
     if name in KNOWN_COMPARATORS:
         return name
     return "default"

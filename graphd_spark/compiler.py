@@ -190,6 +190,23 @@ class Compiler:
                 if m:
                     resume = int(m.group(1))
         order = self._sort_exprs(con, plan)
+        if con.sort:
+            first = con.sort[0]
+            comp0 = resolve_comparator(
+                con.sort_comparators[0]
+                if con.sort_comparators
+                else con.comparator or "default"
+            )
+            if first.pattern.kind == "value" and comp0 == "number":
+                # number-comparator value sorts iterate the NUMBERS
+                # binset, so values that don't decode as numbers (and
+                # nulls) never surface (ref graphd-comparator-number.c
+                # number_vrange_start, pdb-bins.c:242-280; test
+                # sortnumber r3/r6/r7)
+                key0 = sort_key_column(F.col("value"), "number")
+                df = df.filter(
+                    F.col("value").isNotNull() & (key0 < F.lit(b"\x02"))
+                )
         if con.sort is None and any(
             sc.op in ("<", "<=", ">", ">=") for sc in con.value_strcons
         ) and resolve_comparator(

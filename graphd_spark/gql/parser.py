@@ -382,7 +382,10 @@ class Parser:
         raise ParseError(f"expected GUID, got {t.text!r}")
 
     def _num(self) -> int:
-        t = self.expect(L.ATOM, "number")
+        t = self.next()
+        # quoted numbers are accepted (ref test sortnumber pagesize="4")
+        if t.kind not in (L.ATOM, L.STR):
+            raise ParseError(f"expected number, got {t.text!r}")
         try:
             return int(t.text)
         except ValueError:

@@ -22,6 +22,7 @@ from graphd_spark.gql.ir import Constraint, Pattern
 from graphd_spark.model import DATATYPE_NAMES
 from graphd_spark.values import (
     Atom,
+    Empty,
     Guid,
     List,
     Null,
@@ -163,9 +164,9 @@ class Assembler:
         if pat.kind in ("iterator", "timeout"):
             return Atom("null")
         if pat.kind == "none":
-            return Splice([])
+            return Empty
         if pat.kind == "literal":
-            return Atom(pat.literal or "")
+            return Atom(pat.literal) if pat.literal else Empty
         # element-scoped atom at set level: sample from the first
         # element (the reference's pat_sample); null when the set is
         # empty (graphd_pattern_from_null)
@@ -201,7 +202,14 @@ class Assembler:
                     continue
                 sub_rows = row[sp.arr_col] or []
                 sub_total = row[sp.cnt_col] or 0
-                out.append(self.set_value(sp.plan, sub_rows, sub_total))
+                v = self.set_value(sp.plan, sub_rows, sub_total)
+                # a sub whose own set value is a splice (its result=
+                # contents/none) contributes its items inline, not a
+                # nested node (ref graphd-pattern.c CONTENTS splicing)
+                if isinstance(v, Splice):
+                    out.extend(v.items)
+                else:
+                    out.append(v)
             return Splice(out)
         if k == "guid":
             return Guid(row["guid"])
@@ -249,9 +257,9 @@ class Assembler:
         if k == "generation":
             return Num(row["generation"])
         if k == "literal":
-            return Atom(pat.literal or "")
+            return Atom(pat.literal) if pat.literal else Empty
         if k == "none":
-            return Splice([])
+            return Empty
         if k == "variable":
             col = plan.var_cols.get(pat.var)
             if col is not None:

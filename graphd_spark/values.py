@@ -52,6 +52,23 @@ class _Null:
 Null = _Null()
 
 
+class _Empty:
+    """A value with empty text (``literal=""``, ``none``): writes no
+    bytes but still clears the output writer's pending-separator flag,
+    so a following value emits its own space (ref
+    graphd-request-output.c greq_format_list_sep — the space is
+    skipped only while the flag is set; every completed value clears
+    it, even one that wrote nothing; see test emptylit)."""
+
+    __slots__ = ()
+
+    def __repr__(self):
+        return "Empty"
+
+
+Empty = _Empty()
+
+
 @dataclass
 class List:
     items: list = field(default_factory=list)
@@ -86,6 +103,8 @@ def escape_string(s: str) -> str:
 def render(v) -> str:
     if v is Null:
         return "null"
+    if v is Empty:
+        return ""
     if isinstance(v, Atom):
         return v.text
     if isinstance(v, Str):
@@ -97,5 +116,22 @@ def render(v) -> str:
     if isinstance(v, Ts):
         return ts_to_string(v.ts)
     if isinstance(v, List):
-        return "(" + " ".join(render(i) for i in v.items) + ")"
+        return "(" + join_values(v.items) + ")"
     raise TypeError(f"unrenderable value {v!r}")
+
+
+def join_values(items, sep_pending: bool = True) -> str:
+    """Space-join with the reference writer's separator flag: a space
+    goes before each value unless one is already pending ('(' and the
+    reply keyword leave one pending); Empty values write nothing but
+    clear the flag."""
+    out = []
+    for i in items:
+        if i is Empty:
+            sep_pending = False
+            continue
+        if not sep_pending:
+            out.append(" ")
+        out.append(render(i))
+        sep_pending = False
+    return "".join(out)
