@@ -111,6 +111,7 @@ class Compiler:
         self.spark = spark
         self.store = store
         self.types = types
+        self.asof = asof
         df = store.to_df(spark)
         if asof is not None:
             df = df.filter(F.col("id") <= self._asof_horizon(asof))
@@ -173,22 +174,63 @@ class Compiler:
         # token (including the reference's own formats) restarts, and
         # "null:" is the exhausted cursor.
         resume = 0
+        horizon = None
+        resume_guid = None
         if con.cursor is not None:
-            if con.cursor.startswith("position:"):
+            import re as _re
+
+            cur = con.cursor
+            if cur == "null:":
+                raise GraphdError("EMPTY", "not found")
+            if cur.startswith("position:"):
                 try:
-                    resume = int(con.cursor.split(":", 1)[1].split("/")[0])
+                    resume = int(cur.split(":", 1)[1].split("/")[0])
                 except ValueError:
                     resume = 0
-            elif con.cursor == "null:":
-                raise GraphdError("EMPTY", "not found")
             else:
-                # reference-format cursors end in ".../<position>/";
-                # honor the position so resumed reads continue
-                import re as _re
-
-                m = _re.search(r"/(\d+)/$", con.cursor)
-                if m:
-                    resume = int(m.group(1))
+                # reference formats: "sort:[o:N][n:N]<sort state>" and
+                # "cursor:XXXX:[o:N][n:N]<iterator state>".  [o:] is
+                # the resume offset, [n:] caps the id horizon so the
+                # page sequence ignores later writes (ref
+                # graphd-constraint-cursor.c:20-80
+                # graphd_constraint_cursor_scan_prefix)
+                body = cur
+                is_sort = body.lower().startswith("sort:")
+                if is_sort:
+                    body = body[5:]
+                else:
+                    m = _re.match(r"(?i)cursor:[0-9a-f]+:", body)
+                    if m:
+                        body = body[m.end():]
+                saw_offset = False
+                while body.startswith("["):
+                    close = body.find("]")
+                    if close < 0:
+                        break
+                    m = _re.match(r"\[([onON]):(\d+)\]", body[: close + 1])
+                    if m:
+                        if m.group(1).lower() == "o":
+                            resume = int(m.group(2))
+                            saw_offset = True
+                        else:
+                            horizon = int(m.group(2))
+                    body = body[close + 1:]
+                if is_sort and not saw_offset:
+                    # bare sort state: the serialized values position
+                    # the scan after the page's last element; its
+                    # trailing guid tiebreak identifies it exactly
+                    # (ref graphd-sort.c:1553-1650 sort cursor thaw)
+                    m = _re.search(r"g([0-9a-f]{32})$", body)
+                    if m:
+                        resume_guid = m.group(1)
+                elif not is_sort and not saw_offset and horizon is None:
+                    # last-resort: trailing /N/ position of the
+                    # reference's and-iterator freeze
+                    m = _re.search(r"/(\d+)/$", cur)
+                    if m:
+                        resume = int(m.group(1))
+        if horizon is not None:
+            df = df.filter(F.col("id") < horizon)
         order = self._sort_exprs(con, plan)
         if con.sort:
             first = con.sort[0]
@@ -219,11 +261,22 @@ class Compiler:
                 F.lower(F.col("value")).asc_nulls_last(),
                 F.col("id").asc(),
             ]
+        if resume_guid is not None:
+            resume = self._key_resume_offset(
+                df, con, plan, resume_guid
+            )
         pagesize = (
             con.pagesize if con.pagesize is not None else DEFAULT_PAGESIZE
         )
+        # resultpagesize bounds the rendered page (defaults to
+        # pagesize; ref graphd.h con_resultpagesize, test slip)
+        rps = (
+            con.resultpagesize
+            if con.resultpagesize is not None
+            else pagesize
+        )
         start = con.start + resume
-        limit = start + pagesize
+        limit = start + rps
         elem = self._elem_struct(con, plan)
         collected = [
             r["__e"]
@@ -275,12 +328,109 @@ class Compiler:
         rows = collected[start:]
         if wants_cursor:
             consumed = start + len(rows)
-            plan.cursor = (
-                f"position:{consumed}/{total}"
-                if consumed < total
-                else "null:"
-            )
+            if consumed >= total or not rows:
+                plan.cursor = "null:"
+            elif con.sort:
+                plan.cursor = self._sort_cursor(
+                    con, plan, rows, consumed, horizon
+                )
+            else:
+                plan.cursor = f"position:{consumed}/{total}"
         return plan, rows, total
+
+    def _key_resume_offset(self, df, con, plan, guid: str) -> int:
+        """Offset of the element AFTER the cursor element in this
+        query's total order — computed as a distributed count of rows
+        ordering strictly before it (plus the element itself), never a
+        global window.  Null keys sort greatest (asc_nulls_last /
+        desc_nulls_first), so comparisons treat null as +inf."""
+        comps = self._sort_components(con, plan)
+        tagged = df.select(
+            F.col("id"),
+            *[c.alias(f"__k{i}") for i, (c, _d) in enumerate(comps)],
+        )
+        cur = tagged.filter(
+            F.col("id") == guid_serial(guid)
+        ).head()
+        if cur is None:
+            return 0
+        before = F.lit(False)
+        eq_prefix = F.lit(True)
+        for i, (_c, desc) in enumerate(comps):
+            k = F.col(f"__k{i}")
+            cv = cur[f"__k{i}"]
+            if isinstance(cv, bytearray):
+                cv = bytes(cv)
+            v = F.lit(cv)
+            if cv is None:
+                # null = +inf: only non-null beats it ascending,
+                # nothing beats it descending
+                lt = k.isNotNull() if not desc else F.lit(False)
+            elif desc:
+                lt = k.isNull() | (k > v)
+            else:
+                lt = k.isNotNull() & (k < v)
+            before = before | (eq_prefix & lt)
+            eq_prefix = eq_prefix & k.eqNullSafe(v)
+        n_before = tagged.filter(before).count()
+        return n_before + 1
+
+    def _sort_cursor(self, con, plan, rows, consumed: int,
+                     horizon) -> str:
+        """Reference-format sorted cursor: "sort:[o:<next offset>]
+        [n:<id horizon>]" + the serialized sort-key values of the last
+        element shown, with a trailing guid tiebreak (ref
+        graphd-sort.c:1462-1513 graphd_sort_cursor_get,
+        graphd-read-set-cursor.c:33-61, graphd-sort-compile.c:55-140;
+        value syntax graphd-value.c:970-1040 graphd_value_serialize)."""
+        from graphd_spark.pattern import Assembler
+        from graphd_spark.values import (
+            Atom, Guid, List as VList, Null, Num, Str, Ts,
+        )
+        from graphd_spark.model import ts_to_string
+
+        out = [f"sort:[o:{consumed}]"]
+        if self.asof is None:
+            n = horizon if horizon is not None else self.store.next_id
+            out.append(f"[n:{n}]")
+        last = rows[-1]
+        asm = Assembler(self.store, self.types)
+
+        def ser(v) -> str:
+            if v is Null:
+                return "n"
+            if isinstance(v, Str):
+                b = v.text.encode("utf-8")
+                return f"s{len(b)}:{v.text}"
+            if isinstance(v, Atom):
+                b = v.text.encode("utf-8")
+                return f"a{len(b)}:{v.text}"
+            if isinstance(v, Guid):
+                return f"g{v.text}"
+            if isinstance(v, Num):
+                return f"#{v.n}."
+            if isinstance(v, Ts):
+                return "t" + ts_to_string(v.ts)
+            if isinstance(v, VList):
+                return f"l{len(v.items)}:" + "".join(
+                    ser(i) for i in v.items
+                )
+            return "n"
+
+        for sk in con.sort:
+            k = sk.pattern.kind
+            if k == "datatype":
+                out.append(f"d{last['datatype']}.")
+            elif k in ("live", "archival"):
+                out.append("b1" if last[k] else "b0")
+            else:
+                out.append(ser(asm._eval_elem(sk.pattern, plan, last)))
+            if k == "guid":
+                break
+        else:
+            # all sorts end in a decisive guid comparison
+            out.append(f"g{last['guid']}")
+        return "".join(out)
 
     def compile(self, con: Constraint):
         """Public entry: compile a read constraint to its candidate
@@ -613,29 +763,34 @@ class Compiler:
 
     # -- sorting -----------------------------------------------------------
 
-    def _sort_exprs(self, con: Constraint, plan: SetPlan):
-        exprs = []
+    def _sort_components(self, con: Constraint, plan: SetPlan):
+        """(key column, descending) pairs of the query's total order,
+        ending in the decisive id tiebreak."""
+        comps = []
         keys = con.sort or []
         for i, sk in enumerate(keys):
+            # sort-comparators attach to leading sort keys only; the
+            # rest use the constraint comparator (ref
+            # graphd-semantic.c:452-470, test david_7 id=9)
             comp = None
-            if con.sort_comparators:
-                if i < len(con.sort_comparators):
-                    comp = con.sort_comparators[i]
-                else:
-                    comp = con.sort_comparators[-1]
+            if con.sort_comparators and i < len(con.sort_comparators):
+                comp = con.sort_comparators[i]
             if comp is None:
                 comp = con.comparator or "default"
             col = self._sort_key_col(sk.pattern, con, plan, comp)
             if col is None:
                 continue
-            # graphd sorts SQL-null values last ascending
-            # (graph_fuzzycmp: NULL compares greater than any string)
-            exprs.append(
-                col.desc_nulls_first() if sk.descending else
-                col.asc_nulls_last()
-            )
-        exprs.append(F.col("id").asc())
-        return exprs
+            comps.append((col, sk.descending))
+        comps.append((F.col("id"), False))
+        return comps
+
+    def _sort_exprs(self, con: Constraint, plan: SetPlan):
+        # graphd sorts SQL-null values last ascending
+        # (graph_fuzzycmp: NULL compares greater than any string)
+        return [
+            col.desc_nulls_first() if desc else col.asc_nulls_last()
+            for col, desc in self._sort_components(con, plan)
+        ]
 
     def _sort_key_col(self, pat: Pattern, con: Constraint, plan: SetPlan,
                       comparator: str):

@@ -233,6 +233,12 @@ class Parser:
         if item.meta != UNSPECIFIED:
             con.meta = item.meta
         if item.sort_comparators:
+            # ref graphd-ast.c:495-510: one clause per constraint
+            if con.sort_comparators:
+                raise ParseError(
+                    "only one sort-comparator clause per constraint",
+                    "SEMANTICS",
+                )
             con.sort_comparators = item.sort_comparators
         con.false = con.false or item.false
         con.anchor = con.anchor or item.anchor
@@ -688,6 +694,12 @@ def _make_handlers():
     @handler("sort-comparator")
     def _con_sort_comparator(self):
         self.next()
+        # ref graphd-ast.c:495-510 ast_conlist_new_sortcomparator
+        if self._item.sort_comparators:
+            raise ParseError(
+                "only one sort-comparator clause per constraint",
+                "SEMANTICS",
+            )
         self.expect(L.EQ, "'='")
         t = self.next()
         if t.kind == L.STR:
@@ -830,6 +842,15 @@ def apply_semantics(con: Constraint, command: str = "read",
                 f"on line {line}, column {col}: ')': unknown "
                 "subconstraint linkage",
                 "SEMANTICS",
+            )
+    # ref graphd-semantic.c:440-460: sort comparators attach 1:1 to
+    # leading sort keys
+    if con.sort_comparators:
+        if not con.sort:
+            raise ParseError("sortcomparators with no sort", "SEMANTICS")
+        if len(con.sort_comparators) > len(con.sort):
+            raise ParseError(
+                "more sort comparators than sorts", "SEMANTICS"
             )
     if command == "write":
         for which, scs in (
