@@ -19,6 +19,7 @@ from graphd_spark.gql import lexer as L
 from graphd_spark.model import (
     DATATYPE_CODES,
     DATATYPE_NAMES,
+    guid_compose,
     guid_db,
     guid_serial,
     ts_from_string,
@@ -85,6 +86,24 @@ def _atom_guid(text: str):
     return t
 
 
+def _v2_guid(g: str | None) -> str | None:
+    """Convert a version-2 GUID to the version-3 layout.
+
+    V2 packed the database id as (a.bits[0:18] << 30) | b.bits[34:64]
+    and the serial as b.bits[0:34] (ref libgraph/graph.h:248-260
+    GRAPH_V2GUID_DB/SERIAL); v3 GUIDs (marked by the RFC4122 nibble 4
+    at a.bits[28:32]) pass through.  Test rerestore:
+    113a9a8400001c06a301d5e800000000 -> 0701a8c04000757a80...00."""
+    if g is None:
+        return None
+    a = int(g[:16], 16)
+    b = int(g[16:], 16)
+    if (a >> 28) & 0xF == 4:
+        return g
+    db = ((a & 0x3FFFF) << 30) | ((b >> 34) & 0x3FFFFFFF)
+    return guid_compose(db, b & ((1 << 34) - 1))
+
+
 def do_restore(session, req):
     """restore ("VERSION" start end (tuple)...)."""
     toks = list(req.rest)
@@ -112,6 +131,14 @@ def do_restore(session, req):
             f"on line 1, column {end_tok.pos + 1}: '{end_tok.text}': "
             "start value cannot exceed end value",
         )
+    if start > len(session.store.rows):
+        # ref graphd-restore.c:377-384 graphd_restore_check
+        raise GraphdError(
+            "SEMANTICS",
+            "restored records must be contiguous - cannot restore "
+            f"records above {len(session.store.rows)} "
+            f"(attempted: {start})",
+        )
 
     if start == 0 and len(session.store.rows) > 0:
         # restore from 0 destroys existing state
@@ -122,6 +149,30 @@ def do_restore(session, req):
         session.types.__init__(session.store)
     store = session.store
     store.begin()
+    _base_db = store.db_id
+    if version == "1" and start == 0:
+        # v1 migration: the type system is rebuilt in an *adjacent*
+        # database id space (pdb_restore_avoid_database_id bumps the
+        # id; ref graphd-restore.c:59-88, tests onerestore,
+        # threerestore: type-system primitives read back in db+1 with
+        # their ids as serials), created up front and on demand as new
+        # type strings appear, so they interleave with the tuples in
+        # id order.  The predictable clock ticks only on these
+        # allocations — payload tuples carry their own timestamps.
+        from graphd_spark.model import ts_predictable
+
+        _alloc = iter(range(1 << 34))
+
+        def _alt_guid_for_id(_id):
+            return guid_compose(_base_db + 1, _id)
+
+        def _alt_ts_for_id(_id):
+            return ts_predictable(next(_alloc))
+
+        store.guid_for_id = _alt_guid_for_id
+        store.ts_for_id = _alt_ts_for_id
+        session.types.__init__(store)
+        session.types.ensure_bootstrap()
     try:
         while True:
             t = next_tok()
@@ -129,14 +180,6 @@ def do_restore(session, req):
                 break
             if t.kind != L.OPAR:
                 raise GraphdError("SYNTAX", "expected tuple in restore")
-            if version in ("1", "2"):
-                # pre-typeguid dumps require the reference's migration
-                # (type strings -> type system, guid recompression);
-                # only empty v1/v2 payloads are accepted
-                raise GraphdError(
-                    "SEMANTICS",
-                    f"cannot migrate dump version {version!r} payloads",
-                )
             fields = []
             while True:
                 ft = next_tok()
@@ -160,16 +203,75 @@ def do_restore(session, req):
                 dt = DATATYPE_CODES.get(
                     dtt, int(dtt) if dtt.isdigit() else 1
                 )
+            if version == "1":
+                # v1 tuples carry a *string* type where later versions
+                # have the typeguid, and their guids recompress into
+                # the local database space, serial preserved (ref
+                # graphd-restore.c:144-170; test benrestore: foreign
+                # ...48d15800012a3 reads back as the local guid with
+                # serial 0x12a3)
+                def local(g):
+                    return (
+                        guid_compose(_base_db, guid_serial(g))
+                        if g is not None
+                        else None
+                    )
+
+                tg = None
+                if typeguid.kind == L.STR and typeguid.text:
+                    tg = session.types.make_name(typeguid.text)
+                store.append(
+                    guid=local(guid.text.lower()),
+                    typeguid=tg,
+                    name=name.text if name.kind == L.STR else None,
+                    datatype=dt,
+                    value=value.text if value.kind == L.STR else None,
+                    scope=local(_atom_guid(scope.text)),
+                    left=local(_atom_guid(left.text)),
+                    right=local(_atom_guid(right.text)),
+                    prev=local(_atom_guid(prev.text)),
+                    live=live.text.lower() != "false",
+                    archival=archival.text.lower() != "false",
+                    timestamp=ts_from_string(ts.text),
+                )
+                continue
+            gtxt = guid.text.lower()
+            links = {
+                "typeguid": _atom_guid(typeguid.text),
+                "right": _atom_guid(right.text),
+                "left": _atom_guid(left.text),
+                "scope": _atom_guid(scope.text),
+            }
+            prev_g = _atom_guid(prev.text)
+            if version == "2":
+                gtxt = _v2_guid(gtxt)
+                links = {k: _v2_guid(v) for k, v in links.items()}
+                prev_g = _v2_guid(prev_g)
+            # linkage guids must resolve (pdb linkage order; ref
+            # pdb-primitive-alloc.c:470-492, graphd-restore.c:300-310;
+            # test badrestore)
+            for lk in ("typeguid", "right", "left", "scope"):
+                lg = links[lk]
+                if (
+                    lg is not None
+                    and lg != gtxt
+                    and lg not in store.by_guid
+                ):
+                    raise GraphdError(
+                        "SEMANTICS",
+                        f"cannot allocate primitive {gtxt}: not "
+                        f"found: {lk}={lg} does not exist",
+                    )
             store.append(
-                guid=guid.text.lower(),
-                typeguid=_atom_guid(typeguid.text),
+                guid=gtxt,
+                typeguid=links["typeguid"],
                 name=name.text if name.kind == L.STR else None,
                 datatype=dt,
                 value=value.text if value.kind == L.STR else None,
-                scope=_atom_guid(scope.text),
-                left=_atom_guid(left.text),
-                right=_atom_guid(right.text),
-                prev=_atom_guid(prev.text),
+                scope=links["scope"],
+                left=links["left"],
+                right=links["right"],
+                prev=prev_g,
                 live=live.text.lower() != "false",
                 archival=archival.text.lower() != "false",
                 timestamp=ts_from_string(ts.text),
@@ -177,8 +279,17 @@ def do_restore(session, req):
     except Exception:
         store.rollback()
         raise
+    finally:
+        if version == "1" and start == 0:
+            # restore the normal local-space guid/ts allocators
+            for attr in ("guid_for_id", "ts_for_id"):
+                try:
+                    delattr(store, attr)
+                except AttributeError:
+                    pass
     # adopt the restored database id: new writes continue the sequence
-    if store.rows:
+    # (v1 payloads were recompressed into the local id space already)
+    if store.rows and version != "1":
         store.db_id = guid_db(store.rows[-1].guid)
     store.commit()
     session.types.__init__(store)  # re-read the type system

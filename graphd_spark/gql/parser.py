@@ -529,7 +529,8 @@ def _make_handlers():
         self.next()
         self.expect(L.EQ, "'='")
         t = self.next()
-        if t.kind == L.ATOM and t.text.lower() in DATATYPE_CODES:
+        # names may be quoted: datatype="string" (ref test ben.in)
+        if t.kind in (L.ATOM, L.STR) and t.text.lower() in DATATYPE_CODES:
             self._item.valuetype = DATATYPE_CODES[t.text.lower()]
         else:
             try:

@@ -120,6 +120,12 @@ class PrimitiveStore:
     def guid_for_id(self, id: int) -> str:
         return guid_compose(self.db_id, id)
 
+    def ts_for_id(self, id: int) -> int:
+        """Predictable-mode timestamp for an allocated primitive
+        (overridable: v1 restores tick only on allocations, not on
+        payload tuples carrying their own timestamps)."""
+        return ts_predictable(id)
+
     def append(
         self,
         *,
@@ -160,7 +166,7 @@ class PrimitiveStore:
         if datatype is None:
             datatype = 1 if value is None else 2
         if timestamp is None:
-            timestamp = ts_predictable(id)
+            timestamp = self.ts_for_id(id)
         if prev is not None:
             prev_p = self.by_guid.get(prev)
             if prev_p is None:
