@@ -59,12 +59,49 @@ def _ship_package(spark) -> None:
 
 
 class GraphSession:
-    def __init__(self, spark=None):
+    def __init__(self, spark=None, log_path=None, cache_rows=None):
+        """``log_path`` selects the parquet-log store backend (the
+        scale path: reads plan against ``spark.read.parquet(log)``,
+        commits append driver-side parquet files, and the driver keeps
+        at most ``cache_rows`` primitives).  Default is the in-memory
+        store (tests / staging)."""
         self.spark = spark
+        self.log_path = log_path
+        self.cache_rows = cache_rows
         if spark is not None:
             _ship_package(spark)
-        self.store = PrimitiveStore()
+        self.store = self.fresh_store()
         self.types = TypeSystem(self.store)
+
+    def fresh_store(self) -> PrimitiveStore:
+        """A new empty store of this session's configured backend
+        (restore-from-0 replaces the store through this)."""
+        if self.log_path is None:
+            return PrimitiveStore()
+        from graphd_spark.store import ParquetLogStore
+
+        return ParquetLogStore(
+            self._require_spark,
+            self.log_path,
+            fresh=True,
+            cache_rows=self.cache_rows,
+        )
+
+    @classmethod
+    def attach(cls, spark, log_path: str) -> "GraphSession":
+        """Open an existing parquet log without loading it onto the
+        driver (the 100-TB entry point: only a 1-row horizon aggregate
+        is collected)."""
+        from graphd_spark.store import ParquetLogStore
+
+        sess = cls.__new__(cls)
+        sess.spark = spark
+        sess.log_path = log_path
+        sess.cache_rows = None
+        _ship_package(spark)
+        sess.store = ParquetLogStore.attach(spark, log_path)
+        sess.types = TypeSystem(sess.store)
+        return sess
 
     def _require_spark(self):
         if self.spark is None:

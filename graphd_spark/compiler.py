@@ -145,17 +145,7 @@ class Compiler:
         except ValueError:
             raise GraphdError("SYNTAX", f"cannot parse asof value {asof!r}")
         # timestamps are monotone with ids: find the last id at/under ts
-        rows = self.store.rows
-        lo, hi = 0, len(rows) - 1
-        ans = -1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            if rows[mid].timestamp <= ts:
-                ans = mid
-                lo = mid + 1
-            else:
-                hi = mid - 1
-        return ans
+        return self.store.asof_id_for_ts(ts)
 
     # -- public API -------------------------------------------------------
 

@@ -70,11 +70,11 @@ def do_dump(session, req):
             )
     nums = [t for t in req.rest if t.kind == L.ATOM and t.text.isdigit()]
     start = int(nums[0].text) if nums else 0
-    end = int(nums[1].text) if len(nums) > 1 else len(session.store.rows)
+    end = int(nums[1].text) if len(nums) > 1 else session.store.count()
     if start > end:
         raise GraphdError("SEMANTICS", f"start {start} exceeds end {end}")
     items = [Str("6"), Num(start), Num(end)]
-    for p in session.store.rows[start:end]:
+    for p in session.store.iter_range(start, end):
         items.append(_tuple_value(session, p))
     return List(items)
 
@@ -131,21 +131,19 @@ def do_restore(session, req):
             f"on line 1, column {end_tok.pos + 1}: '{end_tok.text}': "
             "start value cannot exceed end value",
         )
-    if start > len(session.store.rows):
+    if start > session.store.count():
         # ref graphd-restore.c:377-384 graphd_restore_check
         raise GraphdError(
             "SEMANTICS",
             "restored records must be contiguous - cannot restore "
-            f"records above {len(session.store.rows)} "
+            f"records above {session.store.count()} "
             f"(attempted: {start})",
         )
 
-    if start == 0 and len(session.store.rows) > 0:
+    if start == 0 and session.store.count() > 0:
         # restore from 0 destroys existing state
         # (ref doc/gr-protocol.txt:1271-1296)
-        from graphd_spark.store import PrimitiveStore
-
-        session.store = PrimitiveStore()
+        session.store = session.fresh_store()
         session.types.__init__(session.store)
     store = session.store
     store.begin()
@@ -289,8 +287,8 @@ def do_restore(session, req):
                     pass
     # adopt the restored database id: new writes continue the sequence
     # (v1 payloads were recompressed into the local id space already)
-    if store.rows and version != "1":
-        store.db_id = guid_db(store.rows[-1].guid)
+    if store.count() > 0 and version != "1":
+        store.db_id = guid_db(store.last_primitive().guid)
     store.commit()
     session.types.__init__(store)  # re-read the type system
     return None

@@ -252,7 +252,7 @@ class Assembler:
             p = row["prev"]
             return Guid(p) if p is not None else Null
         if k == "next":
-            nxt = self.store.next_version.get(row["guid"])
+            nxt = self.store.successor(row["guid"])
             return Guid(nxt) if nxt is not None else Null
         if k == "generation":
             return Num(row["generation"])

@@ -2,16 +2,19 @@
 
 The reference keeps primitives in an append-only "istore" addressed by
 dense local ids, with GUIDs = database-id + serial (ref
-libaddb/README:9-15, libpdb/pdb-primitive.h:36-146).  Here the store
-is:
+libaddb/README:9-15, libpdb/pdb-primitive.h:36-146).  Two backends:
 
-- driver-side: a Python list of :class:`~graphd_spark.model.Primitive`
-  (the OLTP write path — graphd is single-writer, ref
-  doc/a-brief-tour-of-graphd.md:73-82, so writes never need a cluster);
-- Spark-side: one ``primitives`` DataFrame (``to_df``) that the read
-  compiler plans against.  At scale this DataFrame comes from Parquet
-  (``save_parquet``/``load_parquet``); the in-memory log is the
-  golden-test / predictable-mode backend and the staging buffer.
+- :class:`PrimitiveStore` — in-memory log (golden tests, staging);
+- :class:`ParquetLogStore` — the scale backend: the parquet log on
+  disk IS the source of truth.  ``to_df`` is ``spark.read.parquet``
+  over the log (lazy — Catalyst prunes/pushes down into the files),
+  each commit appends its delta as one parquet file written directly
+  from the driver via pyarrow (the OLTP write path needs no Spark
+  job — graphd is single-writer, ref doc/a-brief-tour-of-graphd.md:73-82),
+  and the driver keeps only a *bounded cache* of recent primitives for
+  the write pipeline's point lookups; anything evicted (or predating an
+  ``attach``) is looked up through Spark on demand.  A 121M-primitive
+  log therefore never materializes on the driver.
 
 Version chains: every primitive carries ``lineage`` (GUID of the first
 generation) and ``generation`` (0-based), making the reference's
@@ -22,7 +25,9 @@ prev-chain walk.
 Write transactions are atomic per request (ref
 doc/a-brief-tour-of-graphd.md:73-82): ``begin``/``commit``/``rollback``
 bracket each write request; rollback truncates the log back to the
-transaction start, so failed writes leave nothing behind.
+transaction start, so failed writes leave nothing behind.  Only
+``commit`` flushes to the parquet log, so rolled-back rows never touch
+disk and analytical readers only ever see committed state.
 """
 
 from __future__ import annotations
@@ -69,11 +74,17 @@ class PrimitiveStore:
     matching — ref graphd/graphd-write.c:596-782), which are point
     queries over hot keys.  Analytical reads never use them; they go
     through ``to_df`` + the DataFrame compiler.
+
+    ``rows`` holds primitives for ids in ``[_base, next_id)``; the
+    in-memory backend always has ``_base == 0`` (full mirror).  The
+    parquet subclass may advance ``_base`` (bounded cache) and answer
+    for older ids through Spark.
     """
 
     def __init__(self, db_id: int = PREDICTABLE_DB_ID):
         self.db_id = db_id
         self.rows: list[Primitive] = []
+        self._base = 0  # id of rows[0]
         self.by_guid: dict[str, Primitive] = {}
         # guid -> guid of the successor version (None key absent = newest)
         self.next_version: dict[str, str] = {}
@@ -91,7 +102,7 @@ class PrimitiveStore:
     def begin(self) -> None:
         if self._txn_start is not None:
             raise StoreError("nested write transaction")
-        self._txn_start = len(self.rows)
+        self._txn_start = self.next_id
 
     def commit(self) -> None:
         self._txn_start = None
@@ -100,7 +111,7 @@ class PrimitiveStore:
     def rollback(self) -> None:
         if self._txn_start is None:
             return
-        while len(self.rows) > self._txn_start:
+        while self.next_id > self._txn_start:
             p = self.rows.pop()
             del self.by_guid[p.guid]
             if p.prev is not None:
@@ -115,7 +126,11 @@ class PrimitiveStore:
 
     @property
     def next_id(self) -> int:
-        return len(self.rows)
+        return self._base + len(self.rows)
+
+    def count(self) -> int:
+        """Number of primitives in the store (== the next local id)."""
+        return self.next_id
 
     def guid_for_id(self, id: int) -> str:
         return guid_compose(self.db_id, id)
@@ -168,7 +183,7 @@ class PrimitiveStore:
         if timestamp is None:
             timestamp = self.ts_for_id(id)
         if prev is not None:
-            prev_p = self.by_guid.get(prev)
+            prev_p = self.get(prev)
             if prev_p is None:
                 raise StoreError(f"versioning unknown guid {prev}")
             lineage, generation = prev_p.lineage, prev_p.generation + 1
@@ -187,7 +202,7 @@ class PrimitiveStore:
             # (unknown/foreign guids canonicalize to themselves)
             if g is None:
                 return None
-            t = self.by_guid.get(g)
+            t = self.get(g)
             return t.lineage if t is not None else g
 
         p = Primitive(
@@ -233,35 +248,69 @@ class PrimitiveStore:
     def get(self, guid: str) -> Optional[Primitive]:
         return self.by_guid.get(guid)
 
+    def successor(self, guid: str) -> Optional[str]:
+        """GUID of the version that supersedes ``guid`` (None = newest)."""
+        return self.next_version.get(guid)
+
     def is_newest(self, guid: str) -> bool:
-        return guid not in self.next_version
+        return self.successor(guid) is None
 
     def newest_of(self, guid: str) -> Optional[Primitive]:
         """Follow the version chain from ``guid`` to its newest."""
-        p = self.by_guid.get(guid)
-        while p is not None and (nxt := self.next_version.get(p.guid)):
-            p = self.by_guid.get(nxt)
+        p = self.get(guid)
+        while p is not None and (nxt := self.successor(p.guid)):
+            p = self.get(nxt)
         return p
 
     def find_by_value(self, value: str) -> Iterator[Primitive]:
         for id in self._value_ids.get(value.lower(), ()):
-            yield self.rows[id]
+            yield self.rows[id - self._base]
 
     def find_by_name(self, name: str) -> Iterator[Primitive]:
         for id in self._name_ids.get(name.lower(), ()):
-            yield self.rows[id]
+            yield self.rows[id - self._base]
 
     def lineage_members(self, lineage: str) -> list[str]:
         """All version GUIDs of a lineage (walks the next chain)."""
         out = []
         g: str | None = lineage
         while g is not None:
-            p = self.by_guid.get(g)
+            p = self.get(g)
             if p is None:
                 break
             out.append(g)
-            g = self.next_version.get(g)
+            g = self.successor(g)
         return out
+
+    # -- scans (dump, type reverse lookups, unique matching) --------------
+
+    def iter_all(self) -> Iterator[Primitive]:
+        """All primitives in id order."""
+        return iter(self.rows)
+
+    def iter_range(self, start: int, end: int) -> Iterator[Primitive]:
+        """Primitives with ``start <= id < end`` in id order."""
+        lo = max(start - self._base, 0)
+        hi = max(end - self._base, 0)
+        return iter(self.rows[lo:hi])
+
+    def last_primitive(self) -> Optional[Primitive]:
+        return self.rows[-1] if self.rows else None
+
+    def asof_id_for_ts(self, ts: int) -> int:
+        """Largest id whose timestamp <= ts (timestamps are monotone
+        with ids, ref doc/gr-model.txt:53-61); -1 when none."""
+        rows = self.rows
+        lo, hi = 0, len(rows) - 1
+        ans = -1
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if rows[mid].timestamp <= ts:
+                ans = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return self._base + ans if ans >= 0 else -1
 
     # -- Spark view -------------------------------------------------------
 
@@ -269,9 +318,12 @@ class PrimitiveStore:
         """The ``primitives`` DataFrame (cached until the next commit)."""
         if self._df is not None and self._df_version == self._version:
             return self._df
-        data = [p.as_row() for p in self.rows[: self._txn_start]
-                ] if self._txn_start is not None else [
-                    p.as_row() for p in self.rows]
+        end = (
+            self._txn_start - self._base
+            if self._txn_start is not None
+            else len(self.rows)
+        )
+        data = [p.as_row() for p in self.rows[:end]]
         self._df = spark.createDataFrame(data, PRIMITIVES_SCHEMA)
         self._df_version = self._version
         return self._df
@@ -287,38 +339,336 @@ class PrimitiveStore:
         """Append rows with id >= since_id as one commit file — the
         append-only log a replica stream (streaming.py) tails.
         Returns the next id (the dateline horizon)."""
-        from graphd_spark.model import PRIMITIVES_SCHEMA
-
-        rows = [p.as_row() for p in self.rows[since_id:]]
+        rows = [
+            p.as_row() for p in self.iter_range(since_id, self.next_id)
+        ]
         if rows:
             spark.createDataFrame(rows, PRIMITIVES_SCHEMA).coalesce(
                 1
             ).write.mode("append").parquet(path)
-        return len(self.rows)
+        return self.next_id
 
     @classmethod
     def load_parquet(cls, spark, path: str, db_id: int = PREDICTABLE_DB_ID):
-        """Rehydrate the driver-side log from a Parquet primitives table.
-
-        Loads ordered by id; only sensible for stores that fit on the
-        driver (tests, dump/restore round-trips).  Analytical use reads
-        the DataFrame directly.
+        """Open a Parquet primitives table as a store WITHOUT loading it
+        onto the driver: returns a :class:`ParquetLogStore` attached to
+        ``path`` (only a 1-row max-id/db-id aggregate is collected).
         """
-        store = cls(db_id=db_id)
-        df = spark.read.parquet(path).orderBy("id")
-        for r in df.collect():
-            d = {f: r[f] for f in PRIMITIVE_FIELDS}
-            p = Primitive(**d)
-            store.rows.append(p)
-            store.by_guid[p.guid] = p
-            if p.prev is not None:
-                store.next_version[p.prev] = p.guid
-            if p.value is not None:
-                store._value_ids.setdefault(p.value.lower(), []).append(p.id)
-            if p.name is not None:
-                store._name_ids.setdefault(p.name.lower(), []).append(p.id)
-        store._version += 1
-        return store
+        return ParquetLogStore.attach(spark, path, db_id=db_id)
 
     def __len__(self) -> int:
-        return len(self.rows)
+        return self.next_id
+
+
+# -- arrow schema mirroring PRIMITIVES_SCHEMA (driver-side flush) ---------
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    typ = {
+        "id": pa.int64(),
+        "datatype": pa.int32(),
+        "generation": pa.int32(),
+        "value_fkey": pa.binary(),
+        "live": pa.bool_(),
+        "archival": pa.bool_(),
+        "txstart": pa.bool_(),
+        "timestamp": pa.int64(),
+    }
+    return pa.schema(
+        [(f, typ.get(f, pa.string())) for f in PRIMITIVE_FIELDS]
+    )
+
+
+class ParquetLogStore(PrimitiveStore):
+    """Primitive store whose source of truth is a parquet log directory.
+
+    - ``to_df`` = ``spark.read.parquet(log)`` (lazy; Catalyst pushes
+      filters into the files) — the read path never serializes the
+      store through the driver.
+    - ``commit`` appends the transaction's delta as ONE parquet file,
+      written driver-side with pyarrow (~ms; no Spark job): the analog
+      of the reference's istore append + index update
+      (libaddb/README:9-15).  At scale a background compactor would
+      merge small commit files; commit granularity is what a replica
+      stream tails (streaming.py).
+    - the driver keeps a bounded suffix cache (``cache_rows``) of
+      recent primitives for the write annotators' point lookups (ref
+      graphd-write.c:596-782); lookups below the cached range fall back
+      to Spark queries over the log, so the store never needs to fit
+      in driver memory.
+    """
+
+    def __init__(
+        self,
+        spark_provider,
+        path: str,
+        db_id: int = PREDICTABLE_DB_ID,
+        fresh: bool = False,
+        cache_rows: Optional[int] = None,
+    ):
+        super().__init__(db_id=db_id)
+        self._spark_provider = (
+            spark_provider if callable(spark_provider)
+            else (lambda s=spark_provider: s)
+        )
+        self.path = path
+        self.cache_rows = cache_rows
+        self._flushed = 0  # ids < _flushed are on disk
+        # guid -> Primitive for off-cache Spark lookups (size-capped)
+        self._lookup_cache: dict[str, Optional[Primitive]] = {}
+        os.makedirs(path, exist_ok=True)
+        if fresh:
+            for f in os.listdir(path):
+                if f.endswith(".parquet") or f.startswith(("part-", "_")):
+                    os.unlink(os.path.join(path, f))
+
+    @classmethod
+    def attach(
+        cls, spark, path: str, db_id: int = PREDICTABLE_DB_ID
+    ) -> "ParquetLogStore":
+        """Open an existing log without driver materialization: only
+        the last row's (id, guid) is collected to set the id horizon
+        and adopt the database id."""
+        store = cls(spark, path, db_id=db_id)
+        from pyspark.sql import functions as F
+
+        df = store._log_df()
+        last = (
+            df.orderBy(F.col("id").desc()).select("id", "guid").limit(1)
+        ).collect()
+        if last:
+            store._base = store._flushed = last[0]["id"] + 1
+            from graphd_spark.model import guid_db
+
+            store.db_id = guid_db(last[0]["guid"])
+            store._version += 1
+        return store
+
+    # -- helpers ----------------------------------------------------------
+
+    def _spark(self):
+        return self._spark_provider()
+
+    def _log_df(self):
+        return (
+            self._spark()
+            .read.schema(PRIMITIVES_SCHEMA)
+            .parquet(self.path)
+        )
+
+    @property
+    def _covers_all(self) -> bool:
+        """True while the driver cache mirrors the whole log (every
+        write went through this process and nothing was evicted)."""
+        return self._base == 0
+
+    def _from_row(self, r) -> Primitive:
+        return Primitive(**{f: r[f] for f in PRIMITIVE_FIELDS})
+
+    def _cache_put(self, guid: str, p: Optional[Primitive]) -> None:
+        if len(self._lookup_cache) >= 8192:
+            self._lookup_cache.clear()
+        self._lookup_cache[guid] = p
+
+    # -- transactions -----------------------------------------------------
+
+    def commit(self) -> None:
+        self._flush()
+        super().commit()
+        self._trim_cache()
+
+    def _flush(self) -> None:
+        """Write rows[_flushed:] as one parquet commit file (driver-side
+        pyarrow append — no Spark job on the OLTP write path)."""
+        pend = self.rows[self._flushed - self._base:]
+        if not pend:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = _arrow_schema()
+        cols = {
+            f.name: [getattr(p, f.name) for p in pend] for f in schema
+        }
+        table = pa.table(cols, schema=schema)
+        fname = os.path.join(
+            self.path, f"part-{self._flushed:012d}-{len(pend):08d}.parquet"
+        )
+        pq.write_table(table, fname)
+        self._flushed = self.next_id
+
+    def _trim_cache(self) -> None:
+        if self.cache_rows is None or len(self.rows) <= self.cache_rows:
+            return
+        drop = len(self.rows) - self.cache_rows
+        dropped, self.rows = self.rows[:drop], self.rows[drop:]
+        self._base += drop
+        for p in dropped:
+            self.by_guid.pop(p.guid, None)
+        # rebuild the value/name id maps over the surviving suffix
+        self._value_ids.clear()
+        self._name_ids.clear()
+        for p in self.rows:
+            if p.value is not None:
+                self._value_ids.setdefault(p.value.lower(), []).append(p.id)
+            if p.name is not None:
+                self._name_ids.setdefault(p.name.lower(), []).append(p.id)
+
+    # -- point lookups with Spark fallback --------------------------------
+
+    def get(self, guid: str) -> Optional[Primitive]:
+        p = self.by_guid.get(guid)
+        if p is not None or self._covers_all:
+            return p
+        if guid in self._lookup_cache:
+            return self._lookup_cache[guid]
+        from pyspark.sql import functions as F
+
+        rows = self._log_df().filter(F.col("guid") == guid).limit(1).collect()
+        p = self._from_row(rows[0]) if rows else None
+        self._cache_put(guid, p)
+        return p
+
+    def successor(self, guid: str) -> Optional[str]:
+        nxt = self.next_version.get(guid)
+        if nxt is not None or self._covers_all:
+            return nxt
+        key = "succ:" + guid
+        if key in self._lookup_cache:
+            hit = self._lookup_cache[key]
+            return hit.guid if hit is not None else None
+        from pyspark.sql import functions as F
+
+        rows = (
+            self._log_df().filter(F.col("prev") == guid).limit(1).collect()
+        )
+        p = self._from_row(rows[0]) if rows else None
+        self._cache_put(key, p)
+        return p.guid if p is not None else None
+
+    def find_by_value(self, value: str) -> Iterator[Primitive]:
+        if self._covers_all:
+            yield from super().find_by_value(value)
+            return
+        yield from self._find_spark("value", value)
+
+    def find_by_name(self, name: str) -> Iterator[Primitive]:
+        if self._covers_all:
+            yield from super().find_by_name(name)
+            return
+        yield from self._find_spark("name", name)
+
+    def _find_spark(self, field: str, text: str) -> Iterator[Primitive]:
+        from pyspark.sql import functions as F
+
+        for r in (
+            self._log_df()
+            .filter(F.lower(F.col(field)) == text.lower())
+            .filter(F.col("id") < self._flushed)
+            .orderBy("id")
+            .collect()
+        ):
+            yield self._from_row(r)
+        # unflushed tail (open transaction) lives only on the driver
+        for p in self.rows[self._flushed - self._base:]:
+            v = getattr(p, field)
+            if v is not None and v.lower() == text.lower():
+                yield p
+
+    def lineage_members(self, lineage: str) -> list[str]:
+        if self._covers_all:
+            return super().lineage_members(lineage)
+        from pyspark.sql import functions as F
+
+        pairs = [
+            (r["generation"], r["guid"])
+            for r in self._log_df()
+            .filter(F.col("lineage") == lineage)
+            .filter(F.col("id") < self._flushed)
+            .select("generation", "guid")
+            .collect()
+        ]
+        pairs += [
+            (p.generation, p.guid)
+            for p in self.rows[self._flushed - self._base:]
+            if p.lineage == lineage
+        ]
+        return [g for _, g in sorted(pairs)]
+
+    # -- scans ------------------------------------------------------------
+
+    def iter_all(self) -> Iterator[Primitive]:
+        if self._covers_all:
+            return iter(self.rows)
+        return self.iter_range(0, self.next_id)
+
+    def iter_range(self, start: int, end: int) -> Iterator[Primitive]:
+        if self._covers_all:
+            yield from super().iter_range(start, end)
+            return
+        from pyspark.sql import functions as F
+
+        lo, hi = start, min(end, self._base)
+        if lo < hi:
+            it = (
+                self._log_df()
+                .filter((F.col("id") >= lo) & (F.col("id") < hi))
+                .orderBy("id")
+                .toLocalIterator()  # streams; never whole-log on driver
+            )
+            for r in it:
+                yield self._from_row(r)
+        yield from super().iter_range(max(start, self._base), end)
+
+    def last_primitive(self) -> Optional[Primitive]:
+        if self.rows:
+            return self.rows[-1]
+        if self._base == 0:
+            return None
+        from pyspark.sql import functions as F
+
+        rows = (
+            self._log_df().orderBy(F.col("id").desc()).limit(1).collect()
+        )
+        return self._from_row(rows[0]) if rows else None
+
+    def asof_id_for_ts(self, ts: int) -> int:
+        if self._covers_all:
+            return super().asof_id_for_ts(ts)
+        from pyspark.sql import functions as F
+
+        ans = -1
+        if self._base > 0:
+            row = (
+                self._log_df()
+                .filter(F.col("timestamp") <= ts)
+                .agg(F.max("id").alias("m"))
+                .collect()
+            )
+            if row and row[0]["m"] is not None:
+                ans = row[0]["m"]
+        local = super().asof_id_for_ts(ts)
+        return max(ans, local)
+
+    # -- Spark view -------------------------------------------------------
+
+    def to_df(self, spark=None):
+        spark = spark if spark is not None else self._spark()
+        if self._df is not None and self._df_version == self._version:
+            return self._df
+        df = self._log_df()
+        if self._txn_start is not None:
+            # defensive: txn rows are never flushed before commit, but
+            # make the read horizon explicit anyway
+            from pyspark.sql import functions as F
+
+            df = df.filter(F.col("id") < self._txn_start)
+        self._df = df
+        self._df_version = self._version
+        return self._df
+
+    def save_parquet(self, spark, path: str, partitions: int = 1) -> None:
+        if os.path.abspath(path) == os.path.abspath(self.path):
+            return  # already the log
+        super().save_parquet(spark, path, partitions)

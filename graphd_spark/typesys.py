@@ -129,7 +129,7 @@ class TypeSystem:
         """
         if self.attribute_has_key is None and not self._read_bootstrap():
             return None
-        for p in self.store.rows:
+        for p in self.store.iter_all():
             if (
                 p.typeguid == self.attribute_has_key
                 and p.right == typeguid

@@ -201,7 +201,7 @@ class WriteExecutor:
             seen = {p.guid for p in cands}
             cands.extend(
                 p
-                for p in self.store.rows
+                for p in self.store.iter_all()
                 if p.value is not None
                 and p.guid not in seen
                 and value_eq(con.value_comparator or con.comparator,
@@ -211,7 +211,7 @@ class WriteExecutor:
         elif "name" in lits and lits["name"] is not None:
             cands = list(self.store.find_by_name(lits["name"]))
         else:
-            cands = list(self.store.rows)
+            cands = list(self.store.iter_all())
 
         # linkage pointers already resolved on pointee subs narrow the
         # match (unique clusters span connected primitives, ref
