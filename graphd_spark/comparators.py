@@ -233,14 +233,46 @@ def render_sci(dec: tuple[bool, bool, Optional[int], str]) -> str:
     return f"{'' if positive else '-'}{digits}e{exp}"
 
 
+def word_number_normalize(frag: str) -> str:
+    """String-level number-fragment normalization (ref
+    pdb_word_number_normalize, libpdb/pdb-word.c:782-870): strip '+',
+    strip leading zeros (keep one), strip trailing fraction zeros and
+    a bare trailing point, '.15' -> '0.15', and drop the sign of zero.
+    NOT the scientific form — ' 1' hashes as '1', which is a different
+    bucket than the full-number normalization '1e0' of '1' (validated
+    by test/unit/numberequal r6/r8)."""
+    sign = ""
+    i = 0
+    if frag[:1] == "+":
+        i = 1
+    elif frag[:1] == "-":
+        sign = "-"
+        i = 1
+    body = frag[i:]
+    dot = body.find(".")
+    if dot < 0:
+        int_part, frac = body, ""
+    else:
+        int_part, frac = body[:dot], body[dot + 1:].rstrip("0")
+    if int_part == "":
+        int_part = "0"
+    else:
+        int_part = int_part[:-1].lstrip("0") + int_part[-1]
+    if int_part == "0" and frac == "":
+        sign = ""
+    return sign + int_part + ("." + frac if frac else "")
+
+
 def normalize_value(s: str) -> str:
     """The value-hash normalization (ref pdb_hmap_value_normalize,
-    libpdb/pdb-word.c:1098-1120): a value that parses as a (scientific)
-    number becomes its canonical number string; otherwise whitespace
-    runs collapse to one space, leading/trailing space is stripped, and
-    embedded number fragments are canonicalized.  Matching is
-    case-insensitive (pdb_case_insensitive_hash), so callers compare
-    the ascii-lowered form.
+    libpdb/pdb-word.c:1098-1120): a value that parses in FULL as a
+    (scientific) number becomes its canonical number string
+    (pdb_number_normalize -> "<digits>e<exp>"); otherwise the word
+    path (pdb_word_normalize): leading space stripped, whitespace runs
+    collapse to one space, trailing space stripped, and embedded
+    number fragments get the *string-level* normalization only.
+    Matching is case-insensitive (pdb_case_insensitive_hash), so
+    callers compare the ascii-lowered form.
 
     The engine stores this as the ``value_norm`` column at write time —
     the Spark analog of the reference's hmap value index — so equality
@@ -259,7 +291,7 @@ def normalize_value(s: str) -> str:
         if typ == NUMBER:
             d = decode_number(frag)
             if d is not None:
-                out.append(render_sci(d))
+                out.append(word_number_normalize(frag))
                 continue
         out.append(frag)
     while out and out[-1] == " ":
@@ -410,6 +442,262 @@ def datetime_sort_key(s: Optional[str]) -> Optional[bytes]:
         body = _ascii_lower(s[1:]).encode("utf-8", "surrogateescape")
         return b"\x00" + bytes(0xFF - b for b in body) + b"\xff"
     return b"\x01" + _ascii_lower(s).encode("utf-8", "surrogateescape")
+
+
+# --- datetime comparator: bin-scan order, domain, delimited glob ---------
+
+
+def _dt_skip_bin(before: str, after: str) -> bool:
+    """datetime_skip (graphd-comparator-datetime.c:167-238): a bin
+    [before, after) is skipped when provably no 4-digit year prefix can
+    sort inside it."""
+    if before[:1] == "-" or after[:1] == "-":
+        return False
+    diff = 0
+    while (
+        diff < len(before)
+        and diff < len(after)
+        and _isdigit(before[diff])
+        and _isdigit(after[diff])
+    ):
+        diff += 1
+    if diff >= 4:
+        return False
+    test = (after[:diff] + "0000")[:4]
+    if before <= test <= after:
+        return False
+    test = (before[:diff] + "9999")[:4]
+    if before <= test <= after:
+        return False
+    return True
+
+
+_DT_STATE: dict = {}
+
+
+def _dt_tables():
+    """Lazy: the datetime comparator's three contiguous STRING_BINS
+    segments + derived limits/skip flags."""
+    if _DT_STATE:
+        return _DT_STATE
+    from bisect import bisect_right
+
+    from graphd_spark.binset import STRING_BINS
+
+    neg = [
+        b for b in STRING_BINS
+        if b[:1] == "-" and _isdigit(b[1:2] or " ")
+    ]
+    pos = [b for b in STRING_BINS if _isdigit(b[:1] or " ")]
+    tim = [
+        b for b in STRING_BINS
+        if b[:1] == "t" and _isdigit(b[1:2] or " ")
+    ]
+    pos_after = STRING_BINS[STRING_BINS.index(pos[-1]) + 1]
+    # maximum_positive_year_bin = lookup("999:") + 1: bins above never
+    # surface (uuid-ish 9xxx strings aren't dates)
+    pos_max = bisect_right(pos, "999:") - 1
+    skipped = set()
+    for i in range(len(pos)):
+        after = pos[i + 1] if i + 1 < len(pos) else pos_after
+        if _dt_skip_bin(pos[i], after):
+            skipped.add(i)
+    _DT_STATE.update(
+        neg=neg,
+        pos=pos,
+        tim=tim,
+        pos_max=pos_max,
+        skipped=skipped,
+        bisect=bisect_right,
+    )
+    return _DT_STATE
+
+
+def datetime_scan_order(s: Optional[str]) -> Optional[int]:
+    """Position of a value in the datetime comparator's value-bin
+    traversal (ref datetime_inc/dec/skip,
+    graphd-comparator-datetime.c:125-287): negative-year bins in
+    reverse bin order, then positive-year bins, then time bins;
+    None = the value never surfaces in a datetime range scan (outside
+    the three segments, beyond a segment limit, or in a skipped bin).
+    Unsorted datetime range reads order by (this, id)."""
+    if s is None:
+        return None
+    t = _dt_tables()
+    k = _ascii_lower(s)
+    c0, c1 = k[:1], k[1:2]
+    if c0 == "-" and _isdigit(c1):
+        i = t["bisect"](t["neg"], k) - 1
+        return 1_000_000 - i
+    if _isdigit(c0):
+        i = t["bisect"](t["pos"], k) - 1
+        if i > t["pos_max"] or i in t["skipped"]:
+            return None
+        return 2_000_000 + i
+    if c0 == "t" and _isdigit(c1):
+        i = t["bisect"](t["tim"], k) - 1
+        if i >= len(t["tim"]) - 1:
+            # maximum_time_bin = lookup("T24")-1: the last time bin
+            # (T23:*) is past it and never enumerated
+            return None
+        return 3_000_000 + i
+    return None
+
+
+# --- default / number comparators: bin-scan order ------------------------
+
+
+def string_bin_order(s: Optional[str]) -> Optional[int]:
+    """Bin index of a value in STRING_BINS (ref pdb_bin_lookup over
+    PDB_BINSET_STRINGS, graph_strcasecmp order).  Unsorted
+    default-comparator range reads surface in (this, id) order (ref
+    comparator_default_range_bins; test/unit/numberequal r2/r3)."""
+    if s is None:
+        return None
+    from bisect import bisect_right
+
+    from graphd_spark.binset import STRING_BINS
+
+    return bisect_right(STRING_BINS, _ascii_lower(s)) - 1
+
+
+_NUM_STATE: dict = {}
+
+
+def _num_tables():
+    """Lazy: NUMBER_BINS boundary sort keys + canonical hash strings."""
+    if _NUM_STATE:
+        return _NUM_STATE
+    from graphd_spark.binset import NUMBER_BINS
+
+    keys: list[bytes] = []
+    canon: list[str] = []
+    for inf, zero, positive, exp, mant in NUMBER_BINS:
+        if inf:
+            keys.append(b"\x013" if positive else b"\x01/")
+            canon.append("+inf" if positive else "-inf")
+        elif zero:
+            keys.append(_K_NUM + _K_ZERO)
+            canon.append("0")
+        else:
+            keys.append(_number_key(positive, False, exp, mant))
+            canon.append(
+                ("" if positive else "-") + mant + "e" + str(exp)
+            )
+    _NUM_STATE.update(
+        keys=keys, canon=canon,
+        canon_index={c: i for i, c in enumerate(canon)},
+    )
+    return _NUM_STATE
+
+
+def number_bin_lookup(lit: str) -> Optional[int]:
+    """Bin index of a number literal in NUMBER_BINS; None when the
+    literal doesn't decode (the reference then builds no vrange —
+    ENOTSUP in number_vrange_start)."""
+    from bisect import bisect_right
+
+    t = _num_tables()
+    key = number_sort_key(lit)
+    if key is None or key >= b"\x02":
+        return None
+    return bisect_right(t["keys"], key) - 1
+
+
+def number_scan_order(s: Optional[str]) -> Optional[int]:
+    """Position of a value in the number comparator's scan (ref
+    number_vrange_it_next, graphd-comparator-number.c:255-310): per
+    bin, first the value-hash bucket of the boundary's canonical
+    string (which can include NON-numbers whose normalization
+    collides, e.g. ' 0' -> '0'; test numberequal r6), then the bin's
+    strictly-between numbers; None = never enumerated."""
+    if s is None:
+        return None
+    t = _num_tables()
+    norm = value_norm_key(s)
+    i = t["canon_index"].get(norm)
+    if i is not None:
+        return 2 * i
+    key = number_sort_key(s)
+    if key >= b"\x02":
+        return None
+    from bisect import bisect_right
+
+    return 2 * (bisect_right(t["keys"], key) - 1) + 1
+
+
+def string_bin_order_column(col):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _sbin(vs: pd.Series) -> pd.Series:
+        return vs.map(string_bin_order)
+
+    return _sbin(col)
+
+
+def number_scan_order_column(col):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _nbin(vs: pd.Series) -> pd.Series:
+        return vs.map(number_scan_order)
+
+    return _nbin(col)
+
+
+def delimited_match(pat: str, s: Optional[str]) -> bool:
+    """The datetime comparator's ~= matcher (delimited_string_match,
+    graphd-comparator-datetime.c:299-334): '*' consumes up to the next
+    literal delimiter (to end-of-string if last), a leading '-' on the
+    value is skipped when '*' starts matching at position 0, other
+    chars match bytewise, and a fully-consumed pattern accepts any
+    suffix."""
+    if s is None:
+        return False
+    p, n = 0, len(pat)
+    c, e = 0, len(s)
+    while p < n:
+        if pat[p] == "*":
+            if p == n - 1:
+                return True
+            if c == 0 and s[:1] == "-":
+                c += 1
+            delim = pat[p + 1]
+            while c < e and s[c] != delim:
+                c += 1
+        else:
+            if c >= e or pat[p] != s[c]:
+                return False
+            c += 1
+        p += 1
+    return True
+
+
+def datetime_scan_order_column(col):
+    """Column of datetime bin-traversal positions (Arrow-vectorized)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _dtorder(vs: pd.Series) -> pd.Series:
+        return vs.map(datetime_scan_order)
+
+    return _dtorder(col)
+
+
+def delimited_match_column(col, pattern: str):
+    """Boolean column: datetime ~= match (Arrow-vectorized)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BooleanType
+
+    @F.pandas_udf(BooleanType())
+    def _dtmatch(vs: pd.Series) -> pd.Series:
+        return vs.map(lambda v: delimited_match(pattern, v))
+
+    return _dtmatch(col)
 
 
 def value_eq(comparator: Optional[str], a: Optional[str],

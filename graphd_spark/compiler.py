@@ -41,6 +41,7 @@ from graphd_spark.comparators import (
     decode_number,
     fuzzy_key,
     literal_key,
+    number_bin_lookup,
     resolve_comparator,
     sort_key_column,
     value_norm_key,
@@ -241,16 +242,60 @@ class Compiler:
                 )
         if con.sort is None and any(
             sc.op in ("<", "<=", ">", ">=") for sc in con.value_strcons
-        ) and resolve_comparator(
-            con.value_comparator or con.comparator
-        ) == "default":
-            # unsorted range reads surface in the reference's value-bin
-            # scan order — lexicographic by value, ids within
-            # (ref libpdb/pdb-bins-strtable.c; test/unit/intrange.sh)
-            order = [
-                F.lower(F.col("value")).asc_nulls_last(),
-                F.col("id").asc(),
-            ]
+        ):
+            vcomp = resolve_comparator(
+                con.value_comparator or con.comparator
+            )
+            if vcomp == "default":
+                # unsorted range reads surface in the reference's
+                # value-bin scan order — STRING_BINS bin index, ids
+                # within a bin (ref comparator_default_range_bins,
+                # libpdb/pdb-bins-strtable.c; tests intrange,
+                # numberequal r2/r3)
+                from graphd_spark.comparators import (
+                    string_bin_order_column,
+                )
+
+                order = [
+                    string_bin_order_column(
+                        F.col("value")
+                    ).asc_nulls_last(),
+                    F.col("id").asc(),
+                ]
+            elif vcomp == "number" and all(
+                number_bin_lookup(v) is not None
+                for sc in con.value_strcons
+                if sc.op in ("<", "<=", ">", ">=")
+                for v in sc.values
+                if v is not None
+            ):
+                # number scans alternate each bin's exact-value hash
+                # bucket with its strictly-between contents (ref
+                # number_vrange_it_next; test numberequal r6/r9)
+                from graphd_spark.comparators import (
+                    number_scan_order_column,
+                )
+
+                order = [
+                    number_scan_order_column(
+                        F.col("value")
+                    ).asc_nulls_last(),
+                    F.col("id").asc(),
+                ]
+            elif vcomp == "datetime":
+                # datetime scans traverse negative-year bins in
+                # reverse, then years, then times; ids within a bin
+                # (ref datetime_inc/dec, test/unit/datetime.sh)
+                from graphd_spark.comparators import (
+                    datetime_scan_order_column,
+                )
+
+                order = [
+                    datetime_scan_order_column(
+                        F.col("value")
+                    ).asc_nulls_last(),
+                    F.col("id").asc(),
+                ]
         if resume_guid is not None:
             resume = self._key_resume_offset(
                 df, con, plan, resume_guid
@@ -1063,8 +1108,14 @@ class Compiler:
         # - number/datetime: hash-normalized equality (value_norm)
         # - case/octet: exact bytes
         if is_value and comp == "default":
+            # candidates come from the value-hash bucket, then check
+            # with the fuzzy comparison (ref comparator_default_
+            # iterator GRAPHD_OP_EQ + vrange_check_value; numberequal
+            # r8: ' 1' fuzzy-equals '1' but hashes as '1', not '1e0',
+            # so it never surfaces) — both must match
             eq_col = F.col("value_fkey")
             eq_lits = [fuzzy_key(v) for v in nonnull]
+            norm_lits = [value_norm_key(v) for v in nonnull]
         elif is_value and comp == "number":
             # strict: only parseable numbers equal a number literal
             eq_col = F.col("value_num")
@@ -1092,12 +1143,20 @@ class Compiler:
                 parts.append(
                     col.isNull() & (F.col("datatype") == 2)
                 )
-                pairs = [
-                    (v, e) for v, e in zip(nonnull, eq_lits) if v != ""
-                ]
-                nonnull = [v for v, _ in pairs]
-                eq_lits = [e for _, e in pairs]
-            if nonnull:
+                keep = [i for i, v in enumerate(nonnull) if v != ""]
+                eq_lits = [eq_lits[i] for i in keep]
+                if is_value and comp == "default":
+                    norm_lits = [norm_lits[i] for i in keep]
+                nonnull = [nonnull[i] for i in keep]
+            if nonnull and is_value and comp == "default":
+                p = None
+                for k, n in zip(eq_lits, norm_lits):
+                    t = (eq_col == F.lit(k)) & (
+                        F.col("value_norm") == F.lit(n)
+                    )
+                    p = t if p is None else (p | t)
+                parts.append(p)
+            elif nonnull:
                 parts.append(eq_col.isin(eq_lits))
             if has_null:
                 parts.append(col.isNull())
@@ -1140,12 +1199,42 @@ class Compiler:
             else:
                 key = sort_key_column(col, comp)
             pred = _OPS[sc.op](key, F.lit(literal_key(lit, comp)))
+            if is_value and comp == "datetime":
+                # datetime ranges enumerate the three date bin
+                # segments only (negative years / years / times, ref
+                # datetime_inc/dec/skip) — values outside them (and
+                # nulls) never surface
+                from graphd_spark.comparators import (
+                    datetime_scan_order_column,
+                )
+
+                return pred & datetime_scan_order_column(col).isNotNull()
             if comp == "number":
-                # number-comparator ranges only yield parseable
-                # numbers (ref number_value_in_range rejects
-                # non-numbers); number keys sort below the \x02
-                # non-number class
-                pred = pred & (key < F.lit(b"\x02"))
+                lo_bin = (
+                    number_bin_lookup(lit) if is_value else None
+                )
+                if lo_bin is None:
+                    # literal doesn't decode: the reference builds no
+                    # vrange (ENOTSUP); only parseable numbers match —
+                    # number keys sort below the \x02 non-number class
+                    pred = pred & (key < F.lit(b"\x02"))
+                else:
+                    # enumeration = bins from/to the literal's bin;
+                    # each bin's value-hash bucket can carry
+                    # non-numbers whose normalization collides with
+                    # the boundary's canonical string (' 0' -> '0',
+                    # ref number_vrange_it_next + pdb_hash_number_
+                    # iterator; test numberequal r6)
+                    from graphd_spark.comparators import (
+                        number_scan_order_column,
+                    )
+
+                    scan = number_scan_order_column(col)
+                    pred = pred & scan.isNotNull()
+                    if sc.op in (">", ">="):
+                        pred = pred & (scan >= F.lit(2 * lo_bin))
+                    else:
+                        pred = pred & (scan <= F.lit(2 * lo_bin + 1))
             elif is_value and sc.op in (">", ">="):
                 # null values compare greater than any string under
                 # the default ordering (graph_fuzzycmp NULL rule), so
@@ -1166,7 +1255,17 @@ class Compiler:
                 # value~=null matches null values (test/unit/nullvalue.sh)
                 pred = col.isNull()
             for v in nonnull:
-                g = glob_column(col, v, case_sensitive=cs)
+                if is_value and comp == "datetime":
+                    # date patterns match with the delimiter-aware
+                    # matcher, not the word glob (ref
+                    # delimited_string_match; test datetime-2)
+                    from graphd_spark.comparators import (
+                        delimited_match_column,
+                    )
+
+                    g = delimited_match_column(col, v)
+                else:
+                    g = glob_column(col, v, case_sensitive=cs)
                 pred = g if pred is None else (pred | g)
             return pred if pred is not None else F.lit(False)
         raise GraphdError("SEMANTICS", f"unsupported operator {sc.op!r}")

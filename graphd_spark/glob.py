@@ -100,7 +100,15 @@ def compile_glob(pattern: str, case_sensitive: bool = False):
             dec = decode_number(frag)
             if dec is not None:
                 numbers.append(render_sci(dec))
-                parts.append(r"([0-9]+(?:\.[0-9]+)?|\.[0-9]+)")
+                # candidate number runs segment like word_fragment_next:
+                # a dotted number binds only when not part of a longer
+                # dotted chain ("0.1.0" fragments as 0 / 1 / 0 — the
+                # IP-address rule; test compare1)
+                parts.append(
+                    r"((?<!\.)[0-9]+\.[0-9]+(?!\.[0-9])"
+                    r"|(?<![0-9])\.[0-9]+(?!\.[0-9])"
+                    r"|[0-9]+)"
+                )
             else:
                 parts.append(re.escape(frag))
             tok = "word"

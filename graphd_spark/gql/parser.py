@@ -363,9 +363,25 @@ class Parser:
             # malformed GUID literal maps to an 'error SYNTAX' reply
             raise ParseError(f"expected a GUID, got {t.text!r}")
 
-    def _guidset(self) -> list[str | None]:
+    def _fail_null_guid(self, t: L.Token):
+        # the `guid' field itself never allows the null token (ref
+        # gdp-parse.c:655, allow_null = kind != GDP_GUIDCON_THIS;
+        # test/unit/nullguid.sh: guid=null errors, guid=0 is EMPTY)
+        raise ParseError(
+            f"{self.at(t.pos)}: '{t.text}': null GUIDs cannot be "
+            "used in this context",
+            "SEMANTICS",
+        )
+
+    def _guidset(self, forbid_null: bool = False) -> list[str | None]:
         t = self.next()
         if t.kind in (L.ATOM, L.STR):
+            if (
+                forbid_null
+                and t.kind == L.ATOM
+                and t.text.lower() == "null"
+            ):
+                self._fail_null_guid(t)
             return [self._guid_lit(t)]
         if t.kind == L.OPAR:
             opar = t
@@ -373,8 +389,20 @@ class Parser:
             while True:
                 t = self.next()
                 if t.kind == L.CPAR:
+                    if forbid_null and not out:
+                        raise ParseError(
+                            f"{self.at(opar.pos)}: '(': empty set "
+                            "not allowed here",
+                            "SEMANTICS",
+                        )
                     break
                 if t.kind in (L.ATOM, L.STR):
+                    if (
+                        forbid_null
+                        and t.kind == L.ATOM
+                        and t.text.lower() == "null"
+                    ):
+                        self._fail_null_guid(t)
                     out.append(self._guid_lit(t))
                 else:
                     raise ParseError(f"expected GUID, got {t.text!r}")
@@ -461,7 +489,9 @@ def _make_handlers():
         op = self.next()
         if op.kind not in (L.EQ, L.NE, L.FE):
             raise ParseError("guid accepts =, != and ~= only")
-        self._item.guid.append(GuidCon(op.kind, self._guidset()))
+        self._item.guid.append(
+            GuidCon(op.kind, self._guidset(forbid_null=True))
+        )
 
     @handler("prev")
     def _con_prev(self):
@@ -933,6 +963,35 @@ def _assigned_below(con) -> set[str]:
     return out
 
 
+def _check_assignments_returned(con, inherited: frozenset = frozenset()
+                                ) -> None:
+    """Every assigned variable must be consumed by a result/sort
+    pattern (or another assignment) of this or a containing constraint
+    (ref graphd-semantic.c; test/unit/varerrs.sh: `read ($foo=value)`
+    is a SYNTAX error).  Runs pre-order BEFORE alias substitution so
+    same-level chains still show their references."""
+    refs: set[str] = set(inherited)
+    for _, pat in con.assignments:
+        refs.update(_pattern_vars(pat))
+    if con.result is not None:
+        refs.update(_pattern_vars(con.result))
+    if con.sort:
+        for sk in con.sort:
+            refs.update(_pattern_vars(sk.pattern))
+    for v, _ in con.assignments:
+        if v not in refs:
+            raise ParseError(
+                f"variable {v} is assigned, but not returned in this "
+                "or any containing constraint"
+            )
+    frozen = frozenset(refs)
+    for sub in con.subs:
+        _check_assignments_returned(sub, frozen)
+    for chain in con.or_chains:
+        for b in chain:
+            _check_assignments_returned(b, frozen)
+
+
 def analyze_variables(con) -> None:
     """Same-level variable substitution + the reference's validation
     errors, applied post-order."""
@@ -1152,6 +1211,7 @@ def parse_request(line: str) -> Request:
             )
         if cmd == "read":
             _check_contents_usage(req.constraint)
+            _check_assignments_returned(req.constraint)
             analyze_variables(req.constraint)
     else:
         # leave remaining tokens raw for the command dispatcher
