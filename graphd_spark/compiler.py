@@ -167,12 +167,37 @@ class Compiler:
         resume = 0
         horizon = None
         resume_guid = None
+        cstate = None
         if con.cursor is not None:
             import re as _re
 
             cur = con.cursor
             if cur == "null:":
                 raise GraphdError("EMPTY", "not found")
+            from graphd_spark.cursor import BadCursor, parse_cursor
+
+            try:
+                cstate = parse_cursor(cur, con)
+            except BadCursor as e:
+                raise GraphdError("BADCURSOR", e.message)
+        if cstate is not None:
+            # a modeled iterator freeze (all / fixed / without):
+            # resume by iterator position, not offset (ref
+            # pdb-iterator-all.c, graphd-iterator-fixed.c)
+            horizon = cstate.horizon
+            if cstate.form in ("all", "without"):
+                df = df.filter(
+                    F.col("id") >= max(cstate.pos, cstate.low)
+                )
+                if cstate.high is not None:
+                    df = df.filter(F.col("id") < cstate.high)
+            elif cstate.form == "fixed":
+                allowed = cstate.fixed_ids[cstate.pos:]
+                df = df.filter(F.col("id").isin(allowed))
+        elif con.cursor is not None:
+            import re as _re
+
+            cur = con.cursor
             if cur.startswith("position:"):
                 try:
                     resume = int(cur.split(":", 1)[1].split("/")[0])
@@ -370,8 +395,73 @@ class Compiler:
                     con, plan, rows, consumed, horizon
                 )
             else:
-                plan.cursor = f"position:{consumed}/{total}"
+                plan.cursor = self._iterator_cursor(
+                    con, cstate, rows, df
+                ) or f"position:{consumed}/{total}"
         return plan, rows, total
+
+    def _iterator_cursor(self, con, cstate, rows, df) -> Optional[str]:
+        """Reference-format frozen cursor for an unsorted root page
+        (ref graphd_read_set_cursor_get_value + constraint_cursor_
+        from_iterator).  Returns None when the plan's iterator shape
+        isn't one we freeze (caller falls back to a position token)."""
+        from graphd_spark.cursor import CursorState, freeze_cursor
+
+        last_id = guid_serial(rows[-1]["guid"])
+        count = self.store.count()
+        if cstate is not None and cstate.form in (
+            "all", "without", "fixed"
+        ):
+            if cstate.form == "fixed":
+                try:
+                    cstate.pos = cstate.fixed_ids.index(last_id) + 1
+                except ValueError:
+                    return None
+            else:
+                cstate.pos = last_id + 1
+            delivered = cstate.offset + len(rows)
+            n = cstate.horizon if cstate.horizon is not None else count
+            return freeze_cursor(con, cstate, delivered, n)
+        if self.asof is not None:
+            return None  # asof pages omit [n:]; not modeled
+        gc = con.guid[0] if len(con.guid) == 1 else None
+        if (
+            gc is not None
+            and gc.op == "="
+            and gc.guids
+            and all(g is not None for g in gc.guids)
+            and not con.subs
+            and not con.or_chains
+        ):
+            # guid= sets materialize as a fixed iterator in list order
+            # (ref graphd-iterator-fixed.c; test cursor5)
+            ids = [guid_serial(g) for g in gc.guids]
+            try:
+                pos = ids.index(last_id) + 1
+            except ValueError:
+                return None
+            st = CursorState(form="fixed", fixed_ids=ids, pos=pos)
+            return freeze_cursor(con, st, len(rows), count)
+        if not con.subs and not con.or_chains:
+            # unindexed roots scan everything (pdb all-iterator)
+            st = CursorState(
+                form="all", low=0, high=count, pos=last_id + 1
+            )
+            return freeze_cursor(con, st, len(rows), count)
+        # linkage-driven roots: the optimizer materializes small
+        # candidate sets into a fixed iterator (graphd-iterator-fixed.c;
+        # tests cursor3/cursor4); larger sets keep their and/gmap shape,
+        # which we don't freeze
+        ids = [
+            r["id"]
+            for r in df.select("id").orderBy("id").limit(11).collect()
+        ]
+        if len(ids) > 10 or last_id not in ids:
+            return None
+        st = CursorState(
+            form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
+        )
+        return freeze_cursor(con, st, len(rows), count)
 
     def _key_resume_offset(self, df, con, plan, guid: str) -> int:
         """Offset of the element AFTER the cursor element in this
@@ -631,19 +721,6 @@ class Compiler:
             .withColumn("__e", elem)
             .select("__k", "__rn", "__e")
         )
-        agg = kdf.groupBy("__k").agg(
-            F.count(F.lit(1)).alias(cnt),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("__rn").alias("o"), F.col("__e").alias("e")
-                        )
-                    )
-                ),
-                lambda x: x["e"],
-            ).alias(arr),
-        )
         rps = sub.resultpagesize
         if rps is None:
             rps = (
@@ -651,7 +728,27 @@ class Compiler:
                 if sub.pagesize is not None
                 else DEFAULT_PAGESIZE
             )
-        agg = agg.withColumn(arr, F.slice(F.col(arr), 1, rps))
+        # collect only the rendered page into the aggregation buffer:
+        # collect_list drops the when()'s nulls, so a 10^6-fan-out
+        # parent costs O(resultpagesize) memory, not O(fan-out); the
+        # exact count still aggregates over every child
+        agg = kdf.groupBy("__k").agg(
+            F.count(F.lit(1)).alias(cnt),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__rn") <= F.lit(rps),
+                            F.struct(
+                                F.col("__rn").alias("o"),
+                                F.col("__e").alias("e"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["e"],
+            ).alias(arr),
+        )
 
         cnt_eff = F.coalesce(F.col(cnt), F.lit(0))
         bounds = []

@@ -1,0 +1,425 @@
+"""Reference-format read cursors: signature, checksum, freeze/thaw.
+
+The reference hands out cursors of the form ``cursor:XXXX:<body>``
+where ``<body>`` is ``[o:<offset>][n:<horizon>]`` + the frozen state
+of the read's iterator, and ``XXXX`` is a 16-bit rotate-xor checksum
+of the constraint's canonical *signature* xor the body's checksum
+(ref graphd/graphd-constraint-cursor.c:238-262, checksum
+libcm/cm-buffer.c:271-288).  A resumed read validates the checksum
+against its own signature (same query => same signature), so cursors
+can't be replayed against a different query
+(graphd-constraint-cursor.c:90-185; test/unit/cursor5.sh).
+
+Iterator freeze bodies handled here:
+
+- ``all:LOW-HIGH/POS/``                 plain id scan
+  (libpdb/pdb-iterator-all.c freeze format)
+- ``fixed:N:id1,...,idN[/POS/]``        materialized id set
+  (graphd/graphd-iterator-fixed.c)
+- ``without:(all:L-H)#(any-value)/POS/<state>``   subtractive scan
+  (graphd/graphd-iterator-without.c)
+
+POS is the iterator position: the next candidate id for scans, the
+next list index for fixed sets.  Unrecognized bodies with a known
+engine prefix (and:, vrange:, ...) resume leniently through the
+position heuristics in the compiler; everything else is the
+reference's "cannot parse old-style cursor" BADCURSOR.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from graphd_spark.gql.ir import Constraint, GenCon, Pattern, StrCon
+from graphd_spark.model import DATATYPE_NAMES
+
+
+def checksum16(s: str) -> int:
+    """cm_buffer_checksum_text with 16 bits: xor a byte, rotate by 1."""
+    x = 0
+    for b in s.encode("utf-8", "surrogateescape"):
+        x = (x ^ b) & 0xFFFF
+        x = 0xFFFF & ((x << 1) | (1 & (x >> 15)))
+    return x
+
+
+# -- constraint signature (ref graphd-constraint-signature.c) -------------
+
+_PAT_LABELS = {
+    "value": "value", "name": "name", "guid": "guid", "type": "type",
+    "typeguid": "typeguid", "left": "left", "right": "right",
+    "scope": "scope", "meta": "meta", "live": "live",
+    "archival": "archival", "datatype": "datatype",
+    "valuetype": "valuetype", "generation": "generation",
+    "timestamp": "timestamp", "contents": "contents", "count": "count",
+    "cursor": "cursor", "estimate": "estimate",
+    "estimate-count": "estimate-count", "iterator": "iterator",
+    "timeout": "timeout", "previous": "previous", "next": "next",
+    "unspecified": "unspecified",
+}
+
+
+def pattern_to_string(pat: Optional[Pattern]) -> str:
+    """graphd_pattern_to_string: lists join with ", " (sic)."""
+    if pat is None:
+        return "null"
+    prefix = "-" if pat.negated else ""
+    if pat.kind == "list":
+        return (
+            prefix + "("
+            + ", ".join(pattern_to_string(c) for c in pat.children)
+            + ")"
+        )
+    if pat.kind == "pick":
+        return (
+            prefix + "<"
+            + ", ".join(pattern_to_string(c) for c in pat.children)
+            + ">"
+        )
+    if pat.kind == "none":
+        return prefix + '""'
+    if pat.kind == "literal":
+        return prefix + f'"{pat.literal or ""}"'
+    if pat.kind == "variable":
+        return prefix + (pat.var or "")
+    return prefix + _PAT_LABELS.get(pat.kind, pat.kind)
+
+
+def _strcon_sig(name: str, sc: StrCon, write_values: bool) -> str:
+    """graphd_string_constraint_to_signature: value constraints omit
+    their text; a bare null has no elements and renders "null"."""
+    op = sc.op
+    vals = sc.values
+    if vals == [None]:
+        # value=null / name=null parse with no string elements
+        return f"{name}{op}null"
+    if len(vals) == 1 or not write_values:
+        v = vals[0]
+        if v is None:
+            return f"{name}{op}(null)"
+        if write_values:
+            return f'{name}{op}"{v}"'
+        return f'{name}{op}"..."'
+    items = " ".join('null' if v is None else f'"{v}"' for v in vals)
+    return f"{name}{op}({items})"
+
+
+def _sep(parts: list[str], frag: str) -> None:
+    """seperate() + append: space-separate unless after ( = or space."""
+    if parts and parts[-1] and parts[-1][-1] not in "(= \t":
+        parts.append(" ")
+    parts.append(frag)
+
+
+def constraint_signature(con: Constraint) -> str:
+    """Canonical signature of a constraint subtree (checksum input).
+
+    Ports the field order and renderings of graphd_constraint_signature
+    with GRAPHD_SIGNATURE_OMIT_CURSOR (the cursor= field never signs
+    itself).  Calibrated byte-for-byte against the checksums in
+    test/unit/{cursor1,cursor5,without,infcur}.out.exp.
+    """
+    parts: list[str] = []
+    _signature(con, parts)
+    return "".join(parts)
+
+
+def _signature(con: Constraint, parts: list[str]) -> None:
+    if con.parent is not None and con.linkage is not None:
+        kind, lk = con.linkage
+        if kind == "iam":
+            _sep(parts, f"{lk}->(")
+        else:
+            _sep(parts, f"(<-{lk}")
+    elif con.parent is not None:
+        _sep(parts, "(")
+
+    for sc in con.type_strcons:
+        _sep(parts, _strcon_sig("type", sc, True))
+    for sc in con.name_strcons:
+        _sep(parts, _strcon_sig("name", sc, True))
+    for sc in con.value_strcons:
+        _sep(parts, _strcon_sig("value", sc, False))
+
+    if con.valuetype is not None:
+        _sep(parts, f"datatype={DATATYPE_NAMES.get(con.valuetype, con.valuetype)}")
+
+    # flags: archive defaults dontcare, live defaults true; unspecified
+    # never prints
+    if con.archival not in ("unspecified", "dontcare"):
+        _sep(parts, f"archive={con.archival}")
+    if con.live not in ("unspecified", "true"):
+        _sep(parts, "live=*" if con.live == "dontcare" else f"live={con.live}")
+
+    if con.result is not None:
+        # the implicit default result pattern never signs (it compares
+        # pointer-equal to graphd_pattern_read_default and is skipped)
+        _sep(parts, f"result={pattern_to_string(con.result)}")
+    elif con.parent is not None:
+        # subconstraints without result= sign the NULL-pattern
+        # fallback (calibrated against cursor3/cursor4 checksums)
+        _sep(parts, "result=()")
+
+    if con.sort is not None:
+        # the semantic layer appends the decisive guid tiebreak to
+        # every sort, so sort=() signs as "sort=(guid)" (calibrated
+        # against test/unit/sort3.out.exp checksums)
+        items = []
+        for sk in con.sort:
+            s = pattern_to_string(sk.pattern)
+            if sk.descending and not s.startswith("-"):
+                s = "-" + s
+            items.append(s)
+        if not items or items[-1] != "guid":
+            items.append("guid")
+        _sep(parts, "sort=(" + ", ".join(items) + ")")
+
+    is_iam = con.linkage is not None and con.linkage[0] == "iam"
+    if con.countlimit is not None and con.countlimit != (
+        con.pagesize or 0
+    ) and (con.countlimit != 1 or not is_iam):
+        _sep(parts, f"countlimit={con.countlimit}")
+    if con.resultpagesize is not None and (
+        (con.resultpagesize != 1 or not is_iam)
+        and con.resultpagesize != (con.pagesize or 0)
+        and con.resultpagesize != 1024
+    ):
+        _sep(parts, f"resultpagesize={con.resultpagesize}")
+    if con.pagesize is not None and (con.pagesize != 1 or not is_iam):
+        _sep(parts, f"pagesize={con.pagesize}")
+    if con.start != 0:
+        _sep(parts, f"start={con.start}")
+
+    # generational constraints; the engine default is newest=0, which
+    # signs as "newest<=0" (gencon_min == 0 prints <=max)
+    newest = [g for g in con.gens if g.field == "newest"]
+    oldest = [g for g in con.gens if g.field == "oldest"]
+    if not newest:
+        newest = [GenCon("newest", "=", 0)]
+    for g in newest:
+        _sep(parts, _gencon_sig(g))
+    for g in oldest:
+        _sep(parts, _gencon_sig(g))
+
+    for gc in con.guid:
+        _sep(parts, "guid" + _guidcon_sig(gc))
+    for gc in con.next:
+        _sep(parts, "next" + _guidcon_sig(gc))
+    for gc in con.prev:
+        _sep(parts, "previous" + _guidcon_sig(gc))
+    # linkage order: typeguid, right, left, scope (PDB_LINKAGE_*)
+    for lk in ("typeguid", "right", "left", "scope"):
+        for gc in con.links.get(lk, []):
+            _sep(parts, lk + _guidcon_sig(gc))
+
+    if con.timestamps:
+        has_lo = any(t.op in (">", ">=", "=", "~=") for t in con.timestamps)
+        has_hi = any(t.op in ("<", "<=", "=", "~=") for t in con.timestamps)
+        if has_lo and has_hi:
+            _sep(parts, "timestamp~=#..#" if not any(
+                t.op == "=" for t in con.timestamps
+            ) else "timestamp=#...")
+        elif has_lo:
+            _sep(parts, "timestamp>=#...")
+        elif has_hi:
+            _sep(parts, "timestamp<=#...")
+
+    # count: lo==1 with no hi is the default and doesn't sign;
+    # optional (lo==0) signs as the keyword
+    lo = con.count_eq if con.count_eq is not None else con.count_min
+    hi = con.count_eq if con.count_eq is not None else con.count_max
+    if lo is not None or hi is not None:
+        if not (hi is None and lo == 1):
+            if lo == 0 and hi is None:
+                _sep(parts, "optional")
+            else:
+                if lo is not None:
+                    _sep(parts, f"count>={lo}")
+                if hi is not None:
+                    # (sic) the reference prints count>= twice
+                    _sep(parts, f"count>={lo if lo is not None else 0}")
+
+    for var, pat in con.assignments:
+        _sep(parts, f"{var}={pattern_to_string(pat)}")
+
+    for sub in con.subs:
+        _signature(sub, parts)
+    for chain in con.or_chains:
+        for b in chain:
+            _signature(b, parts)
+
+    if con.parent is not None:
+        parts.append(")")
+
+
+def _gencon_sig(g: GenCon) -> str:
+    if g.op in ("=",):
+        if g.n == 0:
+            return f"{g.field}<=0"
+        return f"{g.field}={g.n}"
+    if g.op == "<=":
+        return f"{g.field}<={g.n}"
+    if g.op == ">=":
+        return f"{g.field}>={g.n}"
+    return f"{g.field}{g.op}{g.n}"
+
+
+def _guidcon_sig(gc) -> str:
+    op = gc.op
+    guids = gc.guids
+    if len(guids) == 0:
+        return f"{op}()"
+    if len(guids) == 1:
+        g = guids[0]
+        return f"{op}{g if g is not None else 'null'}"
+    return (
+        f"{op}("
+        + " ".join(g if g is not None else "null" for g in guids)
+        + ")"
+    )
+
+
+def signature_checksum(con: Constraint) -> int:
+    return checksum16(constraint_signature(con))
+
+
+# -- freeze / thaw ---------------------------------------------------------
+
+#: engine iterator prefixes we don't model; their cursors resume through
+#: the lenient position heuristics instead of erroring
+_KNOWN_PREFIXES = (
+    "and:", "or:", "vrange:", "gmap:", "hmap:", "isa:", "linksto:",
+    "prefix:", "bgmap:", "null:", "sort:", "position:", "all:",
+    "fixed:", "without:", "cursor:",
+)
+
+
+@dataclass
+class CursorState:
+    form: str  # 'all' | 'fixed' | 'without' | 'other'
+    offset: int = 0            # [o:] — elements already delivered
+    horizon: Optional[int] = None   # [n:] — id write horizon
+    pos: int = 0               # iterator position
+    low: int = 0
+    high: Optional[int] = None
+    fixed_ids: list[int] = field(default_factory=list)
+    tail: str = ""             # without-iterator internal state
+
+
+class BadCursor(Exception):
+    def __init__(self, message: str):
+        self.message = message
+        super().__init__(message)
+
+
+def _old_style(text: str) -> BadCursor:
+    shown = text if len(text) <= 1024 else text[:1024] + "..."
+    return BadCursor(f'cannot parse old-style cursor "{shown}"')
+
+
+def parse_cursor(text: str, con: Constraint) -> Optional[CursorState]:
+    """Parse + validate a cursor= value.
+
+    Returns a CursorState for the forms this engine freezes, None for
+    known-but-unmodeled engine forms (caller falls back to position
+    heuristics), and raises BadCursor for garbage or a checksum
+    mismatch (ref graphd_constraint_cursor_thaw).
+    """
+    body = text
+    signed: Optional[int] = None
+    m = re.match(r"(?i)^cursor:([0-9a-f]{1,4}):", text)
+    if m:
+        body = text[m.end():]
+        signed = int(m.group(1), 16)
+    elif not text.lower().startswith(_KNOWN_PREFIXES):
+        raise _old_style(text)
+    checksum_body = body  # checksum spans the [o:][n:] prefix too
+
+    def _validated(st: CursorState) -> CursorState:
+        if signed is not None:
+            expect = signature_checksum(con) ^ checksum16(checksum_body)
+            if signed != expect:
+                raise BadCursor(
+                    f'cursor "{text}" and checksum {expect:x} '
+                    "don't match"
+                )
+        return st
+
+    st = CursorState(form="other")
+    # leading [o:..][n:..] prefix blocks (scan_prefix)
+    while body.startswith("["):
+        close = body.find("]")
+        if close < 0:
+            break
+        mm = re.match(r"\[([onON]):(\d+)\]$", body[: close + 1])
+        if not mm:
+            break
+        if mm.group(1).lower() == "o":
+            st.offset = int(mm.group(2))
+        else:
+            st.horizon = int(mm.group(2))
+        body = body[close + 1:]
+
+    mm = re.match(r"^all:(\d+)-(\d+)/(\d+)/$", body)
+    if mm:
+        st.form = "all"
+        st.low, st.high, st.pos = (int(x) for x in mm.groups())
+        return _validated(st)
+    mm = re.match(r"^fixed:(\d+):([0-9,]*?)(?:/(\d+)/)?$", body)
+    if mm:
+        st.form = "fixed"
+        ids = [int(x) for x in mm.group(2).split(",") if x != ""]
+        if len(ids) != int(mm.group(1)):
+            raise _old_style(text)
+        st.fixed_ids = ids
+        st.pos = int(mm.group(3)) if mm.group(3) is not None else 0
+        return _validated(st)
+    mm = re.match(
+        r"^without:\(all:(\d+)-(\d+)\)#\(any-value\)/(\d+)/(.*)$", body
+    )
+    if mm:
+        st.form = "without"
+        st.low, st.high, st.pos = (
+            int(mm.group(1)), int(mm.group(2)), int(mm.group(3))
+        )
+        st.tail = mm.group(4)
+        return _validated(st)
+    if body.lower().startswith(_KNOWN_PREFIXES):
+        # recognized engine form we don't model: resume leniently,
+        # skipping checksum validation (we can't reproduce the exact
+        # frozen body the reference would have produced)
+        return None
+    raise _old_style(text)
+
+
+def freeze_cursor(
+    con: Constraint,
+    state: CursorState,
+    delivered: int,
+    horizon: int,
+) -> str:
+    """Emit the signed cursor string for the page just delivered.
+
+    ``state`` carries the (possibly thawed) iterator form with ``pos``
+    already advanced past the last returned element; ``delivered`` is
+    the number of elements this page handed out ([o:]); ``horizon`` is
+    the id write horizon ([n:], the store count unless the cursor being
+    resumed pinned an older one).
+    """
+    if state.form == "all":
+        body = f"all:{state.low}-{state.high}/{state.pos}/"
+    elif state.form == "fixed":
+        ids = ",".join(str(i) for i in state.fixed_ids)
+        body = f"fixed:{len(state.fixed_ids)}:{ids}/{state.pos}/"
+    elif state.form == "without":
+        body = (
+            f"without:(all:{state.low}-{state.high})#(any-value)"
+            f"/{state.pos}/{state.tail}"
+        )
+    else:
+        raise ValueError(f"cannot freeze form {state.form!r}")
+    body = f"[o:{delivered}][n:{horizon}]{body}"
+    check = signature_checksum(con) ^ checksum16(body)
+    return f"cursor:{check:04x}:{body}"

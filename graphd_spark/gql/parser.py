@@ -219,6 +219,11 @@ class Parser:
             v = getattr(item, f)
             if v is not None:
                 if getattr(con, f) is not None and f not in ("linkage",):
+                    if f == "cursor":
+                        # ref gdp-parse duplicate-cursor wording
+                        raise ParseError(
+                            "more than one cursor=...", "SEMANTICS"
+                        )
                     raise ParseError(
                         f"more than one value for {f.replace('_', '-')}",
                         "SEMANTICS",
@@ -754,7 +759,18 @@ def _make_handlers():
     def _con_cursor(self):
         self.next()
         self.expect(L.EQ, "'='")
-        self._item.cursor = self.expect(L.STR, "string").text
+        t = self.next()
+        if t.kind == L.ATOM and t.text.lower() == "null":
+            # cursor=null = no cursor (ref gdp-parse; test cursor2)
+            return
+        if t.kind != L.STR:
+            raise ParseError(
+                f"{self.at(t.pos)}: '{t.text}': expected 'null' or "
+                "a cursor value"
+            )
+        if self._item.cursor is not None:
+            raise ParseError("more than one cursor=...", "SEMANTICS")
+        self._item.cursor = t.text
 
     @handler("dateline")
     def _con_dateline(self):
@@ -963,13 +979,12 @@ def _assigned_below(con) -> set[str]:
     return out
 
 
-def _check_assignments_returned(con, inherited: frozenset = frozenset()
-                                ) -> None:
-    """Every assigned variable must be consumed by a result/sort
-    pattern (or another assignment) of this or a containing constraint
+def _assignments_not_returned(con, inherited: frozenset = frozenset()
+                              ) -> list[str]:
+    """Variables assigned but not consumed by a result/sort pattern
+    (or another assignment) of their own or a containing constraint
     (ref graphd-semantic.c; test/unit/varerrs.sh: `read ($foo=value)`
-    is a SYNTAX error).  Runs pre-order BEFORE alias substitution so
-    same-level chains still show their references."""
+    is a SYNTAX error)."""
     refs: set[str] = set(inherited)
     for _, pat in con.assignments:
         refs.update(_pattern_vars(pat))
@@ -978,18 +993,14 @@ def _check_assignments_returned(con, inherited: frozenset = frozenset()
     if con.sort:
         for sk in con.sort:
             refs.update(_pattern_vars(sk.pattern))
-    for v, _ in con.assignments:
-        if v not in refs:
-            raise ParseError(
-                f"variable {v} is assigned, but not returned in this "
-                "or any containing constraint"
-            )
+    out = [v for v, _ in con.assignments if v not in refs]
     frozen = frozenset(refs)
     for sub in con.subs:
-        _check_assignments_returned(sub, frozen)
+        out.extend(_assignments_not_returned(sub, frozen))
     for chain in con.or_chains:
         for b in chain:
-            _check_assignments_returned(b, frozen)
+            out.extend(_assignments_not_returned(b, frozen))
+    return out
 
 
 def analyze_variables(con) -> None:
@@ -1211,8 +1222,18 @@ def parse_request(line: str) -> Request:
             )
         if cmd == "read":
             _check_contents_usage(req.constraint)
-            _check_assignments_returned(req.constraint)
+            # collect assigned-but-never-returned violations BEFORE
+            # alias substitution erases same-level references, but
+            # report them only after analyze_variables had its chance
+            # to raise (the reference orders returned-but-not-set and
+            # assigned-twice first; test/unit/sort7.sh)
+            unreturned = _assignments_not_returned(req.constraint)
             analyze_variables(req.constraint)
+            if unreturned:
+                raise ParseError(
+                    f"variable {unreturned[0]} is assigned, but not "
+                    "returned in this or any containing constraint"
+                )
     else:
         # leave remaining tokens raw for the command dispatcher
         while p.peek().kind != L.END:

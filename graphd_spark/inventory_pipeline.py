@@ -670,6 +670,12 @@ def _plane_coeffs() -> list[list[float]]:
                       THEN 1::BIGINT << pl.p ELSE 0 END) AS BIGINT) AS bucket
       FROM embeddings e CROSS JOIN planes pl
       GROUP BY e.vec_id, e.embedding),
+    capped AS (
+      SELECT vec_id, embedding, bucket FROM (
+        SELECT b.*, row_number() OVER (PARTITION BY bucket
+                                       ORDER BY vec_id) AS __r
+        FROM buckets b) t
+      WHERE __r <= 64),
     sims AS (
       SELECT q.vec_id AS q_id, c.vec_id AS n_id,
              list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
@@ -677,7 +683,7 @@ def _plane_coeffs() -> list[list[float]]:
                                     q.embedding::DOUBLE[])) *
               sqrt(list_dot_product(c.embedding::DOUBLE[],
                                     c.embedding::DOUBLE[]))) AS sim
-      FROM buckets q JOIN buckets c
+      FROM buckets q JOIN capped c
         ON q.bucket = c.bucket AND q.vec_id < 10 AND c.vec_id <> q.vec_id)
     SELECT q_id, n_id, rank FROM (
       SELECT q_id, n_id,
@@ -715,13 +721,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: acc + v,
     ).cast("bigint")
     bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    # bucket cap: a degenerate bucket (e.g. a zero-vector cluster
+    # hashing identically) would otherwise pair quadratically — cap
+    # candidates per bucket like the dedup paths do; recall loss is
+    # bounded and deterministic (lowest vec_ids kept)
+    wcap = W.partitionBy("bucket").orderBy("vec_id")
+    capped = (
+        bucketed.withColumn("__r", F.row_number().over(wcap))
+        .filter(F.col("__r") <= 64)
+        .drop("__r")
+    )
     qv = bucketed.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
     )
     sims = (
-        bucketed.join(
+        capped.join(
             F.broadcast(qv), F.col("bucket") == F.col("q_bucket")
         )
         .filter(F.col("vec_id") != F.col("q_id"))

@@ -33,14 +33,21 @@ def extract_script(name: str) -> str | None:
         line = lines[i]
         if re.search(r"\brm -rf\b", line) and scripts:
             saw_rm_after_block = True
-        m = re.search(r"rungraphd [^\n<]*<<-?\s*'?EOF'?", line)
+        m = re.search(r"rungraphd [^\n<]*<<-?\s*('?)EOF'?", line)
         if m:
             if saw_rm_after_block:
                 return None
+            unquoted = m.group(1) == ""
             i += 1
             block = []
             while i < len(lines) and lines[i].strip() != "EOF":
-                block.append(lines[i].lstrip("\t "))
+                text = lines[i].lstrip("\t ")
+                if unquoted:
+                    # an unquoted heredoc undergoes shell expansion:
+                    # backslash is special before \ $ ` only
+                    # (substring.sh: "\\(" reaches graphd as "\(")
+                    text = re.sub(r"\\([\\$`])", r"\1", text)
+                block.append(text)
                 i += 1
             scripts.append("\n".join(block))
             i += 1
