@@ -52,6 +52,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "media_features",
     "text_quality_score",
+    "restore_bulk",
     # parsed graphd queries through the constraint-tree compiler
     "gql_linkage_semi",
     "gql_sort_topk",

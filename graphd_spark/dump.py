@@ -292,3 +292,184 @@ def do_restore(session, req):
     store.commit()
     session.types.__init__(store)  # re-read the type system
     return None
+
+
+# -- distributed bulk restore ---------------------------------------------
+
+
+#: tuple-line tokenizer: quoted string (with escapes) or bare atom —
+#: a fast regex specialization of the gql lexer for the flat dump
+#: tuple grammar (no nesting inside a tuple)
+_TUPLE_TOKEN = __import__("re").compile(
+    r'"((?:[^"\\]|\\.)*)"|([^\s()]+)'
+)
+_ESC = __import__("re").compile(r"\\(.)")
+_ESC_MAP = {"\\": "\\", '"': '"', "n": "\n"}
+
+
+def _unescape(s: str) -> str:
+    return _ESC.sub(lambda m: _ESC_MAP.get(m.group(1), m.group(1)), s)
+
+
+def parse_tuple_batch(lines, db_id: int):
+    """Parse version-6 dump tuple lines into primitive dicts (worker-
+    side; no store access).  Linkage canonicalization and version
+    chains are resolved afterwards with joins — see bulk_restore."""
+    from graphd_spark.comparators import (
+        decode_number,
+        fuzzy_key,
+        render_sci,
+        value_norm_key,
+    )
+
+    out = []
+    for line in lines:
+        line = line.strip()
+        if not line:
+            continue
+        toks = []  # (is_string, text)
+        for m in _TUPLE_TOKEN.finditer(line):
+            if m.group(1) is not None:
+                toks.append((True, _unescape(m.group(1))))
+            else:
+                toks.append((False, m.group(2)))
+        if len(toks) < 13:
+            raise ValueError(f"short tuple: {line[:80]}")
+        (guid, typeguid, name, datatype, value, scope, live,
+         archival, txstart, ts, left, right, prev) = toks[:13]
+        dt = 1
+        if not datatype[0] and datatype[1].lower() != "null":
+            dtt = datatype[1].lower()
+            dt = DATATYPE_CODES.get(dtt, int(dtt) if dtt.isdigit() else 1)
+        val = value[1] if value[0] else None
+        gtxt = guid[1].lower()
+        out.append(
+            dict(
+                id=guid_serial(gtxt),
+                guid=gtxt,
+                typeguid=_atom_guid(typeguid[1]),
+                left=_atom_guid(left[1]),
+                right=_atom_guid(right[1]),
+                scope=_atom_guid(scope[1]),
+                prev=_atom_guid(prev[1]),
+                name=name[1] if name[0] else None,
+                datatype=dt,
+                value=val,
+                value_norm=value_norm_key(val),
+                value_num=(
+                    None
+                    if val is None
+                    or (d := decode_number(val, scientific=True)) is None
+                    else render_sci(d)
+                ),
+                value_fkey=None if val is None else fuzzy_key(val),
+                live=live[1].lower() != "false",
+                archival=archival[1].lower() != "false",
+                txstart=txstart[1].lower() == "true",
+                timestamp=ts_from_string(ts[1]),
+            )
+        )
+    return out
+
+
+def bulk_restore(spark, lines_df, db_id: int):
+    """Distributed restore: parse dump tuples on executors, resolve
+    version chains with iterative joins, return the full primitives
+    DataFrame (PRIMITIVES_SCHEMA).
+
+    The driver-side ``do_restore`` replays tuples through the store
+    one at a time — right for protocol requests, hours for a
+    production-sized 121M-primitive dump (ref
+    doc/a-brief-tour-of-graphd.md:203).  Here each partition parses
+    its own lines (ids come from the guid serial, so no global
+    ordering pass), ``lineage``/``generation`` resolve by walking
+    prev-chains breadth-first with equi-joins (depth = max chain
+    length, short in practice), and the four linkage-canonical
+    columns come from one broadcast-or-shuffle join each against the
+    lineage map.  Input: a DataFrame with one version-6 tuple per
+    ``value`` row (the payload lines of ``restore ("6" lo hi ...)``).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from graphd_spark.api import _ship_package
+    from graphd_spark.model import PRIMITIVES_SCHEMA
+
+    _ship_package(spark)  # workers unpickle the tuple parser
+
+    parse_fields = [
+        f for f in PRIMITIVES_SCHEMA.fields
+        if not f.name.endswith("_lin")
+        and f.name not in ("lineage", "generation")
+    ]
+    from pyspark.sql.types import StructType
+
+    parsed_schema = StructType(parse_fields)
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = parse_tuple_batch(pdf["value"].tolist(), db_id)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in parse_fields]
+            )
+
+    # spread the Python parse across the cluster even when the input
+    # arrives in few partitions (e.g. downstream of a global window)
+    par = spark.sparkContext.defaultParallelism
+    if lines_df.rdd.getNumPartitions() < par:
+        lines_df = lines_df.repartition(par)
+    parsed = lines_df.mapInPandas(_parse, parsed_schema)
+    parsed = parsed.localCheckpoint()  # parse once; joins reuse
+
+    base = parsed.select("guid", "prev")
+    resolved = (
+        base.filter(F.col("prev").isNull())
+        .select(
+            F.col("guid").alias("m_guid"),
+            F.col("guid").alias("m_lineage"),
+            F.lit(0).alias("m_generation"),
+        )
+        .localCheckpoint()
+    )
+    frontier = resolved
+    acc = [resolved]
+    while True:
+        nxt = (
+            base.join(
+                frontier, base["prev"] == frontier["m_guid"]
+            )
+            .select(
+                F.col("guid").alias("m_guid"),
+                F.col("m_lineage"),
+                (F.col("m_generation") + 1).alias("m_generation"),
+            )
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        acc.append(nxt)
+        frontier = nxt
+    linmap = acc[0]
+    for part in acc[1:]:
+        linmap = linmap.union(part)
+    linmap = linmap.localCheckpoint()
+
+    df = parsed.join(
+        linmap, parsed["guid"] == linmap["m_guid"], "left"
+    ).select(
+        parsed["*"],
+        F.coalesce("m_lineage", "guid").alias("lineage"),
+        F.coalesce("m_generation", F.lit(0)).alias("generation"),
+    )
+    canon = linmap.select(
+        F.col("m_guid").alias("c_guid"),
+        F.col("m_lineage").alias("c_lin"),
+    )
+    for lk in ("typeguid", "left", "right", "scope"):
+        df = df.join(
+            canon, df[lk] == canon["c_guid"], "left"
+        ).select(
+            *[c for c in df.columns if c not in ("c_guid", "c_lin")],
+            F.coalesce("c_lin", lk).alias(f"{lk}_lin"),
+        )
+    return df.select(*[f.name for f in PRIMITIVES_SCHEMA.fields])

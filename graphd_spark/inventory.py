@@ -643,3 +643,62 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
+
+
+@q("restore_bulk")
+def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed dump restore (SURVEY §2.1 restore, bulk path).
+
+    Synthesizes a version-6 dump — two primitives per lineitem row,
+    >=1M tuples at sf0.1, GUIDs composed in SQL — and replays it through
+    :func:`graphd_spark.dump.bulk_restore`: executors parse the tuple
+    text, version chains resolve with joins, and the result is the
+    full primitives DataFrame.  The driver-side protocol ``restore``
+    replays one tuple at a time; this is the path a 121M-primitive
+    production dump takes (ref doc/a-brief-tour-of-graphd.md:203,
+    graphd/graphd-restore.c).  No SQL oracle: restore is an engine
+    operation, checked by the byte-exact round-trip tests in
+    tests/test_bulk_restore.py.
+
+    Scale note: the row_number here only mints test GUIDs for the
+    synthetic dump (a real dump already carries them); at cluster
+    scale you'd derive serials from zipWithIndex or ship real dumps.
+    """
+    from graphd_spark.dump import bulk_restore
+    from graphd_spark.model import PREDICTABLE_DB_ID, guid_compose
+
+    (li,) = _t(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.format_string(
+            "%s %s %s %s",
+            "l_returnflag", "l_quantity", "l_shipdate", "l_linestatus",
+        ).alias("text"),
+        "l_orderkey",
+        "l_linenumber",
+    ).crossJoin(spark.range(2).select(F.col("id").alias("copy")))
+    prefix = guid_compose(PREDICTABLE_DB_ID, 0)[:16]
+    serial = (
+        F.row_number().over(
+            W.orderBy("l_orderkey", "l_linenumber", "copy")
+        ) - 1
+    ).cast("long")
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col("text"), r"\\", r"\\\\"), '"', r'\\"'
+    )
+    # guid low half = 0x8000... | serial (the graph-guid layout);
+    # bitwiseOR, not addition — ANSI mode rejects the overflow trick
+    guid = F.concat(
+        F.lit(prefix),
+        F.lower(
+            F.lpad(F.hex(F.lit(-(2 ** 63)).bitwiseOR(serial)), 16, "0")
+        ),
+    )
+    line = F.format_string(
+        '(%s null null string "%s" 0 true true false '
+        "1970-01-01T00:00:00.0000Z 0 0 0)",
+        guid,
+        esc,
+    )
+    return bulk_restore(
+        spark, src.select(line.alias("value")), PREDICTABLE_DB_ID
+    )
