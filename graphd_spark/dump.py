@@ -170,7 +170,9 @@ def do_restore(session, req):
         store.guid_for_id = _alt_guid_for_id
         store.ts_for_id = _alt_ts_for_id
         session.types.__init__(store)
-        session.types.ensure_bootstrap()
+        # bootstrap lazily at the first tuple: restoring an EMPTY v1
+        # dump leaves the store truly empty, so the next write starts
+        # at id 0 (ref test/unit/group.sh `restore ("1" 0 0)`)
     try:
         while True:
             t = next_tok()
@@ -202,6 +204,8 @@ def do_restore(session, req):
                     dtt, int(dtt) if dtt.isdigit() else 1
                 )
             if version == "1":
+                if start == 0:
+                    session.types.ensure_bootstrap()
                 # v1 tuples carry a *string* type where later versions
                 # have the typeguid, and their guids recompress into
                 # the local database space, serial preserved (ref

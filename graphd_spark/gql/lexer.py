@@ -24,10 +24,10 @@ class LexError(Exception):
 # token kinds
 OPAR, CPAR, OBRC, CBRC = "(", ")", "{", "}"
 EQ, NE, FE, LT, LE, GT, GE = "=", "!=", "~=", "<", "<=", ">", ">="
-RARR, LARR = "->", "<-"
+RARR, LARR, BIARR = "->", "<-", "<->"
 BOR, LOR = "|", "||"
 MINUS, PLUS = "-", "+"
-ATOM, STR, VAR, END = "atom", "str", "var", "end"
+ATOM, STR, VAR, END, ERRTOK = "atom", "str", "var", "end", "errtok"
 
 _OP_KINDS = {EQ, NE, FE, LT, LE, GT, GE}
 
@@ -134,6 +134,12 @@ def tokenize(s: str) -> list[Token]:
             if end < 0:
                 raise LexError(f"unterminated comment at {start}")
             i = end + 2
+        elif s[i:i + 3] == "<->":
+            # engine extension: bidirectional linkage arrow (the
+            # reference documents the syntax in doc/gr-model.txt:176-181
+            # but never implemented it)
+            toks.append(Token(BIARR, "<->", start))
+            i += 3
         elif two in ("->", "<-", "<=", ">=", "!=", "~=", "||"):
             toks.append(Token(two, two, start))
             i += 2
@@ -141,6 +147,24 @@ def tokenize(s: str) -> list[Token]:
             toks.append(Token(c, c, start))
             i += 1
         else:
-            raise LexError(f"unexpected character {c!r} at {start}")
+            # ref gdp-lexer: unknown symbols are LEXICAL errors with
+            # source position (test/unit/link1.sh '~>') — but the
+            # reference lexes lazily, so errors BEFORE the bad char
+            # win (test/unit/duck.sh 'quack, dammit': the unknown-
+            # constraint error outranks the ','). Emit an error token
+            # the parser trips over only when it gets there.
+            toks.append(Token(ERRTOK, c, start))
+            break
     toks.append(Token(END, "", n))
     return toks
+
+
+def errtok_error(text: str, t: Token) -> LexError:
+    """The LEXICAL error an ERRTOK stands for."""
+    line = text[:t.pos].count("\n") + 1
+    col = t.pos - (text.rfind("\n", 0, t.pos) + 1) + 1
+    e = LexError(
+        f"on line {line}, column {col}: '{t.text}': invalid token"
+    )
+    e.code = "LEXICAL"
+    return e

@@ -113,6 +113,8 @@ class Parser:
 
     def next(self) -> L.Token:
         t = self.toks[self.i]
+        if t.kind == L.ERRTOK:
+            raise L.errtok_error(self.text, t)
         if t.kind != L.END:
             self.i += 1
         return t
@@ -136,11 +138,35 @@ class Parser:
     def parse_constraints(self) -> Constraint:
         """Parse constraint items until ')' / '}' / end into one node."""
         con = Constraint()
-        while True:
-            t = self.peek()
-            if t.kind in (L.CPAR, L.CBRC, L.END):
-                return con
-            self.parse_con(con)
+        # write requests allow each linkage keyword once per constraint
+        # (ref gdp-parse.c ctx_linkmap; test/unit/random4.sh)
+        if not hasattr(self, "_linkmaps"):
+            self._linkmaps = []
+        self._linkmaps.append({})
+        try:
+            while True:
+                t = self.peek()
+                if t.kind in (L.CPAR, L.CBRC, L.END):
+                    return con
+                self.parse_con(con)
+        finally:
+            self._linkmaps.pop()
+
+    def _note_linkage_kw(self, t: "L.Token") -> None:
+        """Record a left/right/scope/typeguid keyword use; duplicate
+        use within one write constraint is a SEMANTICS error at the
+        second keyword (ref gdp-parse.c:1427-1430 linkmap_test)."""
+        if self.command != "write" or not getattr(self, "_linkmaps", None):
+            return
+        lm = self._linkmaps[-1]
+        lk = t.text.lower()
+        if lk in lm:
+            raise ParseError(
+                f"{self.at(t.pos)}: '{t.text}': duplicate linkage "
+                "declaration",
+                "SEMANTICS",
+            )
+        lm[lk] = t.pos
 
     def parse_con(self, con: Constraint) -> None:
         """One Constraint production: OrConstraint ('|' Constraint)?
@@ -224,6 +250,11 @@ class Parser:
                         raise ParseError(
                             "more than one cursor=...", "SEMANTICS"
                         )
+                    if f == "valuetype":
+                        # ref gdp-parse wording (test/unit/yesno.sh)
+                        raise ParseError(
+                            "more than one valuetype", "SEMANTICS"
+                        )
                     raise ParseError(
                         f"more than one value for {f.replace('_', '-')}",
                         "SEMANTICS",
@@ -232,10 +263,29 @@ class Parser:
         if item.start:
             con.start = item.start
         if item.live != UNSPECIFIED:
+            if con.live != UNSPECIFIED:
+                raise ParseError(
+                    'duplicate assignment to "live" flag', "SEMANTICS"
+                )
             con.live = item.live
         if item.archival != UNSPECIFIED:
+            if con.archival != UNSPECIFIED:
+                raise ParseError(
+                    'duplicate assignment to "archival" flag',
+                    "SEMANTICS",
+                )
             con.archival = item.archival
         if item.meta != UNSPECIFIED:
+            if con.meta != UNSPECIFIED:
+                tok = getattr(item, "_meta_tok", None)
+                where = (
+                    f"{self.at(tok[1])}: '{tok[0]}': " if tok else ""
+                )
+                raise ParseError(
+                    f"{where}a meta constraint has already been "
+                    "defined",
+                    "SEMANTICS",
+                )
             con.meta = item.meta
         if item.sort_comparators:
             # ref graphd-ast.c:495-510: one clause per constraint
@@ -261,6 +311,13 @@ class Parser:
         if t.kind in (L.LARR, L.RARR):
             self.parse_arrow(con)
             return
+        if t.kind == L.BIARR:
+            # '<->': the link touches its parent from either side
+            # (engine extension, doc/gr-model.txt:176-181)
+            self.next()
+            con.meta = "both"
+            con._meta_tok = (t.text, t.pos)
+            return
         if t.kind == L.VAR:
             self.parse_variable_assignment(con)
             return
@@ -284,11 +341,14 @@ class Parser:
                 self.parse_con(con)
             self.next()
             return
+        if t.kind == L.ERRTOK:
+            raise L.errtok_error(self.text, t)
         if t.kind != L.ATOM:
             raise ParseError(f"unexpected token {t.text!r}")
         word = t.text.lower()
         # linkage->( ... ) subconstraint form
         if word in LINKAGES and self.peek(1).kind == L.RARR:
+            self._note_linkage_kw(t)
             self.next()
             self.next()
             if self.peek().kind == L.OPAR:
@@ -315,16 +375,19 @@ class Parser:
         t = self.next()
         if t.kind == L.RARR:
             con.meta = "from"
+            con._meta_tok = (t.text, t.pos)
             return
         # '<-' [linkage], unless 'linkage OP ...' follows
         nxt = self.peek()
         if nxt.kind == L.ATOM and nxt.text.lower() in LINKAGES:
             after = self.peek(1)
             if after.kind not in _STR_OPS and after.kind != L.RARR:
+                self._note_linkage_kw(nxt)
                 self.next()
                 con.linkage = ("my", nxt.text.lower())  # my L == parent.guid
                 return
         con.meta = "to"
+        con._meta_tok = (t.text, t.pos)
 
     def parse_variable_assignment(self, con: Constraint) -> None:
         var = self.next().text
@@ -339,27 +402,42 @@ class Parser:
         if op_tok.kind not in _STR_OPS:
             raise ParseError(f"expected operator, got {op_tok.text!r}")
         values = self.parse_stringset()
-        return StrCon(op_tok.kind, values)
+        sc = StrCon(op_tok.kind, values)
+        sc._val_toks = self._last_strset_toks
+        return sc
 
     def parse_stringset(self) -> list[str | None]:
         t = self.next()
         if t.kind == L.STR:
+            self._last_strset_toks = [t]
             return [t.text]
         if t.kind == L.ATOM and t.text.lower() == "null":
+            self._last_strset_toks = [t]
             return [None]
         if t.kind == L.OPAR:
             out: list[str | None] = []
+            toks: list[L.Token] = []
             while True:
                 t = self.next()
                 if t.kind == L.CPAR:
+                    self._last_strset_toks = toks
+                    if not out:
+                        # an empty string set means null (ref
+                        # test/unit/group.sh: name=() matches the
+                        # unnamed primitive, like name=null)
+                        return [None]
                     return out
                 if t.kind == L.STR:
                     out.append(t.text)
+                    toks.append(t)
                 elif t.kind == L.ATOM and t.text.lower() == "null":
                     out.append(None)
+                    toks.append(t)
                 else:
                     raise ParseError(f"expected string, got {t.text!r}")
-        raise ParseError(f"expected string, got {t.text!r}")
+        raise ParseError(
+            f"{self.at(t.pos)}: '{t.text}': expected a string or '('"
+        )
 
     def _guid_lit(self, t: L.Token) -> str | None:
         try:
@@ -502,8 +580,8 @@ def _make_handlers():
     def _con_prev(self):
         self.next()
         op = self.next()
-        if op.kind not in (L.EQ, L.NE):
-            raise ParseError("prev accepts = and != only")
+        if op.kind not in (L.EQ, L.NE, L.FE):
+            raise ParseError("prev accepts =, != and ~= only")
         self._item.prev.append(GuidCon(op.kind, self._guidset()))
 
     setattr(P, "_con_previous", P._con_prev)
@@ -512,12 +590,13 @@ def _make_handlers():
     def _con_next(self):
         self.next()
         op = self.next()
-        if op.kind not in (L.EQ, L.NE):
-            raise ParseError("next accepts = and != only")
+        if op.kind not in (L.EQ, L.NE, L.FE):
+            raise ParseError("next accepts =, != and ~= only")
         self._item.next.append(GuidCon(op.kind, self._guidset()))
 
     def _linkage_con(self, which):
-        self.next()
+        kw = self.next()
+        self._note_linkage_kw(kw)
         op = self.next()
         if op.kind not in (L.EQ, L.NE, L.FE):
             raise ParseError(f"{which} accepts =, != and ~= only")
@@ -549,6 +628,14 @@ def _make_handlers():
                 "SEMANTICS",
             )
         if self.command == "write" and len(sc.values) > 1:
+            t2 = getattr(sc, "_val_toks", [None, None])[1]
+            if t2 is not None:
+                # ref gdp-parse parse_stringset allow_multi (group.sh)
+                raise ParseError(
+                    f'{self.at(t2.pos)}: "{t2.text}": multiple values '
+                    "are only allowed in read requests",
+                    "SEMANTICS",
+                )
             raise ParseError(f'more than one value for "{which}"')
         getattr(self._item, f"{which}_strcons").append(sc)
 
@@ -648,13 +735,15 @@ def _make_handlers():
 
     @handler("node")
     def _con_node(self):
-        self.next()
+        t = self.next()
         self._item.meta = "node"
+        self._item._meta_tok = (t.text, t.pos)
 
     @handler("any")
     def _con_any(self):
-        self.next()
+        t = self.next()
         self._item.meta = "any"
+        self._item._meta_tok = (t.text, t.pos)
 
     @handler("optional")
     def _con_optional(self):
@@ -857,6 +946,11 @@ def apply_semantics(con: Constraint, command: str = "read",
             apply_semantics(branch, command, text)
     if con.meta == "from":
         # "->": parent is my left; first free child is my right
+        if (con.linkage is None and con.parent is not None
+                and "left" in con.links):
+            raise ParseError(
+                "cannot mix <-left and left=...", "SEMANTICS"
+            )
         if con.linkage is None and con.parent is not None and "left" not in con.links:
             con.linkage = ("my", "left")
         if "right" not in con.links:
@@ -866,6 +960,11 @@ def apply_semantics(con: Constraint, command: str = "read",
                     break
     elif con.meta == "to":
         # "<-": parent is my right; first free child is my left
+        if (con.linkage is None and con.parent is not None
+                and "right" in con.links):
+            raise ParseError(
+                "cannot mix <-right and right=...", "SEMANTICS"
+            )
         if con.linkage is None and con.parent is not None and "right" not in con.links:
             con.linkage = ("my", "right")
         if "left" not in con.links:
@@ -873,6 +972,17 @@ def apply_semantics(con: Constraint, command: str = "read",
                 if sub.linkage is None:
                     sub.linkage = ("iam", "left")
                     break
+    elif con.meta == "both":
+        # "<->": parent is my left OR my right (undirected traversal;
+        # compiles to an exploded two-key join, see compiler)
+        if command == "write":
+            raise ParseError(
+                "'<->' cannot be used in write requests - a written "
+                "link must pick a direction",
+                "SEMANTICS",
+            )
+        if con.linkage is None and con.parent is not None:
+            con.linkage = ("my", "bi")
     if con.archival == UNSPECIFIED:
         con.archival = DONTCARE
     if con.live == UNSPECIFIED:

@@ -280,7 +280,18 @@ class Assembler:
                 except (KeyError, ValueError):
                     return Null
                 if sub_rows is None:
-                    return Null
+                    if vpat.kind == "count":
+                        # an optional sub with no matches still counts
+                        # as 0, not null (ref test/unit/sort17.sh)
+                        return Num(0)
+                    if not getattr(sub_plan.con, "is_optional", False):
+                        # var bound in an or-branch (or non-optional
+                        # sub) that didn't match: unbound -> null
+                        # (test or4)
+                        return Null
+                    # set-shaped vars over an unmatched OPTIONAL sub
+                    # evaluate over zero rows -> () (test nullcontent)
+                    sub_rows, sub_total = [], 0
                 return self._eval_set(
                     vpat, sub_plan, sub_rows, sub_total or 0
                 )

@@ -55,6 +55,8 @@ class WriteNode:
 
     guid: str
     children: list["WriteNode"] = field(default_factory=list)
+    #: the template node this reply answers (write result= shaping)
+    con: object = None
 
 
 @dataclass
@@ -84,6 +86,7 @@ class WriteExecutor:
         """Staged pipeline per graphd-write.c:596-782: validate ->
         version targets -> anchors -> keys -> pointed reuse -> unique
         checks -> allocation."""
+        self._normalize_prev_next(con)
         self._validate(con)
         self._check_versioning(con)
         self._annotate_anchors(con)
@@ -91,6 +94,29 @@ class WriteExecutor:
         self._annotate_pointed(con)
         self._check_unique(con)
         return self._write_node(con, parent_guid=None)
+
+    def _normalize_prev_next(self, con: Constraint) -> None:
+        """previous=/~= in a write versions its target exactly like
+        guid=/~= (null/empty forms are no-ops); next= can never be
+        written — the successor doesn't exist yet (ref
+        test/unit/guid2.sh)."""
+        from graphd_spark.gql.ir import GuidCon
+
+        for gc in con.next:
+            for g in gc.guids:
+                if g is not None:
+                    raise WriteError(
+                        "SEMANTICS",
+                        f"can't use NEXT{gc.op}{g} in a write request!",
+                    )
+        con.next = []
+        for gc in con.prev:
+            nonnull = [g for g in gc.guids if g is not None]
+            if nonnull:
+                con.guid.append(GuidCon(gc.op, nonnull))
+        con.prev = []
+        for sub in con.subs:
+            self._normalize_prev_next(sub)
 
     def _check_versioning(self, con: Constraint) -> None:
         """guid=/guid~= targets must exist (and be newest for '=')
@@ -129,6 +155,18 @@ class WriteExecutor:
                 raise WriteError(
                     "SYNTAX", "write templates only accept \"=\" literals"
                 )
+        # explicit linkage GUIDs must resolve (ref graphd-write.c via
+        # pdb linkage checks; test/unit/link2.sh: dangling left= fails
+        # before any id is burned)
+        for lk in LINKAGES:
+            for gc in con.links.get(lk, ()):
+                if gc.op != "=":
+                    continue
+                for g in gc.guids:
+                    if g is not None and self.store.get(g) is None:
+                        raise WriteError(
+                            "SEMANTICS", f"{lk}={g}: not found"
+                        )
         for sub in con.subs:
             if sub.linkage is None:
                 raise WriteError(
@@ -541,7 +579,7 @@ class WriteExecutor:
     def _write_node(self, con: Constraint, parent_guid: str | None
                     ) -> WriteNode:
         if id(con) in self.resolved:
-            out = WriteNode(guid=self.resolved[id(con)])
+            out = WriteNode(guid=self.resolved[id(con)], con=con)
             for sub in con.subs:
                 out.children.append(
                     self._write_node(sub, parent_guid=out.guid)
@@ -652,7 +690,7 @@ class WriteExecutor:
         )
 
         # 6. dependents after: subs pointing at this primitive
-        out = WriteNode(guid=p.guid)
+        out = WriteNode(guid=p.guid, con=con)
         for i, sub in enumerate(con.subs):
             if sub.linkage and sub.linkage[0] == "iam":
                 out.children.append(iam_results[i])

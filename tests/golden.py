@@ -24,7 +24,7 @@ def extract_script(name: str) -> str | None:
     model (state reset mid-test).
     """
     path = os.path.join(GOLDEN_DIR, f"{name}.sh")
-    with open(path) as f:
+    with open(path, errors="surrogateescape") as f:
         lines = f.read().splitlines()
     scripts: list[str] = []
     i = 0
@@ -59,7 +59,7 @@ def extract_script(name: str) -> str | None:
             fname = os.path.join(GOLDEN_DIR, m.group(1))
             if not os.path.exists(fname):
                 return None
-            with open(fname) as f:
+            with open(fname, errors="surrogateescape") as f:
                 scripts.append(f.read())
             i += 1
             continue
@@ -71,7 +71,7 @@ def extract_script(name: str) -> str | None:
 
 def expected_output(name: str) -> list[str]:
     path = os.path.join(GOLDEN_DIR, f"{name}.out.exp")
-    with open(path) as f:
+    with open(path, errors="surrogateescape") as f:
         return [ln.rstrip("\n") for ln in f.read().splitlines()]
 
 
@@ -134,6 +134,24 @@ def split_requests(text: str) -> list[str]:
     return reqs
 
 
+#: protocol request keywords — inline splitting only breaks where a
+#: new request starts (test/unit/random1.sh: `read loglevel=(x) (...)`
+#: is ONE request despite the early balanced parens)
+_REQ_KEYWORDS = (
+    "read", "write", "dump", "restore", "set", "status", "sync",
+    "iterate", "verify", "replica", "smash", "crash",
+)
+
+
+def _starts_request(text: str) -> bool:
+    head = text.lstrip().lower()
+    return any(
+        head == k or head.startswith(k + " ") or head.startswith(k + "(")
+        or head.startswith(k + "\t")
+        for k in _REQ_KEYWORDS
+    )
+
+
 def _split_inline(req: str) -> list[str]:
     out = []
     depth = 0
@@ -174,7 +192,11 @@ def _split_inline(req: str) -> list[str]:
             seen_paren = True
         elif ch == ")":
             depth -= 1
-            if depth == 0 and seen_paren:
+            if (
+                depth == 0
+                and seen_paren
+                and _starts_request(req[i + 1:])
+            ):
                 out.append(req[start : i + 1].strip())
                 start = i + 1
                 seen_paren = False
