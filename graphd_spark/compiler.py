@@ -276,7 +276,15 @@ class Compiler:
             vcomp = resolve_comparator(
                 con.value_comparator or con.comparator
             )
-            if vcomp == "default":
+            if con.type_strcons or con.links or con.name_strcons or (
+                con.guid
+            ):
+                # another indexed constraint produces the candidates
+                # (gmap/hmap), so the range is just a check and rows
+                # surface in id order (test/unit/david_6.sh:
+                # value>"lark" type="foobar")
+                pass
+            elif vcomp == "default":
                 # unsorted range reads surface in the reference's
                 # value-bin scan order — STRING_BINS bin index, ids
                 # within a bin (ref comparator_default_range_bins,
@@ -1396,16 +1404,13 @@ class Compiler:
         if sc.op == "=":
             parts = []
             if is_value and "" in nonnull:
-                # empty-string values are stored null with a string
-                # datatype (test/unit/nullvalue.sh); value="" finds them
+                # value="" also finds string-datatype primitives whose
+                # value is stored null (test/unit/nullvalue.sh); the
+                # literal keeps matching stored empty/whitespace values
+                # through the regular comparator path (david_6.sh)
                 parts.append(
                     col.isNull() & (F.col("datatype") == 2)
                 )
-                keep = [i for i, v in enumerate(nonnull) if v != ""]
-                eq_lits = [eq_lits[i] for i in keep]
-                if is_value and comp == "default":
-                    norm_lits = [norm_lits[i] for i in keep]
-                nonnull = [nonnull[i] for i in keep]
             if nonnull and is_value and comp == "default":
                 p = None
                 for k, n in zip(eq_lits, norm_lits):

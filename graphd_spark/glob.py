@@ -78,15 +78,42 @@ def compile_glob(pattern: str, case_sensitive: bool = False):
             j = i
             while j < n and pattern[j].isspace():
                 j += 1
-            parts.append(f"[{_BREAK}]+")
+            # lazy: don't swallow a sign that belongs to a following
+            # number fragment ("foo +0" must capture "+0", not "0")
+            parts.append(f"[{_BREAK}]+?")
             tok = "space"
             i = j
-        elif c.isdigit():
+        elif (
+            c == "."
+            and i + 1 < n
+            and pattern[i + 1].isdigit()
+        ) or (
+            c in "+-"
+            and i + 1 < n
+            and (
+                pattern[i + 1].isdigit()
+                or (
+                    pattern[i + 1] == "."
+                    and i + 2 < n
+                    and pattern[i + 2].isdigit()
+                )
+            )
+            and (
+                i == 0
+                or pattern[i - 1].isspace()
+                or (
+                    not pattern[i - 1].isalnum()
+                    and pattern[i - 1] not in "+-"
+                )
+            )
+        ) or c.isdigit():
             # unescaped number: match any number run, compare
             # numerically post-hoc
             from graphd_spark.comparators import decode_number, render_sci
 
             j = i
+            if pattern[j] in "+-":
+                j += 1
             while j < n and (
                 pattern[j].isdigit()
                 or (
@@ -94,20 +121,24 @@ def compile_glob(pattern: str, case_sensitive: bool = False):
                     and j + 1 < n
                     and pattern[j + 1].isdigit()
                 )
+                or (
+                    pattern[j] == "."
+                    and j == i
+                )
             ):
                 j += 1
             frag = pattern[i:j]
             dec = decode_number(frag)
             if dec is not None:
-                numbers.append(render_sci(dec))
+                numbers.append(frag)
                 # candidate number runs segment like word_fragment_next:
                 # a dotted number binds only when not part of a longer
                 # dotted chain ("0.1.0" fragments as 0 / 1 / 0 — the
                 # IP-address rule; test compare1)
                 parts.append(
-                    r"((?<!\.)[0-9]+\.[0-9]+(?!\.[0-9])"
+                    r"([+-]?(?:(?<!\.)[0-9]+\.[0-9]+(?!\.[0-9])"
                     r"|(?<![0-9])\.[0-9]+(?!\.[0-9])"
-                    r"|[0-9]+)"
+                    r"|[0-9]+))"
                 )
             else:
                 parts.append(re.escape(frag))
@@ -157,18 +188,61 @@ def glob_match(pattern: str, value: str | None,
     rx, numbers = compiled
     if not numbers:
         return rx.search(value) is not None
-    from graphd_spark.comparators import decode_number, render_sci
-
     for m in rx.finditer(value):
         ok = True
         for want, got in zip(numbers, m.groups()):
-            dec = decode_number(got) if got is not None else None
-            if dec is None or render_sci(dec) != want:
+            if got is None or not _number_frag_match(want, got):
                 ok = False
                 break
         if ok:
             return True
     return False
+
+
+def _number_frag_match(pat: str, got: str) -> bool:
+    """Pattern-number vs text-number (ref number_match,
+    graphd-comparator-default.c:185-320): the pattern compares
+    literally — first against the text as written, then against its
+    string-normalized form — with pattern leading zeros discarded, an
+    explicit '+' requiring a non-negative text, and a trailing
+    '.0...' matching end-of-text when the text has no decimal point.
+    '+0', '-0' and '.0' are numerically equal but do NOT ~=-match
+    each other (test/unit/value.sh id="m")."""
+    from graphd_spark.comparators import word_number_normalize
+
+    if _number_lit_match(pat, got):
+        return True
+    norm = word_number_normalize(got)
+    return norm != got and _number_lit_match(pat, norm)
+
+
+def _number_lit_match(pat: str, s: str) -> bool:
+    i = j = 0
+    if pat[:1] == "+":
+        if s[:1] == "-":
+            return False
+        i = 1
+        if s[:1] == "+":
+            j = 1
+    # discard leading zeros in the pattern ("01" matches "1")
+    while len(pat) - i >= 2 and pat[i] == "0" and pat[i + 1].isdigit():
+        i += 1
+    while i < len(pat):
+        if j >= len(s):
+            # decimal point followed by only zeros matches the end of
+            # a text that never had a point
+            if (
+                pat[i] == "."
+                and all(c == "0" for c in pat[i + 1:])
+                and "." not in s
+            ):
+                return True
+            return False
+        if pat[i] != s[j]:
+            return False
+        i += 1
+        j += 1
+    return j >= len(s)
 
 
 def literal_prefix(pattern: str) -> str | None:
