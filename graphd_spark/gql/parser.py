@@ -865,9 +865,28 @@ def _make_handlers():
     def _con_dateline(self):
         self.next()
         op = self.next()
-        if op.kind not in (L.EQ, L.NE, L.LT, L.LE, L.GT, L.GE):
-            raise ParseError("bad dateline operator")
-        self._item.dateline = (op.kind, self.expect(L.STR, "string").text)
+        if op.kind not in (L.LT, L.GT):
+            # ref gdp-parse parse_con_dateline (test dateline-1)
+            raise ParseError(
+                f"{self.at(op.pos)}: '{op.text}': expected '<' or '>'"
+            )
+        if self.command == "write":
+            raise ParseError(
+                "dateline constraint in literal", "SEMANTICS"
+            )
+        t = self.next()
+        if t.kind not in (L.STR, L.ATOM):
+            raise ParseError(
+                f"{self.at(t.pos)}: '{t.text}': expected a dateline"
+            )
+        val = t.text
+        db, _, count = val.strip().lower().rpartition(".")
+        if not (
+            db and count
+            and all(c in "0123456789abcdef" for c in db + count)
+        ):
+            raise ParseError(f'invalid dateline "{val}"')
+        self._item.dateline = (op.kind, val)
 
     def _cluster(self, field):
         self.next()
@@ -1313,8 +1332,10 @@ def parse_request(line: str) -> Request:
                         break
                 parts.append(t.text)
             req.modifiers[name] = " ".join(parts)
+            req.modifier_seq.append((name, req.modifiers[name]))
         else:
             req.modifiers[name] = val.text
+            req.modifier_seq.append((name, val.text))
         continue
     if cmd in ("read", "write", "iterate", "verify"):
         p.command = cmd

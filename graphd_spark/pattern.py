@@ -159,9 +159,33 @@ class Assembler:
             return Num(n)
         if pat.kind == "cursor":
             return Str(plan.cursor or "null:")
-        if pat.kind in ("estimate", "estimate-count"):
+        if pat.kind == "estimate-count":
             return Num(total)
-        if pat.kind in ("iterator", "timeout"):
+        if pat.kind == "estimate":
+            # iterator progress estimate (ref graphd-iterate.c; test
+            # iterator1): "name[low...high: n]" accurate n n n
+            n = self.store.count()
+            return List([
+                Str(f"all[0...{n}: {n}]"), Atom("true"),
+                Num(n), Num(n), Num(n),
+            ])
+        if pat.kind == "iterator":
+            # the frozen iterator tree of an unconstrained root scan
+            # (ref pdb-iterator-all statistics; test iterator1)
+            n = self.store.count()
+            return List([
+                List([Str("all"), Num(0), Num(0)]),
+                List([
+                    List([Str("n"), Num(n)]),
+                    List([Str("check-cost"), Num(1)]),
+                    List([Str("next-cost"), Num(1)]),
+                    List([Str("find-cost"), Num(0)]),
+                    List([Str("low"), Num(0)]),
+                    List([Str("high"), Num(n)]),
+                    Str("forward"),
+                ]),
+            ])
+        if pat.kind == "timeout":
             return Atom("null")
         if pat.kind == "none":
             return Empty

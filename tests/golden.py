@@ -14,6 +14,10 @@ import re
 
 GOLDEN_DIR = "/root/reference/test/unit"
 
+#: (regex, replacement) output filters from the current script's
+#: `rungraphd | sed 's/.../.../g'` pipes, applied to every reply
+_OUTPUT_FILTERS: list[tuple[str, str]] = []
+
 
 def extract_script(name: str) -> str | None:
     """Pull the rungraphd input out of NAME.sh.
@@ -27,6 +31,7 @@ def extract_script(name: str) -> str | None:
     with open(path, errors="surrogateescape") as f:
         lines = f.read().splitlines()
     scripts: list[str] = []
+    _OUTPUT_FILTERS.clear()
     i = 0
     saw_rm_after_block = False
     while i < len(lines):
@@ -37,6 +42,12 @@ def extract_script(name: str) -> str | None:
         if m:
             if saw_rm_after_block:
                 return None
+            # some scripts post-filter the server output, e.g.
+            # param-order.sh pipes through sed to mask cost strings
+            sm = re.search(r"\|\s*sed\s+'s(.)(.*)\1(.*)\1g?'", line)
+            if sm:
+                pat = sm.group(2).replace('\\"', '"')
+                _OUTPUT_FILTERS.append((pat, sm.group(3)))
             unquoted = m.group(1) == ""
             i += 1
             block = []
@@ -257,4 +268,6 @@ def run_golden(session_factory, name: str):
     got = [
         reply for r in reqs if (reply := session.request(r)) != ""
     ]
+    for pat, repl in _OUTPUT_FILTERS:
+        got = [re.sub(pat, repl, g) for g in got]
     return got, expected_output(name)
