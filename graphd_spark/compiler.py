@@ -182,7 +182,7 @@ class Compiler:
             from graphd_spark.cursor import BadCursor, parse_cursor
 
             try:
-                cstate = parse_cursor(cur, con)
+                cstate = parse_cursor(cur, con, self.types.resolve)
             except BadCursor as e:
                 raise GraphdError("BADCURSOR", e.message)
         if cstate is not None:
@@ -199,6 +199,19 @@ class Compiler:
             elif cstate.form == "fixed":
                 allowed = cstate.fixed_ids[cstate.pos:]
                 df = df.filter(F.col("id").isin(allowed))
+            elif cstate.form == "gmap":
+                # resume past the first `pos` elements of the linkage
+                # index (index order == id order; ref
+                # pdb-iterator-gmap.c it_gmap_offset)
+                if cstate.high is not None:
+                    df = df.filter(F.col("id") < cstate.high)
+                if cstate.pos:
+                    b = self._gmap_pos_boundary(cstate)
+                    df = (
+                        df.filter(F.col("id") > b)
+                        if b is not None
+                        else df.filter(F.lit(False))
+                    )
         elif con.cursor is not None:
             import re as _re
 
@@ -401,7 +414,25 @@ class Compiler:
         rows = collected[start:]
         if wants_cursor:
             consumed = start + len(rows)
-            if consumed >= total or not rows:
+            if (
+                not rows
+                and con.pagesize == 0
+                and total > consumed
+                and not con.sort
+            ):
+                # pagesize=0 still consumes the count-min probe
+                # element, and the cursor points past it (ref
+                # test/unit/brendan4.sh: [o:1] on an empty page)
+                probe = (
+                    df.orderBy(*order).limit(1).select("guid", "id")
+                    .collect()
+                )
+                plan.cursor = (
+                    self._iterator_cursor(con, cstate, probe, df)
+                    if probe
+                    else None
+                ) or "null:"
+            elif consumed >= total or not rows:
                 plan.cursor = "null:"
             elif con.sort:
                 plan.cursor = self._sort_cursor(
@@ -423,18 +454,27 @@ class Compiler:
         last_id = guid_serial(rows[-1]["guid"])
         count = self.store.count()
         if cstate is not None and cstate.form in (
-            "all", "without", "fixed"
+            "all", "without", "fixed", "gmap"
         ):
             if cstate.form == "fixed":
                 try:
                     cstate.pos = cstate.fixed_ids.index(last_id) + 1
                 except ValueError:
                     return None
+            elif cstate.form == "gmap":
+                _lo, _hi, pos = self._gmap_stats(
+                    cstate.lk, cstate.src, last_id
+                )
+                if pos is None:
+                    return None
+                cstate.pos = pos
             else:
                 cstate.pos = last_id + 1
             delivered = cstate.offset + len(rows)
             n = cstate.horizon if cstate.horizon is not None else count
-            return freeze_cursor(con, cstate, delivered, n)
+            return freeze_cursor(
+                con, cstate, delivered, n, self.types.resolve
+            )
         if self.asof is not None:
             return None  # asof pages omit [n:]; not modeled
         gc = con.guid[0] if len(con.guid) == 1 else None
@@ -454,13 +494,38 @@ class Compiler:
             except ValueError:
                 return None
             st = CursorState(form="fixed", fixed_ids=ids, pos=pos)
-            return freeze_cursor(con, st, len(rows), count)
+            return freeze_cursor(
+                con, st, len(rows), count, self.types.resolve
+            )
         if not con.subs and not con.or_chains:
+            gm = self._gmap_source(con)
+            if gm is not None:
+                # single-linkage roots collapse to the linkage's gmap
+                # index iterator (ref pdb-iterator-gmap.c:339,
+                # graphd's and-iterator drops its redundant hull;
+                # tests will5, brendan4)
+                lk, src = gm
+                low, high, pos = self._gmap_stats(lk, src, last_id)
+                if low is not None:
+                    # con_high narrows to the index's actual span
+                    # (last element + 1), and [n:] echoes con_high
+                    # (graphd-read-set-cursor.c:51; brendan4: n:10
+                    # with 18 primitives on disk)
+                    st = CursorState(
+                        form="gmap", low=low, high=high, pos=pos,
+                        lk=lk, src=src,
+                    )
+                    return freeze_cursor(
+                        con, st, len(rows), high, self.types.resolve
+                    )
+                return None
             # unindexed roots scan everything (pdb all-iterator)
             st = CursorState(
                 form="all", low=0, high=count, pos=last_id + 1
             )
-            return freeze_cursor(con, st, len(rows), count)
+            return freeze_cursor(
+                con, st, len(rows), count, self.types.resolve
+            )
         # linkage-driven roots: the optimizer materializes small
         # candidate sets into a fixed iterator (graphd-iterator-fixed.c;
         # tests cursor3/cursor4); larger sets keep their and/gmap shape,
@@ -474,7 +539,86 @@ class Compiler:
         st = CursorState(
             form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
         )
-        return freeze_cursor(con, st, len(rows), count)
+        return freeze_cursor(
+                con, st, len(rows), count, self.types.resolve
+            )
+
+    #: gmap linkage letter -> primitive column (pdb_linkage_to_string)
+    _GMAP_COLS = {"t": "typeguid", "l": "left", "r": "right", "s": "scope"}
+
+    def _gmap_source(self, con) -> Optional[tuple]:
+        """(linkage letter, source id) when the root constraint's only
+        indexed predicate is a single linkage equality — the shape the
+        reference compiles to a bare gmap iterator.  Any second indexed
+        predicate (value/name/guid/timestamp, another linkage) makes an
+        and-iterator, whose freeze we don't model."""
+        if (
+            con.value_strcons or con.name_strcons or con.guid
+            or con.next or con.prev or con.timestamps
+            or con.dateline is not None
+        ):
+            return None
+        cands = []
+        for lk in ("typeguid", "right", "left", "scope"):
+            for gc in con.links.get(lk, []):
+                if (
+                    gc.op == "="
+                    and len(gc.guids) == 1
+                    and gc.guids[0] is not None
+                ):
+                    cands.append((lk, guid_serial(gc.guids[0])))
+                else:
+                    return None
+        for sc in con.type_strcons:
+            if sc.op == "=" and len(sc.values) == 1 and sc.values[0]:
+                g = self.types.resolve(sc.values[0])
+                if g is None:
+                    return None
+                cands.append(("typeguid", guid_serial(g)))
+            else:
+                return None
+        if len(cands) != 1:
+            return None
+        lk, src = cands[0]
+        return lk[0], src
+
+    def _gmap_index_df(self, lk: str, src: int):
+        """The linkage index set: ids whose raw linkage column equals
+        the source guid (index order == id order)."""
+        from graphd_spark.model import guid_compose
+
+        g = guid_compose(self.store.db_id, src)
+        return self.store.to_df(self.spark).filter(
+            F.col(self._GMAP_COLS[lk]) == g
+        )
+
+    def _gmap_stats(self, lk: str, src: int, last_id: int):
+        """(first index id, last index id + 1, #elements <= last_id)
+        in one job over the linkage index set."""
+        row = self._gmap_index_df(lk, src).agg(
+            F.min("id").alias("lo"),
+            F.max("id").alias("hi"),
+            F.sum(
+                F.when(F.col("id") <= last_id, 1).otherwise(0)
+            ).alias("pos"),
+        ).head()
+        if row is None or row["lo"] is None:
+            return None, None, None
+        return int(row["lo"]), int(row["hi"]) + 1, int(row["pos"] or 0)
+
+    def _gmap_pos_boundary(self, cstate) -> Optional[int]:
+        """Id of the cstate.pos-th index element (resume lower bound)."""
+        row = (
+            self._gmap_index_df(cstate.lk, cstate.src)
+            .filter(F.col("id") >= cstate.low)
+            .orderBy("id")
+            .limit(cstate.pos)
+            .agg(F.max("id").alias("b"))
+            .head()
+        )
+        if row is None or row["b"] is None:
+            return None
+        return int(row["b"])
 
     def _key_resume_offset(self, df, con, plan, guid: str) -> int:
         """Offset of the element AFTER the cursor element in this

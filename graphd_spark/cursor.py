@@ -18,6 +18,10 @@ Iterator freeze bodies handled here:
   (graphd/graphd-iterator-fixed.c)
 - ``without:(all:L-H)#(any-value)/POS/<state>``   subtractive scan
   (graphd/graphd-iterator-without.c)
+- ``gmap:LOW-HIGH:L->SRC/POS/``         linkage index scan, L the
+  linkage's first letter (t/l/r/s) and SRC the source's local id;
+  POS counts index elements consumed (libpdb/pdb-iterator-gmap.c:339,
+  tests will5, brendan4)
 
 POS is the iterator position: the next candidate id for scans, the
 next list index for fixed sets.  Unrecognized bodies with a known
@@ -113,22 +117,88 @@ def _sep(parts: list[str], frag: str) -> None:
     parts.append(frag)
 
 
-def constraint_signature(con: Constraint) -> str:
+#: pdb_linkage_to_string (libpdb/pdb-linkage.c:21): the typeguid
+#: linkage's display name is "type", which is what signatures print
+_LINKAGE_NAMES = {"typeguid": "type"}
+
+
+class _GC:
+    """Merged guid-set view used only for signature rendering."""
+
+    __slots__ = ("op", "guids")
+
+    def __init__(self, op, guids):
+        self.op = op
+        self.guids = guids
+
+
+def _typeguid_guidcons(con: Constraint, resolve) -> list:
+    """type= strcons resolve to typeguid guid sets at read time (ref
+    graphd-read.c graphd_read_convert_types: the strcons are dropped
+    and merged into the typeguid accumulator, match/include/exclude —
+    graphd-guid-constraint.c graphd_guid_constraint_merge), so the
+    cursor signature prints "type=<guid>", never the type name
+    (calibrated against will5/brendan4 checksums)."""
+    match = None
+    include = None
+    exclude: list = []
+
+    def merge(op, gs):
+        nonlocal match, include
+        if op == "~=":
+            match = gs if match is None else [
+                g for g in match if g in gs
+            ]
+        elif op == "=":
+            include = gs if include is None else [
+                g for g in include if g in gs
+            ]
+        elif op == "!=":
+            exclude.extend(gs)
+
+    for gc in con.links.get("typeguid", []):
+        merge(gc.op, list(gc.guids))
+    for sc in con.type_strcons:
+        gs = []
+        for nm in sc.values:
+            if nm is None:
+                gs.append(None)
+                continue
+            g = resolve(nm)
+            if g is not None:
+                gs.append(g)
+        merge(sc.op, gs)
+    out = []
+    if match is not None:
+        out.append(_GC("~=", match))
+    if include is not None:
+        out.append(_GC("=", include))
+    if exclude:
+        out.append(_GC("!=", exclude))
+    return out
+
+
+def constraint_signature(con: Constraint, resolve=None) -> str:
     """Canonical signature of a constraint subtree (checksum input).
 
     Ports the field order and renderings of graphd_constraint_signature
     with GRAPHD_SIGNATURE_OMIT_CURSOR (the cursor= field never signs
     itself).  Calibrated byte-for-byte against the checksums in
-    test/unit/{cursor1,cursor5,without,infcur}.out.exp.
+    test/unit/{cursor1,cursor5,without,infcur,will5,brendan4}.out.exp.
+
+    ``resolve`` maps a type name to its typeguid; when given, type=
+    strcons sign as resolved "type=<guid>" linkage constraints the way
+    the read path sees them (graphd-read.c convert_types).
     """
     parts: list[str] = []
-    _signature(con, parts)
+    _signature(con, parts, resolve)
     return "".join(parts)
 
 
-def _signature(con: Constraint, parts: list[str]) -> None:
+def _signature(con: Constraint, parts: list[str], resolve=None) -> None:
     if con.parent is not None and con.linkage is not None:
         kind, lk = con.linkage
+        lk = _LINKAGE_NAMES.get(lk, lk)
         if kind == "iam":
             _sep(parts, f"{lk}->(")
         else:
@@ -136,8 +206,9 @@ def _signature(con: Constraint, parts: list[str]) -> None:
     elif con.parent is not None:
         _sep(parts, "(")
 
-    for sc in con.type_strcons:
-        _sep(parts, _strcon_sig("type", sc, True))
+    if resolve is None:
+        for sc in con.type_strcons:
+            _sep(parts, _strcon_sig("type", sc, True))
     for sc in con.name_strcons:
         _sep(parts, _strcon_sig("name", sc, True))
     for sc in con.value_strcons:
@@ -209,10 +280,16 @@ def _signature(con: Constraint, parts: list[str]) -> None:
         _sep(parts, "next" + _guidcon_sig(gc))
     for gc in con.prev:
         _sep(parts, "previous" + _guidcon_sig(gc))
-    # linkage order: typeguid, right, left, scope (PDB_LINKAGE_*)
+    # linkage order: typeguid, right, left, scope (PDB_LINKAGE_*);
+    # names per pdb_linkage_to_string ("type" for typeguid)
     for lk in ("typeguid", "right", "left", "scope"):
+        name = _LINKAGE_NAMES.get(lk, lk)
+        if lk == "typeguid" and resolve is not None:
+            for gc in _typeguid_guidcons(con, resolve):
+                _sep(parts, name + _guidcon_sig(gc))
+            continue
         for gc in con.links.get(lk, []):
-            _sep(parts, lk + _guidcon_sig(gc))
+            _sep(parts, name + _guidcon_sig(gc))
 
     if con.timestamps:
         has_lo = any(t.op in (">", ">=", "=", "~=") for t in con.timestamps)
@@ -245,10 +322,10 @@ def _signature(con: Constraint, parts: list[str]) -> None:
         _sep(parts, f"{var}={pattern_to_string(pat)}")
 
     for sub in con.subs:
-        _signature(sub, parts)
+        _signature(sub, parts, resolve)
     for chain in con.or_chains:
         for b in chain:
-            _signature(b, parts)
+            _signature(b, parts, resolve)
 
     if con.parent is not None:
         parts.append(")")
@@ -281,8 +358,8 @@ def _guidcon_sig(gc) -> str:
     )
 
 
-def signature_checksum(con: Constraint) -> int:
-    return checksum16(constraint_signature(con))
+def signature_checksum(con: Constraint, resolve=None) -> int:
+    return checksum16(constraint_signature(con, resolve))
 
 
 # -- freeze / thaw ---------------------------------------------------------
@@ -306,6 +383,8 @@ class CursorState:
     high: Optional[int] = None
     fixed_ids: list[int] = field(default_factory=list)
     tail: str = ""             # without-iterator internal state
+    lk: str = ""               # gmap linkage letter (t/l/r/s)
+    src: int = 0               # gmap source local id
 
 
 class BadCursor(Exception):
@@ -319,7 +398,8 @@ def _old_style(text: str) -> BadCursor:
     return BadCursor(f'cannot parse old-style cursor "{shown}"')
 
 
-def parse_cursor(text: str, con: Constraint) -> Optional[CursorState]:
+def parse_cursor(text: str, con: Constraint,
+                 resolve=None) -> Optional[CursorState]:
     """Parse + validate a cursor= value.
 
     Returns a CursorState for the forms this engine freezes, None for
@@ -339,7 +419,7 @@ def parse_cursor(text: str, con: Constraint) -> Optional[CursorState]:
 
     def _validated(st: CursorState) -> CursorState:
         if signed is not None:
-            expect = signature_checksum(con) ^ checksum16(checksum_body)
+            expect = signature_checksum(con, resolve) ^ checksum16(checksum_body)
             if signed != expect:
                 raise BadCursor(
                     f'cursor "{text}" and checksum {expect:x} '
@@ -376,6 +456,19 @@ def parse_cursor(text: str, con: Constraint) -> Optional[CursorState]:
         st.fixed_ids = ids
         st.pos = int(mm.group(3)) if mm.group(3) is not None else 0
         return _validated(st)
+    mm = re.match(r"^gmap:(\d+)-(\d+):([a-z]+)->(\d+)/(\d+)/$", body)
+    if mm:
+        st.form = "gmap"
+        st.low, st.high = int(mm.group(1)), int(mm.group(2))
+        st.lk = mm.group(3)[0]
+        st.src = int(mm.group(4))
+        st.pos = int(mm.group(5))
+        # the linkage name may be spelled out ("type->10", will5.sh);
+        # the engine freezes one letter, and the checksum spans the
+        # body as frozen — skip validation for the long spelling
+        if len(mm.group(3)) > 1:
+            signed = None
+        return _validated(st)
     mm = re.match(
         r"^without:\(all:(\d+)-(\d+)\)#\(any-value\)/(\d+)/(.*)$", body
     )
@@ -399,6 +492,7 @@ def freeze_cursor(
     state: CursorState,
     delivered: int,
     horizon: int,
+    resolve=None,
 ) -> str:
     """Emit the signed cursor string for the page just delivered.
 
@@ -413,6 +507,11 @@ def freeze_cursor(
     elif state.form == "fixed":
         ids = ",".join(str(i) for i in state.fixed_ids)
         body = f"fixed:{len(state.fixed_ids)}:{ids}/{state.pos}/"
+    elif state.form == "gmap":
+        body = (
+            f"gmap:{state.low}-{state.high}:{state.lk}->{state.src}"
+            f"/{state.pos}/"
+        )
     elif state.form == "without":
         body = (
             f"without:(all:{state.low}-{state.high})#(any-value)"
@@ -421,5 +520,5 @@ def freeze_cursor(
     else:
         raise ValueError(f"cannot freeze form {state.form!r}")
     body = f"[o:{delivered}][n:{horizon}]{body}"
-    check = signature_checksum(con) ^ checksum16(body)
+    check = signature_checksum(con, resolve) ^ checksum16(body)
     return f"cursor:{check:04x}:{body}"
