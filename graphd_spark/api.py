@@ -115,9 +115,14 @@ class GraphSession:
 
     def request(self, line: str) -> str:
         """One request line in, one reply line out."""
-        line = line.strip()
-        if not line:
+        if not line.strip():
             return ""
+        # keep LEADING newlines: error positions count blank lines in
+        # the request buffer ("on line 2, column 1", nonsense.in)
+        line = line.lstrip(" \t").rstrip()
+        if line.startswith("\n"):
+            keep = len(line) - len(line.lstrip("\n"))
+            line = line[:keep] + line[keep:].lstrip(" \t")
         try:
             from graphd_spark.gql.lexer import tokenize
 
@@ -134,7 +139,7 @@ class GraphSession:
                 extra=self._dateline_echo_of_line(line),
             )
         rid = req.modifiers.get("id")
-        from graphd_spark.model import guid_compose
+        from graphd_spark.model import guid_compose, guid_serial
 
         # modifiers echo per occurrence, in request order (ref
         # test/unit/param-order.sh); dateline echoes resolve to the
@@ -145,11 +150,9 @@ class GraphSession:
             out = []
             for e in echoes:
                 if e == ("dateline",):
-                    out.append('dateline="{}"'.format(
-                        guid_compose(
-                            self.store.db_id, self.store.next_id
-                        )
-                    ))
+                    out.append(
+                        'dateline="{}"'.format(self._dateline_string())
+                    )
                 else:
                     out.append(e)
             return " ".join(out) if out else None
@@ -171,6 +174,10 @@ class GraphSession:
             elif name == "dateline":
                 if val:
                     t = val.strip().lower()
+                    inst = ""
+                    if "," in t:
+                        # "instance,dateline" form (instance-id.sh)
+                        inst, _, t = t.rpartition(",")
                     db, _, count = t.rpartition(".")
                     hexish = "0123456789abcdef"
                     valid = (
@@ -179,6 +186,26 @@ class GraphSession:
                         db and count
                         and all(c in hexish for c in db + count)
                     )
+                    if valid:
+                        # instance + horizon validation: the dateline
+                        # must name this server's instance and not lie
+                        # in its future (ref test/unit/instance-id.sh)
+                        serial = (
+                            guid_serial(t) if len(t) == 32
+                            else int(count, 16)
+                        )
+                        if (
+                            inst != self._settings()["instance-id"]
+                            or serial > self.store.next_id
+                        ):
+                            echoes.append(("dateline",))
+                            return self._error(
+                                "DATELINE",
+                                "your dateline is not valid on "
+                                "this server",
+                                None,
+                                extra=_resolved(),
+                            )
                     if not valid:
                         # ref graph-dateline.c parse failure (tests
                         # now, dateline-1): the echo pins horizon 0
@@ -260,9 +287,7 @@ class GraphSession:
         from graphd_spark.model import guid_compose
 
         if re.search(r'\bdateline=""', line):
-            return 'dateline="{}"'.format(
-                guid_compose(self.store.db_id, self.store.next_id)
-            )
+            return 'dateline="{}"'.format(self._dateline_string())
         return None
 
     # -- commands ----------------------------------------------------------
@@ -368,6 +393,75 @@ class GraphSession:
             self._settings_store = dict(self._SETTING_DEFAULTS)
         return self._settings_store
 
+    def apply_run_controls(self, ctl: dict) -> None:
+        """Per-run server settings the golden harness extracts from
+        rungraphd flags/config files: ``-I name`` / ``instance-id``
+        (test/unit/instance-id.sh) and ``database { id "..." }``
+        (test/unit/dbname.sh) — applied at run boundaries the way a
+        server restart re-reads its configuration."""
+        # a restart resets runtime settings and cost limits to boot
+        # defaults (the database id, once burned into the store,
+        # persists on disk — pdb-initialize.c:449)
+        self._settings_store = dict(self._SETTING_DEFAULTS)
+        self._cost_limits = {}
+        if "instance_id" in ctl:
+            self._settings()["instance-id"] = ctl["instance_id"]
+        if "db_name" in ctl:
+            from graphd_spark.model import db_id_from_name
+
+            try:
+                self.store.db_id = int(ctl["db_name"], 0)
+            except ValueError:
+                self.store.db_id = db_id_from_name(ctl["db_name"])
+
+    def _dateline_string(self) -> str:
+        """The server's current dateline: instance-prefixed when an
+        instance id is set (ref test/unit/instance-id.sh echoes)."""
+        from graphd_spark.model import guid_compose
+
+        g = guid_compose(self.store.db_id, self.store.next_id)
+        inst = self._settings()["instance-id"]
+        return f"{inst},{g}" if inst else g
+
+    #: graphd_cost_limit_to_string member order (graphd-cost.c:374)
+    _COST_ORDER = (
+        "tr", "ts", "tu", "te", "pr", "pf", "va", "dr", "dw",
+        "iw", "ir", "in",
+    )
+
+    def _cost_from_string(self, text: str) -> Optional[dict]:
+        """Parse a cost-limit string of NAME=NUMBER members; only the
+        first two characters of a member name are significant
+        (graphd_cost_to_address, graphd-cost.c:46).  Returns None on
+        any unknown member or bad number."""
+        out: dict = {}
+        i, n = 0, len(text)
+        while True:
+            while i < n and text[i].isspace():
+                i += 1
+            if i >= n:
+                return out
+            s = i
+            i += 1
+            if text[s].isalnum():
+                while i < n and text[i].isalnum():
+                    i += 1
+            name = text[s:i]
+            if len(name) < 2 or name[:2].lower() not in self._COST_ORDER:
+                return None
+            while i < n and text[i].isspace():
+                i += 1
+            if i < n and text[i] == "=":
+                i += 1
+                while i < n and text[i].isspace():
+                    i += 1
+            s2 = i
+            while i < n and text[i].isdigit():
+                i += 1
+            if s2 == i:
+                return None
+            out[name[:2].lower()] = int(text[s2:i])
+
     def _parse_cost_modifier(self, text: str) -> Optional[str]:
         """Validate a cost= modifier string of `key=value` elements;
         returns the reference's error text on a malformed element
@@ -412,8 +506,14 @@ class GraphSession:
             elif n == "loglevel":
                 out.append(List([Atom(settings["loglevel"])]))
             elif n == "cost":
-                # this build runs without cost limits (cost1.out.exp)
-                out.append(Str(""))
+                # only cost members with a set limit print, in the
+                # fixed member order of graphd_cost_limit_to_string
+                # (graphd-cost.c:374; tests cost1, cost2)
+                limits = getattr(self, "_cost_limits", {})
+                out.append(Str(" ".join(
+                    f"{k}={limits[k]}"
+                    for k in self._COST_ORDER if k in limits
+                )))
             elif n == "instance-id":
                 out.append(Str(settings["instance-id"]))
             else:
@@ -438,11 +538,17 @@ class GraphSession:
                 raise GraphdError("SYNTAX", "expected '=' in set")
             n = name.text.lower()
             if n == "cost":
-                # cost strings are rejected by this build (cost1.out.exp)
-                raise GraphdError(
-                    "SEMANTICS",
-                    f'cannot parse cost string "{escape_string(val.text)}"',
-                )
+                parsed = self._cost_from_string(val.text)
+                if parsed is None:
+                    # any unknown member rejects the whole string
+                    # (graphd-set.c; cost1: "mm"/"mt" are unknown)
+                    raise GraphdError(
+                        "SEMANTICS",
+                        "cannot parse cost string "
+                        f'"{escape_string(val.text)}"',
+                    )
+                self._cost_limits = parsed
+                continue
             settings[n] = val.text
 
     def _do_verify(self, req):

@@ -69,6 +69,11 @@ PRIM_ELEM_FIELDS = [
 
 DEFAULT_PAGESIZE = 1024  # ref graphd/graphd-sort.c:21-22
 
+#: candidate sets up to this size pre-evaluate into a fixed iterator
+#: (the reference bounds this by budget, GRAPHD_AND_PREEVALUATE_COST_MAX,
+#: graphd-iterator-and-optimize.c:740; colors2 materializes 11)
+_FIXED_MATERIALIZE_MAX = 100
+
 
 @dataclass
 class SubPlan:
@@ -519,6 +524,31 @@ class Compiler:
                         con, st, len(rows), high, self.types.resolve
                     )
                 return None
+            if any(
+                sc.op in ("=", "~=")
+                and any(v is not None for v in sc.values)
+                for sc in (*con.value_strcons, *con.name_strcons)
+            ):
+                # positive value/name matches drive an hmap/prefix
+                # iterator; small candidate sets materialize as a
+                # fixed iterator (ref graphd-iterator-fixed.c;
+                # test/unit/nick6.sh: value~="a*" -> fixed:6:...)
+                ids = [
+                    r["id"]
+                    for r in df.select("id").orderBy("id")
+                    .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
+                ]
+                if len(ids) > _FIXED_MATERIALIZE_MAX or (
+                    last_id not in ids
+                ):
+                    return None
+                st = CursorState(
+                    form="fixed", fixed_ids=ids,
+                    pos=ids.index(last_id) + 1,
+                )
+                return freeze_cursor(
+                    con, st, len(rows), count, self.types.resolve
+                )
             # unindexed roots scan everything (pdb all-iterator)
             st = CursorState(
                 form="all", low=0, high=count, pos=last_id + 1
@@ -532,9 +562,10 @@ class Compiler:
         # which we don't freeze
         ids = [
             r["id"]
-            for r in df.select("id").orderBy("id").limit(11).collect()
+            for r in df.select("id").orderBy("id")
+            .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
         ]
-        if len(ids) > 10 or last_id not in ids:
+        if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
             return None
         st = CursorState(
             form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1

@@ -131,6 +131,14 @@ def do_restore(session, req):
             f"on line 1, column {end_tok.pos + 1}: '{end_tok.text}': "
             "start value cannot exceed end value",
         )
+    if int(end_tok.text) - start > 1_000_000:
+        # ref libgdp/gdp-parse.c:3015, GRAPHD_RESTORE_MAX
+        # (graphd.h:73); rejected at parse time (test/unit/random2.sh)
+        raise GraphdError(
+            "SEMANTICS",
+            f"on line 1, column {end_tok.pos + 1}: '{end_tok.text}': "
+            "too many records",
+        )
     if start > session.store.count():
         # ref graphd-restore.c:377-384 graphd_restore_check
         raise GraphdError(

@@ -54,6 +54,18 @@ def compile_glob(pattern: str, case_sensitive: bool = False):
     if anchored_back:
         pattern = pattern[:-1]
 
+    if (
+        pattern
+        and not anchored_front
+        and not anchored_back
+        and all(c.isspace() for c in pattern)
+    ):
+        # a whitespace-only glob has no words and matches anything,
+        # like the empty pattern (ref graphd-comparator-default.c
+        # word segmentation; test/unit/newline.sh: value~="\n"
+        # returns every primitive)
+        pattern = ""
+
     parts: list[str] = []
     numbers: list[str] = []
     i, n = 0, len(pattern)

@@ -88,10 +88,28 @@ def tokenize(s: str) -> list[Token]:
             j = i + 1
             out = []
             esc = False
+            bad = False
             while True:
                 if j >= n:
-                    raise LexError(f"unterminated string at {start}")
+                    # request lines are newline-terminated on the
+                    # wire, so EOF inside a string is the same
+                    # invalid token a literal newline produces
+                    toks.append(
+                        Token(ERRTOK, s[start:] + "\n", start)
+                    )
+                    bad = True
+                    break
                 ch = s[j]
+                if not esc and ch == "\n":
+                    # strings cannot contain literal newlines (ref
+                    # libgdp/gdp-lexer.c; test/unit/newline.sh): the
+                    # token from the opening quote through the
+                    # newline is invalid, and lexing stops
+                    toks.append(
+                        Token(ERRTOK, s[start:j + 1], start)
+                    )
+                    bad = True
+                    break
                 if esc:
                     out.append({"\\": "\\", '"': '"', "n": "\n"}.get(ch, ch))
                     esc = False
@@ -103,6 +121,8 @@ def tokenize(s: str) -> list[Token]:
                 else:
                     out.append(ch)
                 j += 1
+            if bad:
+                break
             toks.append(Token(STR, "".join(out), start))
             i = j
             continue
@@ -160,11 +180,20 @@ def tokenize(s: str) -> list[Token]:
 
 
 def errtok_error(text: str, t: Token) -> LexError:
-    """The LEXICAL error an ERRTOK stands for."""
+    """The LEXICAL error an ERRTOK stands for.
+
+    Control characters in the offending token render as octal escapes
+    the way the reference logs them ('\\012' for the newline in
+    test/unit/newline.out.exp)."""
     line = text[:t.pos].count("\n") + 1
-    col = t.pos - (text.rfind("\n", 0, t.pos) + 1) + 1
+    col = 1
+    for ch in text[text.rfind("\n", 0, t.pos) + 1:t.pos]:
+        col += 8 if ch == "\t" else 1  # tab = 8 (gdp-lexer.c:33)
+    shown = "".join(
+        ch if ord(ch) >= 32 else "\\%03o" % ord(ch) for ch in t.text
+    )
     e = LexError(
-        f"on line {line}, column {col}: '{t.text}': invalid token"
+        f"on line {line}, column {col}: '{shown}': invalid token"
     )
     e.code = "LEXICAL"
     return e

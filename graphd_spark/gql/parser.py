@@ -88,10 +88,14 @@ _CLUSTER_FIELDS = {
 
 def _linecol(text: str, pos: int) -> tuple[int, int]:
     """1-based (line, column) of a character offset (requests may span
-    newlines; the reference reports positions per line)."""
+    newlines; the reference reports positions per line, counting each
+    tab as 8 columns — ref libgdp/gdp-lexer.c:33)."""
     line = text.count("\n", 0, pos) + 1
     nl = text.rfind("\n", 0, pos)
-    return line, pos - (nl + 1) + 1
+    col = 1
+    for ch in text[nl + 1:pos]:
+        col += 8 if ch == "\t" else 1
+    return line, col
 
 
 class Parser:
@@ -444,7 +448,11 @@ class Parser:
             return guid_normalize(t.text)
         except ValueError:
             # malformed GUID literal maps to an 'error SYNTAX' reply
-            raise ParseError(f"expected a GUID, got {t.text!r}")
+            # (message format per gdp-parse.c; test/unit/micro.sh R05)
+            raise ParseError(
+                f"{self.at(t.pos)}: '{t.text}': invalid GUID value",
+                "SEMANTICS",
+            )
 
     def _fail_null_guid(self, t: L.Token):
         # the `guid' field itself never allows the null token (ref
@@ -880,6 +888,11 @@ def _make_handlers():
                 f"{self.at(t.pos)}: '{t.text}': expected a dateline"
             )
         val = t.text
+        if val.strip() == "":
+            # an empty dateline has no entries: the bound is vacuous
+            # (ref libgraph/graph-dateline.c; test/unit/dateline-2.sh
+            # reads with dateline>"" match everything)
+            return
         db, _, count = val.strip().lower().rpartition(".")
         if not (
             db and count
@@ -1286,6 +1299,12 @@ _COMMANDS = {
     "crash",
 }
 
+#: loglevel vocabulary (ref libcl/cl-loglevel.c:17-41)
+_LOGLEVELS = {
+    "ultra", "verbose", "spew", "debug", "detail", "info", "fail",
+    "overview", "operator-error", "operator", "error", "fatal",
+}
+
 #: request modifiers (ref doc/gr-protocol.txt:171-262)
 _MODIFIERS = {
     "timeout",
@@ -1300,12 +1319,16 @@ _MODIFIERS = {
 
 def parse_request(line: str) -> Request:
     p = Parser(line)
-    cmd_tok = p.expect(L.ATOM, "command")
+    cmd_tok = p.next()
+    if cmd_tok.kind != L.ATOM:
+        raise ParseError(
+            f"{p.at(cmd_tok.pos)}: '{cmd_tok.text}': "
+            "invalid start of a request"
+        )
     cmd = cmd_tok.text.lower()
     if cmd not in _COMMANDS:
         raise ParseError(
-            f"on line 1, column {cmd_tok.pos + 1}: '{cmd_tok.text}': "
-            "no such request"
+            f"{p.at(cmd_tok.pos)}: '{cmd_tok.text}': no such request"
         )
     req = Request(command=cmd)
     # request modifiers: atom '=' (atom|string) before the template
@@ -1324,6 +1347,17 @@ def parse_request(line: str) -> Request:
             parts = []
             while depth:
                 t = p.next()
+                if t.kind == L.END:
+                    raise ParseError(f"bad {name}= value")
+                if name == "loglevel" and t.kind == L.ATOM and (
+                    t.text.lower() not in _LOGLEVELS
+                ):
+                    # ref libcl/cl-loglevel.c vocabulary
+                    # (test/unit/micro.sh R09)
+                    raise ParseError(
+                        f"{p.at(t.pos)}: '{t.text}': "
+                        "invalid loglevel value"
+                    )
                 if t.kind == L.OPAR:
                     depth += 1
                 elif t.kind == L.CPAR:

@@ -53,6 +53,22 @@ DATATYPE_NAMES = {
 DATATYPE_CODES = {v: k for k, v in DATATYPE_NAMES.items()}
 
 
+#: database-name alphabet (libpdb/pdb-set-database-name.c)
+_DB_NAME_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789-"
+
+
+def db_id_from_name(name: str) -> int:
+    """Database id from a <=7 char name: base-38 over [a-z0-9-] with a
+    0xFF marker byte injected to keep name-ids disjoint from ip-derived
+    ids (ref libpdb/pdb-set-database-name.c pdb_database_name_to_id;
+    test/unit/dbname.sh: "METAWEB" -> 0x87ed8ff0d61)."""
+    acc = 0
+    for c in name[:7]:
+        ch = c.lower() if c.isascii() and c.isalnum() else "-"
+        acc = acc * 38 + _DB_NAME_ALPHABET.index(ch)
+    return ((acc & ~0xFFFF) << 8) | (0xFF << 16) | (acc & 0xFFFF)
+
+
 def guid_compose(db: int, serial: int) -> str:
     """db + serial -> 32-hex GUID (ref graph_guid_from_db_serial)."""
     a = ((db >> 16) << 32) | (4 << 28) | (db & 0xFFFF)

@@ -164,8 +164,11 @@ class WriteExecutor:
                     continue
                 for g in gc.guids:
                     if g is not None and self.store.get(g) is None:
+                        # the null guid prints "0"
+                        # (libgraph/graph-guid.c graph_guid_to_string)
+                        shown = "0" if set(g) == {"0"} else g
                         raise WriteError(
-                            "SEMANTICS", f"{lk}={g}: not found"
+                            "SEMANTICS", f"{lk}={shown}: not found"
                         )
         for sub in con.subs:
             if sub.linkage is None:

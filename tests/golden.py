@@ -18,9 +18,39 @@ GOLDEN_DIR = "/root/reference/test/unit"
 #: `rungraphd | sed 's/.../.../g'` pipes, applied to every reply
 _OUTPUT_FILTERS: list[tuple[str, str]] = []
 
+#: (block index, text) shell `echo` lines whose stdout interleaves
+#: with the server replies in the golden (test/unit/dateline-2.sh)
+_ECHOES: list[tuple[int, str]] = []
 
-def extract_script(name: str) -> str | None:
-    """Pull the rungraphd input out of NAME.sh.
+
+def _run_controls(line: str) -> dict:
+    """Per-run server settings from a rungraphd invocation: ``-I name``
+    sets the instance id (overriding the config file's), ``-f file``
+    names a config whose ``instance-id`` / ``database { id "..." }``
+    entries apply (tests instance-id, dbname)."""
+    ctl: dict = {}
+    m = re.search(r"-f\s+(\S+)", line)
+    if m:
+        path = os.path.join(GOLDEN_DIR, m.group(1))
+        if os.path.exists(path):
+            with open(path, errors="surrogateescape") as f:
+                conf = f.read()
+            cm = re.search(r"^\s*instance-id\s+(\S+)", conf, re.M)
+            if cm:
+                ctl["instance_id"] = cm.group(1)
+            cm = re.search(r'\bid\s+"([^"]+)"', conf)
+            if cm:
+                ctl["db_name"] = cm.group(1)
+    m = re.search(r"-I\s+(\S+)", line)
+    if m:
+        ctl["instance_id"] = m.group(1)
+    return ctl
+
+
+def extract_script(name: str):
+    """Pull the rungraphd input out of NAME.sh as a list of segments:
+    ``("ctl", dict)`` applies per-run server settings, ``("script",
+    text)`` is one server run's request stream.
 
     Handles heredocs and ``rungraphd < file`` input redirection;
     consecutive server runs concatenate (the database persists between
@@ -30,13 +60,23 @@ def extract_script(name: str) -> str | None:
     path = os.path.join(GOLDEN_DIR, f"{name}.sh")
     with open(path, errors="surrogateescape") as f:
         lines = f.read().splitlines()
-    scripts: list[str] = []
+    segments: list = []
+    n_scripts = 0
     _OUTPUT_FILTERS.clear()
+    _ECHOES.clear()
     i = 0
     saw_rm_after_block = False
     while i < len(lines):
         line = lines[i]
-        if re.search(r"\brm -rf\b", line) and scripts:
+        m = re.match(r"\s*echo\s+(.*?)\s*$", line)
+        if m and ">" not in line:
+            # shell echoes interleave with server output in the
+            # golden (test/unit/dateline-2.sh "removing"/"running");
+            # record position as "after N script blocks"
+            _ECHOES.append((n_scripts, m.group(1)))
+            i += 1
+            continue
+        if re.search(r"\brm -rf\b", line) and n_scripts:
             saw_rm_after_block = True
         m = re.search(r"rungraphd [^\n<]*<<-?\s*('?)EOF'?", line)
         if m:
@@ -48,6 +88,9 @@ def extract_script(name: str) -> str | None:
             if sm:
                 pat = sm.group(2).replace('\\"', '"')
                 _OUTPUT_FILTERS.append((pat, sm.group(3)))
+            # every run gets a ctl segment: a server restart resets
+            # runtime settings even with no flags (test/unit/cost2.sh)
+            segments.append(("ctl", _run_controls(line)))
             unquoted = m.group(1) == ""
             i += 1
             block = []
@@ -60,7 +103,8 @@ def extract_script(name: str) -> str | None:
                     text = re.sub(r"\\([\\$`])", r"\1", text)
                 block.append(text)
                 i += 1
-            scripts.append("\n".join(block))
+            segments.append(("script", "\n".join(block)))
+            n_scripts += 1
             i += 1
             continue
         m = re.search(r"rungraphd [^\n]*< *(\S+)\s*$", line)
@@ -70,14 +114,16 @@ def extract_script(name: str) -> str | None:
             fname = os.path.join(GOLDEN_DIR, m.group(1))
             if not os.path.exists(fname):
                 return None
+            segments.append(("ctl", _run_controls(line)))
             with open(fname, errors="surrogateescape") as f:
-                scripts.append(f.read())
+                segments.append(("script", f.read()))
+            n_scripts += 1
             i += 1
             continue
         i += 1
-    if not scripts:
+    if not n_scripts:
         return None
-    return "\n".join(scripts)
+    return segments
 
 
 def expected_output(name: str) -> list[str]:
@@ -86,62 +132,128 @@ def expected_output(name: str) -> list[str]:
         return [ln.rstrip("\n") for ln in f.read().splitlines()]
 
 
-def split_requests(text: str) -> list[str]:
-    """Group heredoc lines into requests (templates span lines until
-    their parentheses balance outside strings and '(: :)' comments)."""
-    reqs: list[str] = []
-    buf: list[str] = []
-    depth = 0
-    in_str = False
-    in_comment = False
-    esc = False
-    for line in text.splitlines():
-        if not line.strip() and not buf:
+#: request-keyword automaton vocabulary (ref libgdp/gdp-micro.c:34-91:
+#: read, replica, restore, set, status, verify, write)
+_MICRO_KEYWORDS = (
+    "read", "replica", "restore", "set", "status", "verify", "write",
+)
+#: proper prefixes of the keywords (the automaton's states); a failed
+#: extension restarts with the CURRENT char only (gdp_micro.c:134:
+#: next = automaton[0][i]), so "wread" does not detect "read" but
+#: "typeread" does
+_MICRO_PREFIXES = {
+    k[:i] for k in _MICRO_KEYWORDS for i in range(1, len(k))
+}
+
+
+def _micro_step(state: str, c: str):
+    """(new state, detected?) for one lowercase alpha char."""
+    cand = state + c
+    if cand in _MICRO_KEYWORDS:
+        return "", True
+    if cand in _MICRO_PREFIXES:
+        return cand, False
+    return (c if c in _MICRO_PREFIXES else ""), False
+
+
+def _micro_chunks(text: str):
+    """Frame requests the way the reference server does (ref
+    libgdp/gdp-micro.c gdp_micro_parse): character-level scan tracking
+    paren depth and string state; a request ends at a newline outside
+    parens, and turns *malformed* — skipping to the next newline —
+    when a newline appears inside a string or a request keyword is
+    spelled out while inside parens (the automaton matches even inside
+    a longer word: "typeread", "xset"; test/unit/micro.sh).
+
+    Yields (chunk, malformed) pairs; chunks keep their newlines.
+    """
+    level = 0
+    string = False
+    escape = False
+    malformed = False
+    lastch_seen = False
+    # rolling alpha-run suffix for keyword detection
+    run = ""
+    start = 0
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        i += 1
+        if malformed:
+            if c == "\n":
+                yield text[start:i], True
+                start = i
+                level = 0
+                string = False
+                escape = False
+                malformed = False
+                lastch_seen = False
+                run = ""
             continue
-        i = 0
-        while i < len(line):
-            ch = line[i]
-            if esc:
-                esc = False
-                i += 1
+        if string:
+            if escape:
+                escape = False
+            elif c == '"':
+                string = False
+            elif c == "\\":
+                escape = True
+            elif c == "\n":
+                yield text[start:i], True
+                start = i
+                level = 0
+                escape = False
+                string = False
+                lastch_seen = False
+                run = ""
+            continue
+        if c.isalpha():
+            run, hit = _micro_step(run, c.lower())
+            if level > 0 and hit:
+                malformed = True
                 continue
-            if in_comment:
-                if line.startswith(":)", i):
-                    in_comment = False
-                    i += 2
-                    continue
-                i += 1
+        else:
+            run = ""
+        if c == "(":
+            level += 1
+        elif c == ")":
+            level -= 1
+        elif c == '"':
+            string = True
+        elif c == "\n":
+            if level <= 0 and lastch_seen:
+                yield text[start:i], False
+                start = i
+                level = 0
+                lastch_seen = False
+                run = ""
                 continue
-            if in_str:
-                if ch == "\\":
-                    esc = True
-                elif ch == '"':
-                    in_str = False
-                i += 1
-                continue
-            if line.startswith("(:", i):
-                in_comment = True
-                i += 2
-                continue
-            if ch == '"':
-                in_str = True
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            i += 1
-        buf.append(line)
-        if depth == 0 and not in_str and not in_comment:
-            req = "\n".join(buf).strip()
-            if req:
-                # pipelined input: several requests may share one line
-                # (ref test/unit/micro.sh); split where parens rebalance
-                reqs.extend(_split_inline(req))
-            buf = []
-    if buf:
-        req = "\n".join(buf).strip()
-        if req:
-            reqs.append(req)
+        if not c.isspace():
+            lastch_seen = True
+    if start < n and text[start:].strip():
+        yield text[start:], False
+
+
+def split_requests(text: str) -> list[str]:
+    """Frame heredoc input into requests via the micro parser."""
+    if not text.endswith("\n"):
+        text += "\n"
+    reqs: list[str] = []
+    for chunk, malformed in _micro_chunks(text):
+        if not chunk.strip():
+            continue
+        # strip trailing whitespace but keep LEADING newlines: blank
+        # lines join the next request's buffer, and error positions
+        # count them ("on line 2, column 1", test/unit/nonsense.in)
+        req = chunk.rstrip()
+        if malformed:
+            # keep the final newline: the engine's lexer reports the
+            # invalid token through the line end
+            reqs.append(req + "\n")
+            continue
+        # pipelined input: several requests may share one line;
+        # split where parens rebalance before a keyword
+        reqs.extend(_split_inline(req))
     return reqs
 
 
@@ -208,13 +320,17 @@ def _split_inline(req: str) -> list[str]:
                 and seen_paren
                 and _starts_request(req[i + 1:])
             ):
-                out.append(req[start : i + 1].strip())
+                piece = req[start : i + 1]
+                # preserve leading newlines of the first piece (error
+                # positions count blank lines, nonsense.in); later
+                # pieces start mid-line and strip clean
+                out.append(piece.rstrip() if start == 0 else piece.strip())
                 start = i + 1
                 seen_paren = False
         i += 1
-    tail = req[start:].strip()
-    if tail:
-        out.append(tail)
+    tail = req[start:]
+    if tail.strip():
+        out.append(tail.rstrip() if start == 0 else tail.strip())
     return out
 
 
@@ -258,16 +374,27 @@ def run_golden(session_factory, name: str):
     """Run one golden; returns (got_lines, expected_lines) or None if
     the script shape is unsupported."""
     if name in GENERATED_INPUTS:
-        reqs = GENERATED_INPUTS[name]()
+        items: list = list(GENERATED_INPUTS[name]())
     else:
-        script = extract_script(name)
-        if script is None:
+        segments = extract_script(name)
+        if segments is None:
             return None
-        reqs = split_requests(script)
+        items = []
+        for kind, payload in segments:
+            if kind == "ctl":
+                items.append(("ctl", payload))
+            else:
+                items.extend(split_requests(payload))
     session = session_factory()
-    got = [
-        reply for r in reqs if (reply := session.request(r)) != ""
-    ]
+    got = [t for i, t in _ECHOES if i == 0]
+    for item in items:
+        if isinstance(item, tuple) and item[0] == "ctl":
+            session.apply_run_controls(item[1])
+            continue
+        reply = session.request(item)
+        if reply != "":
+            got.append(reply)
+    got += [t for i, t in _ECHOES if i > 0]
     for pat, repl in _OUTPUT_FILTERS:
         got = [re.sub(pat, repl, g) for g in got]
     return got, expected_output(name)
