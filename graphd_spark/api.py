@@ -404,6 +404,11 @@ class GraphSession:
         # persists on disk — pdb-initialize.c:449)
         self._settings_store = dict(self._SETTING_DEFAULTS)
         self._cost_limits = {}
+        if ctl.get("reset"):
+            # the database directory was wiped between runs
+            # (test/unit/or2.sh: rm -rf $D mid-test)
+            self.store = self.fresh_store()
+            self.types.__init__(self.store)
         if "instance_id" in ctl:
             self._settings()["instance-id"] = ctl["instance_id"]
         if "db_name" in ctl:

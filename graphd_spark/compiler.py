@@ -100,6 +100,9 @@ class SetPlan:
     #: ride along in the element struct for variable assembly)
     or_sub_plans: list = dfield(default_factory=list)
     cursor: Optional[str] = None
+    #: subconstraint cursor context: the materialized candidate set the
+    #: evaluator freezes per parent (test/unit/cursor6.sh)
+    cursor_ctx: Optional[dict] = None
 
 
 _OPS = {
@@ -906,6 +909,7 @@ class Compiler:
             return df, SubPlan("skip", sub_plan), None  # optional, unused
 
         # aggregation path: per-parent ordered contents + counts.
+        child_df = self._sub_cursor_setup(sub, sub_plan, child_df)
         self._n += 1
         tag = self._n
         cnt, arr = f"n{tag}", f"c{tag}"
@@ -982,6 +986,70 @@ class Compiler:
                        or count_min > 1 or sub.count_max is not None):
             out = out.filter(flag)
         return out, SubPlan("agg", sub_plan, cnt_col=cnt, arr_col=arr), None
+
+    def _sub_cursor_setup(self, sub, sub_plan, child_df):
+        """Subconstraint cursors (per-parent contents pagination, ref
+        graphd-read-set-cursor.c; test/unit/cursor6.sh): thaw a
+        cursor= resume into a candidate-set restriction, and when the
+        sub's result wants a cursor, materialize the (small) candidate
+        set so the evaluator can freeze a fixed iterator per parent.
+
+        The frozen set is the sub's own candidate list — with several
+        parents every parent shares it, like the reference's
+        per-constraint (not per-parent-instance) iterator."""
+        wants_cursor = sub.result is not None and any(
+            p.kind == "cursor" for p in sub.result.walk()
+        )
+        cstate = None
+        if sub.cursor is not None and sub.cursor != "null:":
+            from graphd_spark.cursor import BadCursor, parse_cursor
+
+            try:
+                cstate = parse_cursor(
+                    sub.cursor, sub, self.types.resolve
+                )
+            except BadCursor as e:
+                raise GraphdError("BADCURSOR", e.message)
+            if cstate is not None:
+                if cstate.horizon is not None:
+                    child_df = child_df.filter(
+                        F.col("id") < cstate.horizon
+                    )
+                if cstate.form == "fixed":
+                    allowed = cstate.fixed_ids[cstate.pos:]
+                    child_df = child_df.filter(
+                        F.col("id").isin(allowed)
+                    )
+                elif cstate.form in ("all", "without"):
+                    child_df = child_df.filter(
+                        F.col("id") >= max(cstate.pos, cstate.low)
+                    )
+        elif sub.cursor == "null:":
+            child_df = child_df.filter(F.lit(False))
+        if not wants_cursor:
+            return child_df
+        if cstate is not None and cstate.form == "fixed":
+            ids = cstate.fixed_ids
+        else:
+            ids = [
+                r["id"]
+                for r in child_df.select("id").orderBy("id")
+                .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
+            ]
+            if len(ids) > _FIXED_MATERIALIZE_MAX:
+                return child_df  # unmodeled shape: evaluator -> null:
+        sub_plan.cursor_ctx = {
+            "con": sub,
+            "fixed_ids": ids,
+            "offset": cstate.offset if cstate is not None else 0,
+            "horizon": (
+                cstate.horizon
+                if cstate is not None and cstate.horizon is not None
+                else self.store.count()
+            ),
+            "resolve": self.types.resolve,
+        }
+        return child_df
 
     def _has_deep_assignments(self, con: Constraint) -> bool:
         return any(bool(c.assignments) for c in con.walk())

@@ -141,6 +141,13 @@ def compile_glob(pattern: str, case_sensitive: bool = False):
                 j += 1
             frag = pattern[i:j]
             dec = decode_number(frag)
+            if (j < n and pattern[j] == "*") or (
+                i > 0 and pattern[i - 1] == "*"
+            ):
+                # digits adjacent to a star are a partial word, not a
+                # standalone number — no numeric normalization
+                # ("202*_3" matches "2020_3"; test/unit/brendan3.sh)
+                dec = None
             if dec is not None:
                 numbers.append(frag)
                 # candidate number runs segment like word_fragment_next:

@@ -53,6 +53,44 @@ DATATYPE_NAMES = {
 DATATYPE_CODES = {v: k for k, v in DATATYPE_NAMES.items()}
 
 
+#: private-use marker for bytes that aren't valid UTF-8: graphd stores
+#: raw bytes; Python reads them as surrogateescape lone surrogates,
+#: which the JVM/Arrow cannot carry.  su_encode maps each onto
+#: U+E000 + 2 hex digits crossing into Spark/parquet, su_decode
+#: restores them at reply rendering (test/unit/ben2.sh stores broken
+#: UTF-8 markup and dumps it back byte-for-byte).
+_SU_MARK = "\ue000"
+
+
+def su_encode(s: str) -> str:
+    if not any("\udc80" <= ch <= "\udcff" for ch in s):
+        return s
+    return "".join(
+        "%s%02x" % (_SU_MARK, ord(ch) & 0xFF)
+        if "\udc80" <= ch <= "\udcff" else ch
+        for ch in s
+    )
+
+
+def su_decode(s: str) -> str:
+    if _SU_MARK not in s:
+        return s
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == _SU_MARK and i + 3 <= n:
+            try:
+                out.append(chr(0xDC00 | int(s[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 #: database-name alphabet (libpdb/pdb-set-database-name.c)
 _DB_NAME_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789-"
 
@@ -296,7 +334,12 @@ class Primitive:
     generation: int = 0
 
     def as_row(self) -> tuple:
-        return tuple(getattr(self, f) for f in PRIMITIVE_FIELDS)
+        return tuple(
+            su_encode(v)
+            if f in ("name", "value") and isinstance(v, str) else v
+            for f in PRIMITIVE_FIELDS
+            for v in (getattr(self, f),)
+        )
 
     @property
     def is_link(self) -> bool:

@@ -150,6 +150,31 @@ class Assembler:
             return List(items)
         return self._eval_set_atom(pat, plan, rows, total)
 
+    def _sub_cursor(self, plan, rows):
+        """Freeze a fixed-iterator cursor for a subconstraint page
+        (ref graphd-read-set-cursor.c; test/unit/cursor6.sh): the
+        candidate set was materialized at compile time; position is
+        the last shown element's index within it."""
+        from graphd_spark.cursor import CursorState, freeze_cursor
+        from graphd_spark.model import guid_serial
+
+        ctx = plan.cursor_ctx
+        ids = ctx["fixed_ids"]
+        if not rows:
+            return None
+        last = guid_serial(rows[-1]["guid"])
+        try:
+            pos = ids.index(last) + 1
+        except ValueError:
+            return None
+        if pos >= len(ids):
+            return None  # exhausted -> null:
+        st = CursorState(form="fixed", fixed_ids=ids, pos=pos)
+        return freeze_cursor(
+            ctx["con"], st, ctx["offset"] + len(rows),
+            ctx["horizon"], ctx["resolve"],
+        )
+
     def _eval_set_atom(self, pat, plan, rows, total):
         con = plan.con
         if pat.kind == "count":
@@ -158,6 +183,10 @@ class Assembler:
                 n = min(n, con.countlimit)
             return Num(n)
         if pat.kind == "cursor":
+            if plan.cursor is None and getattr(
+                plan, "cursor_ctx", None
+            ):
+                return Str(self._sub_cursor(plan, rows) or "null:")
             return Str(plan.cursor or "null:")
         if pat.kind == "estimate-count":
             return Num(total)

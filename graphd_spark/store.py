@@ -487,9 +487,18 @@ class ParquetLogStore(PrimitiveStore):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        from graphd_spark.model import su_encode
+
         schema = _arrow_schema()
         cols = {
-            f.name: [getattr(p, f.name) for p in pend] for f in schema
+            f.name: [
+                su_encode(v)
+                if f.name in ("name", "value") and isinstance(v, str)
+                else v
+                for p in pend
+                for v in (getattr(p, f.name),)
+            ]
+            for f in schema
         }
         table = pa.table(cols, schema=schema)
         fname = os.path.join(

@@ -87,6 +87,11 @@ class Splice:
 
 
 def escape_string(s: str) -> str:
+    from graphd_spark.model import su_decode
+
+    # restore raw non-UTF-8 bytes that were escaped to cross the
+    # JVM/Arrow boundary (test/unit/ben2.sh)
+    s = su_decode(s)
     out = []
     for ch in s:
         if ch == "\\":

@@ -216,6 +216,7 @@ class WriteExecutor:
         parent_prim: Primitive | None,
         fields: set[str] | None = None,
         local_only: bool = False,
+        require_nonnull: set[str] | None = None,
     ) -> list[Match]:
         """Existing primitives matching this constraint (and subs)."""
         lits = self._literal_fields(con)
@@ -273,6 +274,14 @@ class WriteExecutor:
             if p is None or not p.live or not self.store.is_newest(p.guid):
                 continue
             if not self._prim_matches(p, con, lits, parent_prim, check):
+                continue
+            if require_nonnull and any(
+                getattr(p, lk) is None for lk in require_nonnull
+            ):
+                # a keyed linkage expressed as a subconstraint needs
+                # the candidate to HAVE that pointer (keyburn2 §1.1:
+                # a right-less Mike is no key match for key=(name
+                # right) right->(...))
                 continue
             m = Match(prim=p)
             ok = True
@@ -400,12 +409,77 @@ class WriteExecutor:
             # key=() is an explicit "no key": always creates
             # (ref test/unit/keyburn6.sh 'node key=()')
             fields = self._cluster_fields(con.key)
+            # a keyed iam sub whose linkage is part of its keyed
+            # parent's key binds only through the parent's old
+            # pointer — never globally (keyburn2 §5.3-§5.6: a failed
+            # parent key creates a fresh child even when a global
+            # name match exists; §4.3's unkeyed connection still
+            # binds globally)
+            parent = con.parent
+            if (
+                parent is not None
+                and con.linkage is not None
+                and con.linkage[0] == "iam"
+                and parent.key
+                and con.linkage[1] in self._cluster_fields(parent.key)
+            ):
+                old_parent = None
+                if id(parent) in self.resolved:
+                    old_parent = self.store.get(
+                        self.resolved[id(parent)]
+                    )
+                elif id(parent) in self.version_of:
+                    old_parent = self.store.get(
+                        self.version_of[id(parent)]
+                    )
+                if old_parent is not None:
+                    for m in self._match_tree(
+                        con, old_parent, fields, local_only=True
+                    ):
+                        if self._differs(con, m.prim, exclude=fields):
+                            self.version_of[id(con)] = m.prim.guid
+                        else:
+                            self.resolved[id(con)] = m.prim.guid
+                        break
+                for sub in con.subs:
+                    self._annotate_keys(sub)
+                return
+            # keyed linkages written as iam subconstraints: the key
+            # requires the pointer to exist, not the target to match
+            # (ref graphd-write-annotate-keyed.c; keyburn2 §1.1/§1.2)
+            iam_subs = [
+                sub for sub in con.subs
+                if sub.linkage is not None and sub.linkage[0] == "iam"
+            ]
             matches = self._match_tree(
-                con, self._parent_prim(con), fields, local_only=True
+                con, self._parent_prim(con), fields, local_only=True,
+                require_nonnull={
+                    s.linkage[1] for s in iam_subs
+                    if s.linkage[1] in fields
+                    and id(s) not in self.resolved
+                },
             )
             if matches:
                 old = matches[0].prim
-                if self._differs(con, old, exclude=fields):
+                version = self._differs(con, old, exclude=fields)
+                if not version:
+                    # every iam pointer must keep its target: if the
+                    # old target no longer satisfies the sub template
+                    # the pointer changes to a fresh node and the
+                    # keyed match versions (keyburn2 §1.2/§2.1/§2.2:
+                    # Elke -> Anke, or null -> Anke, version Mike)
+                    for sub in iam_subs:
+                        lk = sub.linkage[1]
+                        if id(sub) in self.resolved:
+                            if getattr(old, lk) != self.resolved[
+                                id(sub)
+                            ]:
+                                version = True
+                                break
+                        elif not self._match_tree(sub, old):
+                            version = True
+                            break
+                if version:
                     self.version_of[id(con)] = old.guid
                 else:
                     self.resolved[id(con)] = old.guid

@@ -65,7 +65,6 @@ def extract_script(name: str):
     _OUTPUT_FILTERS.clear()
     _ECHOES.clear()
     i = 0
-    saw_rm_after_block = False
     while i < len(lines):
         line = lines[i]
         m = re.match(r"\s*echo\s+(.*?)\s*$", line)
@@ -73,15 +72,23 @@ def extract_script(name: str):
             # shell echoes interleave with server output in the
             # golden (test/unit/dateline-2.sh "removing"/"running");
             # record position as "after N script blocks"
-            _ECHOES.append((n_scripts, m.group(1)))
+            text = m.group(1)
+            if len(text) >= 2 and text[0] == text[-1] and text[0] in "'\"":
+                text = text[1:-1]
+            _ECHOES.append((n_scripts, text))
             i += 1
             continue
-        if re.search(r"\brm -rf\b", line) and n_scripts:
-            saw_rm_after_block = True
-        m = re.search(r"rungraphd [^\n<]*<<-?\s*('?)EOF'?", line)
+        if (
+            re.search(r"\brm -rf\b", line)
+            and "$D" in line
+            and n_scripts
+        ):
+            # mid-test database wipe: the next run starts fresh
+            # (test/unit/or2.sh)
+            segments.append(("ctl", {"reset": True}))
+        quiet = re.search(r">\s*/dev/null", line) is not None
+        m = re.search(r"rungraphd [^\n<]*<<-?\s*('?)(\w+)'?", line)
         if m:
-            if saw_rm_after_block:
-                return None
             # some scripts post-filter the server output, e.g.
             # param-order.sh pipes through sed to mask cost strings
             sm = re.search(r"\|\s*sed\s+'s(.)(.*)\1(.*)\1g?'", line)
@@ -92,9 +99,10 @@ def extract_script(name: str):
             # runtime settings even with no flags (test/unit/cost2.sh)
             segments.append(("ctl", _run_controls(line)))
             unquoted = m.group(1) == ""
+            term = m.group(2)
             i += 1
             block = []
-            while i < len(lines) and lines[i].strip() != "EOF":
+            while i < len(lines) and lines[i].strip() != term:
                 text = lines[i].lstrip("\t ")
                 if unquoted:
                     # an unquoted heredoc undergoes shell expansion:
@@ -103,20 +111,24 @@ def extract_script(name: str):
                     text = re.sub(r"\\([\\$`])", r"\1", text)
                 block.append(text)
                 i += 1
-            segments.append(("script", "\n".join(block)))
+            segments.append((
+                "script_quiet" if quiet else "script",
+                "\n".join(block),
+            ))
             n_scripts += 1
             i += 1
             continue
-        m = re.search(r"rungraphd [^\n]*< *(\S+)\s*$", line)
-        if m and not line.rstrip().endswith("EOF"):
-            if saw_rm_after_block:
-                return None
-            fname = os.path.join(GOLDEN_DIR, m.group(1))
+        m = re.search(r"rungraphd [^\n]*< *(\S+)", line)
+        if m and "<<" not in line:
+            fname = m.group(1).replace("${B}", name).replace("$B", name)
+            fname = os.path.join(GOLDEN_DIR, fname)
             if not os.path.exists(fname):
                 return None
             segments.append(("ctl", _run_controls(line)))
             with open(fname, errors="surrogateescape") as f:
-                segments.append(("script", f.read()))
+                segments.append((
+                    "script_quiet" if quiet else "script", f.read()
+                ))
             n_scripts += 1
             i += 1
             continue
@@ -374,27 +386,33 @@ def run_golden(session_factory, name: str):
     """Run one golden; returns (got_lines, expected_lines) or None if
     the script shape is unsupported."""
     if name in GENERATED_INPUTS:
-        items: list = list(GENERATED_INPUTS[name]())
+        segments = [("script_reqs", GENERATED_INPUTS[name]())]
+        _ECHOES.clear()
+        _OUTPUT_FILTERS.clear()
     else:
         segments = extract_script(name)
         if segments is None:
             return None
-        items = []
-        for kind, payload in segments:
-            if kind == "ctl":
-                items.append(("ctl", payload))
-            else:
-                items.extend(split_requests(payload))
     session = session_factory()
-    got = [t for i, t in _ECHOES if i == 0]
-    for item in items:
-        if isinstance(item, tuple) and item[0] == "ctl":
-            session.apply_run_controls(item[1])
+    got: list[str] = []
+    n_script = 0
+    for kind, payload in segments:
+        if kind == "ctl":
+            session.apply_run_controls(payload)
             continue
-        reply = session.request(item)
-        if reply != "":
-            got.append(reply)
-    got += [t for i, t in _ECHOES if i > 0]
+        # shell echoes print before the block they precede
+        # (test/unit/keyburn2.sh "Round 2" between runs)
+        got += [t for i, t in _ECHOES if i == n_script]
+        n_script += 1
+        reqs = (
+            payload if kind == "script_reqs"
+            else split_requests(payload)
+        )
+        for r in reqs:
+            reply = session.request(r)
+            if kind != "script_quiet" and reply != "":
+                got.append(reply)
+    got += [t for i, t in _ECHOES if i >= n_script]
     for pat, repl in _OUTPUT_FILTERS:
         got = [re.sub(pat, repl, g) for g in got]
     return got, expected_output(name)
