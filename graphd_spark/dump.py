@@ -433,6 +433,20 @@ def bulk_restore(spark, lines_df, db_id: int):
     parsed = lines_df.mapInPandas(_parse, parsed_schema)
     parsed = parsed.localCheckpoint()  # parse once; joins reuse
 
+    if parsed.filter(F.col("prev").isNotNull()).isEmpty():
+        # chain-free dump (every tuple generation 0): lineage is the
+        # guid itself and the linkage columns are already canonical —
+        # skip the whole join cascade (one scan instead of six
+        # shuffles; the common case for fresh dumps)
+        df = parsed.withColumn("lineage", F.col("guid")).withColumn(
+            "generation", F.lit(0)
+        )
+        for lk in ("typeguid", "left", "right", "scope"):
+            df = df.withColumn(f"{lk}_lin", F.col(lk))
+        return df.select(
+            *[f.name for f in PRIMITIVES_SCHEMA.fields]
+        )
+
     base = parsed.select("guid", "prev")
     resolved = (
         base.filter(F.col("prev").isNull())

@@ -660,9 +660,10 @@ def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operation, checked by the byte-exact round-trip tests in
     tests/test_bulk_restore.py.
 
-    Scale note: the row_number here only mints test GUIDs for the
-    synthetic dump (a real dump already carries them); at cluster
-    scale you'd derive serials from zipWithIndex or ship real dumps.
+    Scale note: serials are minted map-side from the natural key
+    (orderkey, linenumber, copy) — no global ordering pass anywhere
+    in setup or restore, so the whole path is embarrassingly
+    parallel; a real dump already carries its GUIDs.
     """
     from graphd_spark.dump import bulk_restore
     from graphd_spark.model import PREDICTABLE_DB_ID, guid_compose
@@ -678,10 +679,10 @@ def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(spark.range(2).select(F.col("id").alias("copy")))
     prefix = guid_compose(PREDICTABLE_DB_ID, 0)[:16]
     serial = (
-        F.row_number().over(
-            W.orderBy("l_orderkey", "l_linenumber", "copy")
-        ) - 1
-    ).cast("long")
+        F.col("l_orderkey").cast("long") * 16
+        + F.col("l_linenumber").cast("long") * 2
+        + F.col("copy")
+    )
     esc = F.regexp_replace(
         F.regexp_replace(F.col("text"), r"\\", r"\\\\"), '"', r'\\"'
     )
