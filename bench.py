@@ -50,6 +50,8 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "dedup_embedding_cosine",
     "media_features",
     "text_quality_score",
     "restore_bulk",

@@ -756,6 +756,235 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rank") <= 5)
 
 
+#: embedding near-dup threshold: cosine at/above this marks a pair as
+#: duplicate candidates (the synthetic corpus peaks near 0.51, so 0.4
+#: yields a small positive set; production corpora with true
+#: near-duplicates sit near 1.0 and raise this to ~0.95)
+_EMB_DUP_TAU = 0.4
+
+
+@q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH planes AS (
+      SELECT p, [CASE WHEN CAST(('0x' || substr(md5(p::VARCHAR || ':' ||
+                         d::VARCHAR), 1, 8)) AS BIGINT) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END
+                 FOR d IN range({_EMB_DIM})] AS coeffs
+      FROM (SELECT unnest(range({_ANN_PLANES})) AS p) ps),
+    buckets AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[],
+                                                 pl.coeffs) > 0
+                      THEN 1::BIGINT << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e CROSS JOIN planes pl
+      GROUP BY e.vec_id, e.embedding)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                    a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]))), 4) AS sim
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[],
+                                 b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                   a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                   b.embedding::DOUBLE[]))), 4)
+          >= {_EMB_DUP_TAU}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup).
+
+    The same hyperplane sign buckets as :func:`ann_lsh_topk` generate
+    candidate pairs; exact cosine >= {tau} confirms them.  Scale: the
+    bucket id computes map-side from broadcast plane literals, the
+    candidate join is an equi-join on bucket — never all-pairs — and
+    the exact check touches only in-bucket pairs.  Recall tunes with
+    the number of plane tables (bands) exactly like MinHash; the
+    handoff from MinHash dedup is: shingles catch lexical
+    near-duplicates, embeddings catch paraphrases.""".format(
+        tau=_EMB_DUP_TAU
+    )
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    planes = _plane_coeffs()
+    plane_arr = F.array(
+        *[F.array(*[F.lit(c) for c in row]) for row in planes]
+    )
+    bucket = F.aggregate(
+        F.transform(
+            plane_arr,
+            lambda row, p: F.when(
+                _dot(F.col("embedding"), row) > 0,
+                F.pow(F.lit(2.0), p.cast("double")),
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ).cast("bigint")
+    bucketed = emb.select(
+        "vec_id", "embedding", bucket.alias("bucket")
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    sim = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
+        4,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= _EMB_DUP_TAU)
+    )
+
+
+#: IVF probe width: nearest coarse centroids searched per query
+_IVF_NPROBE = 2
+
+
+@q(
+    "ann_ivf_topk",
+    f"""
+    WITH dims AS (
+      SELECT e.label, d.pos, avg(CAST(e.embedding[d.pos + 1] AS DOUBLE)) AS c
+      FROM embeddings e
+      CROSS JOIN (SELECT unnest(range({_EMB_DIM})) AS pos) d
+      GROUP BY e.label, d.pos),
+    centroids AS (
+      SELECT label AS c_id, list(c ORDER BY pos) AS centroid
+      FROM dims GROUP BY label),
+    assign AS (
+      SELECT vec_id, embedding, c_id FROM (
+        SELECT e.vec_id, e.embedding, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(
+                   list_dot_product(e.embedding::DOUBLE[], c.centroid) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.centroid, c.centroid))), 6)
+                   DESC, c.c_id) AS rk
+        FROM embeddings e CROSS JOIN centroids c) t
+      WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS q_id, c_id FROM (
+        SELECT e.vec_id, c.c_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(
+                   list_dot_product(e.embedding::DOUBLE[], c.centroid) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.centroid, c.centroid))), 6)
+                   DESC, c.c_id) AS rk
+        FROM embeddings e CROSS JOIN centroids c
+        WHERE e.vec_id < 10) t
+      WHERE rk <= {_IVF_NPROBE}),
+    sims AS (
+      SELECT p.q_id, a.vec_id AS n_id,
+             list_dot_product(q.embedding::DOUBLE[],
+                              a.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                    q.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                    a.embedding::DOUBLE[]))) AS sim
+      FROM probes p
+      JOIN embeddings q ON q.vec_id = p.q_id
+      JOIN assign a ON a.c_id = p.c_id AND a.vec_id <> p.q_id)
+    SELECT q_id, n_id, rank FROM (
+      SELECT q_id, n_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY round(sim, 6) DESC, n_id) AS rank
+      FROM sims) t
+    WHERE rank <= 5
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    A coarse quantizer partitions the corpus into inverted lists;
+    queries probe only the {n} nearest lists and run exact cosine
+    inside them.  The quantizer here averages each label cluster (a
+    deterministic stand-in for the k-means training step — the list
+    assignment, probe and scan machinery is the real path).  Scale:
+    the centroid table is tiny and broadcast, list assignment is one
+    map-side argmax per vector, and the probe join is an equi-join on
+    list id — a query touches ~nprobe/nlist of the corpus instead of
+    all of it, the classic IVF trade.""".format(n=_IVF_NPROBE)
+    (emb,) = _t(spark, sf_dir, "embeddings")
+    # per-dimension mean by label -> centroid arrays (tiny result)
+    cent = (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("c_id"), "centroid")
+    )
+    csim = F.round(
+        _dot(F.col("embedding"), F.col("centroid"))
+        / (_norm(F.col("embedding")) * _norm(F.col("centroid"))),
+        6,
+    )
+    w_vec = W.partitionBy("vec_id").orderBy(
+        csim.desc(), F.col("c_id")
+    )
+    scored = emb.join(F.broadcast(cent)).withColumn(
+        "rk", F.row_number().over(w_vec)
+    )
+    assign = scored.filter(F.col("rk") == 1).select(
+        "vec_id", "embedding", "c_id"
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < 10)
+        .filter(F.col("rk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("q_id"), "c_id")
+    )
+    qv = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    sims = (
+        probes.join(F.broadcast(qv), "q_id")
+        .join(assign, "c_id")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (
+                _dot(F.col("q_emb"), F.col("embedding"))
+                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+            ).alias("sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(
+        F.round(F.col("sim"), 6).desc(), "n_id"
+    )
+    return sims.select(
+        "q_id", "n_id", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= 5)
+
+
 @q(
     "embedding_cluster_stats",
     """
