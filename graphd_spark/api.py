@@ -257,6 +257,17 @@ class GraphSession:
                 from graphd_spark.dump import do_restore
 
                 return self._ok(do_restore(self, req), rid, _resolved())
+            if req.command == "replica-write":
+                from graphd_spark.dump import do_restore
+
+                do_restore(self, req, replica=True)
+                return self._ok(None, rid, _resolved())
+            if req.command == "replica":
+                # "rok" instead of "ok" for replica replies (ref
+                # graphd-request-output.c:1502)
+                return "r" + self._ok(
+                    self._do_replica(req), rid, _resolved()
+                )
             raise GraphdError(
                 "SEMANTICS", f"unsupported command {req.command!r}"
             )
@@ -555,6 +566,72 @@ class GraphSession:
                 self._cost_limits = parsed
                 continue
             settings[n] = val.text
+
+    def _do_replica(self, req):
+        """replica (version=1 start-id=N [check-master]) — a replica
+        announcing itself to this master (ref libgdp/gdp-parse.c:2773,
+        graphd-replica.c graphd_replica).  Replies ("1" <write-master
+        -url>); the write-master url is empty for a directly-writable
+        master.  The catch-up stream the reference then pushes is
+        served here by :meth:`replica_feed` / the Structured-Streaming
+        analog in streaming.py."""
+        from graphd_spark.gql import lexer as L
+        from graphd_spark.values import Str
+
+        toks = list(req.rest)
+        version = None
+        start_id = 0
+        i = 0
+        while i < len(toks):
+            t = toks[i]
+            if t.kind == L.ATOM and t.text.lower() == "version":
+                if i + 2 < len(toks) and toks[i + 1].kind == L.EQ:
+                    version = toks[i + 2].text
+                    i += 3
+                    continue
+            if t.kind == L.ATOM and t.text.lower() == "start-id":
+                if i + 2 < len(toks) and toks[i + 1].kind == L.EQ:
+                    try:
+                        start_id = int(toks[i + 2].text, 0)
+                    except ValueError:
+                        raise GraphdError(
+                            "SYNTAX", "expected a numerical value"
+                        )
+                    i += 3
+                    continue
+            i += 1
+        if version is None:
+            raise GraphdError("SEMANTICS", "missing version number")
+        if version != "1":
+            raise GraphdError("SEMANTICS", "version not supported")
+        n = self.store.count()
+        if start_id > n:
+            raise GraphdError(
+                "SEMANTICS",
+                f"cannot start replication at {start_id:x}; this "
+                f"server only has primitives up to {n:x}",
+            )
+        return List([Str("1"), Str("")])
+
+    def replica_feed(self, start_id: int) -> list[str]:
+        """The master-side catch-up stream: ``replica-write`` request
+        lines covering ids [start', count), where start' backs up 256
+        primitives so the replica can verify the overlap (ref
+        graphd-replica.c:1137-1143).  A real deployment tails the
+        parquet commit log with streaming.py instead; this is the
+        protocol rendering of the same feed."""
+        from graphd_spark.dump import _tuple_value
+        from graphd_spark.values import render
+
+        lo = start_id - 256 if start_id > 256 else (1 if start_id else 0)
+        hi = self.store.count()
+        if lo >= hi:
+            return []
+        parts = [f"replica-write ({lo} {hi}"]
+        for p in self.store.iter_range(lo, hi):
+            parts.append(" " + render(_tuple_value(self, p)))
+        parts.append(")")
+        return ["".join(parts)]
 
     def _do_verify(self, req):
         """verify: index/store consistency as one Spark assertion job

@@ -104,8 +104,15 @@ def _v2_guid(g: str | None) -> str | None:
     return guid_compose(db, b & ((1 << 34) - 1))
 
 
-def do_restore(session, req):
-    """restore ("VERSION" start end (tuple)...)."""
+def do_restore(session, req, replica: bool = False):
+    """restore ("VERSION" start end (tuple)...).
+
+    With ``replica``, the payload is a master's replication batch —
+    ``replica-write (start end (tuple)...)`` (ref
+    libgdp/gdp-parse.c:2908): the version is implicitly the current
+    one, and tuples the replica already holds verify-and-skip instead
+    of erroring (masters deliberately restart the stream 256
+    primitives early, graphd-replica.c:1137-1143)."""
     toks = list(req.rest)
     i = 0
 
@@ -120,7 +127,7 @@ def do_restore(session, req):
     t = next_tok()
     if t.kind != L.OPAR:
         raise GraphdError("SYNTAX", "expected '(' after restore")
-    version = next_tok().text
+    version = "6" if replica else next_tok().text
     if version not in ("1", "2", "4", "5", "6"):
         raise GraphdError("SEMANTICS", f"unsupported dump version {version!r}")
     start = int(next_tok().text)
@@ -148,7 +155,7 @@ def do_restore(session, req):
             f"(attempted: {start})",
         )
 
-    if start == 0 and session.store.count() > 0:
+    if start == 0 and session.store.count() > 0 and not replica:
         # restore from 0 destroys existing state
         # (ref doc/gr-protocol.txt:1271-1296)
         session.store = session.fresh_store()
@@ -246,6 +253,10 @@ def do_restore(session, req):
                 )
                 continue
             gtxt = guid.text.lower()
+            if replica and store.get(gtxt) is not None:
+                # overlap with the already-replicated prefix: verified
+                # identical by guid, skipped (graphd-restore overlap)
+                continue
             links = {
                 "typeguid": _atom_guid(typeguid.text),
                 "right": _atom_guid(right.text),
