@@ -826,16 +826,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     ).cast("bigint")
-    bucketed = emb.select(
-        "vec_id", "embedding", bucket.alias("bucket")
+    # normalize map-side so the pair join computes ONE dot product
+    # per candidate instead of a dot plus two norms — the per-pair
+    # cost is the scale driver here
+    bucketed = (
+        emb.select(
+            "vec_id", "embedding", bucket.alias("bucket"),
+            _norm(F.col("embedding")).alias("__nrm"),
+        )
+        .select(
+            "vec_id", "bucket",
+            F.transform(
+                "embedding",
+                lambda x: x.cast("double") / F.col("__nrm"),
+            ).alias("nemb"),
+        )
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    sim = F.round(
-        _dot(F.col("a.embedding"), F.col("b.embedding"))
-        / (_norm(F.col("a.embedding")) * _norm(F.col("b.embedding"))),
-        4,
-    )
+    sim = F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 4)
     return (
         a.join(
             b,
