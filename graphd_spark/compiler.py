@@ -220,6 +220,12 @@ class Compiler:
                         if b is not None
                         else df.filter(F.lit(False))
                     )
+            elif cstate.form == "fixed_masq":
+                # a masqueraded fixed set enumerates the root's own
+                # candidate set in id order, so position == offset
+                # into the compiled result (graphd-iterator-fixed.c
+                # fixed_iterator_next; test/unit/colors3.sh)
+                resume = cstate.pos
         elif con.cursor is not None:
             import re as _re
 
@@ -436,7 +442,7 @@ class Compiler:
                     .collect()
                 )
                 plan.cursor = (
-                    self._iterator_cursor(con, cstate, probe, df)
+                    self._iterator_cursor(con, cstate, probe, df, resume)
                     if probe
                     else None
                 ) or "null:"
@@ -448,17 +454,22 @@ class Compiler:
                 )
             else:
                 plan.cursor = self._iterator_cursor(
-                    con, cstate, rows, df
+                    con, cstate, rows, df, resume
                 ) or f"position:{consumed}/{total}"
         return plan, rows, total
 
-    def _iterator_cursor(self, con, cstate, rows, df) -> Optional[str]:
+    def _iterator_cursor(self, con, cstate, rows, df, prior=0) -> Optional[str]:
         """Reference-format frozen cursor for an unsorted root page
         (ref graphd_read_set_cursor_get_value + constraint_cursor_
         from_iterator).  Returns None when the plan's iterator shape
-        isn't one we freeze (caller falls back to a position token)."""
+        isn't one we freeze (caller falls back to a position token).
+
+        ``prior`` is the offset already consumed by earlier pages
+        ([o:] is cumulative, graphd-read-set-cursor.c:39-43)."""
         from graphd_spark.cursor import CursorState, freeze_cursor
 
+        if cstate is not None:
+            prior = cstate.offset
         last_id = guid_serial(rows[-1]["guid"])
         count = self.store.count()
         if cstate is not None and cstate.form in (
@@ -503,7 +514,7 @@ class Compiler:
                 return None
             st = CursorState(form="fixed", fixed_ids=ids, pos=pos)
             return freeze_cursor(
-                con, st, len(rows), count, self.types.resolve
+                con, st, prior + len(rows), count, self.types.resolve
             )
         if not con.subs and not con.or_chains:
             gm = self._gmap_source(con)
@@ -524,7 +535,7 @@ class Compiler:
                         lk=lk, src=src,
                     )
                     return freeze_cursor(
-                        con, st, len(rows), high, self.types.resolve
+                        con, st, prior + len(rows), high, self.types.resolve
                     )
                 return None
             if any(
@@ -550,14 +561,14 @@ class Compiler:
                     pos=ids.index(last_id) + 1,
                 )
                 return freeze_cursor(
-                    con, st, len(rows), count, self.types.resolve
+                    con, st, prior + len(rows), count, self.types.resolve
                 )
             # unindexed roots scan everything (pdb all-iterator)
             st = CursorState(
                 form="all", low=0, high=count, pos=last_id + 1
             )
             return freeze_cursor(
-                con, st, len(rows), count, self.types.resolve
+                con, st, prior + len(rows), count, self.types.resolve
             )
         # linkage-driven roots: the optimizer materializes small
         # candidate sets into a fixed iterator (graphd-iterator-fixed.c;
@@ -570,12 +581,168 @@ class Compiler:
         ]
         if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
             return None
+        masq = self._isa_masquerade(con, ids) if len(ids) > 5 else None
+        if masq is not None:
+            # isa-produced fixed sets remember their provenance
+            # instead of the raw ids (isa_set_fixed_masquerade,
+            # graphd-iterator-isa.c:723-769; test/unit/colors3.sh)
+            st = CursorState(
+                form="fixed_masq", masq=masq,
+                pos=ids.index(last_id) + 1,
+            )
+            if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
+                st.cache_stamp = self._resource_stamp(masq)
+            else:
+                st.fixed_ids = ids
+            return freeze_cursor(
+                con, st, prior + len(rows), count, self.types.resolve
+            )
         st = CursorState(
             form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
         )
         return freeze_cursor(
-                con, st, len(rows), count, self.types.resolve
+                con, st, prior + len(rows), count, self.types.resolve
             )
+
+    def _resource_stamp(self, key: str) -> str:
+        """Stable stamp for a cached iterator resource: reuse the
+        stamp while the resource stays in the session cache, mint
+        PID+CLOCK+SEQ otherwise — 0x0123/0x456789AB in predictable
+        mode (graphd-iterator-resource.c:198-205)."""
+        reg = getattr(self.store, "cursor_resources", None)
+        if reg is None:
+            reg = self.store.cursor_resources = {}
+            self.store.cursor_resource_next = 1
+        if key not in reg:
+            reg[key] = "0123456789ab{}".format(
+                self.store.cursor_resource_next
+            )
+            self.store.cursor_resource_next += 1
+        return reg[key]
+
+    def _isa_masquerade(self, con, ids) -> Optional[str]:
+        """The fixed-isa provenance string when the root's candidates
+        were produced by expanding one subconstraint's linkage — the
+        shape ``fixed-isa:LOW-HIGH:L<-(SUB)[hint:0]`` where SUB is the
+        child's own index iterator (vip when typeguid + one endpoint
+        are pinned, gmap for a single linkage)
+        (graphd-iterator-isa.c:656-769; test/unit/colors3.sh)."""
+        from graphd_spark.model import guid_compose
+
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        if sub.linkage is None:
+            return None
+        kind, lk = sub.linkage
+        if kind != "my" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        if sub.or_chains or sub.value_strcons or sub.name_strcons or (
+            sub.guid or sub.next or sub.prev or sub.timestamps
+        ):
+            return None
+        # the child's index shape: typeguid plus at most one pinned
+        # endpoint (direct linkage= or a grandchild resolving to a
+        # single primitive)
+        typeguid = None
+        for sc in sub.type_strcons:
+            if sc.op != "=" or len(sc.values) != 1 or not sc.values[0]:
+                return None
+            g = self.types.resolve(sc.values[0])
+            if g is None or typeguid is not None:
+                return None
+            typeguid = g
+        endpoint = None  # (linkage letter, source id)
+        for elk in ("left", "right", "scope"):
+            for gc in sub.links.get(elk, []):
+                if (
+                    gc.op != "="
+                    or len(gc.guids) != 1
+                    or gc.guids[0] is None
+                    or endpoint is not None
+                ):
+                    return None
+                endpoint = (elk, guid_serial(gc.guids[0]))
+        for gc in sub.links.get("typeguid", []):
+            if (
+                gc.op != "=" or len(gc.guids) != 1
+                or gc.guids[0] is None or typeguid is not None
+            ):
+                return None
+            typeguid = gc.guids[0]
+        for gsub in sub.subs:
+            # a grandchild pinning one of the child's endpoints
+            # (GUID-consequence propagation,
+            # graphd-constraint-iterator.c:321-404)
+            if gsub.linkage is None:
+                return None
+            gkind, glk = gsub.linkage
+            # 'iam': child.glk == grandchild.guid — a pinned endpoint
+            # once the grandchild resolves to a single primitive
+            if gkind != "iam" or endpoint is not None or glk not in (
+                "left", "right", "scope"
+            ):
+                return None
+            try:
+                _plan, gdf = self._compile(gsub, exists_only=True)
+            except GraphdError:
+                return None
+            gids = [
+                r["id"] for r in
+                gdf.select("id").orderBy("id").limit(2).collect()
+            ]
+            if len(gids) != 1:
+                return None
+            endpoint = (glk, gids[0])
+        raw = self.store.to_df(self.spark)
+        if typeguid is not None and endpoint is not None:
+            elk, src = endpoint
+            span = raw.filter(
+                (F.col("typeguid") == typeguid)
+                & (
+                    F.col(elk)
+                    == guid_compose(self.store.db_id, src)
+                )
+            ).agg(
+                F.min("id").alias("lo"), F.max("id").alias("hi")
+            ).head()
+            if span is None or span["lo"] is None:
+                return None
+            sub_freeze = "vip:{}-{}:{}+{}->{}".format(
+                span["lo"], span["hi"] + 1, elk[0], typeguid, src
+            )
+        elif typeguid is not None or endpoint is not None:
+            elk, src = (
+                ("typeguid", guid_serial(typeguid))
+                if typeguid is not None
+                else endpoint
+            )
+            span = raw.filter(
+                F.col(elk) == guid_compose(self.store.db_id, src)
+            ).agg(
+                F.min("id").alias("lo"), F.max("id").alias("hi")
+            ).head()
+            if span is None or span["lo"] is None:
+                return None
+            sub_freeze = "gmap:{}-{}:{}->{}".format(
+                span["lo"], span["hi"] + 1, elk[0], src
+            )
+        else:
+            return None
+        # the fixed iterator narrowed its bounds to the actual id span
+        # (fixed_optimize, graphd-iterator-fixed.c:1016-1019); hint 0
+        # differs from HINT_DEFAULT so it prints
+        return "fixed-isa:{}-{}:{}<-({})[hint:0]".format(
+            ids[0], ids[-1] + 1, lk[0], sub_freeze
+        )
 
     #: gmap linkage letter -> primitive column (pdb_linkage_to_string)
     _GMAP_COLS = {"t": "typeguid", "l": "left", "r": "right", "s": "scope"}

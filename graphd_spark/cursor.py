@@ -385,6 +385,12 @@ class CursorState:
     tail: str = ""             # without-iterator internal state
     lk: str = ""               # gmap linkage letter (t/l/r/s)
     src: int = 0               # gmap source local id
+    #: fixed-with-masquerade (graphd-iterator-fixed.c freeze when the
+    #: set was produced by an isa expansion): the provenance string
+    #: between the parens, and the cached-resource stamp if the state
+    #: was saved as [cache:@STAMP] (graphd-iterator-resource.c)
+    masq: str = ""
+    cache_stamp: str = ""
 
 
 class BadCursor(Exception):
@@ -447,6 +453,45 @@ def parse_cursor(text: str, con: Constraint,
         st.form = "all"
         st.low, st.high, st.pos = (int(x) for x in mm.groups())
         return _validated(st)
+    if body.startswith("fixed:("):
+        # masqueraded fixed set: fixed:(PROVENANCE)/POS/STATE — the
+        # provenance records how to regenerate the ids (an isa
+        # expansion); the state is either [cache:@STAMP] or an inline
+        # N:id,... list (graphd-iterator-fixed.c:532-612)
+        depth = 0
+        i = len("fixed:")
+        for i in range(len("fixed:"), len(body)):
+            if body[i] == "(":
+                depth += 1
+            elif body[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise _old_style(text)
+        st.masq = body[len("fixed:("): i]
+        rest = body[i + 1:]
+        mm = re.match(r"^/(\d+)/(.*)$", rest)
+        if not mm:
+            raise _old_style(text)
+        st.form = "fixed_masq"
+        st.pos = int(mm.group(1))
+        state = mm.group(2)
+        cm = re.match(r"^\[cache:@([0-9a-zA-Z]+)\]$", state)
+        if cm:
+            st.cache_stamp = cm.group(1)
+        elif re.match(r"^\d+:[0-9,]*$", state):
+            n, _, ids = state.partition(":")
+            st.fixed_ids = [int(x) for x in ids.split(",") if x != ""]
+            if len(st.fixed_ids) != int(n):
+                raise _old_style(text)
+        elif state:
+            raise _old_style(text)
+        # spelled-out linkage names ("left<-") come from older freeze
+        # formats whose checksums we can't reproduce; skip validation
+        if re.search(r"(?:left|right|typeguid|scope)[<+-]", st.masq):
+            signed = None
+        return _validated(st)
     mm = re.match(r"^fixed:(\d+):([0-9,]*?)(?:/(\d+)/)?$", body)
     if mm:
         st.form = "fixed"
@@ -502,7 +547,21 @@ def freeze_cursor(
     the id write horizon ([n:], the store count unless the cursor being
     resumed pinned an older one).
     """
-    if state.form == "all":
+    if state.form == "fixed_masq":
+        # masqueraded fixed set (isa expansion): provenance + position
+        # + local state — the binary cache stamp when the set is big
+        # enough to be worth caching (GRAPHD_ITERATOR_FIXED_CACHE_MIN
+        # = 10), the inline id list otherwise
+        # (graphd-iterator-fixed.c:482-612)
+        if state.cache_stamp:
+            tail = f"[cache:@{state.cache_stamp}]"
+        else:
+            tail = "{}:{}".format(
+                len(state.fixed_ids),
+                ",".join(str(i) for i in state.fixed_ids),
+            )
+        body = f"fixed:({state.masq})/{state.pos}/{tail}"
+    elif state.form == "all":
         body = f"all:{state.low}-{state.high}/{state.pos}/"
     elif state.form == "fixed":
         ids = ",".join(str(i) for i in state.fixed_ids)
