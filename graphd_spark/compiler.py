@@ -226,6 +226,14 @@ class Compiler:
                 # into the compiled result (graphd-iterator-fixed.c
                 # fixed_iterator_next; test/unit/colors3.sh)
                 resume = cstate.pos
+            elif cstate.form == "and_it":
+                # the and-iterator resumes after its last delivered
+                # candidate id (graphd-iterator-and-freeze.c thaw;
+                # test/unit/slip.sh)
+                if cstate.tail == "$":
+                    df = df.filter(F.lit(False))
+                else:
+                    df = df.filter(F.col("id") > cstate.pos)
         elif con.cursor is not None:
             import re as _re
 
@@ -449,6 +457,19 @@ class Compiler:
             elif consumed >= total or not rows:
                 plan.cursor = "null:"
             elif con.sort:
+                if self.store.count() >= 1000:
+                    # a sorted scan this large exceeds the request
+                    # budget and suspends, freezing the iterator's
+                    # state into the resource cache once per query
+                    # shape (graphd-stack.c:139, graphd-iterator-
+                    # state.c; the slip golden's stamp sequence)
+                    members = self._and_members(con)
+                    if members is not None and len(members) >= 2:
+                        self._resource_stamp(
+                            "suspend:" + ";".join(
+                                f"{lk}->{src}" for lk, src in members
+                            )
+                        )
                 plan.cursor = self._sort_cursor(
                     con, plan, rows, consumed, horizon
                 )
@@ -570,6 +591,9 @@ class Compiler:
             return freeze_cursor(
                 con, st, prior + len(rows), count, self.types.resolve
             )
+        and_cursor = self._and_cursor(con, rows, prior, count)
+        if and_cursor is not None:
+            return and_cursor
         # linkage-driven roots: the optimizer materializes small
         # candidate sets into a fixed iterator (graphd-iterator-fixed.c;
         # tests cursor3/cursor4); larger sets keep their and/gmap shape,
@@ -603,6 +627,104 @@ class Compiler:
         return freeze_cursor(
                 con, st, prior + len(rows), count, self.types.resolve
             )
+
+    def _and_members(self, con) -> Optional[list]:
+        """The root's AND-iterator members as (linkage letter, source
+        id) gmaps — direct linkage equalities plus subconstraints whose
+        child resolves to a single primitive (GUID-consequence
+        propagation, graphd-constraint-iterator.c:321-404,1815-1841).
+        None when any predicate falls outside this shape."""
+        if con.or_chains or con.guid or con.next or con.prev:
+            return None
+        if any(
+            sc.op in ("=", "~=") and any(v is not None for v in sc.values)
+            for sc in (*con.value_strcons, *con.name_strcons)
+        ):
+            return None  # would add an hmap/prefix member we don't freeze
+        members = []
+        for sc in con.type_strcons:
+            if sc.op != "=" or len(sc.values) != 1 or not sc.values[0]:
+                return None
+            g = self.types.resolve(sc.values[0])
+            if g is None:
+                return None
+            members.append(("t", guid_serial(g)))
+        # gmap member order follows the linkage enum (pdb.h:77-105)
+        for lk in ("typeguid", "right", "left", "scope"):
+            for gc in con.links.get(lk, []):
+                if (
+                    gc.op != "=" or len(gc.guids) != 1
+                    or gc.guids[0] is None
+                ):
+                    return None
+                members.append((lk[0], guid_serial(gc.guids[0])))
+            for sub in con.subs:
+                if sub.linkage != ("iam", lk):
+                    continue
+                try:
+                    _plan, sdf = self._compile(sub, exists_only=True)
+                except GraphdError:
+                    return None
+                sids = [
+                    r["id"] for r in
+                    sdf.select("id").orderBy("id").limit(2).collect()
+                ]
+                if len(sids) != 1:
+                    return None
+                members.append((lk[0], sids[0]))
+        for sub in con.subs:
+            kind, lk = sub.linkage or (None, None)
+            if kind == "iam" and lk in (
+                "typeguid", "right", "left", "scope"
+            ):
+                continue  # handled above (or rejected there)
+            return None  # 'my'-side subs make isa/linksto members
+        return members
+
+    def _and_cursor(self, con, rows, prior, count) -> Optional[str]:
+        """Frozen and-iterator cursor for multi-index roots:
+        ``and:#LOW-HIGH:N:[psz:..][ov:0](SUB)..(SUB)[pro:0]/POS
+        [pp:..]/@STAMP`` (graphd-iterator-and-freeze.c:619-805;
+        test/unit/slip.sh).  The long subiterator state is replaced by
+        a cached-resource ticket (graphd-iterator-state.c:75-127)."""
+        from graphd_spark.cursor import sign_cursor
+
+        members = self._and_members(con)
+        if members is None or len(members) < 2:
+            return None
+        spans = []
+        for lk, src in members:
+            lo, hi, _ = self._gmap_stats(lk, src, 0)
+            if lo is None:
+                return None
+            spans.append((lo, hi))
+        low = max(s[0] for s in spans)
+        high = min(s[1] for s in spans)
+        last_id = guid_serial(rows[-1]["guid"])
+        rps = con.resultpagesize
+        if rps is None:
+            rps = (
+                con.pagesize
+                if con.pagesize is not None
+                else DEFAULT_PAGESIZE
+            )
+        subs = "".join(
+            f"(gmap:{low}-{high}:{lk}->{src})" for lk, src in members
+        )
+        set_part = (
+            f"and:#{low}-{high}:{len(members)}:[psz:{rps}][ov:0]"
+            f"{subs}[pro:0]"
+        )
+        # producer position: index elements the first member consumed
+        _lo, _hi, ppos = self._gmap_stats(
+            members[0][0], members[0][1], last_id
+        )
+        pos_part = f"/{last_id}[pp:{ppos}]/"
+        stamp = self._resource_stamp(set_part + pos_part)
+        body = "[o:{}][n:{}]{}{}@{}".format(
+            prior + len(rows), count, set_part, pos_part, stamp
+        )
+        return sign_cursor(con, body, self.types.resolve)
 
     def _resource_stamp(self, key: str) -> str:
         """Stable stamp for a cached iterator resource: reuse the

@@ -453,6 +453,40 @@ def parse_cursor(text: str, con: Constraint,
         st.form = "all"
         st.low, st.high, st.pos = (int(x) for x in mm.groups())
         return _validated(st)
+    if body.startswith("and:"):
+        # and-iterator: and:DLOW[-HIGH]:N:[opts](SUB)...(SUB)[pro:P]
+        # /POS[pp:..]/STATE — POS is the last delivered candidate id
+        # ('$' at eof); resume scans ids above it
+        # (graphd-iterator-and-freeze.c:619-805)
+        mm = re.match(r"^and:([+~#_-]?)(\d+)(?:-(\d+))?:(\d+):", body)
+        if not mm:
+            raise _old_style(text)
+        st.form = "and_it"
+        st.low = int(mm.group(2))
+        st.high = int(mm.group(3)) if mm.group(3) else None
+        rest = body[mm.end():]
+        # skip option blocks and the parenthesized subiterator sets
+        depth = 0
+        slash = None
+        for j, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "/" and depth == 0:
+                slash = j
+                break
+        if slash is None:
+            raise _old_style(text)
+        posm = re.match(r"^(\$|\d+)", rest[slash + 1:])
+        if not posm:
+            raise _old_style(text)
+        if posm.group(1) == "$":
+            st.tail = "$"  # exhausted
+            st.pos = -1
+        else:
+            st.pos = int(posm.group(1))
+        return _validated(st)
     if body.startswith("fixed:("):
         # masqueraded fixed set: fixed:(PROVENANCE)/POS/STATE — the
         # provenance records how to regenerate the ids (an isa
@@ -530,6 +564,14 @@ def parse_cursor(text: str, con: Constraint,
         # frozen body the reference would have produced)
         return None
     raise _old_style(text)
+
+
+def sign_cursor(con: Constraint, body: str, resolve=None) -> str:
+    """Wrap a fully-built freeze body in the signed cursor envelope
+    (graphd_constraint_cursor_from_iterator:
+    ``cursor:%4.4hx:`` = set-signature checksum ^ body checksum)."""
+    check = signature_checksum(con, resolve) ^ checksum16(body)
+    return f"cursor:{check:04x}:{body}"
 
 
 def freeze_cursor(
