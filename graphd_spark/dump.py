@@ -337,7 +337,12 @@ def _unescape(s: str) -> str:
 def parse_tuple_batch(lines, db_id: int):
     """Parse version-6 dump tuple lines into primitive dicts (worker-
     side; no store access).  Linkage canonicalization and version
-    chains are resolved afterwards with joins — see bulk_restore."""
+    chains are resolved afterwards with joins — see bulk_restore.
+
+    The derived comparator columns (value_norm/value_num/value_fkey)
+    and timestamps are computed once per *unique* value through a
+    memo — dump values and timestamps repeat heavily, so this drops
+    the per-row Python cost from ~100us to the ~25us tokenize."""
     from graphd_spark.comparators import (
         decode_number,
         fuzzy_key,
@@ -345,6 +350,18 @@ def parse_tuple_batch(lines, db_id: int):
         value_norm_key,
     )
 
+    def _derived(val):
+        if val is None:
+            return None, None, None
+        d = decode_number(val, scientific=True)
+        return (
+            value_norm_key(val),
+            None if d is None else render_sci(d),
+            fuzzy_key(val),
+        )
+
+    derived_memo: dict = {}
+    ts_memo: dict = {}
     out = []
     for line in lines:
         line = line.strip()
@@ -366,6 +383,12 @@ def parse_tuple_batch(lines, db_id: int):
             dt = DATATYPE_CODES.get(dtt, int(dtt) if dtt.isdigit() else 1)
         val = value[1] if value[0] else None
         gtxt = guid[1].lower()
+        dv = derived_memo.get(val)
+        if dv is None:
+            dv = derived_memo[val] = _derived(val)
+        tst = ts_memo.get(ts[1])
+        if tst is None:
+            tst = ts_memo[ts[1]] = ts_from_string(ts[1])
         out.append(
             dict(
                 id=guid_serial(gtxt),
@@ -378,18 +401,13 @@ def parse_tuple_batch(lines, db_id: int):
                 name=name[1] if name[0] else None,
                 datatype=dt,
                 value=val,
-                value_norm=value_norm_key(val),
-                value_num=(
-                    None
-                    if val is None
-                    or (d := decode_number(val, scientific=True)) is None
-                    else render_sci(d)
-                ),
-                value_fkey=None if val is None else fuzzy_key(val),
+                value_norm=dv[0],
+                value_num=dv[1],
+                value_fkey=dv[2],
                 live=live[1].lower() != "false",
                 archival=archival[1].lower() != "false",
                 txstart=txstart[1].lower() == "true",
-                timestamp=ts_from_string(ts[1]),
+                timestamp=tst,
             )
         )
     return out
@@ -442,9 +460,23 @@ def bulk_restore(spark, lines_df, db_id: int):
     if lines_df.rdd.getNumPartitions() < par:
         lines_df = lines_df.repartition(par)
     parsed = lines_df.mapInPandas(_parse, parsed_schema)
-    parsed = parsed.localCheckpoint()  # parse once; joins reuse
 
-    if parsed.filter(F.col("prev").isNotNull()).isEmpty():
+    # chain-free probe BEFORE the Python parse: the prev field is the
+    # tuple's trailing atom, so a plain suffix test on the raw text
+    # decides whether any version chains exist at all — the common
+    # fresh-dump case then stays fully lazy, one parse pass total,
+    # no checkpoint materialization.  (endswith, not a regex: an
+    # end-anchored regex backtracks from every offset and is ~100x
+    # slower per line)
+    trimmed = F.rtrim(F.lower(F.col("value")))
+    has_chain = not lines_df.filter(
+        ~(
+            trimmed.endswith(" 0)")
+            | trimmed.endswith(" null)")
+            | (F.length(trimmed) == 0)
+        )
+    ).isEmpty()
+    if not has_chain:
         # chain-free dump (every tuple generation 0): lineage is the
         # guid itself and the linkage columns are already canonical —
         # skip the whole join cascade (one scan instead of six
@@ -457,6 +489,7 @@ def bulk_restore(spark, lines_df, db_id: int):
         return df.select(
             *[f.name for f in PRIMITIVES_SCHEMA.fields]
         )
+    parsed = parsed.localCheckpoint()  # parse once; the joins reuse
 
     base = parsed.select("guid", "prev")
     resolved = (

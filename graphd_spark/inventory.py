@@ -669,6 +669,12 @@ def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphd_spark.model import PREDICTABLE_DB_ID, guid_compose
 
     (li,) = _t(spark, sf_dir, "lineitem")
+    # spread the narrow source before synthesizing tuple text: the
+    # chain probe and the Python parse then both run cluster-wide,
+    # and the wide text rows are never shuffled
+    par = spark.sparkContext.defaultParallelism
+    if li.rdd.getNumPartitions() < par:
+        li = li.repartition(par)
     src = li.select(
         F.format_string(
             "%s %s %s %s",
