@@ -226,14 +226,21 @@ class Compiler:
                 # into the compiled result (graphd-iterator-fixed.c
                 # fixed_iterator_next; test/unit/colors3.sh)
                 resume = cstate.pos
-            elif cstate.form == "and_it":
-                # the and-iterator resumes after its last delivered
-                # candidate id (graphd-iterator-and-freeze.c thaw;
-                # test/unit/slip.sh)
+            elif cstate.form in ("and_it", "or_it"):
+                # and/or iterators resume after their last delivered
+                # candidate id — a state-cache miss replays the scan
+                # and skips until the last known id floats past
+                # (graphd-iterator-and-freeze.c thaw,
+                # graphd-iterator-or.c:3009; tests slip, isa)
                 if cstate.tail == "$":
                     df = df.filter(F.lit(False))
                 else:
                     df = df.filter(F.col("id") > cstate.pos)
+            elif cstate.form == "isa_it":
+                # the isa's position is its last delivered target; the
+                # read layer resumes by the cumulative [o:] offset
+                # (production order == id order for the expansion)
+                resume = cstate.offset
         elif con.cursor is not None:
             import re as _re
 
@@ -591,7 +598,7 @@ class Compiler:
             return freeze_cursor(
                 con, st, prior + len(rows), count, self.types.resolve
             )
-        and_cursor = self._and_cursor(con, rows, prior, count)
+        and_cursor = self._and_cursor(con, cstate, rows, prior, count)
         if and_cursor is not None:
             return and_cursor
         # linkage-driven roots: the optimizer materializes small
@@ -604,7 +611,12 @@ class Compiler:
             .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
         ]
         if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
-            return None
+            # too big to materialize: the expansion keeps its
+            # isa / or-linksto iterator shape (graphd-iterator-isa.c,
+            # graphd-iterator-linksto.c; test/unit/isa.sh)
+            return self._isa_prefix_cursor(
+                con, cstate, rows, prior, count
+            ) or self._or_linksto_cursor(con, cstate, rows, prior, count)
         masq = self._isa_masquerade(con, ids) if len(ids) > 5 else None
         if masq is not None:
             # isa-produced fixed sets remember their provenance
@@ -615,7 +627,9 @@ class Compiler:
                 pos=ids.index(last_id) + 1,
             )
             if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
-                st.cache_stamp = self._resource_stamp(masq)
+                st.cache_stamp = self._resource_stamp(
+                    reuse=cstate.cache_stamp if cstate else None
+                )
             else:
                 st.fixed_ids = ids
             return freeze_cursor(
@@ -681,25 +695,207 @@ class Compiler:
             return None  # 'my'-side subs make isa/linksto members
         return members
 
-    def _and_cursor(self, con, rows, prior, count) -> Optional[str]:
+    def _prefix_pattern(self, con) -> Optional[str]:
+        """The pure word-prefix P when the constraint's only value
+        predicate is ``value~="P*"`` (the shape the reference routes
+        to the prefix iterator, graphd-iterator-prefix.c)."""
+        if len(con.value_strcons) != 1 or con.name_strcons:
+            return None
+        sc = con.value_strcons[0]
+        if sc.op != "~=" or len(sc.values) != 1 or not sc.values[0]:
+            return None
+        pat = sc.values[0]
+        body = pat[1:] if pat.startswith("^") else pat
+        if not body.endswith("*"):
+            return None
+        p = body[:-1]
+        if not p or not p.isalnum() or not p.isascii():
+            return None
+        return p.lower()
+
+    def _hmap_source(self, sub) -> Optional[tuple]:
+        """(hmap type name, key, low, high, n_sources) when the
+        subconstraint's only indexed predicate is one name=/value=
+        string equality — the shape that compiles to a single hmap
+        bin (libpdb/pdb-iterator-hmap.c)."""
+        if (
+            sub.subs or sub.or_chains or sub.guid or sub.links
+            or sub.type_strcons or sub.next or sub.prev or sub.timestamps
+        ):
+            return None
+        cands = []
+        for tname, scs in (
+            ("name", sub.name_strcons), ("value", sub.value_strcons)
+        ):
+            for sc in scs:
+                if sc.op != "=" or len(sc.values) != 1 or not sc.values[0]:
+                    return None
+                cands.append((tname, sc.values[0]))
+        if len(cands) != 1:
+            return None
+        tname, key = cands[0]
+        col = "name" if tname == "name" else "value"
+        row = (
+            self.store.to_df(self.spark)
+            .filter(F.lower(F.col(col)) == key.lower())
+            .agg(
+                F.min("id").alias("lo"),
+                F.max("id").alias("hi"),
+                F.count("*").alias("n"),
+            )
+            .head()
+        )
+        if row is None or row["lo"] is None:
+            return None
+        return tname, key, int(row["lo"]), int(row["hi"]) + 1, int(row["n"])
+
+    def _linksto_member(self, sub, lk) -> Optional[dict]:
+        """An or-of-gmaps linksto member: links whose ``lk`` column
+        points at any of the subconstraint's (multiple) matches
+        (graphd_iterator_linksto_or + or masquerade,
+        graphd-iterator-linksto.c:3610-3750)."""
+        from graphd_spark.freeze import hmap_set_str
+
+        hm = self._hmap_source(sub)
+        if hm is None:
+            return None
+        tname, key, hlo, hhi, n_src = hm
+        if n_src < 2:
+            return None
+        raw = self.store.to_df(self.spark)
+        srcs = raw.filter(
+            F.lower(F.col("name" if tname == "name" else "value"))
+            == key.lower()
+        ).select(F.col("guid").alias("__src"))
+        span = (
+            raw.join(srcs, raw[lk] == F.col("__src"))
+            .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+            .head()
+        )
+        if span is None or span["lo"] is None:
+            return None
+        hset = hmap_set_str(tname, key, hlo, hhi)
+        letter = lk[0]
+        return {
+            "kind": "linksto",
+            "lo": int(span["lo"]),
+            "hi": int(span["hi"]) + 1,
+            "set_str": lambda lo, hi: (
+                f"(or:(or-linksto:+{lo}-{hi}:{letter}->({hset})))"
+            ),
+            "standalone": lambda lo, hi: (
+                f"or:(or-linksto:+{lo}-{hi}:{letter}->({hset}))"
+            ),
+        }
+
+    def _and_members_ext(self, con) -> Optional[list]:
+        """AND members in the constraint-iterator's build order
+        (graphd-constraint-iterator.c:1723-2030): linkage gmaps (with
+        single-source subconstraints propagated in, ordered by the
+        linkage enum), the value-prefix iterator, then multi-source
+        linksto subconstraints.  None when any predicate falls outside
+        the shapes this engine freezes."""
+        if con.or_chains or con.guid or con.next or con.prev:
+            return None
+        prefix = self._prefix_pattern(con)
+        if prefix is None and any(
+            sc.op in ("=", "~=") and any(v is not None for v in sc.values)
+            for sc in (*con.value_strcons, *con.name_strcons)
+        ):
+            return None  # an hmap member form we don't freeze
+        members = []
+        handled = set()
+
+        def _gmap_member(letter, src):
+            return {
+                "kind": "gmap",
+                "src": src,
+                "letter": letter,
+                "set_str": lambda lo, hi: (
+                    f"(gmap:{lo}-{hi}:{letter}->{src})"
+                ),
+            }
+
+        for sc in con.type_strcons:
+            if sc.op != "=" or len(sc.values) != 1 or not sc.values[0]:
+                return None
+            g = self.types.resolve(sc.values[0])
+            if g is None:
+                return None
+            members.append(_gmap_member("t", guid_serial(g)))
+        linksto = []
+        for lk in ("typeguid", "right", "left", "scope"):
+            for gc in con.links.get(lk, []):
+                if (
+                    gc.op != "=" or len(gc.guids) != 1
+                    or gc.guids[0] is None
+                ):
+                    return None
+                members.append(
+                    _gmap_member(lk[0], guid_serial(gc.guids[0]))
+                )
+            for i, sub in enumerate(con.subs):
+                if sub.linkage != ("iam", lk):
+                    continue
+                handled.add(i)
+                hm = self._hmap_source(sub)
+                if hm is not None and hm[4] >= 2:
+                    m = self._linksto_member(sub, lk)
+                    if m is None:
+                        return None
+                    linksto.append(m)
+                    continue
+                try:
+                    _plan, sdf = self._compile(sub, exists_only=True)
+                except GraphdError:
+                    return None
+                sids = [
+                    r["id"] for r in
+                    sdf.select("id").orderBy("id").limit(2).collect()
+                ]
+                if len(sids) != 1:
+                    return None
+                members.append(_gmap_member(lk[0], sids[0]))
+        if any(i not in handled for i in range(len(con.subs))):
+            return None  # 'my'-side subs make isa members
+        # gmap spans narrow each member; the and intersects them
+        for m in members:
+            lo, hi, _ = self._gmap_stats(m["letter"], m["src"], 0)
+            if lo is None:
+                return None
+            m["lo"], m["hi"] = lo, hi
+        if prefix is not None:
+            from graphd_spark.freeze import prefix_stats
+
+            ps = prefix_stats(self.spark, self.store, prefix)
+            if ps is None:
+                return None
+            members.append(
+                {
+                    "kind": "prefix",
+                    "lo": ps.low,
+                    "hi": ps.high,
+                    "set_str": (
+                        lambda lo, hi, p=prefix: f"(prefix:{lo}-{hi}:{p})"
+                    ),
+                }
+            )
+        members.extend(linksto)
+        return members
+
+    def _and_cursor(self, con, cstate, rows, prior, count) -> Optional[str]:
         """Frozen and-iterator cursor for multi-index roots:
         ``and:#LOW-HIGH:N:[psz:..][ov:0](SUB)..(SUB)[pro:0]/POS
         [pp:..]/@STAMP`` (graphd-iterator-and-freeze.c:619-805;
-        test/unit/slip.sh).  The long subiterator state is replaced by
+        tests slip, isa).  The long subiterator state is replaced by
         a cached-resource ticket (graphd-iterator-state.c:75-127)."""
         from graphd_spark.cursor import sign_cursor
 
-        members = self._and_members(con)
+        members = self._and_members_ext(con)
         if members is None or len(members) < 2:
             return None
-        spans = []
-        for lk, src in members:
-            lo, hi, _ = self._gmap_stats(lk, src, 0)
-            if lo is None:
-                return None
-            spans.append((lo, hi))
-        low = max(s[0] for s in spans)
-        high = min(s[1] for s in spans)
+        low = max(m["lo"] for m in members)
+        high = min(m["hi"] for m in members)
         last_id = guid_serial(rows[-1]["guid"])
         rps = con.resultpagesize
         if rps is None:
@@ -708,39 +904,211 @@ class Compiler:
                 if con.pagesize is not None
                 else DEFAULT_PAGESIZE
             )
-        subs = "".join(
-            f"(gmap:{low}-{high}:{lk}->{src})" for lk, src in members
+        subs = "".join(m["set_str"](low, high) for m in members)
+        # a resumed and rebuilds from the thawed set, which carries no
+        # page-size context — [psz:] only appears on fresh builds
+        # (gia_context_pagesize_valid, graphd-iterator-and-freeze.c:681)
+        psz = (
+            ""
+            if cstate is not None and cstate.form == "and_it"
+            else f"[psz:{rps}]"
         )
         set_part = (
-            f"and:#{low}-{high}:{len(members)}:[psz:{rps}][ov:0]"
+            f"and:#{low}-{high}:{len(members)}:{psz}[ov:0]"
             f"{subs}[pro:0]"
         )
-        # producer position: index elements the first member consumed
-        _lo, _hi, ppos = self._gmap_stats(
-            members[0][0], members[0][1], last_id
+        # producer position: only a gmap producer freezes one
+        # (pdb-iterator-gmap has_position; slip's [pp:7])
+        if members[0]["kind"] == "gmap":
+            _lo, _hi, ppos = self._gmap_stats(
+                members[0]["letter"], members[0]["src"], last_id
+            )
+            pos_part = f"/{last_id}[pp:{ppos}]/"
+        else:
+            pos_part = f"/{last_id}/"
+        stamp = self._resource_stamp(
+            reuse=cstate.cache_stamp if cstate else None
         )
-        pos_part = f"/{last_id}[pp:{ppos}]/"
-        stamp = self._resource_stamp(set_part + pos_part)
         body = "[o:{}][n:{}]{}{}@{}".format(
             prior + len(rows), count, set_part, pos_part, stamp
         )
         return sign_cursor(con, body, self.types.resolve)
 
-    def _resource_stamp(self, key: str) -> str:
-        """Stable stamp for a cached iterator resource: reuse the
-        stamp while the resource stays in the session cache, mint
-        PID+CLOCK+SEQ otherwise — 0x0123/0x456789AB in predictable
-        mode (graphd-iterator-resource.c:198-205)."""
+    def _isa_prefix_cursor(
+        self, con, cstate, rows, prior, count
+    ) -> Optional[str]:
+        """Frozen isa-iterator cursor: distinct ids pointed to through
+        one linkage by a word-prefix candidate set too large to
+        materialize (graphd-iterator-isa.c isa_freeze; test/unit/
+        isa.sh).  The statistics in the state are computed from the
+        engine's own data via the reference cost model (see freeze.py);
+        a resumed cursor keeps its thawed statistics
+        (isa_statistics_thaw)."""
+        from graphd_spark.cursor import sign_cursor
+        from graphd_spark.freeze import isa_stats, prefix_stats
+
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        kind, lk = sub.linkage or (None, None)
+        if kind != "my" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        if (
+            sub.subs or sub.or_chains or sub.guid or sub.links
+            or sub.type_strcons or sub.next or sub.prev or sub.timestamps
+        ):
+            return None
+        prefix = self._prefix_pattern(sub)
+        if prefix is None:
+            return None
+        ps = prefix_stats(self.spark, self.store, prefix)
+        if ps is None:
+            return None
+        # the 5-sample duplication estimate: pull candidates in
+        # production (id) order, map through the linkage, count trials
+        # until 5 distinct targets (GRAPHD_ISA_N_SAMPLES)
+        try:
+            _plan, sdf = self._compile(sub, exists_only=True)
+        except GraphdError:
+            return None
+        sample_rows = (
+            sdf.select("id", lk).orderBy("id").limit(64).collect()
+        )
+        seen: list[int] = []
+        trial_n = 0
+        for r in sample_rows:
+            if len(seen) >= 5:
+                break
+            trial_n += 1
+            tg = r[lk]
+            if tg is None:
+                continue
+            t = guid_serial(tg)
+            if t not in seen:
+                seen.append(t)
+        if len(seen) < 5:
+            return None  # would have become a fixed set
+        ist = isa_stats(
+            store_n=count,
+            sub_n=ps.n,
+            sub_next_cost=ps.next_cost,
+            sub_check_cost=ps.check_cost,
+            sub_low=ps.low,
+            sub_high=ps.high,
+            trial_n=trial_n,
+            sample_n=len(seen),
+        )
+        stats = (
+            cstate.echo
+            if cstate is not None and cstate.echo
+            else ist.stats_str()
+        )
+        o = prior + len(rows)
+        last_id = guid_serial(rows[-1]["guid"])
+        # the dup tracker's production clone reads 4 subiterator
+        # elements per result produced; short pages still fill the
+        # 5-element inline cache (graphd-iterator-cache.c
+        # GRAPHD_ITERATOR_CACHE_INLINE_N; observed against the
+        # reference across page sizes)
+        sd_pos = 4 * max(5, o)
+        stamp = self._resource_stamp(
+            reuse=cstate.cache_stamp if cstate else None
+        )
+        pset = ps.set_str()
+        pst = ps.st_str()
+        body = (
+            "[o:{o}][n:{n}]isa:{ilo}-{ihi}:{L}<-({pset})"
+            "/{last}:~-[sp:{o}]/0:(-/{pst})-:{stats}:-:"
+            "[sd:({pset}/{sd}/{pst})@{stamp}]"
+        ).format(
+            o=o,
+            n=cstate.horizon if cstate and cstate.horizon else count,
+            ilo=ist.low,
+            ihi=ist.high,
+            L=lk[0],
+            pset=pset,
+            last=last_id,
+            pst=pst,
+            stats=stats,
+            sd=sd_pos,
+            stamp=stamp,
+        )
+        return sign_cursor(con, body, self.types.resolve)
+
+    def _or_linksto_cursor(
+        self, con, cstate, rows, prior, count
+    ) -> Optional[str]:
+        """Frozen or-of-gmaps cursor for a links-to expansion whose
+        source set is plural: the or wears the linksto masquerade
+        (graphd_iterator_linksto_set_or_masquerade,
+        graphd-iterator-linksto.c:3610-3655; test/unit/isa.sh q4/q5)."""
+        from graphd_spark.cursor import sign_cursor
+
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        kind, lk = sub.linkage or (None, None)
+        if kind != "iam" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        m = self._linksto_member(sub, lk)
+        if m is None:
+            return None
+        last_id = guid_serial(rows[-1]["guid"])
+        stamp = self._resource_stamp(
+            reuse=cstate.cache_stamp if cstate else None
+        )
+        body = "[o:{}][n:{}]{}/{}/@{}".format(
+            prior + len(rows),
+            cstate.horizon if cstate and cstate.horizon else count,
+            m["standalone"](m["lo"], m["hi"]),
+            last_id,
+            stamp,
+        )
+        return sign_cursor(con, body, self.types.resolve)
+
+    def _resource_stamp(self, key: str = None, reuse: str = None) -> str:
+        """Session stamp for a cached iterator resource
+        (graphd-iterator-resource.c:198-205, PID+CLOCK+SEQ —
+        0x0123/0x456789AB in predictable mode).
+
+        ``reuse``: a stamp thawed from an incoming cursor — if this
+        session allocated it, the underlying resource is still cached
+        and re-freezing keeps its stamp (a cache hit mutates the same
+        storable in place).  ``key``: content identity for resources
+        whose repeated freezes dedup to one stored object (the
+        suspension states).  Otherwise every freeze stores a fresh
+        object and mints the next stamp."""
         reg = getattr(self.store, "cursor_resources", None)
         if reg is None:
             reg = self.store.cursor_resources = {}
+            self.store.cursor_resource_alloc = set()
             self.store.cursor_resource_next = 1
-        if key not in reg:
-            reg[key] = "0123456789ab{}".format(
-                self.store.cursor_resource_next
-            )
-            self.store.cursor_resource_next += 1
-        return reg[key]
+        if reuse is not None and reuse in self.store.cursor_resource_alloc:
+            return reuse
+        if key is not None and key in reg:
+            return reg[key]
+        stamp = "0123456789ab{}".format(self.store.cursor_resource_next)
+        self.store.cursor_resource_next += 1
+        self.store.cursor_resource_alloc.add(stamp)
+        if key is not None:
+            reg[key] = stamp
+        return stamp
 
     def _isa_masquerade(self, con, ids) -> Optional[str]:
         """The fixed-isa provenance string when the root's candidates

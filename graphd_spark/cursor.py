@@ -23,11 +23,21 @@ Iterator freeze bodies handled here:
   POS counts index elements consumed (libpdb/pdb-iterator-gmap.c:339,
   tests will5, brendan4)
 
+- ``and:#L-H:N:[opts](SUB)...(SUB)[pro:P]/POS[pp:..]/@STAMP``
+  multi-index intersection; POS is the last delivered candidate
+  (graphd/graphd-iterator-and-freeze.c; test slip)
+- ``isa:L-H:LK<-(SUB)/POS:~-[sp:N]/STATE``   linkage expansion with
+  frozen statistics (graphd/graphd-iterator-isa.c; test isa)
+- ``or:(or-linksto:...)/POS/@STAMP``   links-to expansion wearing the
+  or masquerade (graphd/graphd-iterator-linksto.c:3610)
+- ``fixed:(fixed-isa:...)/POS/[cache:@STAMP]``   masqueraded fixed
+  set (test colors3)
+
 POS is the iterator position: the next candidate id for scans, the
-next list index for fixed sets.  Unrecognized bodies with a known
-engine prefix (and:, vrange:, ...) resume leniently through the
-position heuristics in the compiler; everything else is the
-reference's "cannot parse old-style cursor" BADCURSOR.
+next list index for fixed sets, the last delivered id for and/or/isa.
+Unrecognized bodies with a known engine prefix (vrange:, ...) resume
+leniently through the position heuristics in the compiler; everything
+else is the reference's "cannot parse old-style cursor" BADCURSOR.
 """
 
 from __future__ import annotations
@@ -391,6 +401,11 @@ class CursorState:
     #: was saved as [cache:@STAMP] (graphd-iterator-resource.c)
     masq: str = ""
     cache_stamp: str = ""
+    #: isa-form extras: the thawed statistics triple to echo back
+    #: (a resumed isa keeps its thawed stats, graphd-iterator-isa.c
+    #: isa_statistics_thaw) and the dup subiterator's position
+    echo: str = ""
+    sd_pos: int = 0
 
 
 class BadCursor(Exception):
@@ -486,6 +501,53 @@ def parse_cursor(text: str, con: Constraint,
             st.pos = -1
         else:
             st.pos = int(posm.group(1))
+        mm = re.search(r"/@([0-9a-zA-Z]+)\s*$", rest)
+        if mm:
+            st.cache_stamp = mm.group(1)
+        return _validated(st)
+    if body.startswith(("isa:", "or:(")):
+        # isa:LOW-HIGH:L<-(SUB)/POS:.../STATE  (graphd-iterator-isa.c
+        # isa_freeze) and the or-linksto masquerade or:(MASQ)/POS/STATE
+        # (graphd-iterator-or.c or_iterator_freeze).  Split on
+        # top-level '/' — slashes inside parens/brackets are state.
+        parts: list[str] = []
+        depth = 0
+        start = 0
+        for j, ch in enumerate(body):
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "/" and depth == 0:
+                parts.append(body[start:j])
+                start = j + 1
+        parts.append(body[start:])
+        if len(parts) < 2:
+            raise _old_style(text)
+        st.form = "isa_it" if body.startswith("isa:") else "or_it"
+        posm = re.match(r"^(\$|\d+)", parts[1])
+        if not posm:
+            raise _old_style(text)
+        if posm.group(1) == "$":
+            st.tail = "$"
+            st.pos = -1
+        else:
+            st.pos = int(posm.group(1))
+        state = parts[2] if len(parts) > 2 else ""
+        if st.form == "isa_it":
+            mm = re.search(r"\)-:(\d+:\d+:\d+):", state)
+            if mm:
+                st.echo = mm.group(1)
+            mm = re.search(r"\[sd:\([^)]*?/(\d+)/", state)
+            if mm:
+                st.sd_pos = int(mm.group(1))
+            mm = re.search(r"@([0-9a-zA-Z]+)\]\s*$", state)
+            if mm:
+                st.cache_stamp = mm.group(1)
+        else:
+            mm = re.match(r"^@([0-9a-zA-Z]+)\s*$", state)
+            if mm:
+                st.cache_stamp = mm.group(1)
         return _validated(st)
     if body.startswith("fixed:("):
         # masqueraded fixed set: fixed:(PROVENANCE)/POS/STATE — the
