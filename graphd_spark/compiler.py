@@ -103,6 +103,8 @@ class SetPlan:
     #: subconstraint cursor context: the materialized candidate set the
     #: evaluator freezes per parent (test/unit/cursor6.sh)
     cursor_ctx: Optional[dict] = None
+    #: effective count cap (implicit caps shift with the cursor offset)
+    countlimit: Optional[int] = None
 
 
 _OPS = {
@@ -302,7 +304,37 @@ class Compiler:
                 if con.sort_comparators
                 else con.comparator or "default"
             )
-            if first.pattern.kind == "value" and comp0 == "number":
+            # the NUMBERS-binset production only drives the read when
+            # the sort itself is the producer AND the sorted elements
+            # are rendered: a default-comparator value range keeps the
+            # string vrange as producer, and a count-only result drops
+            # the unused sort entirely (gva_remove_unused_results)
+            # — differential seeds 139/147
+            _value_range = any(
+                sc.op in ("<", "<=", ">", ">=")
+                for sc in con.value_strcons
+            ) and resolve_comparator(
+                con.value_comparator or con.comparator
+            ) != "number"
+            _pat_tmp = (
+                con.result
+                if con.result is not None
+                else default_read_pattern()
+            )
+            _renders = any(
+                p.kind
+                not in (
+                    "count", "cursor", "estimate", "estimate-count",
+                    "iterator", "timeout", "list", "none",
+                )
+                for p in _pat_tmp.walk()
+            )
+            if (
+                first.pattern.kind == "value"
+                and comp0 == "number"
+                and not _value_range
+                and _renders
+            ):
                 # number-comparator value sorts iterate the NUMBERS
                 # binset, so values that don't decode as numbers (and
                 # nulls) never surface (ref graphd-comparator-number.c
@@ -320,11 +352,19 @@ class Compiler:
             )
             if con.type_strcons or con.links or con.name_strcons or (
                 con.guid
+            ) or any(
+                (s.linkage or (None, None))[0] == "iam"
+                and not s.is_optional
+                and s.count_eq != 0
+                for s in con.subs
             ):
                 # another indexed constraint produces the candidates
-                # (gmap/hmap), so the range is just a check and rows
-                # surface in id order (test/unit/david_6.sh:
-                # value>"lark" type="foobar")
+                # (gmap/hmap, including linkage members propagated
+                # from mandatory pinned subconstraints), so the range
+                # is just a check and rows surface in id order
+                # (test/unit/david_6.sh: value>"lark" type="foobar";
+                # differential seeds 64/109).  Optional and count=0
+                # subs produce nothing — the range stays the producer.
                 pass
             elif vcomp == "default":
                 # unsorted range reads surface in the reference's
@@ -417,12 +457,33 @@ class Compiler:
         count_min_chk = (
             con.count_min if con.count_min is not None else start + 1
         )
+        # the implicit countlimit (start + pagesize) follows the
+        # cursor offset on resume (graphd-constraint-cursor.c:52-55
+        # defaults start to the offset); explicit ones don't move
+        countlimit = con.countlimit
+        if countlimit is not None and getattr(
+            con, "countlimit_defaulted", False
+        ):
+            countlimit += resume
+        plan.countlimit = countlimit
+        wants_estimate = any(
+            p.kind in ("estimate", "estimate-count") for p in pat.walk()
+        )
         if len(collected) < limit:
             total = len(collected)  # page not full: exact
         elif need_total:
             cdf = df
-            if con.countlimit is not None:
-                cdf = cdf.limit(con.countlimit)
+            # estimates look past the count cap ("the count page size
+            # is unlimited", graphd-semantic.c:297; test estimate-count),
+            # and count-bound checks count just far enough to verify
+            # (count=1 must see a second element to fail; test count2)
+            verify_need = count_min_chk
+            if con.count_eq is not None:
+                verify_need = max(verify_need, con.count_eq + 1)
+            if con.count_max is not None:
+                verify_need = max(verify_need, con.count_max + 1)
+            if countlimit is not None and not wants_estimate:
+                cdf = cdf.limit(max(countlimit, verify_need))
             total = cdf.count()
         elif count_min_chk > len(collected):
             # page capped below count_min (e.g. pagesize=0): probe just
@@ -462,7 +523,28 @@ class Compiler:
                     else None
                 ) or "null:"
             elif consumed >= total or not rows:
-                plan.cursor = "null:"
+                # countlimit caps the count, not the scan: a full page
+                # whose capped total looks exhausted may still have
+                # candidates beyond it (ref graphd-read-set-count.c;
+                # test/unit/nick6.sh with the implicit
+                # countlimit = start + pagesize)
+                if (
+                    rows
+                    and countlimit is not None
+                    and total >= countlimit
+                    and len(collected) >= limit
+                    and df.limit(limit + 1).count() > limit
+                ):
+                    if con.sort:
+                        plan.cursor = self._sort_cursor(
+                            con, plan, rows, consumed, horizon
+                        )
+                    else:
+                        plan.cursor = self._iterator_cursor(
+                            con, cstate, rows, df, resume
+                        ) or f"position:{consumed}/{total}"
+                else:
+                    plan.cursor = "null:"
             elif con.sort:
                 if self.store.count() >= 1000:
                     # a sorted scan this large exceeds the request
@@ -2334,14 +2416,10 @@ class Compiler:
                 # != () — the empty exclusion set still demands the
                 # field exist (ref test/unit/ne.sh 'name!=()')
                 return col.isNotNull()
-            if is_value:
-                # value!= requires the value to exist and differ; a
-                # null value never satisfies it — but name!=/type!=
-                # DO match unnamed primitives (ref test/unit/ne.out.exp)
-                pred = col.isNotNull()
-                if nonnull:
-                    pred = pred & ~eq_col.isin(eq_lits)
-                return pred
+            # a null field always differs from a non-null literal —
+            # value!="x" matches unvalued primitives exactly like
+            # name!=/type!= match unnamed ones (reference behavior,
+            # verified via differential probes; test_differential)
             pred = None
             if nonnull:
                 pred = col.isNull() | ~eq_col.isin(eq_lits)

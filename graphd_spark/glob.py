@@ -141,24 +141,52 @@ def compile_glob(pattern: str, case_sensitive: bool = False):
                 j += 1
             frag = pattern[i:j]
             dec = decode_number(frag)
-            if (j < n and pattern[j] == "*") or (
-                i > 0 and pattern[i - 1] == "*"
-            ):
-                # digits adjacent to a star are a partial word, not a
-                # standalone number — no numeric normalization
-                # ("202*_3" matches "2020_3"; test/unit/brendan3.sh)
+            prefix_mode = False
+            if j < n and pattern[j] == "*":
+                # digits before a star are a number PREFIX: the text's
+                # number-run matches if it starts with the fragment as
+                # written or after normalization — "1*" matches "01"
+                # (normalized 1) and "2020" via "202*" raw
+                # (graphd-comparator-default.c number+star rules,
+                # verified differentially; tests brendan3, numbermatch)
+                prefix_mode = dec is not None
+            elif i > 0 and pattern[i - 1] == "*":
+                # digits after a star are a partial word — raw match
+                # only ("*2" is a raw suffix)
                 dec = None
             if dec is not None:
-                numbers.append(frag)
-                # candidate number runs segment like word_fragment_next:
-                # a dotted number binds only when not part of a longer
-                # dotted chain ("0.1.0" fragments as 0 / 1 / 0 — the
-                # IP-address rule; test compare1)
-                parts.append(
-                    r"([+-]?(?:(?<!\.)[0-9]+\.[0-9]+(?!\.[0-9])"
-                    r"|(?<![0-9])\.[0-9]+(?!\.[0-9])"
-                    r"|[0-9]+))"
+                nxt = pattern[j] if j < n else ""
+                punct_next = bool(nxt) and not (
+                    nxt == "*" or nxt.isalnum() or nxt.isspace()
+                    or nxt == "\\"
                 )
+                numbers.append(
+                    (
+                        "prefix"
+                        if prefix_mode
+                        else ("full_punct" if punct_next else "full"),
+                        frag,
+                    )
+                )
+                if punct_next:
+                    # the pattern itself continues with punctuation:
+                    # the fragment binds a maximal plain digit run and
+                    # the pattern's punctuation consumes the dot —
+                    # "1.*" matches "1.5" as [1][.][5], never swallows
+                    # "1.5" whole (differential probes; "15" stays
+                    # unmatched because the run is maximal)
+                    parts.append(r"([+-]?[0-9]+(?![0-9]))")
+                else:
+                    # candidate number runs segment like
+                    # word_fragment_next: a dotted number binds only
+                    # when not part of a longer dotted chain ("0.1.0"
+                    # fragments as 0 / 1 / 0 — the IP-address rule;
+                    # test compare1)
+                    parts.append(
+                        r"([+-]?(?:(?<!\.)[0-9]+\.[0-9]+(?!\.[0-9])"
+                        r"|(?<![0-9])\.[0-9]+(?!\.[0-9])"
+                        r"|[0-9]+))"
+                    )
             else:
                 parts.append(re.escape(frag))
             tok = "word"
@@ -207,15 +235,87 @@ def glob_match(pattern: str, value: str | None,
     rx, numbers = compiled
     if not numbers:
         return rx.search(value) is not None
-    for m in rx.finditer(value):
+    # scan every start offset: finditer skips overlapping candidates,
+    # but a failed numeric post-check must retry later starts that
+    # fall inside an earlier match ("1.*" vs "0.1.0" matches at the
+    # middle segment)
+    for pos in range(len(value) + 1):
+        m = rx.match(value, pos)
+        if m is None:
+            continue
         ok = True
-        for want, got in zip(numbers, m.groups()):
-            if got is None or not _number_frag_match(want, got):
+        for g, (mode, want) in enumerate(numbers, start=1):
+            got = m.group(g)
+            if got is None:
+                ok = False
+                break
+            if not _legal_number_span(
+                value, m.start(g), m.end(g), mode == "full_punct"
+            ):
+                ok = False
+                break
+            if mode == "prefix":
+                if not _number_prefix_match(want, got):
+                    ok = False
+                    break
+            elif not _number_frag_match(want, got):
                 ok = False
                 break
         if ok:
             return True
     return False
+
+
+def _legal_number_span(value: str, s: int, e: int,
+                       punct_adjacent: bool) -> bool:
+    """Is value[s:e] a legal number fragment?  A two-segment dotted
+    run ("2.2") is one atomic number — its halves only bind separately
+    when the pattern spells out the dot; chains of three or more
+    segments fragment per-segment (the IP-address rule, "0.1.0" ->
+    0/1/0; libpdb/pdb-word.c word_fragment_next, tests compare1,
+    numberequal)."""
+    cs = s
+    while cs > 0 and (
+        value[cs - 1].isdigit()
+        or (
+            value[cs - 1] == "."
+            and cs >= 2
+            and value[cs - 2].isdigit()
+            and cs < len(value)
+            and value[cs].isdigit()
+        )
+    ):
+        cs -= 1
+    ce = e
+    while ce < len(value) and (
+        value[ce].isdigit()
+        or (
+            value[ce] == "."
+            and ce + 1 < len(value)
+            and value[ce + 1].isdigit()
+            and ce >= 1
+            and value[ce - 1].isdigit()
+        )
+    ):
+        ce += 1
+    if punct_adjacent:
+        return True
+    chain = value[cs:ce]
+    if chain.count(".") == 1 and (s, e) != (cs, ce):
+        return False
+    return True
+
+
+def _number_prefix_match(pat: str, got: str) -> bool:
+    """Starred number fragment: the text run (raw or normalized)
+    starts with the pattern digits as written — no leading-zero
+    discard ("01*" matches "013" but not "1")."""
+    from graphd_spark.comparators import word_number_normalize
+
+    if got.startswith(pat):
+        return True
+    norm = word_number_normalize(got)
+    return norm != got and norm.startswith(pat)
 
 
 def _number_frag_match(pat: str, got: str) -> bool:

@@ -1064,6 +1064,30 @@ def apply_semantics(con: Constraint, command: str = "read",
         )
     if con.result is not None:
         _check_set_atom_depth(con.result, 0)
+    if con.parent is None and command == "read":
+        # page/count defaults, applied once linkage inference has
+        # settled (ref graphd-semantic.c:260-315): an i-am-linked
+        # subconstraint matches at most once per parent, so its page
+        # sizes clamp to 1; an explicit pagesize bounds counting at
+        # start + pagesize
+        for c in con.walk():
+            if c.linkage is not None and c.linkage[0] == "iam":
+                if c.pagesize is None or c.pagesize > 1:
+                    c.pagesize = 1
+                if c.countlimit is not None and c.countlimit > 1:
+                    c.countlimit = 1
+                if c.resultpagesize is not None and c.resultpagesize > 1:
+                    c.resultpagesize = 1
+            if (
+                c.pagesize is not None
+                and c.countlimit is None
+                and c.start + c.pagesize > 0
+            ):
+                c.countlimit = c.start + c.pagesize
+                # a resumed cursor shifts the implicit cap by its
+                # offset (scan_prefix defaults start to the cursor
+                # offset, graphd-constraint-cursor.c:52-55)
+                c.countlimit_defaulted = True
     return con
 
 

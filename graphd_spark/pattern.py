@@ -179,8 +179,11 @@ class Assembler:
         con = plan.con
         if pat.kind == "count":
             n = total
-            if con.countlimit is not None:
-                n = min(n, con.countlimit)
+            cl = getattr(plan, "countlimit", None)
+            if cl is None:
+                cl = con.countlimit
+            if cl is not None:
+                n = min(n, cl)
             return Num(n)
         if pat.kind == "cursor":
             if plan.cursor is None and getattr(
