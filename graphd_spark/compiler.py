@@ -222,6 +222,38 @@ class Compiler:
                         if b is not None
                         else df.filter(F.lit(False))
                     )
+            elif cstate.form == "hmap":
+                # skip the bin's first `pos` elements (bin order ==
+                # id order; pdb-iterator-hmap.c it_hmap_offset).  The
+                # thawed key is the STORED form — number bins match it
+                # against value_num directly (the scientific notation
+                # is the reference's own, not re-decodable)
+                if cstate.pos:
+                    if cstate.lk == "value":
+                        flt = (
+                            F.col("value_num") == cstate.masq
+                        ) | (
+                            F.lower(F.col("value"))
+                            == cstate.masq.lower()
+                        )
+                    else:
+                        flt = (
+                            F.lower(F.col("name"))
+                            == cstate.masq.lower()
+                        )
+                    b = (
+                        self.store.to_df(self.spark)
+                        .filter(flt)
+                        .orderBy("id")
+                        .limit(cstate.pos)
+                        .agg(F.max("id").alias("b"))
+                        .head()
+                    )
+                    df = (
+                        df.filter(F.col("id") > int(b["b"]))
+                        if b is not None and b["b"] is not None
+                        else df.filter(F.lit(False))
+                    )
             elif cstate.form == "fixed_masq":
                 # a masqueraded fixed set enumerates the root's own
                 # candidate set in id order, so position == offset
@@ -636,18 +668,45 @@ class Compiler:
                 lk, src = gm
                 low, high, pos = self._gmap_stats(lk, src, last_id)
                 if low is not None:
-                    # con_high narrows to the index's actual span
-                    # (last element + 1), and [n:] echoes con_high
-                    # (graphd-read-set-cursor.c:51; brendan4: n:10
-                    # with 18 primitives on disk)
+                    # [n:] echoes con_high, which narrows to the
+                    # index span only once the producer is exhausted
+                    # (graphd-read-set-cursor.c:51; brendan4 n:10 on
+                    # a drained one-element gmap vs the store count
+                    # on partial pages — differential probes)
                     st = CursorState(
                         form="gmap", low=low, high=high, pos=pos,
                         lk=lk, src=src,
                     )
+                    n = high if last_id == high - 1 else count
                     return freeze_cursor(
-                        con, st, prior + len(rows), high, self.types.resolve
+                        con, st, prior + len(rows), n, self.types.resolve
                     )
                 return None
+            hm = self._hmap_cursor_source(con)
+            if hm is not None:
+                # a single name=/value= equality IS the hmap bin —
+                # frozen by hash key, position = elements consumed
+                # (pdb-iterator-hmap.c:146-186; differential seed 9)
+                from graphd_spark.freeze import hmap_set_str
+
+                tname, key, lo, hi, pos_df = hm
+                row = pos_df.agg(
+                    F.sum(
+                        F.when(F.col("id") <= last_id, 1).otherwise(0)
+                    ).alias("pos"),
+                    F.max("id").alias("mx"),
+                ).head()
+                if row is not None and row["mx"] is not None:
+                    pos = int(row["pos"] or 0)
+                    body = "[o:{}][n:{}]{}/{}/".format(
+                        prior + len(rows),
+                        hi if last_id == int(row["mx"]) else count,
+                        hmap_set_str(tname, key, lo, hi),
+                        pos,
+                    )
+                    from graphd_spark.cursor import sign_cursor
+
+                    return sign_cursor(con, body, self.types.resolve)
             if any(
                 sc.op in ("=", "~=")
                 and any(v is not None for v in sc.values)
@@ -795,6 +854,17 @@ class Compiler:
             return None
         return p.lower()
 
+    def _hmap_cursor_source(self, con) -> Optional[tuple]:
+        """The root's own hmap bin when its only indexed predicate is
+        one name=/value= equality (the shape pdb compiles to a bare
+        hmap iterator; differential seed 9)."""
+        hm = self._hmap_source(con)
+        if hm is None:
+            return None
+        tname, key, lo, hi, _n, flt = hm
+        pos_df = self.store.to_df(self.spark).filter(flt).select("id")
+        return tname, key, lo, hi, pos_df
+
     def _hmap_source(self, sub) -> Optional[tuple]:
         """(hmap type name, key, low, high, n_sources) when the
         subconstraint's only indexed predicate is one name=/value=
@@ -816,10 +886,10 @@ class Compiler:
         if len(cands) != 1:
             return None
         tname, key = cands[0]
-        col = "name" if tname == "name" else "value"
+        key, flt = self._hmap_bin_filter(tname, key)
         row = (
             self.store.to_df(self.spark)
-            .filter(F.lower(F.col(col)) == key.lower())
+            .filter(flt)
             .agg(
                 F.min("id").alias("lo"),
                 F.max("id").alias("hi"),
@@ -829,7 +899,25 @@ class Compiler:
         )
         if row is None or row["lo"] is None:
             return None
-        return tname, key, int(row["lo"]), int(row["hi"]) + 1, int(row["n"])
+        return (
+            tname, key, int(row["lo"]), int(row["hi"]) + 1,
+            int(row["n"]), flt,
+        )
+
+    def _hmap_bin_filter(self, tname: str, key: str):
+        """(stored key, membership column) of an hmap bin.  Number
+        strings index under their canonical scientific form, so every
+        number-equal spelling shares one bin ("12", "12.0" and "+12"
+        all live under "12e1"; differential seeds 21/22)."""
+        from graphd_spark.comparators import decode_number, render_sci
+
+        if tname == "value":
+            d = decode_number(key, scientific=True)
+            if d is not None:
+                norm = render_sci(d)
+                return norm, F.col("value_num") == norm
+            return key, F.lower(F.col("value")) == key.lower()
+        return key, F.lower(F.col("name")) == key.lower()
 
     def _linksto_member(self, sub, lk) -> Optional[dict]:
         """An or-of-gmaps linksto member: links whose ``lk`` column
@@ -841,14 +929,11 @@ class Compiler:
         hm = self._hmap_source(sub)
         if hm is None:
             return None
-        tname, key, hlo, hhi, n_src = hm
+        tname, key, hlo, hhi, n_src, src_flt = hm
         if n_src < 2:
             return None
         raw = self.store.to_df(self.spark)
-        srcs = raw.filter(
-            F.lower(F.col("name" if tname == "name" else "value"))
-            == key.lower()
-        ).select(F.col("guid").alias("__src"))
+        srcs = raw.filter(src_flt).select(F.col("guid").alias("__src"))
         span = (
             raw.join(srcs, raw[lk] == F.col("__src"))
             .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))

@@ -505,6 +505,23 @@ def parse_cursor(text: str, con: Constraint,
         if mm:
             st.cache_stamp = mm.group(1)
         return _validated(st)
+    mm = re.match(
+        r"^hmap:(\d+)-(\d+):pool:(name|value|word):\d+:(.*)/(\d+)/$",
+        body,
+    )
+    if mm:
+        # hash-bin iterator: key + position in the bin
+        # (pdb-iterator-hmap.c:146-186)
+        st.form = "hmap"
+        st.low, st.high = int(mm.group(1)), int(mm.group(2))
+        st.lk = mm.group(3)
+        st.masq = re.sub(
+            r"%([0-9a-fA-F]{2})",
+            lambda m: chr(int(m.group(1), 16)),
+            mm.group(4),
+        )
+        st.pos = int(mm.group(5))
+        return _validated(st)
     if body.startswith(("isa:", "or:(")):
         # isa:LOW-HIGH:L<-(SUB)/POS:.../STATE  (graphd-iterator-isa.c
         # isa_freeze) and the or-linksto masquerade or:(MASQ)/POS/STATE

@@ -222,7 +222,13 @@ def isa_stats(
 
 def hmap_set_str(type_name: str, key: str, low: int, high: int) -> str:
     """hmap SET freeze: hmap:LOW-HIGH:map:type:hash:key
-    (pdb-iterator-hmap.c:148-173); the single hmap file is 'pool'."""
+    (pdb-iterator-hmap.c:148-173); the single hmap file is 'pool' and
+    the key is %XX-escaped (pdb_xx_encode)."""
+    enc = "".join(
+        c if (c.isalnum() or c in "_.-") and c.isascii()
+        else "%{:02x}".format(ord(c) & 0xFF)
+        for c in key
+    )
     return "hmap:{}-{}:pool:{}:{}:{}".format(
-        low, high, type_name, ci_hash(key), key
+        low, high, type_name, ci_hash(key), enc
     )

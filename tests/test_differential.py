@@ -112,7 +112,8 @@ def _gen_write(rng: random.Random) -> str:
     return f"write ({' '.join(parts)})"
 
 
-def _gen_constraint(rng: random.Random, depth: int = 0) -> str:
+def _gen_constraint(rng: random.Random, depth: int = 0,
+                    bare: bool = False) -> str:
     parts = []
     r = rng.random()
     if r < 0.55:
@@ -154,15 +155,15 @@ def _gen_constraint(rng: random.Random, depth: int = 0) -> str:
     # producer order — optimizer state, not query semantics.  Sorted
     # reads therefore page wide; unsorted ones exercise tight pages
     # (production is deterministic id/bin order there).
-    if depth == 0 and rng.random() < 0.6:
+    if depth == 0 and not bare and rng.random() < 0.6:
         parts.append(
             f"pagesize={40 if sorted_read else rng.randrange(1, 6)}"
         )
-    if depth == 0 and not sorted_read and rng.random() < 0.2:
+    if depth == 0 and not bare and not sorted_read and rng.random() < 0.2:
         parts.append(f"start={rng.randrange(3)}")
-    if depth == 0 and not sorted_read and rng.random() < 0.15:
+    if depth == 0 and not bare and not sorted_read and rng.random() < 0.15:
         parts.append(f"countlimit={rng.randrange(1, 5)}")
-    if depth == 0 and rng.random() < 0.5:
+    if depth == 0 and not bare and rng.random() < 0.5:
         parts.append(
             "result="
             + rng.choice(
@@ -178,6 +179,36 @@ def _gen_constraint(rng: random.Random, depth: int = 0) -> str:
             )
         )
     return " ".join(parts) if parts else "value!=null"
+
+
+def _gen_cursor_constraint(rng: random.Random) -> str:
+    """Constraint shapes whose cursors this engine freezes in the
+    reference's own format: equality / prefix-glob predicates,
+    linkage expansions, and their intersections.  Value ranges stay
+    out (a vrange cursor freezes the reference's bin-scan state,
+    which this engine replans rather than replays), as do sorted
+    pages (covered by the sortcursor / sort19 / slip goldens)."""
+    r = rng.random()
+    if r < 0.2:
+        return f"value={_q(rng.choice(_VALUES))}"
+    if r < 0.35:
+        return f"name={_q(rng.choice(_NAMES))}"
+    if r < 0.5:
+        return f"type={_q(rng.choice(_TYPES))}"
+    if r < 0.65:
+        return "value~=" + _q(rng.choice(["a*", "b*", "c*", "z*"]))
+    sub = rng.choice(
+        [f'value={_q(rng.choice(_VALUES))}',
+         f'name={_q(rng.choice(_NAMES))}']
+    )
+    arrow = rng.choice(["<-left", "<-right", "left->", "right->"])
+    if arrow.startswith("<-"):
+        body = f"({arrow} {sub})"
+    else:
+        body = f"{arrow}({sub})"
+    if rng.random() < 0.4:
+        body = f"value~={_q(rng.choice(['a*', 'b*']))} {body}"
+    return body
 
 
 def gen_script(seed: int) -> list[str]:
@@ -201,6 +232,92 @@ def ref_bin():
     if path is None:
         pytest.skip("reference binary unavailable")
     return path
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_cursors(spark, ref_bin, seed):
+    """Page every cursored read to exhaustion in both engines."""
+    import re as _re
+
+    rng = random.Random(10_000 + seed)
+    lines = [_gen_write(rng) for _ in range(rng.randrange(6, 14))]
+    reads = []
+    for _ in range(rng.randrange(2, 5)):
+        body = _gen_cursor_constraint(rng)
+        ps = rng.randrange(1, 4)
+        reads.append(
+            f"read (pagesize={ps} result=(cursor (guid value)) {body})"
+        )
+    all_lines = lines + reads
+
+    def paginate(ask):
+        out = []
+        for read in reads:
+            reply = ask(read)
+            out.append(reply)
+            hops = 0
+            while hops < 5:
+                m = _re.search(
+                    r'"((?:cursor|sort|position):[^"]*)"', reply
+                )
+                if not m or m.group(1) == "null:":
+                    break
+                esc = m.group(1).replace("\\", "\\\\").replace(
+                    '"', '\\"'
+                )
+                reply = ask(
+                    read.replace(
+                        "result=(cursor",
+                        f'cursor="{esc}" result=(cursor',
+                        1,
+                    )
+                )
+                out.append(reply)
+                hops += 1
+        return out
+
+    # reference session
+    import select
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+            bufsize=1,
+        )
+
+        def ask_ref(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            ready, _, _ = select.select([proc.stdout], [], [], 30)
+            if not ready:
+                raise TimeoutError(req)
+            return proc.stdout.readline().rstrip("\n")
+
+        try:
+            ref_writes = [ask_ref(ln) for ln in lines]
+            ref_pages = paginate(ask_ref)
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=30)
+
+    # engine session
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    got_writes = [gs.request(ln) for ln in lines]
+    got_pages = paginate(gs.request)
+
+    assert got_writes == ref_writes
+    assert got_pages == ref_pages, "\n".join(
+        ["script:"] + all_lines + ["--- page diff ---"] + [
+            f"  got: {g}\n  exp: {w}"
+            for g, w in zip(got_pages, ref_pages)
+            if g != w
+        ] + [f"(pages: got {len(got_pages)}, exp {len(ref_pages)})"]
+    )
 
 
 @pytest.mark.parametrize("seed", SEEDS)
