@@ -254,18 +254,31 @@ class Parser:
                         raise ParseError(
                             "more than one cursor=...", "SEMANTICS"
                         )
-                    if f == "valuetype":
-                        # ref gdp-parse wording (test/unit/yesno.sh)
+                    # wordings per graphd-constraint-clause.c:569-798:
+                    # bare name for the page/size/type fields, "X=..."
+                    # for countlimit, "value for X" otherwise
+                    fname = f.replace("_", "-")
+                    if fname in (
+                        "valuetype", "pagesize", "resultpagesize",
+                        "start",
+                    ):
                         raise ParseError(
-                            "more than one valuetype", "SEMANTICS"
+                            f"more than one {fname}", "SEMANTICS"
+                        )
+                    if fname in ("countlimit",):
+                        raise ParseError(
+                            f"more than one {fname}=...", "SEMANTICS"
                         )
                     raise ParseError(
-                        f"more than one value for {f.replace('_', '-')}",
+                        f"more than one value for {fname}",
                         "SEMANTICS",
                     )
                 setattr(con, f, v)
         if item.start:
+            if getattr(con, "_start_seen", False):
+                raise ParseError("more than one start", "SEMANTICS")
             con.start = item.start
+            con._start_seen = True
         if item.live != UNSPECIFIED:
             if con.live != UNSPECIFIED:
                 raise ParseError(
