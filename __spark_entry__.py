@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graphd_spark import (  # noqa: E402,F401
     inventory,
+    inventory_events,
     inventory_gql,
     inventory_media,
     inventory_pipeline,

@@ -282,10 +282,9 @@ _MH_MOD = 2147483647  # 2^31 - 1
 _BUCKET_CAP = 64
 
 
-@q(
-    "dedup_minhash_lsh",
-    f"""
-    WITH shingled AS ({_SHINGLE_SQL}),
+# LSH candidate-pair CTE chain, shared by the dedup_minhash_lsh oracle
+# and the dedup_components oracle (which clusters the same pairs)
+_LSH_CTES = f"""shingled AS ({_SHINGLE_SQL}),
     based AS (
       SELECT doc_id,
              CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)
@@ -309,7 +308,13 @@ _BUCKET_CAP = 64
     candidates AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM capped a JOIN capped b
-        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)"""
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_LSH_CTES}
     SELECT doc_a, doc_b FROM candidates
     """,
 )
@@ -328,6 +333,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact-dup clusters pair quadratically and belong to dedup_exact);
     the cap's window shares the join's partitioning key."""
     (docs,) = _t(spark, sf_dir, "documents")
+    return _lsh_candidate_pairs(docs)
+
+
+def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash-LSH candidate pairs (doc_a < doc_b) for a documents DF;
+    the implementation behind dedup_minhash_lsh, shared with
+    dedup_components."""
     rows_per_band = _MINHASH_K // _BANDS
     sh = docs.select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
@@ -1009,4 +1021,170 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").agg(
         F.count("*").alias("n"),
         F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup clustering, corpus statistics, sampling
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_LSH_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM candidates
+      UNION ALL
+      SELECT doc_b, doc_a FROM candidates),
+    reach(id, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id)
+    SELECT id AS doc_id, min(label) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    candidate graph; component id = smallest doc_id in the cluster
+    (the canonical "keeper" a dedup pipeline retains).
+
+    Iterative min-label propagation as a driver loop of DataFrame
+    steps: each round every vertex takes the min label over itself and
+    its neighbors, with a ``localCheckpoint`` per round to cut lineage
+    (without it the plan doubles every iteration).  Convergence needs
+    O(cluster diameter) rounds; LSH near-dup clusters are
+    cap-bounded (<= {{_BUCKET_CAP}} per bucket) and dense, so 2-4
+    rounds suffice in practice — for adversarial long-chain graphs the
+    upgrade path is the two-phase large-star/small-star algorithm
+    (same building blocks, O(log n) rounds).  Each round is one
+    shuffle of (id,label) pairs — label propagation never materializes
+    anything super-linear.  The DuckDB oracle computes the same
+    components independently via a recursive transitive closure.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    pairs = _lsh_candidate_pairs(docs).localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(20):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+@q(
+    "corpus_vocab_topk",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents),
+    per AS (
+      SELECT doc_id, token, count(*) AS cnt FROM tok GROUP BY doc_id, token),
+    agg AS (
+      SELECT token, count(*) AS df, CAST(sum(cnt) AS BIGINT) AS total
+      FROM per GROUP BY token)
+    SELECT token, df, total FROM agg
+    ORDER BY total DESC, token LIMIT 100
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-100 tokens by total frequency with
+    document frequency — the vocabulary-building scan of a tokenizer
+    pipeline.
+
+    Two-level aggregation: per-(doc, token) counts first (partial
+    aggregation combines map-side, so the shuffle carries one row per
+    distinct token per doc, not one per token occurrence), then the
+    token-level rollup; ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject, so the full vocabulary is never sorted.
+    The (total DESC, token) order is a total order — deterministic
+    top-k on both engines.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = per.groupBy("token").agg(
+        F.count("*").alias("df"), F.sum("cnt").alias("total")
+    )
+    return agg.orderBy(F.col("total").desc(), F.col("token")).limit(100)
+
+
+# per-language keep-rates (percent) for stratified sampling; languages
+# absent from the map fall back to the default.  In a real pipeline
+# this is a small config dimension — broadcast-joined, never shuffled.
+_SAMPLE_RATES = {"en": 35, "zh": 80}
+_SAMPLE_DEFAULT = 60
+
+
+@q(
+    "sample_stratified",
+    f"""
+    WITH rates(lang, rate) AS (VALUES {", ".join(f"('{l}', {r})" for l, r in sorted(_SAMPLE_RATES.items()))})
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN rates r ON d.lang = r.lang
+    WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            % 100
+          < coalesce(r.rate, {_SAMPLE_DEFAULT})
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    applied by hashing the stable doc_id — the reproducible downsample
+    every training-data pipeline needs (rerunning the job, or running
+    it on another engine, keeps the SAME documents; ``rand()`` keeps
+    different ones per attempt and per partition layout).
+
+    The rate table is a broadcast-joined config dimension (no shuffle
+    of the fact side); the keep decision is one md5 per row computed
+    map-side, so the whole operator is a narrow scan -> filter.
+    """
+    (docs,) = _t(spark, sf_dir, "documents")
+    spark_rates = spark.createDataFrame(
+        sorted(_SAMPLE_RATES.items()), "lang: string, rate: int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        docs.join(F.broadcast(spark_rates), "lang", "left")
+        .filter(bucket < F.coalesce(F.col("rate"), F.lit(_SAMPLE_DEFAULT)))
+        .select("doc_id", "lang", "source")
     )
