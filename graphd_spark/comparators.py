@@ -57,6 +57,18 @@ def _isbreak(c: str) -> bool:
     return _isspace(c) or (_ispunct(c) and c not in "+-")
 
 
+# run scanners for the hot inner loops of ``fragments``: each matches
+# exactly the character class of the per-char helpers above (ASCII
+# alnum or any non-ASCII codepoint = ISWORD; the 6 ASCII spaces =
+# ISSPACE), so `.match(s, pos).end()` advances identically to the
+# while-loops it replaces — just at C speed
+import re as _re
+
+_DIGIT_RUN = _re.compile(r"[0-9]*")
+_ATOM_RUN = _re.compile(r"(?:[0-9A-Za-z]|[^\x00-\x7f])+")
+_SPACE_RUN = _re.compile(r"[ \t\v\n\r\f]+")
+
+
 def fragments(s: str):
     """Yield (fragment, type) per word_fragment_next.
 
@@ -64,6 +76,7 @@ def fragments(s: str):
     or after a break character (ref ISSIGNPTR).
     """
     i, n = 0, len(s)
+    dmatch = _DIGIT_RUN.match
     while i < n:
         start = i
         r = i
@@ -71,8 +84,7 @@ def fragments(s: str):
         if s[r] in _SIGNS and (r == 0 or _isbreak(s[r - 1])):
             r += 1
         pre_s = r
-        while r < n and _isdigit(s[r]):
-            r += 1
+        r = dmatch(s, r).end()
         pre_e = r
         if (
             (pre_s == 0 or s[pre_s - 1] != ".")
@@ -82,8 +94,7 @@ def fragments(s: str):
         ):
             r += 1
             post_s = r
-            while r < n and _isdigit(s[r]):
-                r += 1
+            r = dmatch(s, r).end()
             post_e = r
             if (r >= n or not _isword(s[r])) and (
                 post_e > post_s or pre_e > pre_s
@@ -108,12 +119,10 @@ def fragments(s: str):
         r = start
         c = s[r]
         if _isword(c):
-            while r < n and _isword(s[r]):
-                r += 1
+            r = _ATOM_RUN.match(s, r).end()
             yield s[start:r], ATOM
         elif _isspace(c):
-            while r < n and _isspace(s[r]):
-                r += 1
+            r = _SPACE_RUN.match(s, r).end()
             yield s[start:r], SPACE
         else:
             r += 1
@@ -215,6 +224,11 @@ def decode_number(
 
 
 def _ascii_lower(s: str) -> str:
+    # ASCII-only lowering (the reference folds [A-Z] only).  For ASCII
+    # input str.lower() is identical and runs at C speed; the per-char
+    # fallback stays for non-ASCII so e.g. 'É' is NOT folded.
+    if s.isascii():
+        return s.lower()
     return "".join(
         chr(ord(c) + 32) if "A" <= c <= "Z" else c for c in s
     )

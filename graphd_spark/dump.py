@@ -413,7 +413,7 @@ def parse_tuple_batch(lines, db_id: int):
     return out
 
 
-def bulk_restore(spark, lines_df, db_id: int):
+def bulk_restore(spark, lines_df, db_id: int, chains: bool | None = None):
     """Distributed restore: parse dump tuples on executors, resolve
     version chains with iterative joins, return the full primitives
     DataFrame (PRIMITIVES_SCHEMA).
@@ -468,14 +468,21 @@ def bulk_restore(spark, lines_df, db_id: int):
     # no checkpoint materialization.  (endswith, not a regex: an
     # end-anchored regex backtracks from every offset and is ~100x
     # slower per line)
-    trimmed = F.rtrim(F.lower(F.col("value")))
-    has_chain = not lines_df.filter(
-        ~(
-            trimmed.endswith(" 0)")
-            | trimmed.endswith(" null)")
-            | (F.length(trimmed) == 0)
-        )
-    ).isEmpty()
+    # ``chains`` lets a caller that knows its dump shape (e.g. a fresh
+    # generation-0 export) skip the probe scan entirely — on a
+    # synthesized or streamed input the probe is a full extra
+    # evaluation of the line source
+    if chains is not None:
+        has_chain = chains
+    else:
+        trimmed = F.rtrim(F.lower(F.col("value")))
+        has_chain = not lines_df.filter(
+            ~(
+                trimmed.endswith(" 0)")
+                | trimmed.endswith(" null)")
+                | (F.length(trimmed) == 0)
+            )
+        ).isEmpty()
     if not has_chain:
         # chain-free dump (every tuple generation 0): lineage is the
         # guid itself and the linkage columns are already canonical —

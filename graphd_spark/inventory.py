@@ -706,6 +706,10 @@ def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
         guid,
         esc,
     )
+    # chains=False: every synthesized tuple is generation 0 (prev="0"),
+    # so the chain probe's extra full evaluation of the line source is
+    # skipped — the whole restore is then ONE pass over the text
     return bulk_restore(
-        spark, src.select(line.alias("value")), PREDICTABLE_DB_ID
+        spark, src.select(line.alias("value")), PREDICTABLE_DB_ID,
+        chains=False,
     )
