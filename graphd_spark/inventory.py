@@ -598,7 +598,7 @@ def comparator_number_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS date_str
     FROM orders
     WHERE CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE)
-          BETWEEN DATE '1994-03-01' AND DATE '1994-03-15'
+          BETWEEN DATE '1996-03-01' AND DATE '1996-03-15'
     """,
 )
 def comparator_datetime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,7 +611,7 @@ def comparator_datetime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("date_str")
     )
     return dated.filter(
-        F.to_date("date_str").between("1994-03-01", "1994-03-15")
+        F.to_date("date_str").between("1996-03-01", "1996-03-15")
     )
 
 
