@@ -86,7 +86,7 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed_guid_set",
     """
     SELECT n_nationkey, n_name FROM nation
-    WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN')
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_14')
     """,
 )
 def fixed_guid_set(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,9 +97,9 @@ def fixed_guid_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan — no join, no shuffle.
     """
     (nation,) = _t(spark, sf_dir, "nation")
-    return nation.filter(F.col("n_name").isin("FRANCE", "GERMANY", "JAPAN")).select(
-        "n_nationkey", "n_name"
-    )
+    return nation.filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_14")
+    ).select("n_nationkey", "n_name")
 
 
 # ---------------------------------------------------------------------------
@@ -178,18 +178,21 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_join_count0",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 60000)
     """,
 )
 def anti_join_count0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count=0 subconstraint: parent matches only when no child does.
 
     Ref: graphd/graphd.h:1230,1235-1238 (count=0 with con_false is
-    true).  Maps to left_anti.
+    true).  Maps to left_anti; the child carries an intrinsic
+    predicate (the common reference shape: `(<-left value>... count=0)`).
     """
     customer, orders = _t(spark, sf_dir, "customer", "orders")
+    children = orders.filter(F.col("o_totalprice") > 60000)
     return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+        children, customer.c_custkey == children.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -157,6 +157,36 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_exact_prefix",
+    r"""
+    SELECT md5(array_to_string(
+             regexp_split_to_array(trim(text), '\s+')[1:10], ' '))
+             AS prefix_hash,
+           count(*) AS dup_cnt, min(doc_id) AS keeper
+    FROM documents
+    GROUP BY array_to_string(regexp_split_to_array(trim(text), '\s+')[1:10], ' ')
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: documents sharing their first 10
+    tokens (boilerplate headers, templated pages, truncation
+    artifacts) — the cheap first pass a web-corpus pipeline runs
+    before the full near-dup machinery.
+
+    Same scale shape as dedup_exact: the fingerprint md5 is computed
+    map-side, the shuffle carries 32-byte keys."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(_tokens(F.col("text")), 1, 10))
+    return (
+        docs.select(F.md5(prefix).alias("prefix_hash"), "doc_id")
+        .groupBy("prefix_hash")
+        .agg(F.count("*").alias("dup_cnt"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("dup_cnt") > 1)
+    )
+
+
 def _shingles(col, n: int = 3):
     """Word 3-gram shingles of a text column as a deduplicated array.
 
