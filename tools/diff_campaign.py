@@ -17,15 +17,88 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tests.test_differential import (  # noqa: E402
+    REF_BIN,
     _ensure_binary,
+    _gen_cursor_constraint,
+    _gen_write,
     gen_script,
     run_engine,
     run_reference,
 )
 
 
+def _run_cursor_seed(spark, seed: int) -> tuple[list[str], list[str], list[str]]:
+    """One cursored-pagination seed through both engines (the logic of
+    tests/test_differential.py::test_differential_cursors)."""
+    import re as _re
+    import select
+    import subprocess
+    import tempfile
+
+    rng = random.Random(10_000 + seed)
+    lines = [_gen_write(rng) for _ in range(rng.randrange(6, 14))]
+    reads = []
+    for _ in range(rng.randrange(2, 5)):
+        body = _gen_cursor_constraint(rng)
+        ps = rng.randrange(1, 4)
+        reads.append(
+            f"read (pagesize={ps} result=(cursor (guid value)) {body})"
+        )
+
+    def paginate(ask):
+        out = []
+        for read in reads:
+            reply = ask(read)
+            out.append(reply)
+            hops = 0
+            while hops < 5:
+                m = _re.search(r'"((?:cursor|sort|position):[^"]*)"', reply)
+                if not m or m.group(1) == "null:":
+                    break
+                esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+                reply = ask(
+                    read.replace(
+                        "result=(cursor", f'cursor="{esc}" result=(cursor', 1
+                    )
+                )
+                out.append(reply)
+                hops += 1
+        return out
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [REF_BIN, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+
+        def ask_ref(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            ready, _, _ = select.select([proc.stdout], [], [], 30)
+            if not ready:
+                raise TimeoutError(req)
+            return proc.stdout.readline().rstrip("\n")
+
+        try:
+            [ask_ref(ln) for ln in lines]
+            ref_pages = paginate(ask_ref)
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=30)
+
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    for ln in lines:
+        gs.request(ln)
+    got_pages = paginate(gs.request)
+    return lines + reads, got_pages, ref_pages
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    cursors = "--cursors" in sys.argv
     start = int(args[0]) if args else 24
     end = int(args[1]) if len(args) > 1 else start + 100
 
@@ -38,9 +111,12 @@ def main() -> int:
     spark = get_spark("diff_campaign")
     bad = []
     for seed in range(start, end):
-        lines = gen_script(seed)
-        want = run_reference(lines)
-        got = run_engine(spark, lines)
+        if cursors:
+            lines, got, want = _run_cursor_seed(spark, seed)
+        else:
+            lines = gen_script(seed)
+            want = run_reference(lines)
+            got = run_engine(spark, lines)
         if got != want:
             bad.append(seed)
             print(f"== seed {seed} DIVERGES ==")
