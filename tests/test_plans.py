@@ -29,6 +29,7 @@ from conftest import SF_SMOKE
 
 from graphd_spark import (  # noqa: F401 — imports populate QUERIES
     inventory,
+    inventory_events,
     inventory_gql,
     inventory_media,
     inventory_pipeline,
@@ -118,3 +119,35 @@ def test_topk_uses_take_ordered(spark):
     sort of the table for a top-100 is wrong at any scale."""
     plan = plan_of(inventory.QUERIES["sort_multikey_topk"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The as-of join's union-window form must shuffle ONCE on the
+    key — a range join (BroadcastNestedLoop / cartesian) or a second
+    exchange means the reformulation regressed."""
+    plan = plan_of(inventory.QUERIES["events_asof_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one exchange (on user_id) feeds the window
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_sessionize_single_shuffle(spark):
+    """Both windows and the rollup of sessionization ride one
+    user_id exchange (AQE may add coalesces, never a reshuffle of
+    different keys)."""
+    plan = plan_of(inventory.QUERIES["events_sessionize"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan
+
+
+def test_vocab_topk_take_ordered(spark):
+    plan = plan_of(inventory.QUERIES["corpus_vocab_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_sample_broadcasts_rates(spark):
+    """The rate dimension broadcasts; the documents side is a narrow
+    scan -> filter with no shuffle at all."""
+    plan = plan_of(inventory.QUERIES["sample_stratified"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
