@@ -34,6 +34,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dfield
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -716,11 +717,23 @@ class Compiler:
                 # iterator; small candidate sets materialize as a
                 # fixed iterator (ref graphd-iterator-fixed.c;
                 # test/unit/nick6.sh: value~="a*" -> fixed:6:...)
-                ids = [
-                    r["id"]
-                    for r in df.select("id").orderBy("id")
-                    .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
-                ]
+                prefix = self._prefix_pattern(con)
+                if prefix is not None and not (
+                    con.guid or con.links or con.type_strcons
+                    or con.next or con.prev or con.timestamps
+                ):
+                    # a bare word-prefix root materializes the PREFIX
+                    # BIN contents — hash-bucket candidates, false
+                    # positives included (pdb-prefix.c enumeration;
+                    # '7' and 'z' share 5-bit slot 28, so "007" rides
+                    # in "z*"'s array; differential cursor seed 29)
+                    ids = self._prefix_bin_ids(prefix)
+                else:
+                    ids = [
+                        r["id"]
+                        for r in df.select("id").orderBy("id")
+                        .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
+                    ]
                 if len(ids) > _FIXED_MATERIALIZE_MAX or (
                     last_id not in ids
                 ):
@@ -742,6 +755,11 @@ class Compiler:
         and_cursor = self._and_cursor(con, cstate, rows, prior, count)
         if and_cursor is not None:
             return and_cursor
+        sub_gmap = self._sub_gmap_cursor(
+            con, rows, prior, count, last_id
+        )
+        if sub_gmap is not None:
+            return sub_gmap
         # linkage-driven roots: the optimizer materializes small
         # candidate sets into a fixed iterator (graphd-iterator-fixed.c;
         # tests cursor3/cursor4); larger sets keep their and/gmap shape,
@@ -853,6 +871,99 @@ class Compiler:
         if not p or not p.isalnum() or not p.isascii():
             return None
         return p.lower()
+
+    def _sub_gmap_cursor(self, con, rows, prior, count, last_id):
+        """A root whose only predicate is one ``L->(sub)`` where the
+        sub resolves to a SINGLE primitive collapses to that linkage's
+        gmap iterator — the reference's linksto optimization replaces a
+        one-id subiterator with a plain gmap (graphd-iterator-linksto.c;
+        differential cursor seed 36 froze gmap:27-29:l->26 where we
+        materialized fixed:2)."""
+        if (
+            con.value_strcons or con.name_strcons or con.guid
+            or con.next or con.prev or con.timestamps
+            or con.dateline is not None or con.type_strcons
+            or any(con.links.values()) or con.or_chains
+            or len(con.subs) != 1
+        ):
+            return None
+        sub = con.subs[0]
+        if sub.linkage is None or sub.linkage[0] != "iam":
+            return None
+        lk = sub.linkage[1]
+        if lk not in ("typeguid", "left", "right", "scope"):
+            return None
+        if (
+            sub.subs or sub.or_chains or sub.count_eq is not None
+            or sub.count_min not in (None, 1) or sub.count_max is not None
+        ):
+            return None
+        hm = self._hmap_source(sub)
+        if hm is None:
+            return None
+        _tname, _key, _lo, _hi, n, flt = hm
+        if n > 50:
+            return None
+        # the linksto's or drops sources with EMPTY gmap bins (null
+        # iterators); only a single surviving gmap collapses
+        from graphd_spark.model import guid_compose, guid_serial as _gs
+
+        cand = [
+            r["id"]
+            for r in self.store.to_df(self.spark)
+            .filter(flt).select("id").collect()
+        ]
+        guids = {guid_compose(self.store.db_id, i): i for i in cand}
+        col = self._GMAP_COLS[lk[0]]
+        live = [
+            guids[r[col]]
+            for r in self.store.to_df(self.spark)
+            .filter(F.col(col).isin(*guids))
+            .select(col).distinct().collect()
+        ]
+        if len(live) != 1:
+            return None
+        from graphd_spark.cursor import CursorState, freeze_cursor
+
+        src = live[0]
+        low, high, pos = self._gmap_stats(lk[0], src, last_id)
+        if low is None:
+            return None
+        st = CursorState(
+            form="gmap", low=low, high=high, pos=pos, lk=lk[0], src=src
+        )
+        n_echo = high if last_id == high - 1 else count
+        return freeze_cursor(
+            con, st, prior + len(rows), n_echo, self.types.resolve
+        )
+
+    def _prefix_bin_ids(self, prefix: str) -> list[int]:
+        """Ascending ids in the word-index bins a prefix scan for
+        ``prefix`` enumerates — the reference's candidate array for
+        ``value~="prefix*"`` (libpdb/pdb-prefix.c), hash-bucket
+        membership rather than true matches (wordhash.py)."""
+        from pyspark.sql.types import BooleanType
+
+        from graphd_spark.model import su_decode
+        from graphd_spark.wordhash import prefix_match_codes
+
+        @F.pandas_udf(BooleanType())
+        def _in_bins(vals: pd.Series) -> pd.Series:
+            return vals.map(
+                lambda v: v is not None
+                and prefix_match_codes(su_decode(v), prefix)
+            )
+
+        return [
+            r["id"]
+            for r in self.store.to_df(self.spark)
+            .filter(F.col("value").isNotNull())
+            .filter(_in_bins(F.col("value")))
+            .select("id")
+            .orderBy("id")
+            .limit(_FIXED_MATERIALIZE_MAX + 1)
+            .collect()
+        ]
 
     def _hmap_cursor_source(self, con) -> Optional[tuple]:
         """The root's own hmap bin when its only indexed predicate is
@@ -2117,11 +2228,13 @@ class Compiler:
             conds.append(F.col("archival"))
         elif con.archival == FALSE:
             conds.append(~F.col("archival"))
-        if con.meta == "node":
-            conds.append(F.col("left").isNull() & F.col("right").isNull())
-        # 'to'/'from' arrows are linkage-direction markers, not
-        # is-a-link filters: a parentless '->' matches nodes too
-        # (ref test/unit/nullguid2.sh)
+        # meta markers never filter at match time: GRAPHD_META_NODE is
+        # read only by constraint-to-string, and the matcher has no
+        # meta check (graphd-match.c; differential seed 4 — the
+        # reference answers `node left->(...)` with left-links).  The
+        # metas act earlier, as linkage-defaulting hints in the
+        # semantic pass (graphd-semantic.c:677-720) and write shaping;
+        # a parentless '->' matches nodes too (test/unit/nullguid2.sh).
 
         if con.dateline is not None:
             conds.append(self._dateline_cond(con.dateline))

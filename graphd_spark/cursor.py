@@ -50,6 +50,25 @@ from graphd_spark.gql.ir import Constraint, GenCon, Pattern, StrCon
 from graphd_spark.model import DATATYPE_NAMES
 
 
+def _xx_decode(s: str) -> str:
+    """Inverse of pdb_xx_encode (libpdb/pdb-util.c:70+): %xx escapes
+    are single BYTES of the UTF-8 form, so collect bytes first and
+    decode once."""
+    out = bytearray()
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "%" and i + 2 < n:
+            try:
+                out.append(int(s[i + 1 : i + 3], 16))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.extend(s[i].encode("utf-8", "surrogateescape"))
+        i += 1
+    return out.decode("utf-8", "surrogateescape")
+
+
 def checksum16(s: str) -> int:
     """cm_buffer_checksum_text with 16 bits: xor a byte, rotate by 1."""
     x = 0
@@ -515,11 +534,7 @@ def parse_cursor(text: str, con: Constraint,
         st.form = "hmap"
         st.low, st.high = int(mm.group(1)), int(mm.group(2))
         st.lk = mm.group(3)
-        st.masq = re.sub(
-            r"%([0-9a-fA-F]{2})",
-            lambda m: chr(int(m.group(1), 16)),
-            mm.group(4),
-        )
+        st.masq = _xx_decode(mm.group(4))
         st.pos = int(mm.group(5))
         return _validated(st)
     if body.startswith(("isa:", "or:(")):

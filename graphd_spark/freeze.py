@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 # libpdb/pdb.h:362-370
@@ -114,15 +115,31 @@ def prefix_stats(spark, store, prefix: str) -> Optional[PrefixStats]:
     The prefix's or has one hmap bin per distinct indexed word with
     that prefix; n / next / find roll up per the or formulas.  The
     word index is the tokenized value column (libpdb/pdb-word.c)."""
-    df = store.to_df(spark)
-    words = (
-        df.select(
-            "id",
-            F.explode(
-                F.split(F.lower(F.col("value")), r"[^0-9a-z]+")
-            ).alias("w"),
+    from pyspark.sql.types import ArrayType, LongType
+
+    from graphd_spark.model import su_decode
+    from graphd_spark.wordhash import prefix_mask, value_word_codes, word_hash
+
+    mask = prefix_mask(prefix)
+    want = word_hash(prefix) & mask
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _codes(vals: pd.Series) -> pd.Series:
+        return vals.map(
+            lambda v: []
+            if v is None
+            else [
+                c
+                for c in value_word_codes(su_decode(v))
+                if (c & mask) == want
+            ]
         )
-        .filter((F.col("w") != "") & F.col("w").startswith(prefix.lower()))
+
+    df = store.to_df(spark)
+    # one or-member per EXISTING HASH BIN, not per distinct word:
+    # colliding words (wordhash.py) share a bin and its id list
+    words = (
+        df.select("id", F.explode(_codes(F.col("value"))).alias("w"))
         .distinct()
     )
     rows = (
@@ -224,10 +241,12 @@ def hmap_set_str(type_name: str, key: str, low: int, high: int) -> str:
     """hmap SET freeze: hmap:LOW-HIGH:map:type:hash:key
     (pdb-iterator-hmap.c:148-173); the single hmap file is 'pool' and
     the key is %XX-escaped (pdb_xx_encode)."""
+    # pdb_xx_encode (libpdb/pdb-util.c:51-68): byte-wise over the
+    # UTF-8 form; ONLY ASCII alphanumerics pass through, every other
+    # byte becomes %xx (lowercase) — '-' and '_' included
     enc = "".join(
-        c if (c.isalnum() or c in "_.-") and c.isascii()
-        else "%{:02x}".format(ord(c) & 0xFF)
-        for c in key
+        chr(b) if b < 0x80 and chr(b).isalnum() else "%{:02x}".format(b)
+        for b in key.encode("utf-8", "surrogateescape")
     )
     return "hmap:{}-{}:pool:{}:{}:{}".format(
         low, high, type_name, ci_hash(key), enc

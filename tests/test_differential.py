@@ -124,11 +124,26 @@ def _gen_constraint(rng: random.Random, depth: int = 0,
             v = rng.choice(_RANGE_BOUNDS)
         else:
             v = rng.choice(_VALUES)
-        parts.append(f"value{op}{_q(v)}")
+        clause = f"value{op}{_q(v)}"
+        # or-chains over value equalities: both the value-set form
+        # value=("a" "b") and the explicit  value="a"|value="b"
+        if op == "=" and rng.random() < 0.25:
+            v2 = rng.choice(_VALUES)
+            if rng.random() < 0.5:
+                clause = f"value=({_q(v)} {_q(v2)})"
+            else:
+                clause = f"value={_q(v)}|value={_q(v2)}"
+        parts.append(clause)
     elif r < 0.7:
         parts.append(f"name={_q(rng.choice(_NAMES))}")
     elif r < 0.8:
         parts.append(f"type={_q(rng.choice(_TYPES))}")
+    if depth == 0 and rng.random() < 0.15:
+        parts.append(rng.choice(["live=true", "live=dontcare", "node"]))
+    if depth == 0 and rng.random() < 0.1:
+        parts.append(
+            "datatype=" + rng.choice(["string", "null", "integer"])
+        )
     if depth == 0 and rng.random() < 0.4:
         sub = _gen_constraint(rng, depth + 1)
         arrow = rng.choice(["<-left", "<-right", "left->", "right->"])
