@@ -362,10 +362,30 @@ class Compiler:
                 )
                 for p in _pat_tmp.walk()
             )
+            # the binset only drives the scan when no other indexed
+            # constraint supplies the candidates — with a name/value/
+            # type/linkage producer every candidate surfaces and the
+            # number keys merely order them (differential seed 55:
+            # name="label" sort=(-value) sort-comparator="number"
+            # returns the non-number value "a-b")
+            _other_producer = (
+                con.type_strcons or con.links or con.name_strcons
+                or con.guid
+                or any(
+                    sc.op in ("=", "~=") for sc in con.value_strcons
+                )
+                or any(
+                    (s.linkage or (None, None))[0] in ("iam", "my")
+                    and not s.is_optional
+                    and s.count_eq != 0
+                    for s in con.subs
+                )
+            )
             if (
                 first.pattern.kind == "value"
                 and comp0 == "number"
                 and not _value_range
+                and not _other_producer
                 and _renders
             ):
                 # number-comparator value sorts iterate the NUMBERS
@@ -386,18 +406,21 @@ class Compiler:
             if con.type_strcons or con.links or con.name_strcons or (
                 con.guid
             ) or any(
-                (s.linkage or (None, None))[0] == "iam"
+                (s.linkage or (None, None))[0] in ("iam", "my")
                 and not s.is_optional
                 and s.count_eq != 0
                 for s in con.subs
             ):
                 # another indexed constraint produces the candidates
                 # (gmap/hmap, including linkage members propagated
-                # from mandatory pinned subconstraints), so the range
-                # is just a check and rows surface in id order
-                # (test/unit/david_6.sh: value>"lark" type="foobar";
-                # differential seeds 64/109).  Optional and count=0
-                # subs produce nothing — the range stays the producer.
+                # from mandatory pinned subconstraints — an 'iam' sub
+                # contributes an isa member, a 'my' sub a linksto
+                # member), so the range is just a check and rows
+                # surface in id order (test/unit/david_6.sh:
+                # value>"lark" type="foobar"; differential seeds
+                # 64/109, and seed 42's (<-left value>=...) sub).
+                # Optional and count=0 subs produce nothing — the
+                # range stays the producer.
                 pass
             elif vcomp == "default":
                 # unsorted range reads surface in the reference's
