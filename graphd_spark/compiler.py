@@ -362,30 +362,37 @@ class Compiler:
                 )
                 for p in _pat_tmp.walk()
             )
-            # the binset only drives the scan when no other indexed
-            # constraint supplies the candidates — with a name/value/
-            # type/linkage producer every candidate surfaces and the
-            # number keys merely order them (differential seed 55:
-            # name="label" sort=(-value) sort-comparator="number"
-            # returns the non-number value "a-b")
-            _other_producer = (
-                con.type_strcons or con.links or con.name_strcons
-                or con.guid
-                or any(
-                    sc.op in ("=", "~=") for sc in con.value_strcons
-                )
-                or any(
-                    (s.linkage or (None, None))[0] in ("iam", "my")
-                    and not s.is_optional
-                    and s.count_eq != 0
-                    for s in con.subs
-                )
-            )
+            # which producers escape the number sort-root: probed
+            # against the reference (differential seeds 55/142),
+            # non-number values are DROPPED by the sort's number-
+            # vrange for every producer shape EXCEPT (a) a guid=
+            # fixed iterator and (b) a single-element name-hmap bin —
+            # both collapse to fixed-1 sets the sort short-circuits
+            # on, so their lone candidate surfaces unsorted.  A
+            # 2-element name bin, a value= bin, a type gmap, and a
+            # linkage sub all drop (reference probes in seed-142
+            # analysis); a default-comparator value range keeps the
+            # string vrange as producer (seeds 139/147).
+            _fixed_producer = bool(con.guid)
+            _one_name_bin = False
+            if (
+                not _fixed_producer
+                and con.name_strcons
+                and not con.value_strcons
+                and not con.type_strcons
+                and not any(con.links.values())
+                and not con.subs
+                and not con.or_chains
+            ):
+                _hm = self._hmap_source(con)
+                if _hm is not None and _hm[0] == "name" and _hm[4] == 1:
+                    _one_name_bin = True
             if (
                 first.pattern.kind == "value"
                 and comp0 == "number"
                 and not _value_range
-                and not _other_producer
+                and not _fixed_producer
+                and not _one_name_bin
                 and _renders
             ):
                 # number-comparator value sorts iterate the NUMBERS
