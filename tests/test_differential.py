@@ -81,6 +81,16 @@ _VALUES = [
 #: the bin scan had progressed when the candidate surfaced — scan
 #: state, not query semantics.  This engine uses the comparator's
 #: total order instead.
+#:
+#: KNOWN BOUNDARY (seeds 233/353 of the wide campaign): an unsorted
+#: read whose only selective predicate is a linkage sub with a value
+#: RANGE surfaces rows in whatever order the reference's budgeted
+#: producer contest picked — all-scan (parent id order) for small
+#: stores, the linksto's raw child-bin order once the store grows.
+#: The contest samples iterators under budgets
+#: (graphd-iterator-and-statistics.c:204-381), so the crossover is
+#: path-dependent; this engine always uses parent id order there.
+#: The row SET always matches; only inter-row order can differ.
 _RANGE_BOUNDS = [
     "apple", "cherry pie", "12", "1.5", "aa", "ab", "b", "zebra", "100",
 ]
