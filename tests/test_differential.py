@@ -154,6 +154,16 @@ def _gen_constraint(rng: random.Random, depth: int = 0,
         parts.append(
             "datatype=" + rng.choice(["string", "null", "integer"])
         )
+    if depth == 0 and rng.random() < 0.15:
+        # predictable mode steps timestamps 1970-01-01T00:00:00.NNNNZ
+        # per primitive, so absolute bounds are deterministic
+        op = rng.choice(["<", "<=", ">", ">="])
+        ts = f"1970-01-01T00:00:00.{rng.randrange(30):04d}Z"
+        parts.append(f"timestamp{op}{ts}")
+    if depth == 0 and rng.random() < 0.1:
+        parts.append(
+            rng.choice(["newest>=0", "newest<=0", "oldest>=0", "oldest<=0"])
+        )
     if depth == 0 and rng.random() < 0.4:
         sub = _gen_constraint(rng, depth + 1)
         arrow = rng.choice(["<-left", "<-right", "left->", "right->"])
