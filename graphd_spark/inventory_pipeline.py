@@ -1108,6 +1108,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=False)
     )
+    # labels only decrease, so the label sum strictly decreases every
+    # round that changes anything — one cheap agg action per round
+    # replaces a join-based change count
+    prev_sum = None
     for _ in range(20):
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"), "label"
@@ -1118,16 +1122,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.id") == F.col("o.id"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component")
     )
