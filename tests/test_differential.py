@@ -90,7 +90,10 @@ _VALUES = [
 #: The contest samples iterators under budgets
 #: (graphd-iterator-and-statistics.c:204-381), so the crossover is
 #: path-dependent; this engine always uses parent id order there.
-#: The row SET always matches; only inter-row order can differ.
+#: The row SET always matches; only inter-row order (and therefore
+#: which rows land on a truncating page) can differ — the generator
+#: pins sort=(timestamp) on that shape so set and counts still
+#: compare.
 _RANGE_BOUNDS = [
     "apple", "cherry pie", "12", "1.5", "aa", "ab", "b", "zebra", "100",
 ]
@@ -164,16 +167,30 @@ def _gen_constraint(rng: random.Random, depth: int = 0,
         parts.append(
             rng.choice(["newest>=0", "newest<=0", "oldest>=0", "oldest<=0"])
         )
+    range_sub = False
     if depth == 0 and rng.random() < 0.4:
         sub = _gen_constraint(rng, depth + 1)
         arrow = rng.choice(["<-left", "<-right", "left->", "right->"])
         mod = rng.choice(["", "optional ", "count=0 "])
+        if arrow.startswith("<-") and not mod and any(
+            f"value{op}" in sub for op in ("<", "<=", ">", ">=")
+        ) and "value=" not in sub and "value!" not in sub:
+            # a mandatory 'my' sub whose own producer is a value range:
+            # the reference's iterator race decides between all-scan
+            # (parent id order) and linksto (child-bin order) — see the
+            # KNOWN BOUNDARY note above.  Pin a deterministic order
+            # (timestamps are unique) so the row SET and counts are
+            # still compared while the contest order is not.
+            range_sub = True
         if arrow.startswith("<-"):
             parts.append(f"({arrow} {mod}{sub})")
         else:
             parts.append(f"{arrow}({mod}{sub})")
     sorted_read = False
-    if depth == 0 and rng.random() < 0.5:
+    if range_sub:
+        sorted_read = True
+        parts.append("sort=(timestamp)")
+    if depth == 0 and not sorted_read and rng.random() < 0.5:
         sorted_read = True
         keys = rng.sample(
             ["value", "-value", "name", "-name", "timestamp"],
