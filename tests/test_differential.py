@@ -384,3 +384,88 @@ def test_differential(spark, ref_bin, seed):
             if g != w
         ] + [f"(lines: got {len(got)}, want {len(want)})"]
     )
+
+
+# -- versioning / time-travel fuzzing --------------------------------------
+
+
+def gen_version_script(seed: int) -> list[str]:
+    """Two-phase script: base writes run once through the REFERENCE to
+    learn the guids it assigns (write allocation order is part of the
+    protocol; our engine reproduces it, the goldens prove that), then
+    versioning writes (guid= pessimistic / guid~= opportunistic),
+    tombstone deletes (live=false), and reads that exercise lineage
+    semantics: newest/oldest bounds, prev=, guid~=, live=dontcare,
+    and asof= time travel over the predictable timestamp sequence."""
+    rng = random.Random(40_000 + seed)
+    base = [_gen_write(rng) for _ in range(rng.randrange(3, 7))]
+    replies = run_reference(base)
+    guids = []
+    for rep in replies:
+        guids.extend(
+            g for g in __import__("re").findall(r"\b([0-9a-f]{32})\b", rep)
+        )
+    if not guids:
+        return base
+    lines = list(base)
+    versioned: list[str] = []
+    for _ in range(rng.randrange(2, 6)):
+        g = rng.choice(guids)
+        op = rng.random()
+        if op < 0.5:
+            lines.append(
+                f"write (guid~={g} value={_q(rng.choice(_VALUES))})"
+            )
+            versioned.append(g)
+        elif op < 0.75:
+            lines.append(f"write (guid~={g} live=false)")
+            versioned.append(g)
+        else:
+            nm = rng.choice(_NAMES)
+            lines.append(
+                f"write (guid~={g} name={_q(nm)} "
+                f"value={_q(rng.choice(_VALUES))})"
+            )
+            versioned.append(g)
+    for _ in range(rng.randrange(3, 8)):
+        r = rng.random()
+        if r < 0.25 and versioned:
+            g = rng.choice(versioned)
+            lines.append(
+                "read (guid~=" + g + " newest>=0 oldest<=9 "
+                "live=dontcare result=((guid value live)))"
+            )
+        elif r < 0.4 and versioned:
+            g = rng.choice(versioned)
+            lines.append(f"read (prev={g} result=((guid value)))")
+        elif r < 0.55:
+            ts = f"1970-01-01T00:00:00.{rng.randrange(5, 40):04d}"
+            lines.append(
+                f"read asof={ts} (value!=null pagesize=40 "
+                "result=((guid value)))"
+            )
+        elif r < 0.7:
+            lines.append(
+                "read (live=dontcare newest=0 value="
+                + _q(rng.choice(_VALUES))
+                + " result=((guid value live)))"
+            )
+        else:
+            lines.append(
+                f"read ({_gen_constraint(rng)})"
+            )
+    return lines
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_differential_versions(spark, ref_bin, seed):
+    lines = gen_version_script(seed)
+    want = run_reference(lines)
+    got = run_engine(spark, lines)
+    assert got == want, "\n".join(
+        ["script:"] + lines + ["--- diff ---"] + [
+            f"  got: {g}\n  exp: {w}"
+            for g, w in zip(got, want)
+            if g != w
+        ] + [f"(lines: got {len(got)}, want {len(want)})"]
+    )

@@ -22,6 +22,7 @@ from tests.test_differential import (  # noqa: E402
     _gen_cursor_constraint,
     _gen_write,
     gen_script,
+    gen_version_script,
     run_engine,
     run_reference,
 )
@@ -99,6 +100,7 @@ def _run_cursor_seed(spark, seed: int) -> tuple[list[str], list[str], list[str]]
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     cursors = "--cursors" in sys.argv
+    versions = "--versions" in sys.argv
     start = int(args[0]) if args else 24
     end = int(args[1]) if len(args) > 1 else start + 100
 
@@ -114,7 +116,9 @@ def main() -> int:
         if cursors:
             lines, got, want = _run_cursor_seed(spark, seed)
         else:
-            lines = gen_script(seed)
+            lines = (
+                gen_version_script(seed) if versions else gen_script(seed)
+            )
             want = run_reference(lines)
             got = run_engine(spark, lines)
         if got != want:
