@@ -820,7 +820,13 @@ _EMB_DUP_TAU = 0.4
                                                  pl.coeffs) > 0
                       THEN 1::BIGINT << pl.p ELSE 0 END) AS BIGINT) AS bucket
       FROM embeddings e CROSS JOIN planes pl
-      GROUP BY e.vec_id, e.embedding)
+      GROUP BY e.vec_id, e.embedding),
+    capped AS (
+      SELECT vec_id, embedding, bucket FROM (
+        SELECT b.*, row_number() OVER (PARTITION BY bucket
+                                       ORDER BY vec_id) AS __r
+        FROM buckets b) t
+      WHERE __r <= 64)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.embedding::DOUBLE[],
                                   b.embedding::DOUBLE[]) /
@@ -828,7 +834,7 @@ _EMB_DUP_TAU = 0.4
                                     a.embedding::DOUBLE[])) *
               sqrt(list_dot_product(b.embedding::DOUBLE[],
                                     b.embedding::DOUBLE[]))), 4) AS sim
-    FROM buckets a JOIN buckets b
+    FROM capped a JOIN capped b
       ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.embedding::DOUBLE[],
                                  b.embedding::DOUBLE[]) /
@@ -883,6 +889,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x.cast("double") / F.col("__nrm"),
             ).alias("nemb"),
         )
+    )
+    # bucket cap (same rationale as ann_lsh_topk): a degenerate bucket
+    # would pair quadratically; keep the 64 lowest vec_ids per bucket —
+    # deterministic, so the oracle mirrors it exactly
+    wcap = W.partitionBy("bucket").orderBy("vec_id")
+    bucketed = (
+        bucketed.withColumn("__r", F.row_number().over(wcap))
+        .filter(F.col("__r") <= 64)
+        .drop("__r")
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
