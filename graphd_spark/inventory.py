@@ -648,7 +648,33 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("restore_bulk")
+@q(
+    "restore_bulk",
+    """
+    WITH src AS (
+      SELECT concat_ws(' ', l_returnflag,
+                       CAST(floor(l_quantity) AS BIGINT),
+                       strftime(l_shipdate, '%Y-%m-%d'),
+                       l_linestatus) AS value,
+             l_orderkey * 16 + l_linenumber * 2 + copy AS id
+      FROM lineitem, (SELECT 0 AS copy UNION ALL SELECT 1) copies),
+    g AS (
+      SELECT id, value,
+             concat('0000001240003456',
+                    printf('%016x',
+                           (-9223372036854775808)::BIGINT | id)) AS guid
+      FROM src)
+    SELECT CAST(count(*) AS BIGINT) AS n_primitives,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(count(DISTINCT guid) AS BIGINT) AS n_guids,
+           CAST(sum(CAST(concat('0x', substring(md5(guid), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS guid_checksum,
+           CAST(sum(CAST(concat('0x', substring(md5(value), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS value_checksum,
+           CAST(sum(length(value)) AS BIGINT) AS value_len_sum
+    FROM g
+    """,
+)
 def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed dump restore (SURVEY §2.1 restore, bulk path).
 
@@ -659,14 +685,20 @@ def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     full primitives DataFrame.  The driver-side protocol ``restore``
     replays one tuple at a time; this is the path a 121M-primitive
     production dump takes (ref doc/a-brief-tour-of-graphd.md:203,
-    graphd/graphd-restore.c).  No SQL oracle: restore is an engine
-    operation, checked by the byte-exact round-trip tests in
-    tests/test_bulk_restore.py.
+    graphd/graphd-restore.c).
+
+    The returned frame is a one-row summary (count, id sum, guid and
+    value md5 checksums) of the *restored* primitives, which the
+    DuckDB oracle recomputes independently from ``lineitem`` — so the
+    whole executor-side parse + guid round-trip is value-checked, not
+    just row-counted.  Byte-exact per-field round-trips are separately
+    covered by tests/test_bulk_restore.py.
 
     Scale note: serials are minted map-side from the natural key
     (orderkey, linenumber, copy) — no global ordering pass anywhere
     in setup or restore, so the whole path is embarrassingly
-    parallel; a real dump already carries its GUIDs.
+    parallel; a real dump already carries its GUIDs.  The summary is
+    a single partial-aggregable pass over the restored frame.
     """
     from graphd_spark.dump import bulk_restore
     from graphd_spark.model import PREDICTABLE_DB_ID, guid_compose
@@ -678,10 +710,16 @@ def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     if li.rdd.getNumPartitions() < par:
         li = li.repartition(par)
+    # every piece of the value text formats identically in Spark and
+    # DuckDB (strings, a floored bigint, an explicit yyyy-MM-dd) so the
+    # oracle can rebuild it byte-for-byte
     src = li.select(
-        F.format_string(
-            "%s %s %s %s",
-            "l_returnflag", "l_quantity", "l_shipdate", "l_linestatus",
+        F.concat_ws(
+            " ",
+            "l_returnflag",
+            F.floor("l_quantity").cast("long"),
+            F.date_format("l_shipdate", "yyyy-MM-dd"),
+            "l_linestatus",
         ).alias("text"),
         "l_orderkey",
         "l_linenumber",
@@ -712,7 +750,22 @@ def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chains=False: every synthesized tuple is generation 0 (prev="0"),
     # so the chain probe's extra full evaluation of the line source is
     # skipped — the whole restore is then ONE pass over the text
-    return bulk_restore(
+    restored = bulk_restore(
         spark, src.select(line.alias("value")), PREDICTABLE_DB_ID,
         chains=False,
+    )
+    # 8 hex digits of md5 -> <2^32 per row; the bigint sum is overflow-
+    # safe to ~2^31 rows, far past any sf this runs at
+    def _ck(col):
+        return F.sum(
+            F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+        )
+
+    return restored.agg(
+        F.count("*").alias("n_primitives"),
+        F.sum("id").alias("id_sum"),
+        F.countDistinct("guid").alias("n_guids"),
+        _ck("guid").alias("guid_checksum"),
+        _ck("value").alias("value_checksum"),
+        F.sum(F.length("value")).alias("value_len_sum"),
     )

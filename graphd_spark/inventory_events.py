@@ -127,9 +127,9 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     tagged AS (
-      SELECT *, sum(new_sess) OVER (
+      SELECT *, CAST(sum(new_sess) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
-        ROWS UNBOUNDED PRECEDING) AS session_seq
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM flagged)
     SELECT user_id,
            session_seq,
