@@ -50,20 +50,29 @@ from graphd_spark.gql.ir import Constraint, GenCon, Pattern, StrCon
 from graphd_spark.model import DATATYPE_NAMES
 
 
+_HEX = frozenset("0123456789abcdefABCDEF")
+
+
 def _xx_decode(s: str) -> str:
     """Inverse of pdb_xx_encode (libpdb/pdb-util.c:70+): %xx escapes
     are single BYTES of the UTF-8 form, so collect bytes first and
-    decode once."""
+    decode once.  A '%' followed by two chars that are not both strict
+    hex digits is a syntax error (pdb_xx_decode returns
+    PDB_ERR_SYNTAX; int() alone would accept '+f' / ' f'); a '%' with
+    fewer than two chars left passes through literally, as in the
+    reference."""
     out = bytearray()
     i, n = 0, len(s)
     while i < n:
         if s[i] == "%" and i + 2 < n:
-            try:
-                out.append(int(s[i + 1 : i + 3], 16))
-                i += 3
-                continue
-            except ValueError:
-                pass
+            a, b = s[i + 1], s[i + 2]
+            if a not in _HEX or b not in _HEX:
+                raise BadCursor(
+                    f'expected two hex digits after %, got "{s[i:i + 3]}"'
+                )
+            out.append(int(a + b, 16))
+            i += 3
+            continue
         out.extend(s[i].encode("utf-8", "surrogateescape"))
         i += 1
     return out.decode("utf-8", "surrogateescape")

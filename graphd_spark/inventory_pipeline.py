@@ -1074,6 +1074,94 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def connected_components(edges: DataFrame, max_rounds: int = 50):
+    """Distributed connected components by the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SOCC 2014): O(log n) rounds
+    regardless of component diameter — a path graph that would take
+    min-label propagation O(n) rounds converges in ~2*log2(n).
+
+    ``edges``: (src, dst) long pairs, any orientation, self-loops ok.
+    Returns ``(labels, rounds)`` where ``labels`` is (id, label) for
+    every vertex incident to an edge, label = min id of its component.
+
+    Each half-round is ONE shuffle (a window min per vertex — no
+    self-join) over an edge set that never exceeds the input size
+    after distinct(); ``localCheckpoint`` per round cuts lineage so
+    the plan stays constant-size.  Skew note: the window buffers one
+    vertex's neighbor list per frame, so per-vertex degree bounds the
+    frame (LSH candidate graphs are cap-bounded by construction;
+    unbounded-degree inputs would want the groupBy+join formulation).
+
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted before the
+    fixpoint — partially-converged labels are never returned silently
+    (the theoretical bound is ~2*log2(n)+2 rounds, so 50 covers any
+    realistic n).
+    """
+    # canonicalize: oriented (big, small), no self-loops, distinct
+    E = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    all_nodes = (
+        E.select(F.col("src").alias("id"))
+        .unionByName(E.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rounds = 0
+    converged = False
+    prev_count = E.count()
+    while rounds < max_rounds:
+        rounds += 1
+        # large-star: every neighbor bigger than u links to
+        # m = min(N(u) + {u}); smaller neighbors re-emit from the
+        # other endpoint's perspective (adjacency is symmetric here)
+        nbr = E.unionByName(
+            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m_ls = F.least(F.min("dst").over(W.partitionBy("src")), F.col("src"))
+        ls = (
+            nbr.withColumn("m", m_ls)
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        # small-star on the oriented output (src > dst everywhere):
+        # u and all its smaller neighbors link to m = min of them
+        ss = ls.withColumn("m", F.min("dst").over(W.partitionBy("src")))
+        new_E = (
+            ss.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(ss.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # fixpoint test: both sides distinct, so equal counts + empty
+        # one-sided difference <=> identical edge sets
+        new_count = new_E.count()
+        if new_count == prev_count and new_E.exceptAll(E).isEmpty():
+            E = new_E
+            converged = True
+            break
+        E, prev_count = new_E, new_count
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    labels = all_nodes.join(
+        E.groupBy("src").agg(F.min("dst").alias("label")),
+        all_nodes["id"] == F.col("src"),
+        "left",
+    ).select("id", F.coalesce("label", F.col("id")).alias("label"))
+    return labels, rounds
+
+
 @q(
     "dedup_components",
     f"""
@@ -1095,53 +1183,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate graph; component id = smallest doc_id in the cluster
     (the canonical "keeper" a dedup pipeline retains).
 
-    Iterative min-label propagation as a driver loop of DataFrame
-    steps: each round every vertex takes the min label over itself and
-    its neighbors, with a ``localCheckpoint`` per round to cut lineage
-    (without it the plan doubles every iteration).  Convergence needs
-    O(cluster diameter) rounds; LSH near-dup clusters are
-    cap-bounded (<= {{_BUCKET_CAP}} per bucket) and dense, so 2-4
-    rounds suffice in practice — for adversarial long-chain graphs the
-    upgrade path is the two-phase large-star/small-star algorithm
-    (same building blocks, O(log n) rounds).  Each round is one
-    shuffle of (id,label) pairs — label propagation never materializes
-    anything super-linear.  The DuckDB oracle computes the same
+    Uses :func:`connected_components` (large-star/small-star, O(log n)
+    rounds — round count no longer depends on cluster diameter, so
+    adversarial chain graphs cost the same as the dense cap-bounded
+    clusters LSH normally emits).  The DuckDB oracle computes the same
     components independently via a recursive transitive closure.
     """
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = _lsh_candidate_pairs(docs).localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-        )
     )
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=False)
-    )
-    # labels only decrease, so the label sum strictly decreases every
-    # round that changes anything — one cheap agg action per round
-    # replaces a join-based change count
-    prev_sum = None
-    for _ in range(20):
-        prop = edges.join(labels, edges["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), "label"
-        )
-        new_labels = (
-            labels.unionByName(prop)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+    labels, _ = connected_components(edges)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component")
     )

@@ -120,6 +120,13 @@ def _sessionize_fn(
     later batch (or the processing-time timeout) closes it.  Value
     totals accumulate as integer cents — deterministic under any batch
     split, matching the batch path's decimal(18,2) summation.
+
+    Late-data contract: an event whose time falls within the open
+    session's reach (>= start - gap) is folded in with min/max bounds;
+    one older than that is dropped (its session may already have been
+    emitted — O(1) state cannot reopen it).  Events for an
+    already-CLOSED-and-emitted session are likewise lost to the stream;
+    the batch operator remains the exact formulation.
     """
     import pandas as pd
 
@@ -141,10 +148,13 @@ def _sessionize_fn(
         return
 
     rows = pd.concat(list(pdfs), ignore_index=True)
-    # micro-batches can interleave arbitrarily: order by event time
+    # rows within a batch can arrive unordered: order by event time
     rows = rows.sort_values(["ts", "event_id"])
     ts_us = rows["ts"].astype("int64") // 1000
-    cents = (rows["value"] * 100).round().astype("int64")
+    # null values contribute 0, matching the batch path's sum() which
+    # skips nulls (a NaN would otherwise fail the int64 conversion and
+    # kill the whole streaming query)
+    cents = (rows["value"].fillna(0.0) * 100).round().astype("int64")
 
     if state.exists:
         s, e, n, c = state.get
@@ -161,8 +171,19 @@ def _sessionize_fn(
             out_n.append(n)
             out_v.append(c / 100.0)
             s, e, n, c = t_us, t_us, 1, cent
+        elif t_us < s - _GAP_US:
+            # cross-batch late data older than the open session's
+            # reach: with O(1) state the earlier session it belonged
+            # to is unrecoverable, so it is DROPPED — the same trade a
+            # watermark makes.  (Batches are sorted, so only the case
+            # where a whole later batch predates the open session
+            # lands here.)
+            continue
         else:
-            e, n, c = t_us, n + 1, c + cent
+            # extend: min/max, not assignment — a late event inside
+            # the session's reach must never move session_end
+            # backwards (that would corrupt later gap checks)
+            s, e, n, c = min(s, t_us), max(e, t_us), n + 1, c + cent
     state.update((s, e, n, c))
     # close the open session if no event arrives for 2x the gap
     state.setTimeoutDuration(2 * _GAP_US // 1000)

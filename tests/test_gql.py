@@ -278,3 +278,20 @@ def test_ts_from_string_rejects_garbage():
     for bad in ("hello", "2005-xx", "123456-01"):
         with pytest.raises(ValueError):
             model.ts_from_string(bad)
+
+
+def test_xx_decode_strict_hex():
+    """pdb_xx_decode (libpdb/pdb-util.c:70) requires two strict hex
+    digits after %: '+f'/' f' are syntax errors, not int()-lenient
+    escapes; a trailing bare % passes through literally."""
+    from graphd_spark.cursor import BadCursor, _xx_decode
+
+    assert _xx_decode("a%20b") == "a b"
+    assert _xx_decode("%2F%2f") == "//"
+    assert _xx_decode("tail%2") == "tail%2"  # <2 chars left: literal
+    assert _xx_decode("tail%") == "tail%"
+    for bad in ("%+f", "% f", "%g0", "%0g", "%-1"):
+        import pytest as _pytest
+
+        with _pytest.raises(BadCursor):
+            _xx_decode(bad)

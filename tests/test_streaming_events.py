@@ -49,14 +49,15 @@ def event_batches(spark, tmp_path):
     return events, stream_dir
 
 
-def _run_stream(spark, df, name, timeout=120):
+def _run_stream(spark, df, name, tmp_path, timeout=120):
     q = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation", f"/tmp/ckpt_{name}_{time.time_ns()}"
+            "checkpointLocation",
+            str(tmp_path / f"ckpt_{name}_{time.time_ns()}"),
         )
         .start()
     )
@@ -64,13 +65,13 @@ def _run_stream(spark, df, name, timeout=120):
     return spark.table(name)
 
 
-def test_windowed_counts_match_batch(spark, event_batches):
+def test_windowed_counts_match_batch(spark, event_batches, tmp_path):
     events, stream_dir = event_batches
     stream = streaming_events.events_stream(
         spark, stream_dir, streaming_events.EVENTS_SCHEMA
     )
     got = _run_stream(
-        spark, streaming_events.windowed_counts(stream), "win_counts"
+        spark, streaming_events.windowed_counts(stream), "win_counts", tmp_path
     ).collect()
 
     want = (
@@ -115,14 +116,14 @@ def test_windowed_counts_match_batch(spark, event_batches):
 
 
 def test_sessionize_stream_matches_batch_closed_sessions(
-    spark, event_batches
+    spark, event_batches, tmp_path
 ):
     events, stream_dir = event_batches
     stream = streaming_events.events_stream(
         spark, stream_dir, streaming_events.EVENTS_SCHEMA
     )
     got = _run_stream(
-        spark, streaming_events.sessionize_stream(stream), "sessions"
+        spark, streaming_events.sessionize_stream(stream), "sessions", tmp_path
     ).collect()
 
     # batch truth (same semantics as inventory_events.events_sessionize)
@@ -183,3 +184,109 @@ def test_sessionize_stream_matches_batch_closed_sessions(
         assert got_per_user.get(u, 0) >= n - 1, (
             f"user {u}: {got_per_user.get(u, 0)} of {n} sessions emitted"
         )
+
+
+# ---------------------------------------------------------------------------
+# _sessionize_fn unit tests: cross-batch late data and null values.
+# These drive the state function directly (no streaming query) so each
+# micro-batch boundary is exactly where the test puts it.
+# ---------------------------------------------------------------------------
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _sessionize_fn."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def _batch(events):
+    """events: list of (ts_minutes, event_id, value)."""
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "event_id": [e for _, e, _ in events],
+            "ts": [pd.Timestamp(m * 60_000_000_000) for m, _, _ in events],
+            "user_id": [7] * len(events),
+            "value": [v for _, _, v in events],
+        }
+    )
+
+
+def _feed_batches(state, *batches):
+    import pandas as pd
+
+    out = []
+    for b in batches:
+        for pdf in streaming_events._sessionize_fn((7,), [b], state):
+            out.extend(pdf.to_dict("records"))
+    return out
+
+
+def test_sessionize_late_event_does_not_move_session_end_backwards():
+    """A late event inside the open session's reach must fold in with
+    min/max bounds; the old code set session_end backwards, which then
+    spuriously split the session on the next gap check."""
+    state = _FakeState()
+    out = _feed_batches(
+        state,
+        _batch([(0, 1, 1.0), (10, 2, 1.0)]),   # open session [0, 10min]
+        _batch([(5, 3, 1.0)]),                  # LATE: within reach
+        _batch([(35, 4, 1.0)]),                 # 25min after e=10 — same session
+    )
+    assert out == []  # nothing closed yet: 35 - 10 = 25min < 30min gap
+    s, e, n, c = state.get
+    assert (s, e, n) == (0, 35 * 60_000_000, 4)
+
+    # now a gap closes it: the emitted session spans [0, 35min], 4 events
+    out = _feed_batches(state, _batch([(90, 5, 2.5)]))
+    assert len(out) == 1
+    sess = out[0]
+    assert sess["n_events"] == 4
+    assert sess["total_value"] == 4.0
+    assert sess["session_start"].value == 0
+    assert sess["session_end"].value == 35 * 60_000_000_000
+
+
+def test_sessionize_too_late_event_is_dropped():
+    """An event older than start - gap cannot belong to the open
+    session (its own session may already be emitted): dropped."""
+    state = _FakeState()
+    _feed_batches(state, _batch([(100, 1, 1.0)]))
+    _feed_batches(state, _batch([(10, 2, 9.0)]))  # 90min before start
+    s, e, n, c = state.get
+    assert n == 1 and c == 100  # untouched by the dropped event
+    assert s == e == 100 * 60_000_000
+
+
+def test_sessionize_null_value_contributes_zero():
+    """A NULL value must not kill the query (old code raised on the
+    NaN->int64 cast); it contributes 0, matching batch sum() semantics."""
+    state = _FakeState()
+    out = _feed_batches(
+        state,
+        _batch([(0, 1, 1.5), (1, 2, None)]),
+        _batch([(90, 3, 1.0)]),  # closes [0, 1min]
+    )
+    assert len(out) == 1
+    assert out[0]["n_events"] == 2
+    assert out[0]["total_value"] == 1.5
