@@ -496,13 +496,29 @@ class Compiler:
         start = con.start + resume
         limit = start + rps
         elem = self._elem_struct(con, plan)
-        collected = [
-            r["__e"]
-            for r in df.orderBy(*order)
-            .limit(limit)
-            .select(elem.alias("__e"))
-            .collect()
-        ]
+        # deep-offset pages render distributed: offset() slices the
+        # prefix executor-side (TakeOrderedAndProject carries the
+        # offset), so only the rps-row page ever crosses to the
+        # driver — a start=10^6 read no longer collects a million
+        # structs to throw them away
+        if rps > 0:
+            page = [
+                r["__e"]
+                for r in df.orderBy(*order)
+                .offset(start)
+                .limit(rps)
+                .select(elem.alias("__e"))
+                .collect()
+            ]
+        else:
+            page = []
+        # n_prefix = min(total, limit), recovered without collecting
+        # the prefix: a non-empty (or start=0) page pins it exactly;
+        # an empty page past the data needs one count-only probe
+        if page or start == 0:
+            n_prefix = start + len(page)
+        else:
+            n_prefix = df.limit(start).count()
         pat = con.result if con.result is not None else default_read_pattern()
         wants_cursor = any(p.kind == "cursor" for p in pat.walk())
         need_total = (
@@ -532,8 +548,8 @@ class Compiler:
         wants_estimate = any(
             p.kind in ("estimate", "estimate-count") for p in pat.walk()
         )
-        if len(collected) < limit:
-            total = len(collected)  # page not full: exact
+        if n_prefix < limit:
+            total = n_prefix  # page not full: exact
         elif need_total:
             cdf = df
             # estimates look past the count cap ("the count page size
@@ -548,12 +564,12 @@ class Compiler:
             if countlimit is not None and not wants_estimate:
                 cdf = cdf.limit(max(countlimit, verify_need))
             total = cdf.count()
-        elif count_min_chk > len(collected):
+        elif count_min_chk > n_prefix:
             # page capped below count_min (e.g. pagesize=0): probe just
             # enough rows to decide emptiness, never a full count
             total = df.limit(count_min_chk).count()
         else:
-            total = len(collected)
+            total = n_prefix
         # the root set's own count bounds (ref graphd-read.c:606:
         # an unsatisfiable set answers "error EMPTY not found")
         if con.count_eq is not None:
@@ -564,7 +580,7 @@ class Compiler:
             )
         if not ok:
             raise GraphdError("EMPTY", "not found")
-        rows = collected[start:]
+        rows = page
         if wants_cursor:
             consumed = start + len(rows)
             if (
@@ -595,7 +611,7 @@ class Compiler:
                     rows
                     and countlimit is not None
                     and total >= countlimit
-                    and len(collected) >= limit
+                    and n_prefix >= limit
                     and df.limit(limit + 1).count() > limit
                 ):
                     if con.sort:

@@ -568,17 +568,31 @@ class ParquetLogStore(PrimitiveStore):
             return
         yield from self._find_spark("name", name)
 
+    #: max rows a point lookup may COLLECT at once; a hotter key
+    #: switches to toLocalIterator streaming (one partition's batch at
+    #: a time), so a key= / unique= write against a value shared by
+    #: millions of primitives can never pull them all into one driver
+    #: buffer (the reference iterates its hmap bin lazily:
+    #: libpdb/pdb-hash.c)
+    POINT_LOOKUP_BOUND = 1024
+
     def _find_spark(self, field: str, text: str) -> Iterator[Primitive]:
         from pyspark.sql import functions as F
 
-        for r in (
+        base = (
             self._log_df()
             .filter(F.lower(F.col(field)) == text.lower())
             .filter(F.col("id") < self._flushed)
             .orderBy("id")
-            .collect()
-        ):
-            yield self._from_row(r)
+        )
+        head = base.limit(self.POINT_LOOKUP_BOUND + 1).collect()
+        if len(head) <= self.POINT_LOOKUP_BOUND:
+            for r in head:
+                yield self._from_row(r)
+        else:
+            # hot key: re-scan streaming — bounded driver memory
+            for r in base.toLocalIterator():
+                yield self._from_row(r)
         # unflushed tail (open transaction) lives only on the driver
         for p in self.rows[self._flushed - self._base:]:
             v = getattr(p, field)
@@ -590,14 +604,19 @@ class ParquetLogStore(PrimitiveStore):
             return super().lineage_members(lineage)
         from pyspark.sql import functions as F
 
-        pairs = [
-            (r["generation"], r["guid"])
-            for r in self._log_df()
+        sel = (
+            self._log_df()
             .filter(F.col("lineage") == lineage)
             .filter(F.col("id") < self._flushed)
             .select("generation", "guid")
-            .collect()
-        ]
+        )
+        head = sel.limit(self.POINT_LOOKUP_BOUND + 1).collect()
+        if len(head) <= self.POINT_LOOKUP_BOUND:
+            it = head
+        else:
+            # pathological chain: stream instead of one big collect
+            it = sel.toLocalIterator()
+        pairs = [(r["generation"], r["guid"]) for r in it]
         pairs += [
             (p.generation, p.guid)
             for p in self.rows[self._flushed - self._base:]

@@ -33,13 +33,27 @@ never comes through here.
 
 from __future__ import annotations
 
+import heapq
 from dataclasses import dataclass, field
+from itertools import islice
+from typing import Iterable, Iterator
 
 from graphd_spark.comparators import value_eq
 from graphd_spark.gql.ir import Constraint, LINKAGES
 from graphd_spark.model import DATATYPE_NAMES, Primitive, ts_from_string
 from graphd_spark.store import PrimitiveStore
 from graphd_spark.typesys import TypeSystem
+
+
+def _dedup_by_id(prims: Iterable[Primitive]) -> Iterator[Primitive]:
+    """Drop consecutive duplicates from an id-ordered primitive
+    stream (the exact-index and widened-scan branches of a value
+    lookup both yield the same primitive)."""
+    last = None
+    for p in prims:
+        if last is None or p.id != last:
+            yield p
+        last = p.id
 
 
 class WriteError(Exception):
@@ -217,13 +231,23 @@ class WriteExecutor:
         fields: set[str] | None = None,
         local_only: bool = False,
         require_nonnull: set[str] | None = None,
-    ) -> list[Match]:
-        """Existing primitives matching this constraint (and subs)."""
+    ) -> Iterator[Match]:
+        """Existing primitives matching this constraint (and subs),
+        LAZILY in id order.
+
+        A generator so every consumer (unique EXISTS test, key
+        collision, anchor 0/1/many) stops at its first (or second)
+        match instead of materializing the full match set — a key= or
+        unique= write against a value shared by 10^6 primitives pulls
+        candidates in store-bounded batches (store.POINT_LOOKUP_BOUND)
+        and short-circuits at the first hit, never collecting the hot
+        bin to the driver (ref graphd-write-annotate.c iterates its
+        hmap bin candidate-by-candidate the same way)."""
         lits = self._literal_fields(con)
         if lits.pop("__type_unresolved", False):
-            return []  # unknown type name matches nothing
+            return  # unknown type name matches nothing
 
-        cands: list[Primitive]
+        cands: "Iterable[Primitive]"
         kind_lk = con.linkage or (None, None)
         if con.guid and con.guid[0].op == "=":
             # guid= on an anchored node pins the match
@@ -237,23 +261,26 @@ class WriteExecutor:
             p = self.store.get(g) if g else None
             cands = [p] if p is not None else []
         elif "value" in lits and lits["value"] is not None:
-            cands = list(self.store.find_by_value(lits["value"]))
             # comparator-normalized forms hash apart driver-side, so
-            # widen to a scan for lenient comparators ("A B" ~ "A  B")
-            seen = {p.guid for p in cands}
-            cands.extend(
+            # widen with a lazy scan for lenient comparators
+            # ("A B" ~ "A  B"); both streams are id-ordered, so a
+            # heap-merge + id-dedup preserves id order WITHOUT
+            # materializing either stream
+            exact = self.store.find_by_value(lits["value"])
+            widened = (
                 p
                 for p in self.store.iter_all()
                 if p.value is not None
-                and p.guid not in seen
                 and value_eq(con.value_comparator or con.comparator,
                              lits["value"], p.value)
             )
-            cands.sort(key=lambda p: p.id)
+            cands = _dedup_by_id(
+                heapq.merge(exact, widened, key=lambda p: p.id)
+            )
         elif "name" in lits and lits["name"] is not None:
-            cands = list(self.store.find_by_name(lits["name"]))
+            cands = self.store.find_by_name(lits["name"])
         else:
-            cands = list(self.store.iter_all())
+            cands = self.store.iter_all()
 
         # linkage pointers already resolved on pointee subs narrow the
         # match (unique clusters span connected primitives, ref
@@ -269,7 +296,6 @@ class WriteExecutor:
                 )
 
         check = fields  # None = all specified fields
-        out: list[Match] = []
         for p in cands:
             if p is None or not p.live or not self.store.is_newest(p.guid):
                 continue
@@ -287,14 +313,13 @@ class WriteExecutor:
             ok = True
             if not local_only:
                 for i, sub in enumerate(con.subs):
-                    sub_ms = self._match_tree(sub, p)
-                    if not sub_ms:
+                    sub_m = next(self._match_tree(sub, p), None)
+                    if sub_m is None:
                         ok = False
                         break
-                    m.subs[i] = sub_ms[0]
+                    m.subs[i] = sub_m
             if ok:
-                out.append(m)
-        return out
+                yield m
 
     def _prim_matches(
         self,
@@ -356,9 +381,9 @@ class WriteExecutor:
     def _annotate_anchors(self, con: Constraint) -> None:
         if con.anchor and id(con) not in self.resolved:
             parent_prim = self._parent_context(con)
-            matches = self._match_tree(
+            matches = list(islice(self._match_tree(
                 con, parent_prim, local_only=con.anchor_local
-            )
+            ), 2))
             if len(matches) != 1:
                 raise WriteError("EMPTY", "anchor constraint not found")
             self._adopt_match(con, matches[0])
@@ -451,16 +476,16 @@ class WriteExecutor:
                 sub for sub in con.subs
                 if sub.linkage is not None and sub.linkage[0] == "iam"
             ]
-            matches = self._match_tree(
+            m0 = next(self._match_tree(
                 con, self._parent_prim(con), fields, local_only=True,
                 require_nonnull={
                     s.linkage[1] for s in iam_subs
                     if s.linkage[1] in fields
                     and id(s) not in self.resolved
                 },
-            )
-            if matches:
-                old = matches[0].prim
+            ), None)
+            if m0 is not None:
+                old = m0.prim
                 version = self._differs(con, old, exclude=fields)
                 if not version:
                     # every iam pointer must keep its target: if the
@@ -476,7 +501,9 @@ class WriteExecutor:
                             ]:
                                 version = True
                                 break
-                        elif not self._match_tree(sub, old):
+                        elif next(
+                            self._match_tree(sub, old), None
+                        ) is None:
                             version = True
                             break
                 if version:
@@ -564,10 +591,12 @@ class WriteExecutor:
                 target = _single(con.guid[0].guids, "guid")
                 old = self.store.get(target) if target else None
                 if old is not None:
-                    matches = [
+                    matches = (
                         m for m in matches if m.lineage != old.lineage
-                    ]
-            if matches:
+                    )
+            # lazy EXISTS probe: the first survivor decides — a hot
+            # unique value never materializes its whole match set
+            if next(iter(matches), None) is not None:
                 raise WriteError(
                     "EXISTS", "primitive tagged as unique already exist"
                 )
@@ -592,14 +621,14 @@ class WriteExecutor:
         return lk in self._cluster_fields(sub.unique)
 
     def _cluster_matches(self, con: Constraint,
-                         parent_prim: Primitive | None) -> list[Primitive]:
+                         parent_prim: Primitive | None
+                         ) -> Iterator[Primitive]:
         """Primitives matching this unique node AND its whole
-        connected cluster.  Non-unique subs whose linkage is named in
-        the unique fields constrain the match (uniquecluster cases
-        8/9) without joining the cluster."""
+        connected cluster, lazily.  Non-unique subs whose linkage is
+        named in the unique fields constrain the match (uniquecluster
+        cases 8/9) without joining the cluster."""
         fields = self._cluster_fields(con.unique or [])
         ms = self._match_tree(con, parent_prim, fields, local_only=True)
-        out = []
         for m in ms:
             ok = True
             for sub in con.subs:
@@ -609,16 +638,19 @@ class WriteExecutor:
                 if sub.unique is not None and self._in_parent_cluster(
                     con, sub
                 ):
-                    if not self._cluster_matches(sub, m.prim):
+                    if next(
+                        self._cluster_matches(sub, m.prim), None
+                    ) is None:
                         ok = False
                         break
                 elif kind == "iam" and lk in fields:
-                    if not self._match_tree(sub, m.prim):
+                    if next(
+                        self._match_tree(sub, m.prim), None
+                    ) is None:
                         ok = False
                         break
             if ok:
-                out.append(m.prim)
-        return out
+                yield m.prim
 
     def _cluster_fields(self, names: list[str]) -> set[str]:
         out = set()
