@@ -234,7 +234,14 @@ class GraphSession:
                 val = self._do_read(req)
                 return self._ok(val, rid, _resolved())
             if req.command == "sync":
-                return self._ok(None, rid, _resolved())
+                # checkpoint + horizon echo (ref graphd-sync.c:65-68,
+                # doc/gr-protocol.txt:1440-1456: sync-response = "ok"
+                # horizon).  Every commit here is already durably
+                # flushed, so the checkpoint itself is a no-op and the
+                # horizon is the next istore id (= primitives written)
+                from graphd_spark.values import Num
+
+                return self._ok(Num(self.store.next_id), rid, _resolved())
             if req.command == "iterate":
                 # iterator self-tests (ref graphd-iterate.c): no
                 # analog needed; the reference replies "ok " bare

@@ -28,3 +28,18 @@ def test_verify_reports_corruption(spark):
     assert reply.startswith("ok (2 ") or reply.startswith("ok (3 ")
     assert "guid/id mismatch" in reply
     assert "missing lineage head" in reply
+
+
+def test_sync_echoes_advancing_horizon(spark):
+    """sync-response = "ok" horizon (doc/gr-protocol.txt:1440-1456,
+    graphd-sync.c:65-68); the horizon advances across writes."""
+    gs = GraphSession(spark)
+    assert gs.request("sync ()") == "ok 0"
+    gs.request('write (value="a")')
+    h1 = int(gs.request("sync ()").split()[1])
+    assert h1 >= 1
+    gs.request('write (value="b" (<-left value="c"))')
+    h2 = int(gs.request("sync ()").split()[1])
+    assert h2 >= h1 + 2
+    # id= modifier keeps its place in the reply
+    assert gs.request('sync id="s1" ()') == f'ok id="s1" {h2}'
