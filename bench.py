@@ -106,6 +106,8 @@ def main() -> None:
         gc.collect()
         spark.catalog.clearCache()
 
+    serving = _serving_bench(spark, sf_dir)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -115,10 +117,124 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "serving": serving,
             }
         )
     )
     spark.stop()
+
+
+def _serving_bench(spark, sf_dir: str, seconds: float = 5.0) -> dict:
+    """Serving-throughput anchor vs BASELINE.md's ~3,333 simple
+    q/s/core (doc/a-brief-tour-of-graphd.md:196-199) and ~100
+    bytes/primitive on disk (:203-204).
+
+    Three honest numbers, one methodology each:
+
+    - ``protocol_qps_{1hop,2hop}``: sequential parsed template reads
+      through the full protocol surface (GraphSession.request: parse
+      -> compile -> Spark job -> render), session + store reuse.  This
+      is the interactive path; its ceiling is Spark's per-action
+      latency (plan analysis + job scheduling), NOT data volume — the
+      reference's in-process index lookups have no analog of that
+      fixed cost, which is why this number is orders of magnitude
+      below the anchor.  It measures protocol overhead, not scan
+      speed.
+    - ``batched_qps``: the Spark-idiomatic serving shape — a
+      micro-batch of independent point lookups answered by ONE job
+      (broadcast hash join of the probe set against the primitive
+      log).  Throughput = probes answered / wall time.  This is the
+      path a serving tier in front of a 100 TB log takes (probes
+      accumulate for a few ms, one job answers them all; with the log
+      bucketed by value the join prunes to matching buckets).
+    - ``bytes_per_primitive``: on-disk parquet bytes of the serving
+      store / primitive count (reference: 121M primitives in ~12 GB
+      incl. indexes = ~100 B each; parquet's columnar encoding plays
+      the role of addb's tiles + indexes).
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from graphd_spark.inventory_gql import _graph
+
+    # --- protocol path: parsed 1/2-hop template reads -----------------
+    gs = _graph(spark, sf_dir)
+    vals = [f"NATION_{i}" for i in range(1, 9)]
+    out: dict = {}
+    templates = {
+        "protocol_qps_1hop": 'read (name="nation" value="{v}" '
+                             "result=((value)))",
+        "protocol_qps_2hop": 'read (name="nation" value="{v}" '
+                             "result=((value)) "
+                             '(<-left name="in-region" '
+                             'right->(name="region" result=((value)))))',
+    }
+    for key, tmpl in templates.items():
+        for v in vals[:2]:  # warm the template shape
+            gs.request(tmpl.format(v=v))
+        t0 = time.perf_counter()
+        n = 0
+        while time.perf_counter() - t0 < seconds:
+            r = gs.request(tmpl.format(v=vals[n % len(vals)]))
+            assert r.startswith("ok"), r
+            n += 1
+        out[key] = round(n / (time.perf_counter() - t0), 2)
+
+    # --- batched serving over a big primitive log ---------------------
+    import hashlib
+    import os
+
+    store_dir = "/tmp/graphd_serving_cache/" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:12]
+    if not (
+        os.path.isdir(store_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(store_dir))
+    ):
+        # materialize the same synthesized primitive log restore_bulk
+        # replays (2 primitives per lineitem row) as the serving store
+        from graphd_spark.inventory import _restore_bulk_primitives
+
+        _restore_bulk_primitives(spark, sf_dir).write.mode(
+            "overwrite"
+        ).parquet(store_dir)
+    store_df = spark.read.parquet(store_dir)
+    n_prims = store_df.count()
+    disk = sum(
+        os.path.getsize(os.path.join(store_dir, f))
+        for f in os.listdir(store_dir)
+        if f.endswith(".parquet")
+    )
+    out["bytes_per_primitive"] = round(disk / max(n_prims, 1), 1)
+    out["store_primitives"] = n_prims
+
+    # probe set: 10k existing values, one broadcast join answers all
+    n_probes = 10_000
+    probes = (
+        store_df.select("value")
+        .distinct()
+        .limit(n_probes)
+        .withColumnRenamed("value", "probe")
+        .cache()
+    )
+    n_probes = probes.count()  # materialize outside the timed region
+    t0 = time.perf_counter()
+    served = (
+        store_df.join(
+            F.broadcast(probes), store_df["value"] == probes["probe"]
+        )
+        .groupBy("probe")
+        .agg(F.count("*").alias("hits"), F.min("guid").alias("first_guid"))
+        .count()
+    )
+    dt = time.perf_counter() - t0
+    out["batched_qps"] = round(served / dt, 1)
+    out["batched_probes"] = served
+    probes.unpersist()
+    out["baseline_anchor_qps_per_core"] = 3333
+    out["baseline_anchor_bytes_per_primitive"] = 100
+    return out
 
 
 if __name__ == "__main__":

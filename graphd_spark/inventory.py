@@ -648,34 +648,7 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "restore_bulk",
-    """
-    WITH src AS (
-      SELECT concat_ws(' ', l_returnflag,
-                       CAST(floor(l_quantity) AS BIGINT),
-                       strftime(l_shipdate, '%Y-%m-%d'),
-                       l_linestatus) AS value,
-             l_orderkey * 16 + l_linenumber * 2 + copy AS id
-      FROM lineitem, (SELECT 0 AS copy UNION ALL SELECT 1) copies),
-    g AS (
-      SELECT id, value,
-             concat('0000001240003456',
-                    printf('%016x',
-                           (-9223372036854775808)::BIGINT | id)) AS guid
-      FROM src)
-    SELECT CAST(count(*) AS BIGINT) AS n_primitives,
-           CAST(sum(id) AS BIGINT) AS id_sum,
-           CAST(count(DISTINCT guid) AS BIGINT) AS n_guids,
-           CAST(sum(CAST(concat('0x', substring(md5(guid), 1, 8))
-                         AS BIGINT)) AS BIGINT) AS guid_checksum,
-           CAST(sum(CAST(concat('0x', substring(md5(value), 1, 8))
-                         AS BIGINT)) AS BIGINT) AS value_checksum,
-           CAST(sum(length(value)) AS BIGINT) AS value_len_sum
-    FROM g
-    """,
-)
-def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _restore_bulk_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed dump restore (SURVEY §2.1 restore, bulk path).
 
     Synthesizes a version-6 dump — two primitives per lineitem row,
@@ -750,10 +723,41 @@ def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chains=False: every synthesized tuple is generation 0 (prev="0"),
     # so the chain probe's extra full evaluation of the line source is
     # skipped — the whole restore is then ONE pass over the text
-    restored = bulk_restore(
+    return bulk_restore(
         spark, src.select(line.alias("value")), PREDICTABLE_DB_ID,
         chains=False,
     )
+
+
+@q(
+    "restore_bulk",
+    """
+    WITH src AS (
+      SELECT concat_ws(' ', l_returnflag,
+                       CAST(floor(l_quantity) AS BIGINT),
+                       strftime(l_shipdate, '%Y-%m-%d'),
+                       l_linestatus) AS value,
+             l_orderkey * 16 + l_linenumber * 2 + copy AS id
+      FROM lineitem, (SELECT 0 AS copy UNION ALL SELECT 1) copies),
+    g AS (
+      SELECT id, value,
+             concat('0000001240003456',
+                    printf('%016x',
+                           (-9223372036854775808)::BIGINT | id)) AS guid
+      FROM src)
+    SELECT CAST(count(*) AS BIGINT) AS n_primitives,
+           CAST(sum(id) AS BIGINT) AS id_sum,
+           CAST(count(DISTINCT guid) AS BIGINT) AS n_guids,
+           CAST(sum(CAST(concat('0x', substring(md5(guid), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS guid_checksum,
+           CAST(sum(CAST(concat('0x', substring(md5(value), 1, 8))
+                         AS BIGINT)) AS BIGINT) AS value_checksum,
+           CAST(sum(length(value)) AS BIGINT) AS value_len_sum
+    FROM g
+    """,
+)
+def restore_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    restored = _restore_bulk_primitives(spark, sf_dir)
     # 8 hex digits of md5 -> <2^32 per row; the bigint sum is overflow-
     # safe to ~2^31 rows, far past any sf this runs at
     def _ck(col):
