@@ -469,3 +469,156 @@ def test_differential_versions(spark, ref_bin, seed):
             if g != w
         ] + [f"(lines: got {len(got)}, want {len(want)})"]
     )
+
+
+# -- dump/restore round-trip campaign -------------------------------------
+#
+# VERDICT r3 item 8: random writes -> dump -> restore into a FRESH
+# store -> identical reads both sides, against the reference binary.
+# Three comparisons per seed: (1) the dump payload is byte-identical,
+# (2) reference-restore-of-reference-dump and engine-restore-of-
+# engine-dump answer the reads identically, (3) cross-compatibility —
+# this engine restores the REFERENCE's dump and still answers the
+# same (dump format is an interchange format, not an opaque blob).
+
+
+def gen_roundtrip(seed: int) -> tuple[list[str], list[str]]:
+    """(writes, reads) for a dump/restore round-trip seed.  Odd seeds
+    reuse the version-script generator so the dump carries prev-chains
+    and tombstones and the reads exercise lineage + asof semantics."""
+    if seed % 2 == 1:
+        lines = gen_version_script(70_000 + seed)
+        writes = [ln for ln in lines if ln.startswith("write")]
+        reads = [ln for ln in lines if ln.startswith("read")]
+        if not reads:
+            reads = ["read (any result=((guid value)))"]
+        return writes, reads
+    rng = random.Random(70_000 + seed)
+    writes = [_gen_write(rng) for _ in range(rng.randrange(4, 10))]
+    reads = [
+        f"read ({_gen_constraint(rng)})"
+        for _ in range(rng.randrange(3, 7))
+    ]
+    reads.append("read (any pagesize=64 result=((guid name value live)))")
+    return writes, reads
+
+
+def _restore_request(dump_reply: str) -> str:
+    assert dump_reply.startswith("ok ("), dump_reply
+    return "restore " + dump_reply[3:].strip()
+
+
+def run_roundtrip_reference(
+    writes: list[str], reads: list[str]
+) -> tuple[str, list[str]]:
+    out1 = run_reference(writes + ["dump ()"])
+    payload = out1[-1]
+    out2 = run_reference([_restore_request(payload)] + reads)
+    return payload, out2
+
+
+def run_roundtrip_engine(
+    spark, writes: list[str], reads: list[str],
+    payload_override: str | None = None,
+) -> tuple[str, list[str]]:
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    for w in writes:
+        gs.request(w)
+    payload = gs.request("dump ()")
+    gs2 = GraphSession(spark)
+    replies = [gs2.request(_restore_request(payload_override or payload))]
+    replies += [gs2.request(rd) for rd in reads]
+    return payload, replies
+
+
+def check_roundtrip_seed(spark, seed: int) -> list[str]:
+    """Returns a list of divergence descriptions (empty = parity)."""
+    writes, reads = gen_roundtrip(seed)
+    ref_payload, ref_out = run_roundtrip_reference(writes, reads)
+    got_payload, got_out = run_roundtrip_engine(spark, writes, reads)
+    problems = []
+    if got_payload != ref_payload:
+        problems.append(
+            f"dump payload differs:\n  got: {got_payload}\n"
+            f"  exp: {ref_payload}"
+        )
+    if got_out != ref_out:
+        problems.extend(
+            f"post-restore reply differs:\n  got: {g}\n  exp: {w}"
+            for g, w in zip(got_out, ref_out) if g != w
+        )
+    # cross-restore: our engine consumes the reference's dump
+    _, cross_out = run_roundtrip_engine(
+        spark, [], reads, payload_override=ref_payload
+    )
+    if cross_out != ref_out:
+        problems.extend(
+            f"cross-restore reply differs:\n  got: {g}\n  exp: {w}"
+            for g, w in zip(cross_out, ref_out) if g != w
+        )
+    return problems
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_differential_roundtrip(spark, ref_bin, seed):
+    problems = check_roundtrip_seed(spark, seed)
+    assert not problems, "\n".join(problems)
+
+
+# -- replica catch-up campaign --------------------------------------------
+#
+# Engine-only (the reference's replica protocol needs TCP daemons —
+# the same server-ops surface as the 10 uncovered goldens): a master
+# takes writes, a replica catches up via the replica-write feed
+# (including an overlapping resend from a random horizon, which must
+# verify-and-skip), then both answer a random read set identically.
+
+
+def check_replica_seed(spark, seed: int) -> list[str]:
+    from graphd_spark.api import GraphSession
+
+    rng = random.Random(80_000 + seed)
+    writes1 = [_gen_write(rng) for _ in range(rng.randrange(3, 8))]
+    writes2 = [_gen_write(rng) for _ in range(rng.randrange(2, 6))]
+    reads = [
+        f"read ({_gen_constraint(rng)})"
+        for _ in range(rng.randrange(3, 6))
+    ]
+    reads.append("read (any pagesize=64 result=((guid name value)))")
+
+    master = GraphSession(spark)
+    for w in writes1:
+        master.request(w)
+    problems = []
+    r = master.request("replica (version=1 start-id=0)")
+    if not r.startswith("rok"):
+        problems.append(f"replica announce failed: {r}")
+    replica = GraphSession(spark)
+    for line in master.replica_feed(0):
+        rr = replica.request(line)
+        if rr != "ok":
+            problems.append(f"catch-up write failed: {rr}")
+    # master advances; replica resumes from a random horizon at or
+    # below its own count (overlap = verify-and-skip)
+    for w in writes2:
+        master.request(w)
+    h = rng.randrange(0, replica.store.next_id + 1)
+    for line in master.replica_feed(h):
+        rr = replica.request(line)
+        if rr != "ok":
+            problems.append(f"incremental catch-up failed: {rr}")
+    for rd in reads:
+        g, w = replica.request(rd), master.request(rd)
+        if g != w:
+            problems.append(
+                f"replica read differs for {rd}:\n  got: {g}\n  exp: {w}"
+            )
+    return problems
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_differential_replica(spark, seed):
+    problems = check_replica_seed(spark, seed)
+    assert not problems, "\n".join(problems)

@@ -1,7 +1,14 @@
 """Extended differential campaign: replay many seeded random scripts
 through both the reference binary and this engine, report divergences.
 
-Usage: python tools/diff_campaign.py [start] [end] [--cursors]
+Usage: python tools/diff_campaign.py [start] [end]
+           [--cursors | --versions | --roundtrip | --replica]
+
+--roundtrip: writes -> dump -> restore into a fresh store -> reads,
+  compared against the reference binary (payload byte-equality,
+  post-restore reads, and cross-restore of the reference's dump).
+--replica: engine-only master/replica catch-up parity (the reference's
+  replica protocol needs TCP daemons).
 
 Reuses the generators and runners from tests/test_differential.py; this
 is the wide-net version of the 24-seed pytest campaign — run it when
@@ -21,6 +28,9 @@ from tests.test_differential import (  # noqa: E402
     _ensure_binary,
     _gen_cursor_constraint,
     _gen_write,
+    check_replica_seed,
+    check_roundtrip_seed,
+    gen_roundtrip,
     gen_script,
     gen_version_script,
     run_engine,
@@ -101,10 +111,12 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     cursors = "--cursors" in sys.argv
     versions = "--versions" in sys.argv
+    roundtrip = "--roundtrip" in sys.argv
+    replica = "--replica" in sys.argv
     start = int(args[0]) if args else 24
     end = int(args[1]) if len(args) > 1 else start + 100
 
-    if _ensure_binary() is None:
+    if not replica and _ensure_binary() is None:
         print("reference binary unavailable")
         return 1
 
@@ -113,6 +125,20 @@ def main() -> int:
     spark = get_spark("diff_campaign")
     bad = []
     for seed in range(start, end):
+        if roundtrip or replica:
+            problems = (
+                check_roundtrip_seed(spark, seed)
+                if roundtrip
+                else check_replica_seed(spark, seed)
+            )
+            if problems:
+                bad.append(seed)
+                print(f"== seed {seed} DIVERGES ==")
+                for pr in problems:
+                    print("  " + pr.replace("\n", "\n  "))
+            elif seed % 10 == 0:
+                print(f"seed {seed} ok")
+            continue
         if cursors:
             lines, got, want = _run_cursor_seed(spark, seed)
         else:
