@@ -133,13 +133,14 @@ def _serving_bench(spark, sf_dir: str, seconds: float = 5.0) -> dict:
 
     - ``protocol_qps_{1hop,2hop}``: sequential parsed template reads
       through the full protocol surface (GraphSession.request: parse
-      -> compile -> Spark job -> render), session + store reuse.  This
-      is the interactive path; its ceiling is Spark's per-action
-      latency (plan analysis + job scheduling), NOT data volume — the
-      reference's in-process index lookups have no analog of that
-      fixed cost, which is why this number is orders of magnitude
-      below the anchor.  It measures protocol overhead, not scan
-      speed.
+      -> match -> render), session + store reuse.  Simple template
+      reads over the hydrated working set serve driver-side from
+      point indexes (fastread.py) with no Spark job — the same
+      architecture as the reference's in-process serving — so this
+      measures the single-threaded end-to-end request loop.
+      Analytical shapes (sorts, ranges, cursors) fall back to the
+      Spark path, whose per-request floor is Spark's per-action
+      latency; that trade is the design.
     - ``batched_qps``: the Spark-idiomatic serving shape — a
       micro-batch of independent point lookups answered by ONE job
       (broadcast hash join of the probe set against the primitive

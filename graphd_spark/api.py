@@ -710,9 +710,32 @@ class GraphSession:
             items.append(List([Guid(r["guid"]), Str(r["err"])]))
         return List(items)
 
+    #: serving fast path (fastread.py): simple template reads over a
+    #: driver-resident store answer from point indexes with no Spark
+    #: job; anything unsupported falls back to the DataFrame compiler.
+    #: Class attribute so tests can force either path.
+    fast_read_enabled = True
+
     def _do_read(self, req):
-        spark = self._require_spark()
         asof = req.modifiers.get("asof")
+        if (
+            self.fast_read_enabled
+            and asof is None
+            and getattr(self.store, "_covers_all", True)
+            and self.store.mirror_current()
+        ):
+            from graphd_spark.fastread import FastReader, Unsupported
+
+            try:
+                plan, rows, total = FastReader(
+                    self.store, self.types
+                ).run(req.constraint)
+            except Unsupported:
+                pass
+            else:
+                asm = Assembler(self.store, self.types)
+                return asm.set_value(plan, rows, total)
+        spark = self._require_spark()
         compiler = Compiler(spark, self.store, self.types, asof=asof)
         plan, rows, total = compiler.run(req.constraint)
         asm = Assembler(self.store, self.types)

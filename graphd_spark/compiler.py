@@ -1831,10 +1831,17 @@ class Compiler:
                 "SEMANTICS", "subconstraint is not connected to its parent"
             )
         kind, lk = sub.linkage
-        # joins run on lineage-canonical keys: a linkage GUID denotes
-        # every version of its target (ref doc/gr-model.txt:47-50), so
-        # a link written against an old generation still joins the
-        # newest one
+        # joins run on RAW guid keys: a pointer names one specific
+        # generation, and traversal intersects it with the (gen-
+        # filtered) child candidate set — so versioning a link TARGET
+        # makes the traversal dangle until a constraint lifts the
+        # newest filter.  Probed against the reference binary
+        # (roundtrip seeds 47/93/95/103): right=<old guid> matches,
+        # right=<new guid> doesn't, right->(X) finds nothing once the
+        # target is versioned, and a stored pointer reads back as the
+        # guid that was written (no write-time canonicalization).
+        # Explicit guid constraints widen via ~= literal-side lineage
+        # expansion instead (_guid_col_pred).
         if kind == "my" and lk == "bi":
             # '<->': the sub link touches the parent from either end.
             # Expressed scale-first as an EXPLODED equi-join — each
@@ -1842,13 +1849,13 @@ class Compiler:
             # endpoint, so the join stays a hash join on one key
             # instead of an OR-of-equalities nested loop.
             child_key = F.col("__bikey")
-            parent_key = F.col("lineage")
+            parent_key = F.col("guid")
         elif kind == "my":
-            child_key = F.col(f"{lk}_lin")  # child.lk ~ parent lineage
-            parent_key = F.col("lineage")
+            child_key = F.col(lk)        # child.lk -> parent.guid
+            parent_key = F.col("guid")
         else:
-            child_key = F.col("lineage")    # parent.lk ~ child lineage
-            parent_key = F.col(f"{lk}_lin")
+            child_key = F.col("guid")    # parent.lk -> child.guid
+            parent_key = F.col(lk)
 
         count_min = sub.count_min if sub.count_min is not None else 1
         parent_pat = (
@@ -1871,7 +1878,7 @@ class Compiler:
         if kind == "my" and lk == "bi":
             child_df = child_df.withColumn(
                 "__bikey",
-                F.explode(F.array("left_lin", "right_lin")),
+                F.explode(F.array("left", "right")),
             )
         child_df = child_df.filter(child_key.isNotNull())
 

@@ -1,0 +1,721 @@
+"""Driver-side serving fast path for simple reads.
+
+The reference is a serving engine: simple template reads are answered
+from in-process indexes at thousands of queries/second/core
+(doc/a-brief-tour-of-graphd.md:196-199).  Spark's execution model
+amortizes scheduling over batch work, so routing every point read
+through a Spark action pays ~100ms of fixed cost per request.  This
+module serves the reference's bread-and-butter query shape — literal
+template reads with linkage subconstraints over a driver-resident
+working set — directly from the store's point indexes, with NO Spark
+job, mirroring the DataFrame compiler's semantics expression by
+expression (each mirrored site cites the compiler line it mirrors).
+
+Safety model: :class:`FastReader` first WALKS the constraint tree and
+raises :class:`Unsupported` for any feature outside its mirror
+(cursors, sorts, value ranges, or-chains, variables, datelines, asof);
+the caller then falls back to the Spark compiler.  For the supported
+subset it produces the exact (plan, rows, total) triple
+``Compiler.run`` would, feeding the same ``Assembler`` — so the golden
+suite and the differential fuzz campaigns (which replay through
+``GraphSession.request`` against the reference binary) exercise BOTH
+paths and pin them to each other.
+
+Scale stance: this is the hot-working-set path (the reference's
+single-node serving analog).  Reads whose working set exceeds the
+driver mirror — or that use any analytical feature — take the
+Spark path, where Catalyst + the cluster do what the fast path can't.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from graphd_spark.comparators import (
+    decode_number,
+    delimited_match,
+    fuzzy_key,
+    resolve_comparator,
+    value_norm_key,
+)
+from graphd_spark.compiler import (
+    DEFAULT_PAGESIZE,
+    PRIM_ELEM_FIELDS,
+    SetPlan,
+    SubPlan,
+    _OPS,
+)
+from graphd_spark.glob import glob_match
+from graphd_spark.gql.ir import Constraint, StrCon, TRUE, FALSE
+from graphd_spark.model import Primitive, ts_from_string
+from graphd_spark.pattern import (
+    GraphdError,
+    default_read_pattern,
+    pattern_shows_contents,
+)
+
+
+class Unsupported(Exception):
+    """Query uses a feature the fast path doesn't mirror: fall back."""
+
+
+#: sentinel: candidate failed the constraint (vs a None row, which is
+#: a legitimate "no payload needed" match)
+_NO_MATCH = object()
+
+
+_RANGE_OPS = ("<", "<=", ">", ">=")
+
+
+def _walk_patterns(con: Constraint):
+    for node in con.walk():
+        if node.result is not None:
+            yield from node.result.walk()
+        for _var, pat in node.assignments:
+            yield from pat.walk()
+
+
+def check_supported(con: Constraint) -> None:
+    """Raise Unsupported unless every feature of the tree is mirrored."""
+    for node in con.walk():
+        if node.cursor is not None:
+            raise Unsupported("cursor")
+        if node.dateline is not None:
+            raise Unsupported("dateline")
+        if node.sort is not None:
+            raise Unsupported("sort")
+        if node.assignments:
+            raise Unsupported("variables")
+        if node.or_chains:
+            raise Unsupported("or-chains")
+        for sc in (
+            node.type_strcons + node.name_strcons + node.value_strcons
+        ):
+            if sc.op in _RANGE_OPS:
+                # unsorted range reads surface in the reference's
+                # value-bin scan order (compiler.py:405-470) — Spark
+                # path only
+                raise Unsupported("range")
+        if node.value_strcons and any(
+            v == "" for sc in node.value_strcons for v in sc.values
+        ):
+            # value="" has the null-value/datatype-2 special case and
+            # no complete index: Spark path
+            raise Unsupported("empty-value-literal")
+    for pat in _walk_patterns(con):
+        if pat.kind == "cursor":
+            raise Unsupported("cursor-pattern")
+        if pat.kind == "variable":
+            raise Unsupported("variable-pattern")
+
+
+class FastReader:
+    """Mirror of Compiler.run for the supported subset (see module
+    docstring).  Construction is cheap; one instance per request."""
+
+    def __init__(self, store, types):
+        self.store = store
+        self.types = types
+        self._n = 0
+
+    # -- public ----------------------------------------------------------
+
+    def run(self, con: Constraint):
+        check_supported(con)
+        plan, matches = self._eval_set(con, exists_only=False)
+        # mirror of the pagination / count-check tail of Compiler.run
+        # (compiler.py:486-612), with the full match count exact
+        pagesize = (
+            con.pagesize if con.pagesize is not None else DEFAULT_PAGESIZE
+        )
+        rps = (
+            con.resultpagesize
+            if con.resultpagesize is not None
+            else pagesize
+        )
+        start = con.start  # no cursor => resume == 0
+        limit = start + rps
+        full = len(matches)
+        rows = [row for _p, row in matches[start:limit]] if rps > 0 else []
+        n_prefix = min(full, limit)
+        pat = con.result if con.result is not None else default_read_pattern()
+        need_total = (
+            any(
+                p.kind in ("count", "estimate", "estimate-count")
+                for p in pat.walk()
+            )
+            or con.count_eq is not None
+            or con.count_max is not None
+            or (con.count_min or 0) > 1
+        )
+        count_min_chk = (
+            con.count_min if con.count_min is not None else start + 1
+        )
+        countlimit = con.countlimit
+        plan.countlimit = countlimit
+        wants_estimate = any(
+            p.kind in ("estimate", "estimate-count") for p in pat.walk()
+        )
+        if n_prefix < limit:
+            total = n_prefix
+        elif need_total:
+            verify_need = count_min_chk
+            if con.count_eq is not None:
+                verify_need = max(verify_need, con.count_eq + 1)
+            if con.count_max is not None:
+                verify_need = max(verify_need, con.count_max + 1)
+            if countlimit is not None and not wants_estimate:
+                total = min(full, max(countlimit, verify_need))
+            else:
+                total = full
+        elif count_min_chk > n_prefix:
+            total = min(full, count_min_chk)
+        else:
+            total = n_prefix
+        if con.count_eq is not None:
+            ok = total == con.count_eq
+        else:
+            ok = total >= count_min_chk and (
+                con.count_max is None or total <= con.count_max
+            )
+        if not ok:
+            raise GraphdError("EMPTY", "not found")
+        return plan, rows, total
+
+    # -- set evaluation ---------------------------------------------------
+    #
+    # The plan tree (SetPlan/SubPlan with agg column names) is built
+    # ONCE per constraint node — mirror of _compile's structure — so
+    # every child row in an aggregated array shares the same nested
+    # column names, exactly like the Spark schema does.
+
+    def _build_specs(self, con: Constraint, exists_only: bool):
+        """Recursive (SetPlan, [spec]) construction; spec =
+        (sub, mode, SubPlan, count_min, outer, rps, lo, child_specs)."""
+        plan = SetPlan(con=con)
+        specs = []
+        parent_pat = (
+            con.result if con.result is not None else default_read_pattern()
+        )
+        for sub in con.subs:
+            if sub.linkage is None:
+                raise GraphdError(
+                    "SEMANTICS",
+                    "subconstraint is not connected to its parent",
+                )
+            count_min = sub.count_min if sub.count_min is not None else 1
+            need_payload = not exists_only and pattern_shows_contents(
+                parent_pat, con
+            )
+            counting = (
+                (sub.count_eq not in (None, 0))
+                or sub.count_max is not None
+                or count_min > 1
+            )
+            sub_plan, child_specs = self._build_specs(
+                sub, exists_only=not need_payload
+            )
+            if not need_payload and not counting:
+                if sub.count_eq == 0:
+                    mode = "anti"
+                elif count_min >= 1:
+                    mode = "semi"
+                else:
+                    mode = "skip"
+                sp = SubPlan(mode, sub_plan)
+                specs.append(
+                    (sub, mode, sp, count_min, False, 0, 0, child_specs)
+                )
+            else:
+                self._n += 1
+                cnt, arr = f"n{self._n}", f"c{self._n}"
+                sp = SubPlan("agg", sub_plan, cnt_col=cnt, arr_col=arr)
+                rps = sub.resultpagesize
+                if rps is None:
+                    rps = (
+                        sub.pagesize
+                        if sub.pagesize is not None
+                        else DEFAULT_PAGESIZE
+                    )
+                lo = sub.start or 0
+                outer = count_min == 0 or sub.count_eq == 0
+                specs.append(
+                    (sub, "agg", sp, count_min, outer, rps, lo,
+                     child_specs)
+                )
+            plan.sub_plans.append(sp)
+        return plan, specs
+
+    def _eval_set(self, con: Constraint, exists_only: bool):
+        """Mirror of Compiler._compile + evaluation: returns
+        (SetPlan, matches) with matches an id-ordered list of
+        (prim, rowdict)."""
+        plan, specs = self._build_specs(con, exists_only)
+        matches = []
+        for p in self._candidates(con):
+            row = self._row_for(p, con, specs, build_row=not exists_only)
+            if row is not _NO_MATCH:
+                matches.append((p, row))
+        return plan, matches
+
+    def _row_for(self, p: Primitive, con: Constraint, specs,
+                 build_row: bool):
+        """Rowdict for one candidate, or _NO_MATCH.  Mirrors the join
+        semantics of _attach_sub per spec."""
+        if not self._match_intrinsic(p, con):
+            return _NO_MATCH
+        row = (
+            {f: getattr(p, f) for f in PRIM_ELEM_FIELDS}
+            if build_row
+            else None
+        )
+        for sub, mode, sp, count_min, outer, rps, lo, child_specs in specs:
+            if mode == "skip":
+                continue
+            if mode in ("semi", "anti"):
+                has = self._sub_exists(p, sub, child_specs)
+                if mode == "semi" and not has:
+                    return _NO_MATCH
+                if mode == "anti" and has:
+                    return _NO_MATCH
+                continue
+            # agg: per-parent exact count + ordered page array
+            child_rows = []
+            n = 0
+            for cid in self._child_ids(p, sub):
+                c = self.store.rows[cid - self.store._base]
+                crow = self._row_for(
+                    c, sub, child_specs, build_row=sp.arr_col is not None
+                )
+                if crow is _NO_MATCH:
+                    continue
+                n += 1
+                if lo < n <= lo + rps:
+                    child_rows.append(crow)
+            if n == 0 and not outer:
+                return _NO_MATCH  # inner join semantics
+            passes = True
+            if sub.count_eq is not None:
+                passes = n == sub.count_eq
+            else:
+                if count_min > 0:
+                    passes = passes and n >= count_min
+                if sub.count_max is not None:
+                    passes = passes and n <= sub.count_max
+            bounds_checked = (
+                outer
+                or sub.count_eq is not None
+                or count_min > 1
+                or sub.count_max is not None
+            )
+            if bounds_checked and not passes:
+                return _NO_MATCH
+            if row is not None:
+                if n == 0 and outer:
+                    row[sp.cnt_col] = None  # left-join miss
+                    row[sp.arr_col] = None
+                else:
+                    row[sp.cnt_col] = n
+                    row[sp.arr_col] = child_rows
+        return row
+
+    def _sub_exists(self, p: Primitive, sub: Constraint,
+                    child_specs) -> bool:
+        for cid in self._child_ids(p, sub):
+            c = self.store.rows[cid - self.store._base]
+            if self._row_for(c, sub, child_specs, build_row=False) \
+                    is not _NO_MATCH:
+                return True
+        return False
+
+    def _child_ids(self, p: Primitive, sub: Constraint) -> list[int]:
+        """Candidate child ids for one parent, via the linkage indexes
+        (mirror of _attach_sub's RAW-guid join keys — see the probe
+        notes there).  'bi' keeps per-endpoint multiplicity like the
+        exploded join does."""
+        kind, lk = sub.linkage
+        st = self.store
+        if kind == "my" and lk == "bi":
+            ids = list(st._ptr_ids.get(("left", p.guid), ()))
+            ids += st._ptr_ids.get(("right", p.guid), ())
+            ids.sort()
+            return ids
+        if kind == "my":
+            return st._ptr_ids.get((lk, p.guid), [])
+        # iam: parent.{lk} == child.guid — a raw point lookup
+        key = getattr(p, lk)
+        if key is None:
+            return []
+        c = st.by_guid.get(key)
+        return [c.id] if c is not None else []
+
+    # -- candidate sources -------------------------------------------------
+
+    def _candidates(self, con: Constraint) -> Iterable[Primitive]:
+        """Id-ordered candidate superset via the cheapest point index
+        (mirror of the reference's iterator source selection; falls
+        back to the full mirror scan)."""
+        st = self.store
+        # guid= include set pins candidates exactly
+        ids = self._guid_include_ids(con)
+        if ids is not None:
+            return [
+                st.rows[i - st._base]
+                for i in sorted(ids)
+                if st._base <= i < st.next_id
+            ]
+        # value= under default/case/octet comparators: norm-hash bucket
+        comp = resolve_comparator(con.value_comparator or con.comparator)
+        eqs = [sc for sc in con.value_strcons if sc.op == "="]
+        if eqs and comp in ("default", "case", "octet"):
+            lits = [v for v in eqs[0].values if v is not None]
+            if lits and not any(v is None for v in eqs[0].values):
+                ids = []
+                seen = set()
+                for v in lits:
+                    if comp == "default":
+                        bucket = st._vnorm_ids.get(value_norm_key(v), ())
+                    else:
+                        bucket = st._value_ids.get(v.lower(), ())
+                    for i in bucket:
+                        if i not in seen:
+                            seen.add(i)
+                            ids.append(i)
+                ids.sort()
+                return [st.rows[i - st._base] for i in ids]
+        neqs = [sc for sc in con.name_strcons if sc.op == "="]
+        if neqs:
+            lits = [v for v in neqs[0].values if v is not None]
+            if lits and not any(v is None for v in neqs[0].values):
+                ids = sorted(
+                    {
+                        i
+                        for v in lits
+                        for i in st._name_ids.get(v.lower(), ())
+                    }
+                )
+                return [st.rows[i - st._base] for i in ids]
+        teqs = [sc for sc in con.type_strcons if sc.op == "="]
+        if teqs and not any(v is None for v in teqs[0].values):
+            lineages = []
+            for nm in teqs[0].values:
+                g = self.types.resolve(nm)
+                if g is None:
+                    continue
+                tp = st.get(g)
+                lineages.append(tp.lineage if tp is not None else g)
+            ids = sorted(
+                {
+                    i
+                    for lin in lineages
+                    for i in st._lin_ids.get(("typeguid_lin", lin), ())
+                }
+            )
+            return [st.rows[i - st._base] for i in ids]
+        return st.rows
+
+    def _guid_include_ids(self, con: Constraint) -> Optional[set]:
+        """Resolved id set when guid constraints pin an include set
+        (mirror of _guid_col_pred's include algebra, compiler.py:2430+;
+        None = no pinning include set)."""
+        include = None
+        for gc in con.guid:
+            if gc.op == "=":
+                s = set(gc.guids)
+                include = s if include is None else (include & s)
+            elif gc.op == "~=":
+                nonnull = [g for g in gc.guids if g is not None]
+                has_null = any(g is None for g in gc.guids)
+                if not nonnull:
+                    s = {None}
+                else:
+                    s = set(self._expand_lineage(nonnull))
+                    if has_null:
+                        s.add(None)
+                if include is not None or not nonnull:
+                    include = s if include is None else (include & s)
+        if include is None:
+            return None
+        out = set()
+        for g in include:
+            if g is None:
+                continue
+            p = self.store.get(g)
+            if p is not None:
+                out.add(p.id)
+        return out
+
+    # -- intrinsic matcher (mirror of _intrinsic_pred) ---------------------
+
+    def _match_intrinsic(self, p: Primitive, con: Constraint) -> bool:
+        if con.false:
+            return False
+        if con.live == TRUE and not p.live:
+            return False
+        if con.live == FALSE and p.live:
+            return False
+        if con.archival == TRUE and not p.archival:
+            return False
+        if con.archival == FALSE and p.archival:
+            return False
+        if con.guid and not self._guid_pred(p.guid, con.guid):
+            return False
+        for lk, gcs in con.links.items():
+            if gcs and not self._guid_pred(getattr(p, lk), gcs):
+                return False
+        if con.prev and not self._guid_pred(p.prev, con.prev):
+            return False
+        for gc in con.next:
+            if not self._next_pred(p, gc):
+                return False
+        match_comp = con.value_comparator or con.comparator
+        for sc in self._merged_strcons(con.type_strcons, match_comp):
+            if not self._type_pred(p, sc):
+                return False
+        for sc in self._merged_strcons(con.name_strcons, match_comp):
+            if not self._string_pred(p, p.name, sc, match_comp,
+                                     is_value=False):
+                return False
+        for sc in self._merged_strcons(con.value_strcons, match_comp):
+            if not self._string_pred(p, p.value, sc, match_comp,
+                                     is_value=True):
+                return False
+        if con.valuetype is not None and p.datatype != con.valuetype:
+            return False
+        for tc in con.timestamps:
+            try:
+                lo = ts_from_string(tc.text)
+                hi = ts_from_string(tc.text, round_up=True)
+            except ValueError:
+                raise GraphdError(
+                    "SYNTAX", f"cannot parse timestamp {tc.text!r}"
+                )
+            t = p.timestamp
+            ok = {
+                "=": lo <= t <= hi,
+                "!=": t < lo or t > hi,
+                "<": t < lo,
+                "<=": t <= hi,
+                ">": t > hi,
+                ">=": t >= lo,
+            }[tc.op]
+            if not ok:
+                return False
+        # generation: default newest=0 (compiler.py:2340-2352)
+        dist = self._maxgen(p) - p.generation
+        if con.gens:
+            for g in con.gens:
+                target = dist if g.field == "newest" else p.generation
+                if not _OPS[g.op](target, g.n):
+                    return False
+        elif not any(
+            g is not None for gc in con.next for g in gc.guids
+        ):
+            if dist != 0:
+                return False
+        return True
+
+    def _maxgen(self, p: Primitive) -> int:
+        newest = self.store.newest_of(p.guid)
+        return newest.generation if newest is not None else p.generation
+
+    def _expand_lineage(self, guids):
+        out = []
+        for g in guids:
+            p = self.store.get(g)
+            if p is not None:
+                out.extend(self.store.lineage_members(p.lineage))
+        return out
+
+    def _guid_pred(self, val: Optional[str], gcs) -> bool:
+        """Mirror of _guid_col_pred's set algebra (compiler.py:2430+)."""
+        include = None
+        standalone = []
+        excludes = []
+        for gc in gcs:
+            if gc.op == "=":
+                s = set(gc.guids)
+                include = s if include is None else (include & s)
+            elif gc.op == "~=":
+                nonnull = [g for g in gc.guids if g is not None]
+                has_null = any(g is None for g in gc.guids)
+                if not nonnull:
+                    s = {None}
+                else:
+                    s = set(self._expand_lineage(nonnull))
+                    if has_null:
+                        s.add(None)
+                if include is None and nonnull:
+                    standalone.append(s)
+                else:
+                    include = s if include is None else (include & s)
+            else:
+                excludes.append(gc)
+        if include is not None:
+            for gc in excludes:
+                include -= set(gc.guids)
+            excludes = []
+        if include is not None:
+            if val not in include:
+                return False
+        for s in standalone:
+            if val not in s:
+                return False
+        for gc in excludes:
+            # standalone '!=': the linkage must exist and differ
+            if val is None:
+                return False
+            if val in {g for g in gc.guids if g is not None}:
+                return False
+        return True
+
+    def _next_pred(self, p: Primitive, gc) -> bool:
+        """Mirror of _next_cond (compiler.py:2380+)."""
+        has_null = any(g is None for g in gc.guids)
+        prevs = []
+        for g in gc.guids:
+            if g is None:
+                continue
+            targets = [g]
+            if gc.op == "~=":
+                t = self.store.get(g)
+                if t is not None:
+                    targets = self.store.lineage_members(t.lineage)
+            for t in targets:
+                tp = self.store.get(t)
+                if tp is not None and tp.prev is not None:
+                    prevs.append(tp.prev)
+        newest = (self._maxgen(p) - p.generation) == 0
+        if gc.op in ("=", "~="):
+            if prevs and p.guid in prevs:
+                return True
+            if has_null and newest:
+                return True
+            return False
+        if newest:
+            return False
+        return p.guid not in prevs
+
+    def _merged_strcons(self, scs, comparator):
+        """Shared with the compiler: _merged_strcons is pure logic —
+        re-mirrored here to avoid importing a bound method (the logic
+        is identical; compiler.py:2392-2430)."""
+        from graphd_spark.comparators import value_eq
+
+        eqs = [sc for sc in scs if sc.op == "="]
+        if not eqs:
+            return scs
+
+        def eq(a, b):
+            if a is None or b is None:
+                return a is None and b is None
+            return value_eq(comparator, a, b)
+
+        include = list(eqs[0].values)
+        for sc in eqs[1:]:
+            include = [
+                v for v in include if any(eq(v, w) for w in sc.values)
+            ]
+        rest = []
+        for sc in scs:
+            if sc.op == "=":
+                continue
+            if sc.op == "!=":
+                include = [
+                    v for v in include
+                    if not any(eq(v, w) for w in sc.values)
+                ]
+            elif sc.op == "~=" and not any(
+                v is not None for v in sc.values
+            ):
+                include = [v for v in include if v is None]
+            else:
+                rest.append(sc)
+        return [StrCon("=", include)] + rest
+
+    def _type_pred(self, p: Primitive, sc) -> bool:
+        """Mirror of _type_cond (lineage-canonical type matching)."""
+        val = p.typeguid_lin
+        guids = []
+        has_null = False
+        for nm in sc.values:
+            if nm is None:
+                has_null = True
+                continue
+            g = self.types.resolve(nm)
+            if g is not None:
+                tp = self.store.get(g)
+                guids.append(tp.lineage if tp is not None else g)
+        if sc.op == "=":
+            if guids and val in guids:
+                return True
+            if has_null and val is None:
+                return True
+            return False
+        ok = True
+        if guids:
+            ok = val is None or val not in guids
+        if has_null:
+            ok = ok and val is not None
+        return ok
+
+    def _string_pred(self, p: Primitive, val: Optional[str], sc,
+                     comparator, is_value: bool) -> bool:
+        """Mirror of _string_cond for =, !=, ~= (ranges bail)."""
+        comp = resolve_comparator(comparator)
+        nonnull = [v for v in sc.values if v is not None]
+        has_null = any(v is None for v in sc.values)
+
+        def eq_one(lit: str) -> bool:
+            if val is None:
+                return False
+            if is_value and comp == "default":
+                return (
+                    p.value_fkey == fuzzy_key(lit)
+                    and p.value_norm == value_norm_key(lit)
+                )
+            if is_value and comp == "number":
+                lit_key = (
+                    value_norm_key(lit)
+                    if decode_number(lit, scientific=True) is not None
+                    else lit.lower()
+                )
+                return p.value_num == lit_key
+            if is_value and comp == "datetime":
+                return p.value_norm == value_norm_key(lit)
+            if comp in ("case", "octet"):
+                return val == lit
+            return val.lower() == lit.lower()
+
+        if sc.op == "=":
+            if nonnull and any(eq_one(v) for v in nonnull):
+                return True
+            if has_null and val is None:
+                return True
+            return False
+        if sc.op == "!=":
+            if not nonnull and not has_null:
+                return val is not None
+            ok = True
+            if nonnull:
+                ok = val is None or not any(eq_one(v) for v in nonnull)
+            if has_null:
+                ok = ok and val is not None
+            return ok
+        if sc.op == "~=":
+            if comp == "number":
+                raise GraphdError(
+                    "SEMANTICS",
+                    'cannot use ~= with comparator="number"',
+                )
+            cs = comp in ("case", "octet")
+            if has_null and val is None:
+                return True
+            for v in nonnull:
+                if is_value and comp == "datetime":
+                    if delimited_match(v, val):
+                        return True
+                elif glob_match(v, val, case_sensitive=cs):
+                    return True
+            return False
+        raise GraphdError("SEMANTICS", f"unsupported operator {sc.op!r}")

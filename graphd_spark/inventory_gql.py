@@ -54,6 +54,10 @@ def _graph(spark: SparkSession, sf_dir: str) -> GraphSession:
                 'read (value="RENAMED" result=((value)))'
             )
             if probe.startswith("ok"):
+                # pull the working set onto the driver so simple
+                # template reads serve through the fast path
+                # (fastread.py) instead of a Spark job per request
+                cached.store.hydrate()
                 _SESSIONS[key] = cached
                 return cached
         except Exception:

@@ -92,6 +92,13 @@ class PrimitiveStore:
         # matched case-insensitively, graphd-type.c strncasecmp)
         self._value_ids: dict[str, list[int]] = {}
         self._name_ids: dict[str, list[int]] = {}
+        # serving fast-path indexes (fastread.py): value_norm -> ids
+        # (the hash the reference's value hmap buckets by), raw
+        # per-linkage pointer gmaps, and lineage-canonical typeguid
+        # sets (type= matching is lineage-expanded)
+        self._vnorm_ids: dict[str, list[int]] = {}
+        self._ptr_ids: dict[tuple[str, str], list[int]] = {}
+        self._lin_ids: dict[tuple[str, str], list[int]] = {}
         self._txn_start: Optional[int] = None
         self._version = 0  # bumped per commit; invalidates the df cache
         self._df = None
@@ -120,6 +127,7 @@ class PrimitiveStore:
                 self._value_ids[p.value.lower()].pop()
             if p.name is not None:
                 self._name_ids[p.name.lower()].pop()
+            self._unindex_prim(p)
         self._txn_start = None
 
     # -- append -----------------------------------------------------------
@@ -241,7 +249,39 @@ class PrimitiveStore:
             self._value_ids.setdefault(value.lower(), []).append(id)
         if name is not None:
             self._name_ids.setdefault(name.lower(), []).append(id)
+        self._index_prim(p)
         return p
+
+    def _index_prim(self, p: Primitive) -> None:
+        if p.value_norm is not None:
+            self._vnorm_ids.setdefault(p.value_norm, []).append(p.id)
+        for lk in ("typeguid", "left", "right", "scope"):
+            v = getattr(p, lk)
+            if v is not None:
+                self._ptr_ids.setdefault((lk, v), []).append(p.id)
+        for lk in ("typeguid_lin", "left_lin", "right_lin", "scope_lin"):
+            v = getattr(p, lk)
+            if v is not None:
+                self._lin_ids.setdefault((lk, v), []).append(p.id)
+
+    def _unindex_prim(self, p: Primitive) -> None:
+        if p.value_norm is not None:
+            self._vnorm_ids[p.value_norm].pop()
+        for lk in ("typeguid", "left", "right", "scope"):
+            v = getattr(p, lk)
+            if v is not None:
+                self._ptr_ids[(lk, v)].pop()
+        for lk in ("typeguid_lin", "left_lin", "right_lin", "scope_lin"):
+            v = getattr(p, lk)
+            if v is not None:
+                self._lin_ids[(lk, v)].pop()
+
+    def mirror_current(self) -> bool:
+        """Is the driver mirror guaranteed to reflect every committed
+        primitive?  The in-memory backend is its own source of truth;
+        the parquet backend checks the log directory for foreign
+        appends (another session sharing the log)."""
+        return True
 
     # -- driver-side point lookups (write path only) ----------------------
 
@@ -450,6 +490,124 @@ class ParquetLogStore(PrimitiveStore):
     def _spark(self):
         return self._spark_provider()
 
+    _PART_RE = None  # compiled lazily below
+
+    def _fs_horizon(self) -> Optional[int]:
+        """Next id according to the commit files on disk — one
+        os.listdir, no Spark job.  None when the directory contains
+        parquet files outside the canonical part-<start>-<count>
+        naming (e.g. a Spark-written bulk import), whose id coverage
+        we can't read cheaply."""
+        import re as _re
+
+        if ParquetLogStore._PART_RE is None:
+            ParquetLogStore._PART_RE = _re.compile(
+                r"part-(\d{12})-(\d{8})\.parquet$"
+            )
+        hi = 0
+        for f in os.listdir(self.path):
+            if not f.endswith(".parquet"):
+                continue
+            m = ParquetLogStore._PART_RE.match(f)
+            if m is None:
+                return None
+            hi = max(hi, int(m.group(1)) + int(m.group(2)))
+        return hi
+
+    def mirror_current(self) -> bool:
+        if not self._covers_all:
+            return False
+        fs = self._fs_horizon()
+        if fs is None:
+            return False
+        if fs <= self.next_id:
+            return True
+        return self._absorb_delta(fs)
+
+    def _absorb_delta(self, fs_horizon: int) -> bool:
+        """Another session appended to the shared log: pull the delta
+        commit files into the mirror driver-side (pyarrow — no Spark
+        job), keeping the serving fast path hot under multi-session
+        writes."""
+        import pyarrow.parquet as pq
+
+        from graphd_spark.model import su_decode
+
+        files = []
+        for f in os.listdir(self.path):
+            m = ParquetLogStore._PART_RE.match(f)
+            if m and int(m.group(1)) >= self.next_id:
+                files.append((int(m.group(1)), f))
+        files.sort()
+        expect = self.next_id
+        for start, f in files:
+            if start != expect:
+                return False  # gap: fall back to the Spark view
+            table = pq.read_table(os.path.join(self.path, f))
+            for r in table.to_pylist():
+                p = Primitive(**{k: r[k] for k in PRIMITIVE_FIELDS})
+                if p.name is not None:
+                    p.name = su_decode(p.name)
+                if p.value is not None:
+                    p.value = su_decode(p.value)
+                self.rows.append(p)
+                self.by_guid[p.guid] = p
+                if p.prev is not None:
+                    self.next_version[p.prev] = p.guid
+                if p.value is not None:
+                    self._value_ids.setdefault(
+                        p.value.lower(), []
+                    ).append(p.id)
+                if p.name is not None:
+                    self._name_ids.setdefault(
+                        p.name.lower(), []
+                    ).append(p.id)
+                self._index_prim(p)
+            expect += table.num_rows
+        self._flushed = expect
+        return expect == fs_horizon
+
+    def hydrate(self, limit: int = 200_000) -> bool:
+        """Load the whole log into the driver mirror — the serving
+        working set (fastread.py answers point reads from the mirror's
+        indexes with no Spark job, the reference's in-process serving
+        analog).  Declines (returns False) when the log exceeds
+        ``limit`` rows; True when the mirror now covers the log.
+
+        Streams via toLocalIterator in id order, so no single collect
+        exceeds a partition; indexes (value/name/norm/lineage/linkage)
+        and the successor map rebuild as rows arrive."""
+        if self._covers_all:
+            return True
+        if self.rows:
+            return False  # partial mirror with live writes: keep as-is
+        if self.next_id > limit:
+            return False
+        from pyspark.sql import functions as F
+
+        from graphd_spark.model import su_decode
+
+        it = self._log_df().orderBy("id").toLocalIterator()
+        rows: list[Primitive] = []
+        for r in it:
+            p = self._from_row(r)
+            if p.name is not None:
+                p.name = su_decode(p.name)
+            if p.value is not None:
+                p.value = su_decode(p.value)
+            rows.append(p)
+            self.by_guid[p.guid] = p
+            if p.prev is not None:
+                self.next_version[p.prev] = p.guid
+            if p.value is not None:
+                self._value_ids.setdefault(p.value.lower(), []).append(p.id)
+            if p.name is not None:
+                self._name_ids.setdefault(p.name.lower(), []).append(p.id)
+            self._index_prim(p)
+        self.rows = rows
+        self._base = 0
+        return True
+
     def _log_df(self):
         return (
             self._spark()
@@ -518,11 +676,15 @@ class ParquetLogStore(PrimitiveStore):
         # rebuild the value/name id maps over the surviving suffix
         self._value_ids.clear()
         self._name_ids.clear()
+        self._vnorm_ids.clear()
+        self._ptr_ids.clear()
+        self._lin_ids.clear()
         for p in self.rows:
             if p.value is not None:
                 self._value_ids.setdefault(p.value.lower(), []).append(p.id)
             if p.name is not None:
                 self._name_ids.setdefault(p.name.lower(), []).append(p.id)
+            self._index_prim(p)
 
     # -- point lookups with Spark fallback --------------------------------
 

@@ -1,0 +1,190 @@
+"""Serving fast path (fastread.py): parity with the Spark compiler.
+
+Two GraphSessions share one store; every query in the matrix runs
+through BOTH paths and the protocol replies must be byte-identical.
+The matrix covers the supported subset (equalities, globs, linkage
+subs, counts, versioning, pagination) AND bail-out shapes (ranges,
+sorts, cursors) — the latter prove the fallback is seamless.
+
+The golden suite and the differential fuzz campaigns also pin the two
+paths: they drive GraphSession.request with the fast path enabled.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from graphd_spark.api import GraphSession
+
+
+def _seed(gs: GraphSession) -> None:
+    for i in range(6):
+        gs.request(
+            f'write (name="nation" value="N{i}" '
+            f'(<-left name="in-region" '
+            f'right->(name="region" value="R{i % 2}")))'
+        )
+    gs.request('write (value="Loose Ends" name="song")')
+    gs.request('write (value="12")')
+    gs.request('write (value=" 12")')
+    gs.request('write (live=false value="dead")')
+    # a version chain + tombstone
+    g = gs.request('write (value="v0")').split("(")[1].rstrip(")")
+    gs.request(f'write (guid~={g} value="v1")')
+    gs.request(f'write (guid~={g} value="v2" live=false)')
+    gs.request('write (name="empty-node")')
+
+
+QUERIES = [
+    # point lookups
+    'read (name="nation" value="N3" result=((value)))',
+    'read (value="12" result=((guid value)))',
+    'read (value=" 12" result=((guid value)))',  # fuzzy-eq, norm differs
+    'read (value="n3" result=((value)))',        # case-insensitive
+    'read (any pagesize=5 result=((guid name value)))',
+    'read (any start=3 pagesize=4 result=((guid)))',
+    # linkage
+    'read (name="nation" value="N1" result=((value)) '
+    '(<-left name="in-region" right->(name="region" result=((value)))))',
+    'read (name="region" value="R0" result=((value contents)) '
+    '(<-right name="in-region"))',
+    'read (name="nation" (<-left count=0) result=((value)))',
+    'read (name="region" (<-right atleast=2) result=((value)))',
+    'read (name="region" result=((value (<-right result=count))))',
+    # counts / bounds
+    'read (name="nation" result=(count))',
+    'read (name="nation" count=6 result=(count))',
+    'read (name="nation" count=5 result=(count))',      # EMPTY
+    'read (name="nobody" result=((value)))',            # EMPTY
+    'read (name="nation" countlimit=3 result=(count))',
+    'read (name="nation" pagesize=2 result=((value) count))',
+    # globs + null probes
+    'read (value~="N*" pagesize=20 result=((value)))',
+    'read (value~="*nds" result=((value)))',
+    'read (name="empty-node" value=null result=((guid)))',
+    'read (name!=null pagesize=30 result=((name)))',
+    'read (value!="N1" name="nation" result=((value)))',
+    # versioning
+    'read (live=dontcare newest=0 value="v2" result=((guid value live)))',
+    'read (live=dontcare oldest=0 value="v0" result=((guid generation)))',
+    'read (live=false pagesize=10 result=((value)))',
+    'read (any live=dontcare newest>=0 pagesize=40 result=((guid value)))',
+    # type system
+    'read (name="song" result=((value type datatype timestamp)))',
+    # fallback shapes (Unsupported -> Spark path; replies must still
+    # be identical, trivially, since both run the Spark path... the
+    # fast session runs fast-then-fallback)
+    'read (value>"A" pagesize=8 result=((value)))',
+    'read (sort=$v $v=value pagesize=4 result=((value)))',
+    'read (name="nation" pagesize=2 result=(cursor (value)))',
+]
+
+
+@pytest.fixture(scope="module")
+def sessions(spark):
+    fast = GraphSession(spark)
+    _seed(fast)
+    slow = GraphSession(spark)
+    slow.fast_read_enabled = False
+    _seed(slow)
+    return fast, slow
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_fast_path_matches_spark_path(sessions, q):
+    fast, slow = sessions
+    assert fast.request(q) == slow.request(q)
+
+
+def test_fast_path_needs_no_spark():
+    """The serving path must work with NO SparkSession at all."""
+    gs = GraphSession()  # no spark
+    for i in range(4):
+        gs.request(f'write (name="n" value="x{i}")')
+    assert gs.request('read (name="n" value="x2" result=((value)))') == (
+        'ok (("x2"))'
+    )
+
+
+def test_fast_path_engages(spark, monkeypatch):
+    """A supported read on a covered store must NOT touch Spark."""
+    from graphd_spark import fastread
+
+    gs = GraphSession(spark)
+    gs.request('write (name="a" value="b")')
+    called = {}
+    orig = fastread.FastReader.run
+
+    def spy(self, con):
+        called["fast"] = True
+        return orig(self, con)
+
+    monkeypatch.setattr(fastread.FastReader, "run", spy)
+    assert gs.request('read (name="a" result=((value)))') == 'ok (("b"))'
+    assert called.get("fast")
+
+
+def test_hydrated_parquet_store_serves_fast(spark, tmp_path):
+    """attach + hydrate flips an on-disk log into the serving path."""
+    from graphd_spark.store import ParquetLogStore
+
+    log = str(tmp_path / "log")
+    writer = GraphSession(spark, log_path=log)
+    for i in range(10):
+        writer.request(f'write (name="w" value="v{i}")')
+
+    reader = GraphSession.attach(spark, log)
+    assert not getattr(reader.store, "_covers_all")
+    assert reader.store.hydrate()
+    assert reader.store._covers_all
+    # served driver-side now; replies still byte-identical
+    want = writer.request('read (name="w" value="v7" result=((guid value)))')
+    assert reader.request(
+        'read (name="w" value="v7" result=((guid value)))'
+    ) == want
+    # writes after hydration keep flushing to the shared log
+    r = reader.request('write (name="w" value="after")')
+    assert r.startswith("ok (")
+    assert writer.request(
+        'read (value="after" result=((value)))'
+    ) == 'ok (("after"))'
+
+
+def test_versioned_link_target_dangles(spark):
+    """Traversal joins on RAW guids (probed against the reference
+    binary, roundtrip seeds 47/93/95/103): versioning a link TARGET
+    makes right->(...) dangle until a constraint lifts the newest
+    filter; right=<old> matches, right=<new> doesn't, right~=<new>
+    lineage-expands.  Checked through BOTH read paths."""
+    for enabled in (True, False):
+        gs = GraphSession(spark)
+        gs.fast_read_enabled = enabled
+        t = gs.request('write (value="target")').split("(")[1].rstrip(")")
+        t2 = gs.request(f'write (guid~={t} value="target2")')
+        t2 = t2.split("(")[1].rstrip(")")
+        gs.request(f'write (value="c" right={t})')
+        # stored pointer reads back raw
+        assert gs.request('read (value="c" result=((right)))') == (
+            f"ok (({t}))"
+        )
+        # traversal to the newest generation: dangles
+        assert "EMPTY" in gs.request(
+            'read (right->(value="target2") result=((value)))'
+        )
+        # lifting the newest filter reaches the pointed generation
+        assert gs.request(
+            'read (right->(value="target" newest>=0 live=dontcare) '
+            "result=((value)))"
+        ) == 'ok (("c"))'
+        # reverse orientation dangles the same way
+        assert "EMPTY" in gs.request(
+            'read (value="target2" (<-right) result=((value)))'
+        )
+        # explicit guid constraints: raw for =, lineage-expanded for ~=
+        assert gs.request(
+            f"read (right={t} result=((value)))"
+        ) == 'ok (("c"))'
+        assert "EMPTY" in gs.request(f"read (right={t2} result=((value)))")
+        assert gs.request(
+            f"read (right~={t2} result=((value)))"
+        ) == 'ok (("c"))'
