@@ -381,10 +381,26 @@ class Compiler:
                 and not con.value_strcons
                 and not con.type_strcons
                 and not any(con.links.values())
-                and not con.subs
+                # optional / count=0 subs produce nothing, so they
+                # don't join the producer contest — the 1-element
+                # name bin still short-circuits (differential seed
+                # 852: name= + optional left-> + number sort)
+                and not any(
+                    not s.is_optional and s.count_eq != 0
+                    for s in con.subs
+                )
                 and not con.or_chains
             ):
-                _hm = self._hmap_source(con)
+                from dataclasses import replace as _dc_replace
+
+                _probe = _dc_replace(
+                    con,
+                    subs=[
+                        s for s in con.subs
+                        if not s.is_optional and s.count_eq != 0
+                    ],
+                )
+                _hm = self._hmap_source(_probe)
                 if _hm is not None and _hm[0] == "name" and _hm[4] == 1:
                     _one_name_bin = True
             if (
@@ -1102,6 +1118,9 @@ class Compiler:
         letter = lk[0]
         return {
             "kind": "linksto",
+            "lk": lk,
+            "hmap_n": n_src,
+            "src_flt": src_flt,
             "lo": int(span["lo"]),
             "hi": int(span["hi"]) + 1,
             "set_str": lambda lo, hi: (
@@ -1199,6 +1218,8 @@ class Compiler:
                     "kind": "prefix",
                     "lo": ps.low,
                     "hi": ps.high,
+                    "stats": ps,
+                    "prefix": prefix,
                     "set_str": (
                         lambda lo, hi, p=prefix: f"(prefix:{lo}-{hi}:{p})"
                     ),
@@ -1218,6 +1239,11 @@ class Compiler:
         members = self._and_members_ext(con)
         if members is None or len(members) < 2:
             return None
+        pre = self._preevaluate_small_set(
+            con, members, rows, prior, count
+        )
+        if pre is not None:
+            return pre
         low = max(m["lo"] for m in members)
         high = min(m["hi"] for m in members)
         last_id = guid_serial(rows[-1]["guid"])
@@ -1257,6 +1283,122 @@ class Compiler:
             prior + len(rows), count, set_part, pos_part, stamp
         )
         return sign_cursor(con, body, self.types.resolve)
+
+    def _preevaluate_small_set(
+        self, con, members, rows, prior, count
+    ) -> Optional[str]:
+        """Mirror of and_become_small_set (graphd-iterator-and-
+        optimize.c:747-1030): when the cheapest member's full
+        production plus checking its candidates against every other
+        member fits inside GRAPHD_AND_PREEVALUATE_COST_MAX, the and
+        pre-evaluates into a FIXED iterator over the intersection of
+        the member candidate sets (check-only predicates like
+        timestamps don't narrow it) — differential cursor seed 476.
+        Returns the frozen fixed cursor, or None to keep the and
+        form."""
+        from graphd_spark.cursor import CursorState, freeze_cursor
+        from graphd_spark.freeze import (
+            COST_FUNCTION_CALL,
+            COST_GMAP_ARRAY,
+            COST_GMAP_ELEMENT,
+            COST_PRIMITIVE,
+            bsearch_cost,
+            hmap_costs,
+        )
+
+        COST_MAX = 1024 * 10  # GRAPHD_AND_PREEVALUATE_COST_MAX
+        stats = []  # (n | None, next_cost | None, check_cost)
+        for m in members:
+            if m["kind"] == "gmap":
+                n = self._gmap_stats(m["letter"], m["src"], 1 << 62)[2]
+                if n is None:
+                    return None
+                nc = COST_FUNCTION_CALL + COST_GMAP_ELEMENT
+                bs = COST_FUNCTION_CALL + bsearch_cost(
+                    n, 32 * 1024 // 5, COST_GMAP_ARRAY, COST_GMAP_ELEMENT
+                )
+                cc = min(bs, COST_PRIMITIVE + COST_FUNCTION_CALL)
+                stats.append((n, nc, cc))
+            elif m["kind"] == "prefix":
+                ps = m.get("stats")
+                if ps is None:
+                    return None
+                stats.append((ps.n, ps.next_cost, ps.check_cost))
+            elif m["kind"] == "linksto":
+                # linksto statistics aren't valid this early (the
+                # reference computes them under budget later), so it
+                # can't be the producer; its check cost is one
+                # primitive read + the sub's hmap check
+                # (graphd-iterator-linksto.c:2072-2075)
+                hn = m.get("hmap_n")
+                if hn is None:
+                    return None
+                hc, _n, _f = hmap_costs(hn)
+                stats.append((None, None, COST_PRIMITIVE + hc))
+            else:
+                return None
+        best = None
+        for i, (n, nc, _cc) in enumerate(stats):
+            if n is None or nc is None:
+                continue
+            total = (1 + n) * nc
+            if best is None or total < best[0]:
+                best = (total, n, i)
+        if best is None:
+            return None
+        best_total, best_n, bi = best
+        if best_total > COST_MAX // 2:
+            return None
+        for i, (_n, _nc, cc) in enumerate(stats):
+            if i == bi:
+                continue
+            if cc is None:
+                return None
+            best_total += best_n * cc
+        if best_total >= COST_MAX:
+            return None
+        id_sets = self._member_id_sets(members)
+        if id_sets is None:
+            return None
+        ids = sorted(set.intersection(*id_sets))
+        last_id = guid_serial(rows[-1]["guid"])
+        if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+            return None
+        st = CursorState(
+            form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
+        )
+        return freeze_cursor(
+            con, st, prior + len(rows), count, self.types.resolve
+        )
+
+    def _member_id_sets(self, members) -> Optional[list]:
+        """Candidate id set of each and-member (the ITERATOR sets —
+        prefix bins keep their hash false positives)."""
+        out = []
+        for m in members:
+            if m["kind"] == "gmap":
+                out.append({
+                    r["id"]
+                    for r in self._gmap_index_df(
+                        m["letter"], m["src"]
+                    ).select("id").collect()
+                })
+            elif m["kind"] == "prefix":
+                out.append(set(self._prefix_bin_ids(m["prefix"])))
+            elif m["kind"] == "linksto":
+                raw = self.store.to_df(self.spark)
+                srcs = raw.filter(m["src_flt"]).select(
+                    F.col("guid").alias("__src")
+                )
+                out.append({
+                    r["id"]
+                    for r in raw.join(
+                        srcs, raw[m["lk"]] == F.col("__src")
+                    ).select("id").collect()
+                })
+            else:
+                return None
+        return out
 
     def _isa_prefix_cursor(
         self, con, cstate, rows, prior, count

@@ -13,8 +13,10 @@ expression (each mirrored site cites the compiler line it mirrors).
 
 Safety model: :class:`FastReader` first WALKS the constraint tree and
 raises :class:`Unsupported` for any feature outside its mirror
-(cursors, sorts, value ranges, or-chains, variables, datelines, asof);
-the caller then falls back to the Spark compiler.  For the supported
+(cursors, or-chains, variables, datelines, asof, number-comparator
+value sorts); the caller then falls back to the Spark compiler.
+Sorts, globs, and value ranges ARE mirrored — including the
+reference's value-bin scan order for unsorted range reads.  For the supported
 subset it produces the exact (plan, rows, total) triple
 ``Compiler.run`` would, feeding the same ``Assembler`` — so the golden
 suite and the differential fuzz campaigns (which replay through
@@ -32,10 +34,15 @@ from __future__ import annotations
 from typing import Iterable, Optional
 
 from graphd_spark.comparators import (
+    datetime_scan_order,
     decode_number,
     delimited_match,
     fuzzy_key,
+    literal_key,
+    number_bin_lookup,
+    number_scan_order,
     resolve_comparator,
+    string_bin_order,
     value_norm_key,
 )
 from graphd_spark.compiler import (
@@ -83,19 +90,24 @@ def check_supported(con: Constraint) -> None:
         if node.dateline is not None:
             raise Unsupported("dateline")
         if node.sort is not None:
-            raise Unsupported("sort")
+            for i, sk in enumerate(node.sort):
+                if sk.pattern.kind == "variable":
+                    raise Unsupported("sort-by-variable")
+                comp = None
+                if node.sort_comparators and i < len(node.sort_comparators):
+                    comp = node.sort_comparators[i]
+                comp = resolve_comparator(
+                    comp or node.comparator or "default"
+                )
+                if comp == "number" and sk.pattern.kind == "value":
+                    # the NUMBERS-binset sort-root drops non-number
+                    # values under producer-dependent conditions
+                    # (compiler.py:333-410) — Spark path only
+                    raise Unsupported("number-sort")
         if node.assignments:
             raise Unsupported("variables")
         if node.or_chains:
             raise Unsupported("or-chains")
-        for sc in (
-            node.type_strcons + node.name_strcons + node.value_strcons
-        ):
-            if sc.op in _RANGE_OPS:
-                # unsorted range reads surface in the reference's
-                # value-bin scan order (compiler.py:405-470) — Spark
-                # path only
-                raise Unsupported("range")
         if node.value_strcons and any(
             v == "" for sc in node.value_strcons for v in sc.values
         ):
@@ -123,6 +135,7 @@ class FastReader:
     def run(self, con: Constraint):
         check_supported(con)
         plan, matches = self._eval_set(con, exists_only=False)
+        self._apply_sort(con, plan, matches)
         # mirror of the pagination / count-check tail of Compiler.run
         # (compiler.py:486-612), with the full match count exact
         pagesize = (
@@ -181,6 +194,133 @@ class FastReader:
         if not ok:
             raise GraphdError("EMPTY", "not found")
         return plan, rows, total
+
+    # -- sorting (mirror of _sort_components/_sort_exprs) -----------------
+
+    def _apply_sort(self, con: Constraint, plan: SetPlan, matches) -> None:
+        """In-place multi-key sort, id tiebreak last.  Key functions
+        mirror _sort_key_col's per-kind columns (the comparator sort
+        keys are the SAME Python functions the Spark path wraps in
+        pandas UDFs, so byte order is identical); null placement
+        mirrors asc_nulls_last / desc_nulls_first.
+
+        Unsorted reads whose only producer is a value RANGE surface in
+        the reference's value-bin scan order — mirror of the order
+        override in Compiler.run (compiler.py:405-470)."""
+        if con.sort is None:
+            self._apply_scan_order(con, matches)
+            return
+        comps = []
+        for i, sk in enumerate(con.sort or []):
+            comp = None
+            if con.sort_comparators and i < len(con.sort_comparators):
+                comp = con.sort_comparators[i]
+            comp = resolve_comparator(comp or con.comparator or "default")
+            fn = self._sort_key_fn(sk.pattern, comp, plan)
+            if fn is None:
+                continue
+            comps.append((fn, sk.descending))
+        comps.append((lambda p, row: p.id, False))
+        # stable passes from the least-significant key up
+        for fn, desc in reversed(comps):
+            def key(m, fn=fn):
+                k = fn(m[0], m[1])
+                return (k is None, 0 if k is None else k)
+            matches.sort(key=key, reverse=desc)
+
+    def _apply_scan_order(self, con: Constraint, matches) -> None:
+        if not any(
+            sc.op in _RANGE_OPS for sc in con.value_strcons
+        ):
+            return  # id order (matches are already id-ordered)
+        if (
+            con.type_strcons or con.links or con.name_strcons
+            or con.guid
+            or any(
+                (sb.linkage or (None, None))[0] in ("iam", "my")
+                and not sb.is_optional
+                and sb.count_eq != 0
+                for sb in con.subs
+            )
+        ):
+            return  # another indexed producer: id order
+        vcomp = resolve_comparator(
+            con.value_comparator or con.comparator
+        )
+        if vcomp == "default":
+            fn = string_bin_order
+        elif vcomp == "number" and all(
+            number_bin_lookup(v) is not None
+            for sc in con.value_strcons
+            if sc.op in _RANGE_OPS
+            for v in sc.values
+            if v is not None
+        ):
+            fn = number_scan_order
+        elif vcomp == "datetime":
+            fn = datetime_scan_order
+        else:
+            return
+
+        def key(m):
+            k = fn(m[0].value)
+            return (k is None, 0 if k is None else k, m[0].id)
+
+        matches.sort(key=key)
+
+    def _sort_key_fn(self, pat, comparator: str, plan: SetPlan):
+        k = pat.kind
+        if k == "value" and comparator == "default":
+            return lambda p, row: p.value_fkey
+        if k in ("value", "name"):
+            return lambda p, row, c=comparator, f=k: (
+                None
+                if getattr(p, f) is None
+                else literal_key(getattr(p, f), c)
+            )
+        if k == "guid":
+            return lambda p, row: p.id
+        if k in ("timestamp", "generation", "datatype"):
+            return lambda p, row, f=k: getattr(p, f)
+        if k == "valuetype":
+            return lambda p, row: p.datatype
+        if k in ("left", "right", "typeguid", "scope"):
+            return lambda p, row, f=k: getattr(p, f)
+        if k == "type":
+            return lambda p, row: p.typeguid
+        if k in ("live", "archival"):
+            return lambda p, row, f=k: getattr(p, f)
+        if k in (
+            "count", "cursor", "estimate", "iterator", "timeout",
+            "estimate-count",
+        ):
+            raise GraphdError("SEMANTICS", f"cannot sort by {k}")
+        if k == "previous":
+            return lambda p, row: p.prev
+        if k == "next":
+            return lambda p, row: self.store.successor(p.guid)
+        if k == "meta":
+            return lambda p, row: 1 if p.left is None else 2
+        if k == "contents":
+            for sp in plan.sub_plans:
+                if sp.mode == "agg":
+                    def ckey(p, row, col=sp.arr_col):
+                        arr = None if row is None else row.get(col)
+                        if arr is None:
+                            return None
+                        return b"".join(
+                            (fuzzy_key(e["value"]) or b"") + b"\x00"
+                            for e in arr
+                        )
+                    return ckey
+            return None
+        if k == "literal":
+            raise GraphdError(
+                "SEMANTICS", f'cannot sort by "{pat.literal or ""}"'
+            )
+        if k == "list":
+            raise GraphdError("SYNTAX", "cannot sort by nested lists.")
+        raise GraphdError("SEMANTICS", f"unsupported sort key {k!r}")
 
     # -- set evaluation ---------------------------------------------------
     #
@@ -280,8 +420,7 @@ class FastReader:
                     return _NO_MATCH
                 continue
             # agg: per-parent exact count + ordered page array
-            child_rows = []
-            n = 0
+            kids = []
             for cid in self._child_ids(p, sub):
                 c = self.store.rows[cid - self.store._base]
                 crow = self._row_for(
@@ -289,9 +428,11 @@ class FastReader:
                 )
                 if crow is _NO_MATCH:
                     continue
-                n += 1
-                if lo < n <= lo + rps:
-                    child_rows.append(crow)
+                kids.append((c, crow))
+            n = len(kids)
+            if sub.sort is not None:
+                self._apply_sort(sub, sp.plan, kids)
+            child_rows = [r for _c, r in kids[lo:lo + rps]]
             if n == 0 and not outer:
                 return _NO_MATCH  # inner join semantics
             passes = True
@@ -701,6 +842,38 @@ class FastReader:
                 ok = val is None or not any(eq_one(v) for v in nonnull)
             if has_null:
                 ok = ok and val is not None
+            return ok
+        if sc.op in _RANGE_OPS:
+            # mirror of _string_cond's range branch: order-preserving
+            # sort keys, plus the comparator-specific scan-membership
+            # rules (null values never match — except the fuzzy
+            # NULL-sorts-greater rule for > ranges)
+            lit = nonnull[0] if nonnull else None
+            if lit is None:
+                return False
+            if is_value and comp == "default":
+                key = p.value_fkey
+            else:
+                key = None if val is None else literal_key(val, comp)
+            ok = key is not None and _OPS[sc.op](
+                key, literal_key(lit, comp)
+            )
+            if is_value and comp == "datetime":
+                return ok and datetime_scan_order(val) is not None
+            if comp == "number":
+                lo_bin = number_bin_lookup(lit) if is_value else None
+                if lo_bin is None:
+                    ok = ok and key is not None and key < b"\x02"
+                else:
+                    so = number_scan_order(val)
+                    if so is None:
+                        return False
+                    if sc.op in (">", ">="):
+                        ok = ok and so >= 2 * lo_bin
+                    else:
+                        ok = ok and so <= 2 * lo_bin + 1
+            elif is_value and sc.op in (">", ">="):
+                ok = ok or val is None
             return ok
         if sc.op == "~=":
             if comp == "number":

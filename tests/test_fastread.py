@@ -71,10 +71,21 @@ QUERIES = [
     'read (any live=dontcare newest>=0 pagesize=40 result=((guid value)))',
     # type system
     'read (name="song" result=((value type datatype timestamp)))',
-    # fallback shapes (Unsupported -> Spark path; replies must still
-    # be identical, trivially, since both run the Spark path... the
-    # fast session runs fast-then-fallback)
+    # ranges (value-bin scan order emulation) + sorts
     'read (value>"A" pagesize=8 result=((value)))',
+    'read (value<="n4" pagesize=30 result=((value)))',
+    'read (value>="a" value<"z" pagesize=30 result=((value)))',
+    'read (name="nation" value<="N3" result=((value)))',
+    'read (value>="1" comparator="number" pagesize=20 result=((value)))',
+    'read (sort=(value) pagesize=6 result=((value)))',
+    'read (sort=(-value) pagesize=6 result=((value)))',
+    'read (sort=(name -timestamp) pagesize=8 result=((name value)))',
+    'read (sort=(value) sort-comparator="case" pagesize=6 result=((value)))',
+    'read (name="region" sort=(-value) result=((value contents)) '
+    '(<-right sort=(-timestamp) pagesize=2))',
+    'read (sort=(guid) start=2 pagesize=3 result=((guid)))',
+    # fallback shapes (Unsupported -> Spark path; replies must still
+    # be identical — the fast session falls back seamlessly)
     'read (sort=$v $v=value pagesize=4 result=((value)))',
     'read (name="nation" pagesize=2 result=(cursor (value)))',
 ]
