@@ -71,6 +71,52 @@ class Unsupported(Exception):
 _NO_MATCH = object()
 
 
+class _SubSpec:
+    """One subconstraint's evaluation plan (mirror of _attach_sub)."""
+
+    __slots__ = ("sub", "mode", "sp", "count_min", "outer", "rps", "lo",
+                 "child_spec", "var_imports")
+
+    def __init__(self, sub, mode, sp, count_min, outer, rps, lo,
+                 child_spec, var_imports):
+        self.sub = sub
+        self.mode = mode
+        self.sp = sp
+        self.count_min = count_min
+        self.outer = outer
+        self.rps = rps
+        self.lo = lo
+        self.child_spec = child_spec
+        self.var_imports = var_imports
+
+
+class _NodeSpec:
+    __slots__ = ("subs", "assigns")
+
+    def __init__(self, subs, assigns):
+        self.subs = subs
+        self.assigns = assigns
+
+
+#: mirror of Compiler._var_expr's scalar assignment kinds
+_VAR_ATTRS = {
+    "value": "value", "name": "name", "guid": "guid", "left": "left",
+    "right": "right", "typeguid": "typeguid", "scope": "scope",
+    "timestamp": "timestamp", "datatype": "datatype",
+    "valuetype": "datatype", "generation": "generation", "live": "live",
+    "archival": "archival", "previous": "prev",
+}
+
+
+def _scalar_var_fn(pat):
+    attr = _VAR_ATTRS.get(pat.kind)
+    if attr is not None:
+        return lambda p, a=attr: getattr(p, a)
+    if pat.kind == "literal":
+        return lambda p, lit=pat.literal: lit
+    return None
+
+
 _RANGE_OPS = ("<", "<=", ">", ">=")
 
 
@@ -91,8 +137,6 @@ def check_supported(con: Constraint) -> None:
             raise Unsupported("dateline")
         if node.sort is not None:
             for i, sk in enumerate(node.sort):
-                if sk.pattern.kind == "variable":
-                    raise Unsupported("sort-by-variable")
                 comp = None
                 if node.sort_comparators and i < len(node.sort_comparators):
                     comp = node.sort_comparators[i]
@@ -104,10 +148,13 @@ def check_supported(con: Constraint) -> None:
                     # values under producer-dependent conditions
                     # (compiler.py:333-410) — Spark path only
                     raise Unsupported("number-sort")
-        if node.assignments:
-            raise Unsupported("variables")
-        if node.or_chains:
-            raise Unsupported("or-chains")
+        for chain in node.or_chains:
+            # pure-intrinsic branches mirror as a disjunction; branches
+            # with subconstraints (per-branch flag joins + variable
+            # bindings) stay on the Spark path
+            for b in chain:
+                if b.subs or b.assignments:
+                    raise Unsupported("or-branch-subs")
         if node.value_strcons and any(
             v == "" for sc in node.value_strcons for v in sc.values
         ):
@@ -117,8 +164,6 @@ def check_supported(con: Constraint) -> None:
     for pat in _walk_patterns(con):
         if pat.kind == "cursor":
             raise Unsupported("cursor-pattern")
-        if pat.kind == "variable":
-            raise Unsupported("variable-pattern")
 
 
 class FastReader:
@@ -314,6 +359,48 @@ class FastReader:
                         )
                     return ckey
             return None
+        if k == "variable":
+            vcol = plan.var_cols.get(pat.var)
+            if vcol is not None:
+                kind = plan.var_kinds.get(pat.var)
+                if kind in ("value", "name", "type", "literal"):
+                    return lambda p, row, c=comparator, v=vcol: (
+                        None
+                        if row is None or row.get(v) is None
+                        else literal_key(row[v], c)
+                    )
+                return lambda p, row, v=vcol: (
+                    None if row is None else row.get(v)
+                )
+            entry = plan.var_patterns.get(pat.var)
+            if entry is not None:
+                _sp, acol, ccol, vpat = entry
+                if any(pp.kind == "count" for pp in vpat.walk()):
+                    # $v=count: order by the child-set count
+                    return lambda p, row, cc=ccol: (
+                        0
+                        if row is None or row.get(cc) is None
+                        else row[cc]
+                    )
+                field = None
+                for pp in vpat.walk():
+                    if pp.kind in ("value", "name"):
+                        field = pp.kind
+                        break
+                    if pp.kind == "guid":
+                        field = "guid"
+                        break
+                if field is not None:
+                    def vkey(p, row, a=acol, f=field):
+                        arr = None if row is None else row.get(a)
+                        if arr is None:
+                            return None
+                        return b"".join(
+                            (fuzzy_key(e[f]) or b"") + b"\x00"
+                            for e in arr
+                        )
+                    return vkey
+            return None
         if k == "literal":
             raise GraphdError(
                 "SEMANTICS", f'cannot sort by "{pat.literal or ""}"'
@@ -330,10 +417,12 @@ class FastReader:
     # column names, exactly like the Spark schema does.
 
     def _build_specs(self, con: Constraint, exists_only: bool):
-        """Recursive (SetPlan, [spec]) construction; spec =
-        (sub, mode, SubPlan, count_min, outer, rps, lo, child_specs)."""
+        """Recursive (SetPlan, node spec) construction — mirror of
+        _compile's per-node structure including the variable
+        bookkeeping (var_cols / var_kinds / var_patterns /
+        pending_pattern_vars and sub-var imports)."""
         plan = SetPlan(con=con)
-        specs = []
+        subs = []
         parent_pat = (
             con.result if con.result is not None else default_read_pattern()
         )
@@ -344,15 +433,17 @@ class FastReader:
                     "subconstraint is not connected to its parent",
                 )
             count_min = sub.count_min if sub.count_min is not None else 1
-            need_payload = not exists_only and pattern_shows_contents(
-                parent_pat, con
+            need_payload = not exists_only and (
+                pattern_shows_contents(parent_pat, con)
+                or bool(sub.assignments)
+                or self._has_deep_assignments(sub)
             )
             counting = (
                 (sub.count_eq not in (None, 0))
                 or sub.count_max is not None
                 or count_min > 1
             )
-            sub_plan, child_specs = self._build_specs(
+            sub_plan, child_spec = self._build_specs(
                 sub, exists_only=not need_payload
             )
             if not need_payload and not counting:
@@ -363,9 +454,9 @@ class FastReader:
                 else:
                     mode = "skip"
                 sp = SubPlan(mode, sub_plan)
-                specs.append(
-                    (sub, mode, sp, count_min, False, 0, 0, child_specs)
-                )
+                subs.append(_SubSpec(
+                    sub, mode, sp, count_min, False, 0, 0, child_spec, []
+                ))
             else:
                 self._n += 1
                 cnt, arr = f"n{self._n}", f"c{self._n}"
@@ -379,41 +470,93 @@ class FastReader:
                     )
                 lo = sub.start or 0
                 outer = count_min == 0 or sub.count_eq == 0
-                specs.append(
-                    (sub, "agg", sp, count_min, outer, rps, lo,
-                     child_specs)
-                )
+                # sub-var imports (mirror _import_sub_vars): scalar
+                # vars sample the first PAGED child element; set-shaped
+                # vars evaluate at assembly over the whole array
+                imports = []
+                for var, vcol in sub_plan.var_cols.items():
+                    self._n += 1
+                    newcol = f"v{self._n}"
+                    imports.append((newcol, vcol))
+                    plan.var_cols[var] = newcol
+                    plan.var_kinds[var] = sub_plan.var_kinds[var]
+                for var, vpat in sub_plan.pending_pattern_vars:
+                    plan.var_patterns[var] = (sub_plan, arr, cnt, vpat)
+                for var, entry in sub_plan.var_patterns.items():
+                    plan.var_patterns.setdefault(var, entry)
+                subs.append(_SubSpec(
+                    sub, "agg", sp, count_min, outer, rps, lo,
+                    child_spec, imports,
+                ))
             plan.sub_plans.append(sp)
-        return plan, specs
+        # own assignments (mirror of _compile's assignment loop)
+        assigns = []
+        for var, pat in con.assignments:
+            if pat.kind == "variable":
+                src = plan.var_cols.get(pat.var)
+                if src is not None:
+                    plan.var_cols[var] = src
+                    plan.var_kinds[var] = plan.var_kinds.get(
+                        pat.var, "value"
+                    )
+                elif pat.var in plan.var_patterns:
+                    plan.var_patterns[var] = plan.var_patterns[pat.var]
+                continue
+            fn = _scalar_var_fn(pat)
+            if fn is None:
+                # set-shaped ($f=((value))): the parent binds it
+                # against its aggregated array of this node's rows
+                plan.pending_pattern_vars.append((var, pat))
+                continue
+            self._n += 1
+            vcol = f"v{self._n}"
+            assigns.append((vcol, fn))
+            plan.var_cols[var] = vcol
+            plan.var_kinds[var] = pat.kind
+        return plan, _NodeSpec(subs, assigns)
+
+    def _has_deep_assignments(self, con: Constraint) -> bool:
+        """Mirror of Compiler._has_deep_assignments: any assignment
+        anywhere below forces the payload path so bindings can ride
+        up through the arrays."""
+        return any(bool(node.assignments) for node in con.walk())
 
     def _eval_set(self, con: Constraint, exists_only: bool):
         """Mirror of Compiler._compile + evaluation: returns
         (SetPlan, matches) with matches an id-ordered list of
         (prim, rowdict)."""
-        plan, specs = self._build_specs(con, exists_only)
+        plan, spec = self._build_specs(con, exists_only)
         matches = []
         for p in self._candidates(con):
-            row = self._row_for(p, con, specs, build_row=not exists_only)
+            row = self._row_for(p, con, spec, build_row=not exists_only)
             if row is not _NO_MATCH:
                 matches.append((p, row))
         return plan, matches
 
-    def _row_for(self, p: Primitive, con: Constraint, specs,
+    def _row_for(self, p: Primitive, con: Constraint, spec: "_NodeSpec",
                  build_row: bool):
         """Rowdict for one candidate, or _NO_MATCH.  Mirrors the join
-        semantics of _attach_sub per spec."""
+        semantics of _attach_sub per sub spec."""
         if not self._match_intrinsic(p, con):
             return _NO_MATCH
+        # pure-intrinsic or-chains: any branch accepts (mirror of
+        # _apply_or_chain's disjunctive-filter fold)
+        for chain in con.or_chains:
+            if not any(
+                self._match_intrinsic(p, b) for b in chain
+            ):
+                return _NO_MATCH
         row = (
             {f: getattr(p, f) for f in PRIM_ELEM_FIELDS}
             if build_row
             else None
         )
-        for sub, mode, sp, count_min, outer, rps, lo, child_specs in specs:
+        for ss in spec.subs:
+            sub, mode, sp = ss.sub, ss.mode, ss.sp
             if mode == "skip":
                 continue
             if mode in ("semi", "anti"):
-                has = self._sub_exists(p, sub, child_specs)
+                has = self._sub_exists(p, sub, ss.child_spec)
                 if mode == "semi" and not has:
                     return _NO_MATCH
                 if mode == "anti" and has:
@@ -424,7 +567,8 @@ class FastReader:
             for cid in self._child_ids(p, sub):
                 c = self.store.rows[cid - self.store._base]
                 crow = self._row_for(
-                    c, sub, child_specs, build_row=sp.arr_col is not None
+                    c, sub, ss.child_spec,
+                    build_row=sp.arr_col is not None,
                 )
                 if crow is _NO_MATCH:
                     continue
@@ -432,39 +576,47 @@ class FastReader:
             n = len(kids)
             if sub.sort is not None:
                 self._apply_sort(sub, sp.plan, kids)
-            child_rows = [r for _c, r in kids[lo:lo + rps]]
-            if n == 0 and not outer:
+            child_rows = [r for _c, r in kids[ss.lo:ss.lo + ss.rps]]
+            if n == 0 and not ss.outer:
                 return _NO_MATCH  # inner join semantics
             passes = True
             if sub.count_eq is not None:
                 passes = n == sub.count_eq
             else:
-                if count_min > 0:
-                    passes = passes and n >= count_min
+                if ss.count_min > 0:
+                    passes = passes and n >= ss.count_min
                 if sub.count_max is not None:
                     passes = passes and n <= sub.count_max
             bounds_checked = (
-                outer
+                ss.outer
                 or sub.count_eq is not None
-                or count_min > 1
+                or ss.count_min > 1
                 or sub.count_max is not None
             )
             if bounds_checked and not passes:
                 return _NO_MATCH
             if row is not None:
-                if n == 0 and outer:
+                if n == 0 and ss.outer:
                     row[sp.cnt_col] = None  # left-join miss
                     row[sp.arr_col] = None
                 else:
                     row[sp.cnt_col] = n
                     row[sp.arr_col] = child_rows
+                first = child_rows[0] if child_rows else None
+                for newcol, src in ss.var_imports:
+                    row[newcol] = (
+                        None if first is None else first.get(src)
+                    )
+        if row is not None:
+            for vcol, fn in spec.assigns:
+                row[vcol] = fn(p)
         return row
 
     def _sub_exists(self, p: Primitive, sub: Constraint,
-                    child_specs) -> bool:
+                    child_spec: "_NodeSpec") -> bool:
         for cid in self._child_ids(p, sub):
             c = self.store.rows[cid - self.store._base]
-            if self._row_for(c, sub, child_specs, build_row=False) \
+            if self._row_for(c, sub, child_spec, build_row=False) \
                     is not _NO_MATCH:
                 return True
         return False

@@ -199,3 +199,36 @@ def test_versioned_link_target_dangles(spark):
         assert gs.request(
             f"read (right~={t2} result=((value)))"
         ) == 'ok (("c"))'
+
+
+OR_QUERIES = [
+    'read (any value=("N1" "N3") result=((value)))',
+    'read ({value="N1"} | {value="N2"} result=((value)))',
+    'read ({value="N1" live=true} | {name="song"} result=((value name)))',
+    'read ({value~="N*"} | {value="12"} pagesize=20 result=((value)))',
+    'read (name="nation" {value="N1"} || {value="N2"} result=((value)))',
+]
+
+
+@pytest.mark.parametrize("q", OR_QUERIES)
+def test_or_chain_parity(sessions, q):
+    fast, slow = sessions
+    assert fast.request(q) == slow.request(q)
+
+
+VAR_QUERIES = [
+    'read (name="nation" $v=value result=(($v)))',
+    'read (name="nation" value="N2" result=(($v value)) '
+    '(<-left $v=value))',
+    'read (name="region" sort=$v result=((value $v)) (<-right $v=value))',
+    'read (name="region" result=(($c value)) (<-right $c=((value))))',
+    'read (name="region" sort=-$n result=((value $n)) '
+    '(<-right $n=count))',
+    'read (any $g=guid $t=timestamp pagesize=4 result=(($g $t)))',
+]
+
+
+@pytest.mark.parametrize("q", VAR_QUERIES)
+def test_variable_parity(sessions, q):
+    fast, slow = sessions
+    assert fast.request(q) == slow.request(q)
