@@ -232,3 +232,19 @@ VAR_QUERIES = [
 def test_variable_parity(sessions, q):
     fast, slow = sessions
     assert fast.request(q) == slow.request(q)
+
+
+@pytest.mark.parametrize("seed", [2000, 2001, 2002, 2003])
+def test_two_path_generator_sweep(spark, seed):
+    """The differential script generator replayed through BOTH read
+    paths on one shared write sequence — fast-path shapes and
+    fallback shapes must answer identically."""
+    from tests.test_differential import gen_script
+
+    lines = gen_script(seed)
+    fast = GraphSession(spark)
+    slow = GraphSession(spark)
+    slow.fast_read_enabled = False
+    for ln in lines:
+        a, b = fast.request(ln), slow.request(ln)
+        assert a == b, f"{ln}\n fast: {a}\n slow: {b}"
