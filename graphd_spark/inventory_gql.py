@@ -145,20 +145,26 @@ def gql_linkage_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "gql_anti_count0",
-    f"""
+    """
     SELECT r_name AS value FROM region
     WHERE NOT EXISTS (
       SELECT 1 FROM nation
       WHERE nation.n_regionkey = region.r_regionkey
-        AND lower({_N_NAME}) >= 'r')
+        AND n_nationkey <> 0
+        AND lower(n_name) >= 'r')
     """,
 )
 def gql_anti_count0(spark: SparkSession, sf_dir: str) -> DataFrame:
     """count=0 subconstraint -> left-anti join.
 
     `read (name="region" (<-right name="in-region" count=0
-    left->(name="nation" value>="R")))`: regions whose nations all
-    sort below "R" (only the renamed one doesn't)."""
+    left->(name="nation" value>="R")))`: regions with no visible
+    nation sorting at/above "R".  Traversal joins are RAW-guid
+    (probed against the reference; see _attach_sub): the versioned
+    nation 0 is INVISIBLE through the link — its old generation fails
+    the newest filter and its new guid isn't what the link points at —
+    so the oracle excludes nationkey 0 entirely rather than modeling
+    the rename."""
     gs = _graph(spark, sf_dir)
     _, plan, df = _compiled(
         gs,

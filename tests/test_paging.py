@@ -23,6 +23,9 @@ _DRIVER_COLLECT_BOUND = 101
 
 def test_deep_offset_collects_only_the_page(spark, monkeypatch):
     gs = GraphSession(spark)
+    # this test asserts the SPARK path's deep-offset behavior; the
+    # serving fast path would answer driver-side with no collect at all
+    gs.fast_read_enabled = False
     n = 10_500
     for i in range(n):
         gs.store.append(value=f"v{i:05d}")
@@ -49,6 +52,7 @@ def test_deep_offset_collects_only_the_page(spark, monkeypatch):
 def test_deep_offset_sorted_page(spark, monkeypatch):
     """Same bound for an explicit sort= (TakeOrderedAndProject path)."""
     gs = GraphSession(spark)
+    gs.fast_read_enabled = False
     n = 10_200
     for i in range(n):
         gs.store.append(value=f"v{(n - 1 - i):05d}")
