@@ -1116,7 +1116,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
     )
     rounds = 0
     converged = False
-    prev_count = E.count()
+    _r = E.agg(
+        F.count("*").alias("n"),
+        F.sum("src").alias("ss"),
+        F.sum("dst").alias("sd"),
+    ).head()
+    prev_sig = (_r["n"], _r["ss"], _r["sd"])
     while rounds < max_rounds:
         rounds += 1
         # large-star: every neighbor bigger than u links to
@@ -1142,14 +1147,21 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
             .distinct()
             .localCheckpoint(eager=False)
         )
-        # fixpoint test: both sides distinct, so equal counts + empty
-        # one-sided difference <=> identical edge sets
-        new_count = new_E.count()
-        if new_count == prev_count and new_E.exceptAll(E).isEmpty():
+        # fixpoint test, two tiers: a cheap (count, sum(src),
+        # sum(dst)) signature in ONE agg action gates the exact
+        # exceptAll confirmation, so non-final rounds pay one action
+        # instead of a count + an anti-join
+        sig_row = new_E.agg(
+            F.count("*").alias("n"),
+            F.sum("src").alias("ss"),
+            F.sum("dst").alias("sd"),
+        ).head()
+        new_sig = (sig_row["n"], sig_row["ss"], sig_row["sd"])
+        if new_sig == prev_sig and new_E.exceptAll(E).isEmpty():
             E = new_E
             converged = True
             break
-        E, prev_count = new_E, new_count
+        E, prev_sig = new_E, new_sig
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
