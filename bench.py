@@ -233,9 +233,60 @@ def _serving_bench(spark, sf_dir: str, seconds: float = 5.0) -> dict:
     out["batched_qps"] = round(served / dt, 1)
     out["batched_probes"] = served
     probes.unpersist()
+
+    # --- serving depth: point reads over a 100k-primitive mirror ------
+    # the protocol numbers above run against a tiny graph; this one
+    # hydrates a 100k-primitive log (the fast path's documented
+    # working-set scale) and drives keyed 1-hop reads — point lookups
+    # must stay index-speed, not O(mirror)
+    out["deep_qps_1hop"] = _deep_serving_qps(spark, seconds=seconds)
+
     out["baseline_anchor_qps_per_core"] = 3333
     out["baseline_anchor_bytes_per_primitive"] = 100
     return out
+
+
+def _deep_serving_qps(spark, n: int = 100_000, seconds: float = 5.0):
+    import hashlib
+    import os
+    import time
+
+    from graphd_spark.api import GraphSession
+    from graphd_spark.store import ParquetLogStore
+
+    cache = "/tmp/graphd_serving_cache/deep-" + hashlib.md5(
+        str(n).encode()
+    ).hexdigest()[:8]
+    if not (
+        os.path.isdir(cache)
+        and any(f.endswith(".parquet") for f in os.listdir(cache))
+    ):
+        # canonical commit-file naming (not save_parquet's Spark part
+        # files) so mirror_current() can vouch for the hydrated mirror
+        st = ParquetLogStore(spark, cache, fresh=True)
+        prev = None
+        for i in range(n):
+            p = st.append(
+                value=f"w{i:06d}",
+                name=f"k{i % 997}",
+                left=prev if i % 3 == 0 else None,
+            )
+            prev = p.guid
+        st.commit()
+    gs = GraphSession.attach(spark, cache)
+    assert gs.store.hydrate(limit=n + 1)
+    for i in range(4):  # warm
+        gs.request(f'read (value="w{i:06d}" result=((guid value name)))')
+    t0 = time.perf_counter()
+    done = 0
+    while time.perf_counter() - t0 < seconds:
+        i = (done * 7919) % n
+        r = gs.request(
+            f'read (value="w{i:06d}" result=((guid value name)))'
+        )
+        assert r.startswith("ok"), r
+        done += 1
+    return round(done / (time.perf_counter() - t0), 1)
 
 
 if __name__ == "__main__":
