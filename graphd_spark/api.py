@@ -720,7 +720,6 @@ class GraphSession:
         asof = req.modifiers.get("asof")
         if (
             self.fast_read_enabled
-            and asof is None
             and getattr(self.store, "_covers_all", True)
             and self.store.mirror_current()
         ):
@@ -728,7 +727,7 @@ class GraphSession:
 
             try:
                 plan, rows, total = FastReader(
-                    self.store, self.types
+                    self.store, self.types, asof=asof
                 ).run(req.constraint)
             except Unsupported:
                 pass

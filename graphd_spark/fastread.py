@@ -13,10 +13,11 @@ expression (each mirrored site cites the compiler line it mirrors).
 
 Safety model: :class:`FastReader` first WALKS the constraint tree and
 raises :class:`Unsupported` for any feature outside its mirror
-(cursors, or-chains, variables, datelines, asof, number-comparator
-value sorts); the caller then falls back to the Spark compiler.
-Sorts, globs, and value ranges ARE mirrored — including the
-reference's value-bin scan order for unsorted range reads.  For the supported
+(cursors, or-branches with subconstraints, number-comparator value
+sorts); the caller then falls back to the Spark compiler.  Sorts,
+globs, value ranges (including the reference's value-bin scan order
+for unsorted range reads), variables, pure-intrinsic or-chains,
+datelines, and asof time travel ARE mirrored.  For the supported
 subset it produces the exact (plan, rows, total) triple
 ``Compiler.run`` would, feeding the same ``Assembler`` — so the golden
 suite and the differential fuzz campaigns (which replay through
@@ -133,8 +134,6 @@ def check_supported(con: Constraint) -> None:
     for node in con.walk():
         if node.cursor is not None:
             raise Unsupported("cursor")
-        if node.dateline is not None:
-            raise Unsupported("dateline")
         if node.sort is not None:
             for i, sk in enumerate(node.sort):
                 comp = None
@@ -170,10 +169,37 @@ class FastReader:
     """Mirror of Compiler.run for the supported subset (see module
     docstring).  Construction is cheap; one instance per request."""
 
-    def __init__(self, store, types):
+    def __init__(self, store, types, asof: Optional[str] = None):
         self.store = store
         self.types = types
         self._n = 0
+        # asof= binds to an id horizon (mirror of _asof_horizon,
+        # compiler.py:146-167): candidates, traversal children, and
+        # newest-ness all evaluate within it
+        self.horizon: Optional[int] = (
+            None if asof is None else self._asof_horizon(asof)
+        )
+
+    def _asof_horizon(self, asof: str) -> int:
+        from graphd_spark.model import guid_serial
+
+        t = asof.strip()
+        tl = t.lower()
+        if len(tl) == 32 and all(c in "0123456789abcdef" for c in tl):
+            return guid_serial(tl)
+        if "." in tl:
+            db, _, count = tl.rpartition(".")
+            if count and db and all(
+                c in "0123456789abcdef" for c in db + count
+            ):
+                return int(count, 16) - 1
+        try:
+            ts = ts_from_string(t, round_up=True)
+        except ValueError:
+            raise GraphdError(
+                "SYNTAX", f"cannot parse asof value {asof!r}"
+            )
+        return self.store.asof_id_for_ts(ts)
 
     # -- public ----------------------------------------------------------
 
@@ -528,6 +554,8 @@ class FastReader:
         plan, spec = self._build_specs(con, exists_only)
         matches = []
         for p in self._candidates(con):
+            if self.horizon is not None and p.id > self.horizon:
+                continue
             row = self._row_for(p, con, spec, build_row=not exists_only)
             if row is not _NO_MATCH:
                 matches.append((p, row))
@@ -565,6 +593,8 @@ class FastReader:
             # agg: per-parent exact count + ordered page array
             kids = []
             for cid in self._child_ids(p, sub):
+                if self.horizon is not None and cid > self.horizon:
+                    continue
                 c = self.store.rows[cid - self.store._base]
                 crow = self._row_for(
                     c, sub, ss.child_spec,
@@ -615,6 +645,8 @@ class FastReader:
     def _sub_exists(self, p: Primitive, sub: Constraint,
                     child_spec: "_NodeSpec") -> bool:
         for cid in self._child_ids(p, sub):
+            if self.horizon is not None and cid > self.horizon:
+                continue
             c = self.store.rows[cid - self.store._base]
             if self._row_for(c, sub, child_spec, build_row=False) \
                     is not _NO_MATCH:
@@ -751,6 +783,8 @@ class FastReader:
             return False
         if con.archival == FALSE and p.archival:
             return False
+        if con.dateline is not None and not self._dateline_pred(p, con):
+            return False
         if con.guid and not self._guid_pred(p.guid, con.guid):
             return False
         for lk, gcs in con.links.items():
@@ -809,8 +843,39 @@ class FastReader:
         return True
 
     def _maxgen(self, p: Primitive) -> int:
-        newest = self.store.newest_of(p.guid)
-        return newest.generation if newest is not None else p.generation
+        """Max generation of p's lineage WITHIN the asof horizon
+        (mirror: the compiler computes __maxgen over the horizon-
+        filtered base frame)."""
+        newest = p
+        while True:
+            nxt = self.store.next_version.get(newest.guid)
+            if nxt is None:
+                break
+            np = self.store.get(nxt)
+            if np is None or (
+                self.horizon is not None and np.id > self.horizon
+            ):
+                break
+            newest = np
+        return newest.generation
+
+    def _dateline_pred(self, p: Primitive, con: Constraint) -> bool:
+        """Mirror of _dateline_cond: id-horizon predicate with the
+        reference's <=-is-< / >-is->= collapses; unparseable counts
+        match nothing."""
+        op, text = con.dateline
+        t = text.strip().lower()
+        _db, _, count = t.rpartition(".")
+        try:
+            n = int(count, 16)
+        except ValueError:
+            return False
+        c = p.id
+        return {
+            "=": c == n, "!=": c != n,
+            "<": c < n, "<=": c < n,
+            ">": c >= n, ">=": c >= n,
+        }[op]
 
     def _expand_lineage(self, guids):
         out = []

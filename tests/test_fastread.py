@@ -84,6 +84,13 @@ QUERIES = [
     'read (name="region" sort=(-value) result=((value contents)) '
     '(<-right sort=(-timestamp) pagesize=2))',
     'read (sort=(guid) start=2 pagesize=3 result=((guid)))',
+    # asof time travel + datelines (id-horizon mirrors)
+    'read asof=1970-01-01T00:00:00.0005 (value!=null pagesize=40 '
+    "result=((guid value)))",
+    'read asof=1970-01-01T00:00:00.0030 (live=dontcare value="v0" '
+    "result=((guid value live)))",
+    'read (dateline>"123456.5" pagesize=30 result=((guid)))',
+    'read (dateline<"123456.8" pagesize=30 result=((guid)))',
     # fallback shapes (Unsupported -> Spark path; replies must still
     # be identical — the fast session falls back seamlessly)
     'read (sort=$v $v=value pagesize=4 result=((value)))',
