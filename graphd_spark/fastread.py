@@ -154,12 +154,6 @@ def check_supported(con: Constraint) -> None:
             for b in chain:
                 if b.subs or b.assignments:
                     raise Unsupported("or-branch-subs")
-        if node.value_strcons and any(
-            v == "" for sc in node.value_strcons for v in sc.values
-        ):
-            # value="" has the null-value/datatype-2 special case and
-            # no complete index: Spark path
-            raise Unsupported("empty-value-literal")
     for pat in _walk_patterns(con):
         if pat.kind == "cursor":
             raise Unsupported("cursor-pattern")
@@ -694,7 +688,11 @@ class FastReader:
         eqs = [sc for sc in con.value_strcons if sc.op == "="]
         if eqs and comp in ("default", "case", "octet"):
             lits = [v for v in eqs[0].values if v is not None]
-            if lits and not any(v is None for v in eqs[0].values):
+            # "" also matches null-valued datatype-2 primitives, which
+            # no value index holds: full scan for that literal
+            if lits and "" not in lits and not any(
+                v is None for v in eqs[0].values
+            ):
                 ids = []
                 seen = set()
                 for v in lits:
@@ -1046,6 +1044,15 @@ class FastReader:
             return val.lower() == lit.lower()
 
         if sc.op == "=":
+            if (
+                is_value
+                and "" in nonnull
+                and val is None
+                and p.datatype == 2
+            ):
+                # value="" also finds string-datatype primitives whose
+                # value is stored null (test/unit/nullvalue.sh)
+                return True
             if nonnull and any(eq_one(v) for v in nonnull):
                 return True
             if has_null and val is None:

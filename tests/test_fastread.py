@@ -33,6 +33,8 @@ def _seed(gs: GraphSession) -> None:
     gs.request(f'write (guid~={g} value="v1")')
     gs.request(f'write (guid~={g} value="v2" live=false)')
     gs.request('write (name="empty-node")')
+    gs.request('write (value="" name="empty-str")')
+    gs.request('write (valuetype=2 name="null-str")')
 
 
 QUERIES = [
@@ -84,6 +86,8 @@ QUERIES = [
     'read (name="region" sort=(-value) result=((value contents)) '
     '(<-right sort=(-timestamp) pagesize=2))',
     'read (sort=(guid) start=2 pagesize=3 result=((guid)))',
+    # value="": stored-empty AND null-value datatype-2 both match
+    'read (value="" pagesize=10 result=((guid name value datatype)))',
     # asof time travel + datelines (id-horizon mirrors)
     'read asof=1970-01-01T00:00:00.0005 (value!=null pagesize=40 '
     "result=((guid value)))",
