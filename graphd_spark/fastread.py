@@ -92,11 +92,12 @@ class _SubSpec:
 
 
 class _NodeSpec:
-    __slots__ = ("subs", "assigns")
+    __slots__ = ("subs", "assigns", "chains")
 
-    def __init__(self, subs, assigns):
+    def __init__(self, subs, assigns, chains=None):
         self.subs = subs
         self.assigns = assigns
+        self.chains = chains or []
 
 
 #: mirror of Compiler._var_expr's scalar assignment kinds
@@ -148,12 +149,9 @@ def check_supported(con: Constraint) -> None:
                     # (compiler.py:333-410) — Spark path only
                     raise Unsupported("number-sort")
         for chain in node.or_chains:
-            # pure-intrinsic branches mirror as a disjunction; branches
-            # with subconstraints (per-branch flag joins + variable
-            # bindings) stay on the Spark path
             for b in chain:
-                if b.subs or b.assignments:
-                    raise Unsupported("or-branch-subs")
+                if b.or_chains:
+                    raise Unsupported("nested-or-chain")
     for pat in _walk_patterns(con):
         if pat.kind == "cursor":
             raise Unsupported("cursor-pattern")
@@ -509,6 +507,96 @@ class FastReader:
                     child_spec, imports,
                 ))
             plan.sub_plans.append(sp)
+        # or-chains with subconstraints / assignments (mirror of
+        # _apply_or_chain's flag + first-match-binding machinery);
+        # pure-intrinsic chains carry no branch specs
+        chains = []
+        for chain in con.or_chains:
+            if all(
+                not b.subs and not b.assignments for b in chain
+            ):
+                chains.append((chain, None))
+                continue
+            branch_specs = []
+            for b in chain:
+                b_pat = (
+                    b.result
+                    if b.result is not None
+                    else default_read_pattern()
+                )
+                bsubs = []
+                bvars = []   # (var, kind, 'import', newcol, src_arr, src_vcol)
+                bpats = []   # (var, sub_plan, guard_col, cnt_col, pat)
+                for sub in b.subs:
+                    if sub.linkage is None:
+                        raise GraphdError(
+                            "SEMANTICS",
+                            "subconstraint is not connected to its"
+                            " parent",
+                        )
+                    sub_need = pattern_shows_contents(b_pat, b) or bool(
+                        sub.assignments
+                    ) or self._has_deep_assignments(sub)
+                    sub_plan, child_spec = self._build_specs(
+                        sub, exists_only=not sub_need
+                    )
+                    self._n += 1
+                    cnt, arr = f"n{self._n}", f"c{self._n}"
+                    sp = SubPlan(
+                        "agg", sub_plan, cnt_col=cnt, arr_col=arr
+                    )
+                    plan.or_sub_plans.append(sp)
+                    rps = sub.resultpagesize
+                    if rps is None:
+                        rps = (
+                            sub.pagesize
+                            if sub.pagesize is not None
+                            else DEFAULT_PAGESIZE
+                        )
+                    cm = (
+                        sub.count_min
+                        if sub.count_min is not None
+                        else 1
+                    )
+                    bsubs.append(_SubSpec(
+                        sub, "agg", sp, cm, True, rps, sub.start or 0,
+                        child_spec, [],
+                    ))
+                    for var, vcol in sub_plan.var_cols.items():
+                        self._n += 1
+                        newcol = f"v{self._n}"
+                        bvars.append(
+                            (var, sub_plan.var_kinds[var], newcol,
+                             arr, vcol)
+                        )
+                    for var, vpat in sub_plan.pending_pattern_vars:
+                        self._n += 1
+                        gcol = f"v{self._n}"
+                        bpats.append((var, sub_plan, gcol, arr, cnt, vpat))
+                for var, pat in b.assignments:
+                    fn = _scalar_var_fn(pat)
+                    if fn is None:
+                        raise Unsupported("or-branch-set-var")
+                    self._n += 1
+                    newcol = f"v{self._n}"
+                    bvars.append((var, pat.kind, newcol, None, fn))
+                branch_specs.append((b, bsubs, bvars, bpats))
+            # merged output columns, first matching branch wins
+            merged = {}  # var -> (vcol, [(branch_idx, newcol)])
+            for bi, (_b, _bs, bvars, _bp) in enumerate(branch_specs):
+                for var, kind, newcol, _arr, _src in bvars:
+                    if var not in merged:
+                        self._n += 1
+                        merged[var] = (f"v{self._n}", [])
+                        plan.var_kinds.setdefault(var, kind)
+                    merged[var][1].append((bi, newcol))
+            for bi, (_b, _bs, _bv, bpats) in enumerate(branch_specs):
+                for var, sub_plan, gcol, _arr, cnt, vpat in bpats:
+                    plan.var_patterns[var] = (sub_plan, gcol, cnt, vpat)
+                    plan.var_cols.pop(var, None)
+            for var, (vcol, _cases) in merged.items():
+                plan.var_cols[var] = vcol
+            chains.append((chain, (branch_specs, merged)))
         # own assignments (mirror of _compile's assignment loop)
         assigns = []
         for var, pat in con.assignments:
@@ -533,7 +621,7 @@ class FastReader:
             assigns.append((vcol, fn))
             plan.var_cols[var] = vcol
             plan.var_kinds[var] = pat.kind
-        return plan, _NodeSpec(subs, assigns)
+        return plan, _NodeSpec(subs, assigns, chains)
 
     def _has_deep_assignments(self, con: Constraint) -> bool:
         """Mirror of Compiler._has_deep_assignments: any assignment
@@ -561,18 +649,21 @@ class FastReader:
         semantics of _attach_sub per sub spec."""
         if not self._match_intrinsic(p, con):
             return _NO_MATCH
-        # pure-intrinsic or-chains: any branch accepts (mirror of
-        # _apply_or_chain's disjunctive-filter fold)
-        for chain in con.or_chains:
-            if not any(
-                self._match_intrinsic(p, b) for b in chain
-            ):
-                return _NO_MATCH
         row = (
             {f: getattr(p, f) for f in PRIM_ELEM_FIELDS}
             if build_row
             else None
         )
+        for chain, cspec in spec.chains:
+            if cspec is None:
+                # pure-intrinsic chain: disjunctive filter fold
+                if not any(
+                    self._match_intrinsic(p, b) for b in chain
+                ):
+                    return _NO_MATCH
+                continue
+            if not self._eval_or_chain(p, cspec, row):
+                return _NO_MATCH
         for ss in spec.subs:
             sub, mode, sp = ss.sub, ss.mode, ss.sp
             if mode == "skip":
@@ -635,6 +726,88 @@ class FastReader:
             for vcol, fn in spec.assigns:
                 row[vcol] = fn(p)
         return row
+
+    def _eval_or_chain(self, p: Primitive, cspec, row) -> bool:
+        """Mirror of _apply_or_chain's non-intrinsic path: every
+        branch's sub aggregates left-join onto the row, per-branch
+        flags AND intrinsics with sub count bounds, the chain requires
+        one flag, and the FIRST matching branch's bindings apply."""
+        branch_specs, merged = cspec
+        flags = []
+        branch_var_vals = []  # per branch: {newcol: value}
+        for b, bsubs, bvars, bpats in branch_specs:
+            flag = self._match_intrinsic(p, b)
+            vals = {}
+            for ss in bsubs:
+                sub, sp = ss.sub, ss.sp
+                kids = []
+                for cid in self._child_ids(p, sub):
+                    if (
+                        self.horizon is not None
+                        and cid > self.horizon
+                    ):
+                        continue
+                    c = self.store.rows[cid - self.store._base]
+                    crow = self._row_for(
+                        c, sub, ss.child_spec, build_row=True
+                    )
+                    if crow is _NO_MATCH:
+                        continue
+                    kids.append((c, crow))
+                n = len(kids)
+                if sub.sort is not None:
+                    self._apply_sort(sub, sp.plan, kids)
+                child_rows = [
+                    r for _c, r in kids[ss.lo:ss.lo + ss.rps]
+                ]
+                if row is not None:
+                    if n == 0:
+                        row[sp.cnt_col] = None  # left-join miss
+                        row[sp.arr_col] = None
+                    else:
+                        row[sp.cnt_col] = n
+                        row[sp.arr_col] = child_rows
+                # bounds flag over cnt_eff (coalesced 0)
+                if sub.count_eq is not None:
+                    passes = n == sub.count_eq
+                else:
+                    passes = True
+                    if ss.count_min > 0:
+                        passes = passes and n >= ss.count_min
+                    if sub.count_max is not None:
+                        passes = passes and n <= sub.count_max
+                flag = flag and passes
+                first = child_rows[0] if child_rows else None
+                for var, _k, newcol, arr, src in bvars:
+                    if arr == sp.arr_col:
+                        vals[newcol] = (
+                            None if first is None else first.get(src)
+                        )
+            for var, _k, newcol, arr, src in bvars:
+                if arr is None:  # scalar branch assignment
+                    vals[newcol] = src(p)
+            flags.append(flag)
+            branch_var_vals.append((vals, bvars, bpats))
+        # first-match bindings: eff = flag & ~prior is true for at
+        # most one branch; that branch's values (and guarded arrays)
+        # bind, every other output column stays null
+        if row is not None:
+            for var, (vcol, _cases) in merged.items():
+                row.setdefault(vcol, None)
+            for _b, _bs, _bv, bpats in branch_specs:
+                for _var, _sp, gcol, _arr, _cnt, _vp in bpats:
+                    row.setdefault(gcol, None)
+            prior = False
+            for bi, flag in enumerate(flags):
+                eff = flag and not prior
+                if eff:
+                    vals, bvars, bpats = branch_var_vals[bi]
+                    for var, _k, newcol, _arr, _src in bvars:
+                        row[merged[var][0]] = vals.get(newcol)
+                    for _var, _sp, gcol, arr, _cnt, _vp in bpats:
+                        row[gcol] = row.get(arr)
+                prior = prior or flag
+        return any(flags)
 
     def _sub_exists(self, p: Primitive, sub: Constraint,
                     child_spec: "_NodeSpec") -> bool:

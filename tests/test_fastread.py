@@ -218,6 +218,15 @@ OR_QUERIES = [
     'read ({value="N1" live=true} | {name="song"} result=((value name)))',
     'read ({value~="N*"} | {value="12"} pagesize=20 result=((value)))',
     'read (name="nation" {value="N1"} || {value="N2"} result=((value)))',
+    # or-branches WITH subconstraints and bindings
+    'read (name="nation" {(<-left name="in-region")} | {value="N9"} '
+    "result=((value)))",
+    'read (name="nation" {(<-left $t=name)} | {value="N9" $t=value} '
+    "result=((value $t)))",
+    'read ({(<-left count=2)} | {name="region"} pagesize=20 '
+    "result=((value name)))",
+    'read (name="region" sort=$v {(<-right $v=value)} | {$v=name} '
+    "result=((value $v)))",
 ]
 
 
