@@ -82,6 +82,11 @@ class SubPlan:
     plan: "SetPlan"
     cnt_col: Optional[str] = None
     arr_col: Optional[str] = None
+    #: or-branch subs only: boolean column, true when this sub's
+    #: branch is the row's first matching branch — its contents slot
+    #: renders null otherwise (probed: non-winning branch slots are
+    #: null, a winning zero-row sub is "()")
+    eff_col: Optional[str] = None
 
 
 @dataclass
@@ -90,6 +95,10 @@ class SetPlan:
     sub_plans: list = dfield(default_factory=list)
     var_cols: dict = dfield(default_factory=dict)   # '$name' -> column
     var_kinds: dict = dfield(default_factory=dict)  # '$name' -> pattern kind
+    #: '$name' -> column holding the PER-ROW pattern kind, for vars
+    #: whose or-branches bind different kinds (e.g. $t=guid | $t=value)
+    #: — the reference renders by the winning branch's pattern type
+    var_kind_cols: dict = dfield(default_factory=dict)
     #: '$name' -> (sub_plan, arr_col, cnt_col, Pattern): variables bound
     #: to set-shaped patterns (e.g. $f=((value))), evaluated at assembly
     #: over the sub's collected rows
@@ -100,6 +109,13 @@ class SetPlan:
     #: SubPlans attached by or-branches (their cnt/arr columns must
     #: ride along in the element struct for variable assembly)
     or_sub_plans: list = dfield(default_factory=list)
+    #: per or-chain (same index as con.or_chains): that chain's branch
+    #: SubPlans in branch order, for contents slot assembly
+    or_chain_subs: list = dfield(default_factory=list)
+    #: `contents` slot list in parse order: root subs and or-branch
+    #: subs interleaved exactly as written (the reference's single
+    #: con_head list; see Constraint.ordered_clauses)
+    contents_slots: Optional[list] = None
     cursor: Optional[str] = None
     #: subconstraint cursor context: the materialized candidate set the
     #: evaluator freezes per parent (test/unit/cursor6.sh)
@@ -1897,6 +1913,18 @@ class Compiler:
             plan.sub_plans.append(sp)
             if sp.mode == "agg":
                 df = self._import_sub_vars(df, plan, sp)
+        # contents slot list in parse order: root subs and or-branch
+        # subs exactly as written (the reference's con_head order)
+        slots = []
+        n_sub = n_chain = 0
+        for kind, _item in con.ordered_clauses():
+            if kind == "sub":
+                slots.append(plan.sub_plans[n_sub])
+                n_sub += 1
+            else:
+                slots.extend(plan.or_chain_subs[n_chain])
+                n_chain += 1
+        plan.contents_slots = slots
         for var, pat in con.assignments:
             if pat.kind == "variable":
                 # alias to a child-sampled variable ($b=$a, david_9.sh)
@@ -1920,6 +1948,7 @@ class Compiler:
             df = df.withColumn(vcol, expr)
             plan.var_cols[var] = vcol
             plan.var_kinds[var] = pat.kind
+            plan.var_kind_cols.pop(var, None)  # own assignment wins
         return plan, df
 
     def _import_sub_vars(self, df, plan: SetPlan, sp: "SubPlan"):
@@ -2199,6 +2228,7 @@ class Compiler:
         evaluation order.
         """
         if all(self._branch_is_intrinsic(b) for b in chain):
+            plan.or_chain_subs.append([])
             pred = None
             for b in chain:
                 p = self._intrinsic_pred(b)
@@ -2208,12 +2238,14 @@ class Compiler:
             return df.filter(pred) if pred is not None else df
 
         flags = []
+        chain_sps: list = []  # this chain's branch SubPlans, branch order
         for b in chain:
             pred = self._intrinsic_pred(b)
             flag = pred if pred is not None else F.lit(True)
             bvars: dict = {}
             bkinds: dict = {}
             bpats: list = []  # (var, sub_plan, arr_col, cnt_col, pattern)
+            bsps: list = []
             for sub in b.subs:
                 df, sp, sflag = self._attach_sub(
                     df, b, sub, exists_only=False, or_mode=True
@@ -2222,6 +2254,7 @@ class Compiler:
                     flag = flag & sflag
                 if sp.mode == "agg":
                     plan.or_sub_plans.append(sp)
+                    bsps.append(sp)
                     for var, vcol in sp.plan.var_cols.items():
                         bvars[var] = F.try_element_at(
                             F.col(sp.arr_col), F.lit(1)
@@ -2236,7 +2269,9 @@ class Compiler:
                 if expr is not None:
                     bvars[var] = expr
                     bkinds[var] = pat.kind
-            flags.append((flag, bvars, bkinds, bpats))
+            flags.append((flag, bvars, bkinds, bpats, bsps))
+            chain_sps.extend(bsps)
+        plan.or_chain_subs.append(chain_sps)
 
         # merge variables: the FIRST matching branch's bindings apply —
         # a later branch's assignment stays null for rows an earlier
@@ -2244,10 +2279,22 @@ class Compiler:
         # nothing), matching the reference's in-order or evaluation
         all_vars: dict = {}
         prior = None
-        for flag, bvars, bkinds, bpats in flags:
+        for flag, bvars, bkinds, bpats, bsps in flags:
             eff = flag if prior is None else (flag & ~prior)
+            if bsps:
+                # materialize the first-match flag: this branch's
+                # contents slots render null unless it's effective
+                self._n += 1
+                ecol = f"v{self._n}"
+                df = df.withColumn(
+                    ecol, F.when(eff, F.lit(True)).otherwise(F.lit(False))
+                )
+                for sp in bsps:
+                    sp.eff_col = ecol
             for var in bvars:
-                all_vars.setdefault(var, []).append((eff, bvars[var]))
+                all_vars.setdefault(var, []).append(
+                    (eff, bvars[var], bkinds[var])
+                )
                 plan.var_kinds.setdefault(var, bkinds[var])
             for var, sub_plan, arr_col, cnt_col, pat in bpats:
                 # guard the set-shaped var's array: null unless this
@@ -2257,20 +2304,38 @@ class Compiler:
                 df = df.withColumn(gcol, F.when(eff, F.col(arr_col)))
                 plan.var_patterns[var] = (sub_plan, gcol, cnt_col, pat)
                 plan.var_cols.pop(var, None)
+                plan.var_kind_cols.pop(var, None)
             prior = flag if prior is None else (prior | flag)
         for var, cases in all_vars.items():
+            # branches binding different pattern kinds: carry the
+            # winning branch's kind per row (values ride as strings,
+            # the assembler re-types them)
+            mixed = len({k for _, _, k in cases}) > 1
             expr = None
-            for flag, v in cases:
+            kexpr = None
+            for flag, v, kind in cases:
+                cv = v.cast("string") if mixed else v
                 expr = (
-                    F.when(flag, v) if expr is None else expr.when(flag, v)
+                    F.when(flag, cv) if expr is None else expr.when(flag, cv)
                 )
+                if mixed:
+                    kexpr = (
+                        F.when(flag, F.lit(kind))
+                        if kexpr is None
+                        else kexpr.when(flag, F.lit(kind))
+                    )
             self._n += 1
             vcol = f"v{self._n}"
             df = df.withColumn(vcol, expr)
             plan.var_cols[var] = vcol
+            if mixed:
+                self._n += 1
+                kcol = f"v{self._n}"
+                df = df.withColumn(kcol, kexpr)
+                plan.var_kind_cols[var] = kcol
 
         pred = None
-        for flag, _, _, _ in flags:
+        for flag, _, _, _, _ in flags:
             pred = flag if pred is None else (pred | flag)
         return df.filter(pred)
 
@@ -2284,7 +2349,10 @@ class Compiler:
         for sp in list(plan.sub_plans) + list(plan.or_sub_plans):
             if sp.mode == "agg":
                 names.extend([sp.cnt_col, sp.arr_col])
+            if sp.eff_col is not None:
+                names.append(sp.eff_col)
         names.extend(plan.var_cols.values())
+        names.extend(plan.var_kind_cols.values())
         for _sp, acol, _ccol, _pat in plan.var_patterns.values():
             names.append(acol)
         seen = set()
@@ -2363,6 +2431,9 @@ class Compiler:
         if k == "variable":
             vcol = plan.var_cols.get(pat.var)
             if vcol is not None:
+                kcol = plan.var_kind_cols.get(pat.var)
+                if kcol is not None:
+                    return self._mixed_var_sort_key(vcol, kcol, comparator)
                 if plan.var_kinds.get(pat.var) in (
                     "value", "name", "type", "literal"
                 ):
@@ -2399,6 +2470,39 @@ class Compiler:
         if k == "list":
             raise GraphdError("SYNTAX", "cannot sort by nested lists.")
         raise GraphdError("SEMANTICS", f"unsupported sort key {k!r}")
+
+    def _mixed_var_sort_key(self, vcol: str, kcol: str, comparator: str):
+        """Composite sort key for a variable whose or-branches bind
+        different pattern kinds: values compare by TYPE RANK first
+        (graphd_value_compare's cross-type fall-through
+        ``a->val_type - b->val_type``, graphd-value.c; enum graphd.h:
+        text < number < guid < timestamp < boolean < datatype), then
+        within-type.  One binary key: rank byte + per-type
+        order-preserving bytes (identical bytes on the fast path)."""
+        kc, v = F.col(kcol), F.col(vcol)
+        text = kc.isin("value", "name", "type", "literal")
+        num = kc.isin("generation", "valuetype", "count")
+        guid = kc.isin(
+            "guid", "left", "right", "typeguid", "scope",
+            "previous", "next",
+        )
+        rank = (
+            F.when(text, F.lit(b"1"))
+            .when(num, F.lit(b"3"))
+            .when(guid, F.lit(b"4"))
+            .when(kc == "timestamp", F.lit(b"7"))
+            .when(kc.isin("live", "archival"), F.lit(b"8"))
+            .otherwise(F.lit(b"9"))  # datatype
+        )
+        key = (
+            F.when(text, sort_key_column(v, comparator))
+            .when(
+                num | (kc == "timestamp") | (kc == "datatype"),
+                F.lpad(v, 20, "0").cast("binary"),
+            )
+            .otherwise(v.cast("binary"))  # guid hex / "true"/"false"
+        )
+        return F.when(v.isNotNull(), F.concat(rank, key))
 
     def _pattern_scalar_field(self, pat: Pattern):
         """First primitive-scalar atom inside a set-shaped pattern."""

@@ -121,6 +121,29 @@ def _scalar_var_fn(pat):
 
 _RANGE_OPS = ("<", "<=", ">", ">=")
 
+#: graphd_value_compare's cross-type rank (graphd-value.c fall-through
+#: ``a->val_type - b->val_type``; enum graphd.h:1666-1678)
+_KIND_RANK = {
+    "value": b"1", "name": b"1", "type": b"1", "literal": b"1",
+    "generation": b"3", "valuetype": b"3", "count": b"3",
+    "guid": b"4", "left": b"4", "right": b"4", "typeguid": b"4",
+    "scope": b"4", "previous": b"4", "next": b"4",
+    "timestamp": b"7", "live": b"8", "archival": b"8",
+    "datatype": b"9",
+}
+
+
+def _mixed_var_key(kind, v, comparator: str) -> bytes:
+    """Mirror of Compiler._mixed_var_sort_key, over native values."""
+    rank = _KIND_RANK.get(kind, b"9")
+    if rank == b"1":
+        return rank + literal_key(str(v), comparator)
+    if rank in (b"3", b"7", b"9"):
+        return rank + str(int(v)).rjust(20, "0").encode()
+    if rank == b"8":
+        return rank + (b"true" if v in (True, "true") else b"false")
+    return rank + str(v).encode()  # guid hex
+
 
 def _walk_patterns(con: Constraint):
     for node in con.walk():
@@ -380,6 +403,15 @@ class FastReader:
         if k == "variable":
             vcol = plan.var_cols.get(pat.var)
             if vcol is not None:
+                kcol = plan.var_kind_cols.get(pat.var)
+                if kcol is not None:
+                    # mixed-kind or-variable: rank byte + per-type key
+                    # (byte-identical to _mixed_var_sort_key)
+                    return lambda p, row, c=comparator, v=vcol, kc=kcol: (
+                        None
+                        if row is None or row.get(v) is None
+                        else _mixed_var_key(row[kc], row[v], c)
+                    )
                 kind = plan.var_kinds.get(pat.var)
                 if kind in ("value", "name", "type", "literal"):
                     return lambda p, row, c=comparator, v=vcol: (
@@ -516,8 +548,10 @@ class FastReader:
                 not b.subs and not b.assignments for b in chain
             ):
                 chains.append((chain, None))
+                plan.or_chain_subs.append([])
                 continue
             branch_specs = []
+            chain_sps = []
             for b in chain:
                 b_pat = (
                     b.result
@@ -546,6 +580,7 @@ class FastReader:
                         "agg", sub_plan, cnt_col=cnt, arr_col=arr
                     )
                     plan.or_sub_plans.append(sp)
+                    chain_sps.append(sp)
                     rps = sub.resultpagesize
                     if rps is None:
                         rps = (
@@ -580,21 +615,39 @@ class FastReader:
                     self._n += 1
                     newcol = f"v{self._n}"
                     bvars.append((var, pat.kind, newcol, None, fn))
-                branch_specs.append((b, bsubs, bvars, bpats))
-            # merged output columns, first matching branch wins
-            merged = {}  # var -> (vcol, [(branch_idx, newcol)])
-            for bi, (_b, _bs, bvars, _bp) in enumerate(branch_specs):
+                ecol = None
+                if bsubs:
+                    # first-match flag: this branch's contents slots
+                    # render null unless it's effective (mirror of
+                    # _apply_or_chain's eff_col)
+                    self._n += 1
+                    ecol = f"v{self._n}"
+                    for ss in bsubs:
+                        ss.sp.eff_col = ecol
+                branch_specs.append((b, bsubs, bvars, bpats, ecol))
+            plan.or_chain_subs.append(chain_sps)
+            # merged output columns, first matching branch wins;
+            # branches binding different kinds carry a per-row kind
+            # column (mirror of _apply_or_chain's var_kind_cols)
+            merged = {}  # var -> [vcol, [(bi, newcol, kind)], kcol]
+            for bi, (_b, _bs, bvars, _bp, _e) in enumerate(branch_specs):
                 for var, kind, newcol, _arr, _src in bvars:
                     if var not in merged:
                         self._n += 1
-                        merged[var] = (f"v{self._n}", [])
+                        merged[var] = [f"v{self._n}", [], None]
                         plan.var_kinds.setdefault(var, kind)
-                    merged[var][1].append((bi, newcol))
-            for bi, (_b, _bs, _bv, bpats) in enumerate(branch_specs):
+                    merged[var][1].append((bi, newcol, kind))
+            for var, entry in merged.items():
+                if len({k for _bi, _nc, k in entry[1]}) > 1:
+                    self._n += 1
+                    entry[2] = f"v{self._n}"
+                    plan.var_kind_cols[var] = entry[2]
+            for bi, (_b, _bs, _bv, bpats, _e) in enumerate(branch_specs):
                 for var, sub_plan, gcol, _arr, cnt, vpat in bpats:
                     plan.var_patterns[var] = (sub_plan, gcol, cnt, vpat)
                     plan.var_cols.pop(var, None)
-            for var, (vcol, _cases) in merged.items():
+                    plan.var_kind_cols.pop(var, None)
+            for var, (vcol, _cases, _kcol) in merged.items():
                 plan.var_cols[var] = vcol
             chains.append((chain, (branch_specs, merged)))
         # own assignments (mirror of _compile's assignment loop)
@@ -621,6 +674,18 @@ class FastReader:
             assigns.append((vcol, fn))
             plan.var_cols[var] = vcol
             plan.var_kinds[var] = pat.kind
+            plan.var_kind_cols.pop(var, None)  # own assignment wins
+        # contents slot list in parse order (mirror of _compile)
+        slots = []
+        n_sub = n_chain = 0
+        for kind, _item in con.ordered_clauses():
+            if kind == "sub":
+                slots.append(plan.sub_plans[n_sub])
+                n_sub += 1
+            else:
+                slots.extend(plan.or_chain_subs[n_chain])
+                n_chain += 1
+        plan.contents_slots = slots
         return plan, _NodeSpec(subs, assigns, chains)
 
     def _has_deep_assignments(self, con: Constraint) -> bool:
@@ -735,7 +800,7 @@ class FastReader:
         branch_specs, merged = cspec
         flags = []
         branch_var_vals = []  # per branch: {newcol: value}
-        for b, bsubs, bvars, bpats in branch_specs:
+        for b, bsubs, bvars, bpats, _ecol in branch_specs:
             flag = self._match_intrinsic(p, b)
             vals = {}
             for ss in bsubs:
@@ -792,18 +857,28 @@ class FastReader:
         # most one branch; that branch's values (and guarded arrays)
         # bind, every other output column stays null
         if row is not None:
-            for var, (vcol, _cases) in merged.items():
+            for var, (vcol, _cases, kcol) in merged.items():
                 row.setdefault(vcol, None)
-            for _b, _bs, _bv, bpats in branch_specs:
+                if kcol is not None:
+                    row.setdefault(kcol, None)
+            for _b, _bs, _bv, bpats, ecol in branch_specs:
                 for _var, _sp, gcol, _arr, _cnt, _vp in bpats:
                     row.setdefault(gcol, None)
+                if ecol is not None:
+                    row[ecol] = False
             prior = False
             for bi, flag in enumerate(flags):
                 eff = flag and not prior
                 if eff:
                     vals, bvars, bpats = branch_var_vals[bi]
+                    ecol = branch_specs[bi][4]
+                    if ecol is not None:
+                        row[ecol] = True
                     for var, _k, newcol, _arr, _src in bvars:
-                        row[merged[var][0]] = vals.get(newcol)
+                        vcol, _cases, kcol = merged[var]
+                        row[vcol] = vals.get(newcol)
+                        if kcol is not None:
+                            row[kcol] = _k
                     for _var, _sp, gcol, arr, _cnt, _vp in bpats:
                         row[gcol] = row.get(arr)
                 prior = prior or flag

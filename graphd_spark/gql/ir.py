@@ -160,7 +160,27 @@ class Constraint:
     #: set on a branch joined to its predecessor by '||' (short-circuit:
     #: only tried if earlier branches failed, ref graphd-constraint-or.c)
     or_short_circuit: bool = False
+    #: textual parse order of subconstraints vs or-chains: entries
+    #: ("sub", i) / ("chain", j) index into subs / or_chains.  The
+    #: reference keeps ONE con_head list in parse order (branch subs
+    #: included), which drives the `contents` slot order
+    #: (graphd-constraint.c con_head; probe: slots follow parse order
+    #: across root subs and every branch's subs).
+    clause_order: list = field(default_factory=list)
     parent: Optional["Constraint"] = None
+
+    def ordered_clauses(self):
+        """("sub", Constraint) / ("chain", list[Constraint]) in parse
+        order; synthesized subs-then-chains for programmatically built
+        constraints that never went through the parser."""
+        order = self.clause_order
+        if len(order) != len(self.subs) + len(self.or_chains):
+            order = [("sub", i) for i in range(len(self.subs))] + [
+                ("chain", j) for j in range(len(self.or_chains))
+            ]
+        for kind, i in order:
+            yield kind, (self.subs[i] if kind == "sub"
+                         else self.or_chains[i])
 
     def walk(self):
         yield self

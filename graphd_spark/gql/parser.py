@@ -207,10 +207,16 @@ class Parser:
             # one chain, so the flag lives on the joined branch.
             b.or_short_circuit = lor
             branches.append(b)
+        con.clause_order.append(("chain", len(con.or_chains)))
         con.or_chains.append(branches)
 
     def _merge_item(self, con: Constraint, item: Constraint) -> None:
         """Fold a single parsed clause item into the enclosing node."""
+        sub_off, chain_off = len(con.subs), len(con.or_chains)
+        con.clause_order.extend(
+            (k, i + (sub_off if k == "sub" else chain_off))
+            for k, i in item.clause_order
+        )
         for f in (
             "guid",
             "prev",
@@ -344,6 +350,7 @@ class Parser:
             close = self.expect(L.CPAR, "')'")
             sub.src_close = close.pos
             sub.parent = con
+            con.clause_order.append(("sub", len(con.subs)))
             con.subs.append(sub)
             return
         if t.kind == L.OBRC:
@@ -374,6 +381,7 @@ class Parser:
                 self.expect(L.CPAR, "')'")
                 sub.parent = con
                 sub.linkage = ("iam", word)  # parent's L == sub.guid
+                con.clause_order.append(("sub", len(con.subs)))
                 con.subs.append(sub)
                 return
             raise ParseError(f"expected '(' after {word}->")
@@ -1282,10 +1290,41 @@ def _check_result_depth(pat, depth: int) -> None:
             _check_result_depth(c, depth + 1)
 
 
+def _check_nested_assignments(con) -> None:
+    """A variable assigned in a constraint AND in a nested
+    subconstraint is a SYNTAX error (graphd-semantic.c:150-162: the
+    check walks con_parent from the assigning constraint).  Or-branch
+    boundaries stop the walk — a branch has no con_parent link, so
+    root+branch, branch+branch, and root+branch-sub pairs are all
+    legal (the root assignment simply wins; probed against the
+    reference binary) while branch + that branch's own sub errors.
+    Post-order, matching the reference's per-')'-completion checks."""
+    for sub in con.subs:
+        _check_nested_assignments(sub)
+    for chain in con.or_chains:
+        for b in chain:
+            _check_nested_assignments(b)
+    for v, _ in con.assignments:
+        anc = con.parent
+        while anc is not None:
+            if any(v2 == v for v2, _ in anc.assignments):
+                raise ParseError(
+                    f"variable {v} is assigned to twice in nested "
+                    "constraints"
+                )
+            anc = anc.parent
+
+
 def _check_contents_usage(con) -> None:
     """An explicit ``contents`` pattern needs subconstraints (ref
-    test/unit/nick1.sh)."""
-    if con.result is not None and not con.subs:
+    test/unit/nick1.sh).  Subconstraints inside or-branches count:
+    the reference keeps branch subs on the prototype's con_head, so
+    ``({a (<-left)} | {b}) result=((contents))`` is legal
+    (graphd-constraint.c:100 checks con_head)."""
+    has_subs = bool(con.subs) or any(
+        b.subs for chain in con.or_chains for b in chain
+    )
+    if con.result is not None and not has_subs:
         if any(
             p.kind == "contents" and not p.contents_only
             for p in con.result.walk()
@@ -1436,6 +1475,7 @@ def parse_request(line: str) -> Request:
                     f"variable {unreturned[0]} is assigned, but not "
                     "returned in this or any containing constraint"
                 )
+            _check_nested_assignments(req.constraint)
     else:
         # leave remaining tokens raw for the command dispatcher
         while p.peek().kind != L.END:

@@ -109,6 +109,20 @@ def pattern_uses_variable(pat: Optional[Pattern], name: str) -> bool:
 # --- assembly -------------------------------------------------------------
 
 
+def _untype(kind: str, v):
+    """Invert the string-cast of a mixed-kind or-variable column
+    (the Spark path casts every case to string; the fast path keeps
+    native values — both land here)."""
+    if not isinstance(v, str):
+        return v
+    if kind in ("timestamp", "generation", "valuetype", "datatype",
+                "count"):
+        return int(v)
+    if kind in ("live", "archival"):
+        return v == "true"
+    return v
+
+
 class Assembler:
     """Maps collected Rows to reply values.
 
@@ -242,7 +256,9 @@ class Assembler:
                     "right"
                 ] is None:
                     continue
-                if child.contents_only and not con.subs:
+                if child.contents_only and not con.subs and not any(
+                    b.subs for ch in con.or_chains for b in ch
+                ):
                     continue
                 v = self._eval_elem(child, plan, row)
                 items.extend(v.items) if isinstance(
@@ -251,8 +267,18 @@ class Assembler:
             return List(items)
         if k == "contents":
             out = []
-            for i, sub in enumerate(con.subs):
-                sp = plan.sub_plans[i]
+            slots = plan.contents_slots
+            if slots is None:  # plans built outside _compile
+                slots = plan.sub_plans
+            for sp in slots:
+                # or-branch slots render null unless their branch is
+                # the row's first matching one (probed: a winning
+                # zero-row sub is "()", every non-winning slot null)
+                if sp is not None and sp.eff_col is not None and not row[
+                    sp.eff_col
+                ]:
+                    out.append(Null)
+                    continue
                 if sp is None or sp.arr_col is None:
                     out.append(List([]))
                     continue
@@ -326,6 +352,15 @@ class Assembler:
                 if v is None:
                     return Null
                 kind = plan.var_kinds.get(pat.var, "value")
+                kcol = getattr(plan, "var_kind_cols", {}).get(pat.var)
+                if kcol is not None:
+                    try:
+                        row_kind = row[kcol]
+                    except (KeyError, ValueError):
+                        row_kind = None
+                    if row_kind is not None:
+                        kind = row_kind
+                        v = _untype(kind, v)
                 return self._typed(kind, v)
             entry = plan.var_patterns.get(pat.var)
             if entry is not None:

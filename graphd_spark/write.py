@@ -260,7 +260,15 @@ class WriteExecutor:
             g = getattr(parent_prim, kind_lk[1])
             p = self.store.get(g) if g else None
             cands = [p] if p is not None else []
-        elif "value" in lits and lits["value"] is not None:
+        elif (
+            "value" in lits
+            and lits["value"] is not None
+            and (fields is None or "value" in fields)
+        ):
+            # candidate enumeration must come from a field the match
+            # actually CHECKS: a key=(name) write's value= narrows
+            # nothing (write-fuzz seeds 0-40 caught value-indexed
+            # enumeration hiding every name-keyed match).
             # comparator-normalized forms hash apart driver-side, so
             # widen with a lazy scan for lenient comparators
             # ("A B" ~ "A  B"); both streams are id-ordered, so a
@@ -277,7 +285,11 @@ class WriteExecutor:
             cands = _dedup_by_id(
                 heapq.merge(exact, widened, key=lambda p: p.id)
             )
-        elif "name" in lits and lits["name"] is not None:
+        elif (
+            "name" in lits
+            and lits["name"] is not None
+            and (fields is None or "name" in fields)
+        ):
             cands = self.store.find_by_name(lits["name"])
         else:
             cands = self.store.iter_all()

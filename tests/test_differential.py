@@ -386,6 +386,172 @@ def test_differential(spark, ref_bin, seed):
     )
 
 
+# -- unique= / key= / anchor write fuzzing ----------------------------------
+
+
+def _gen_adv_write(rng: random.Random) -> str:
+    """Writes through the idempotency pipeline: unique= (fail on
+    duplicate), key= (version the matched primitive), anchor
+    (match-or-create) — the graphd-write.c surface the plain write
+    generator never touches (ref test/unit/unique*.sh keyburn*.sh
+    anchor*.sh)."""
+    val, nm = rng.choice(_VALUES), rng.choice(_NAMES)
+    r = rng.random()
+    if r < 0.35:
+        fields = rng.choice(["(value)", "(name)", "(name value)"])
+        body = f"value={_q(val)} name={_q(nm)} unique={fields}"
+        if rng.random() < 0.4:
+            arrow = rng.choice(["<-left", "<-right"])
+            body += f" ({arrow} value={_q(rng.choice(_VALUES))})"
+        return f"write ({body})"
+    if r < 0.7:
+        fields = rng.choice(["(value)", "(name)", "(name value)"])
+        body = f"value={_q(val)} name={_q(nm)} key={fields}"
+        if rng.random() < 0.5:
+            arrow = rng.choice(["<-left", "<-right"])
+            sub = f"value={_q(rng.choice(_VALUES))}"
+            if rng.random() < 0.5:
+                sub += " key=(value)"
+            body += f" ({arrow} {sub})"
+        return f"write ({body})"
+    if r < 0.85:
+        return f"write (anchor value={_q(val)})"
+    return (
+        f"write (value={_q(val)} "
+        f"typeguid->(anchor value={_q(rng.choice(_VALUES))}))"
+    )
+
+
+def gen_write_script(seed: int) -> list[str]:
+    rng = random.Random(50_000 + seed)
+    lines = [_gen_write(rng) for _ in range(rng.randrange(2, 6))]
+    for _ in range(rng.randrange(5, 11)):
+        lines.append(_gen_adv_write(rng))
+        if rng.random() < 0.4:
+            lines.append(f"read ({_gen_constraint(rng)})")
+    lines += [
+        'read (live=dontcare newest>=0 pagesize=60 '
+        "result=((guid value name live generation)))"
+    ]
+    return lines
+
+
+@pytest.mark.parametrize("seed", SEEDS[:12])
+def test_differential_writes(spark, ref_bin, seed):
+    lines = gen_write_script(seed)
+    want = run_reference(lines)
+    got = run_engine(spark, lines)
+    assert got == want, "\n".join(
+        ["script:"] + lines + ["--- diff ---"] + [
+            f"  got: {g}\n  exp: {w}"
+            for g, w in zip(got, want)
+            if g != w
+        ] + [f"(lines: got {len(got)}, want {len(want)})"]
+    )
+
+
+# -- branch-form or-chain fuzzing ------------------------------------------
+
+
+def _gen_or_read(rng: random.Random) -> str:
+    """Branch-form or-chains (``{A} | {B}``), optionally with linkage
+    subconstraints, sub modifiers, and ``$var`` bindings inside the
+    branches — the per-branch flag / first-match-binding surface
+    (graphd-read-or.c; _apply_or_chain and the fast path's
+    _eval_or_chain) that the plain script generator never emits."""
+    parts = []
+    if rng.random() < 0.35:
+        parts.append(f"name={_q(rng.choice(_NAMES))}")
+    bind = rng.random() < 0.6
+    bound = False
+    branches = []
+    for _bi in range(2 if rng.random() < 0.8 else 3):
+        bp = []
+        r2 = rng.random()
+        if r2 < 0.45:
+            bp.append(f"value={_q(rng.choice(_VALUES))}")
+        elif r2 < 0.65:
+            bp.append(f"name={_q(rng.choice(_NAMES))}")
+        elif r2 < 0.8:
+            bp.append("value~=" + _q(rng.choice(["a*", "b*", "1*"])))
+        if rng.random() < 0.55:
+            sub = rng.choice(
+                [
+                    f"value={_q(rng.choice(_VALUES))}",
+                    f"type={_q(rng.choice(_TYPES))}",
+                    f"name={_q(rng.choice(_NAMES))}",
+                ]
+            )
+            arrow = rng.choice(["<-left", "<-right", "left->", "right->"])
+            svar = ""
+            if bind and rng.random() < 0.5:
+                svar = " $t=" + rng.choice(["value", "guid"])
+                bound = True
+            mod = (
+                rng.choice(["", "optional ", "count=0 ", "atleast=2 "])
+                if not svar
+                else ""
+            )
+            if rng.random() < 0.25:
+                mod += f"pagesize={rng.randrange(1, 4)} "
+            if rng.random() < 0.3:
+                mod += 'result=((value)) '
+            if arrow.startswith("<-"):
+                bp.append(f"({arrow} {mod}{sub}{svar})")
+            else:
+                bp.append(f"{arrow}({mod}{sub}{svar})")
+        if bind and rng.random() < 0.5:
+            bp.append("$t=" + rng.choice(["value", "name"]))
+            bound = True
+        if not bp:
+            bp.append(f"value!={_q(rng.choice(_VALUES))}")
+        branches.append("{" + " ".join(bp) + "}")
+    joiner = " || " if rng.random() < 0.25 else " | "
+    parts.append(joiner.join(branches))
+    sorted_read = False
+    if bound and rng.random() < 0.3:
+        # sorted reads page wide (see gen_script's countlimit note)
+        parts.append("sort=" + rng.choice(["$t", "-$t"]))
+        parts.append("pagesize=40")
+        sorted_read = True
+    if not sorted_read and rng.random() < 0.5:
+        parts.append(f"pagesize={rng.randrange(1, 6)}")
+    if bound:
+        res = rng.choice(["((value $t))", "((guid $t))", "(($t) count)"])
+    else:
+        res = rng.choice(
+            [
+                "((guid value))",
+                "((value name))",
+                "(count)",
+                "((value contents))",
+            ]
+        )
+    parts.append(f"result={res}")
+    return f"read ({' '.join(parts)})"
+
+
+def gen_or_script(seed: int) -> list[str]:
+    rng = random.Random(40_000 + seed)
+    lines = [_gen_write(rng) for _ in range(rng.randrange(4, 10))]
+    lines += [_gen_or_read(rng) for _ in range(rng.randrange(4, 9))]
+    return lines
+
+
+@pytest.mark.parametrize("seed", SEEDS[:12])
+def test_differential_or_chains(spark, ref_bin, seed):
+    lines = gen_or_script(seed)
+    want = run_reference(lines)
+    got = run_engine(spark, lines)
+    assert got == want, "\n".join(
+        ["script:"] + lines + ["--- diff ---"] + [
+            f"  got: {g}\n  exp: {w}"
+            for g, w in zip(got, want)
+            if g != w
+        ] + [f"(lines: got {len(got)}, want {len(want)})"]
+    )
+
+
 # -- versioning / time-travel fuzzing --------------------------------------
 
 

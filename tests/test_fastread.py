@@ -227,6 +227,27 @@ OR_QUERIES = [
     "result=((value name)))",
     'read (name="region" sort=$v {(<-right $v=value)} | {$v=name} '
     "result=((value $v)))",
+    # contents slots from or-branch subs (parse order, first-match
+    # fills, null elsewhere; probed against the reference binary)
+    'read ({name="nation" (<-left result=((value)))} | {name="region"} '
+    "result=((value contents)))",
+    'read ({name="region" (<-right result=(count))} | '
+    '{name="nation" (<-left result=((name)))} pagesize=4 '
+    "result=((value contents)))",
+    'read ((<-left result=((name))) {value="R0" (<-right)} | '
+    '{name="nation"} pagesize=4 result=((value contents)))',
+    'read ({name="nation" (<-left count=0)} | {name="region"} '
+    "pagesize=4 result=((value contents)))",
+    # mixed-kind merged variables ($t=guid | $t=value)
+    'read ({name="nation" (<-left $t=guid)} | {name="region" $t=value} '
+    "pagesize=6 result=((value $t)))",
+    # root assignment wins over branch bindings
+    'read ($t=name {name="nation" $t=value} | {name="region"} '
+    "pagesize=4 result=((value $t)))",
+    # nested-twice assignment errors (identical on both paths)
+    'read ((<-left $t=value) $t=name result=((value $t)))',
+    'read ({name="nation" (<-left $t=value) $t=name} | {name="region"} '
+    "result=((value $t)))",
 ]
 
 

@@ -2,7 +2,8 @@
 through both the reference binary and this engine, report divergences.
 
 Usage: python tools/diff_campaign.py [start] [end]
-           [--cursors | --versions | --roundtrip | --replica]
+           [--cursors | --versions | --roundtrip | --replica
+            | --orchains | --writes]
 
 --roundtrip: writes -> dump -> restore into a fresh store -> reads,
   compared against the reference binary (payload byte-equality,
@@ -30,8 +31,10 @@ from tests.test_differential import (  # noqa: E402
     _gen_write,
     check_replica_seed,
     check_roundtrip_seed,
+    gen_or_script,
     gen_roundtrip,
     gen_script,
+    gen_write_script,
     gen_version_script,
     run_engine,
     run_reference,
@@ -113,6 +116,8 @@ def main() -> int:
     versions = "--versions" in sys.argv
     roundtrip = "--roundtrip" in sys.argv
     replica = "--replica" in sys.argv
+    orchains = "--orchains" in sys.argv
+    writes = "--writes" in sys.argv
     start = int(args[0]) if args else 24
     end = int(args[1]) if len(args) > 1 else start + 100
 
@@ -142,9 +147,14 @@ def main() -> int:
         if cursors:
             lines, got, want = _run_cursor_seed(spark, seed)
         else:
-            lines = (
-                gen_version_script(seed) if versions else gen_script(seed)
-            )
+            if versions:
+                lines = gen_version_script(seed)
+            elif orchains:
+                lines = gen_or_script(seed)
+            elif writes:
+                lines = gen_write_script(seed)
+            else:
+                lines = gen_script(seed)
             want = run_reference(lines)
             got = run_engine(spark, lines)
         if got != want:
