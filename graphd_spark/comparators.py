@@ -738,6 +738,32 @@ def value_eq(comparator: Optional[str], a: Optional[str],
     return fuzzy_key(a) == fuzzy_key(b)
 
 
+def write_value_match(comparator: Optional[str], a: Optional[str],
+                      b: Optional[str]) -> bool:
+    """The write annotator's value match (unique=/key=/anchor,
+    graphd-write-annotate.c): candidates come from the value hmap BIN
+    — scientific number normalization when the whole string parses as
+    a number, word normalization otherwise (pdb_hmap_value_normalize,
+    libpdb/pdb-word.c:1098) — then verify with the comparator's
+    (non-scientific) equality.  The bin gate makes number-vs-word
+    pairs unequal even when fuzzy-compare accepts them: probed
+    against the reference binary, \" 12\" does NOT match \"12\"
+    (word bin vs number bin) and \"1.2e1\" does NOT match \"12\"
+    (same bin, fuzzy verify fails), while \"+12\"/\"12.0\" match
+    \"12\" and \" x\"/\"a  b \"/\"c 007 d\" match their collapsed
+    word forms."""
+    if a is None or b is None:
+        return a is None and b is None
+    if resolve_comparator(comparator) == "default":
+        da = decode_number(a, scientific=True)
+        db = decode_number(b, scientific=True)
+        if (da is None) != (db is None):
+            return False
+        if da is not None and render_sci(da) != render_sci(db):
+            return False
+    return value_eq(comparator, a, b)
+
+
 def literal_key(lit: str, comparator: str) -> bytes:
     """Driver-side sort key of a literal, for range predicates."""
     comp = resolve_comparator(comparator)

@@ -38,7 +38,7 @@ from dataclasses import dataclass, field
 from itertools import islice
 from typing import Iterable, Iterator
 
-from graphd_spark.comparators import value_eq
+from graphd_spark.comparators import write_value_match
 from graphd_spark.gql.ir import Constraint, LINKAGES
 from graphd_spark.model import DATATYPE_NAMES, Primitive, ts_from_string
 from graphd_spark.store import PrimitiveStore
@@ -279,7 +279,7 @@ class WriteExecutor:
                 p
                 for p in self.store.iter_all()
                 if p.value is not None
-                and value_eq(con.value_comparator or con.comparator,
+                and write_value_match(con.value_comparator or con.comparator,
                              lits["value"], p.value)
             )
             cands = _dedup_by_id(
@@ -346,7 +346,7 @@ class WriteExecutor:
 
         if want("value") and "value" in lits:
             comp = con.value_comparator or con.comparator
-            if not value_eq(comp, lits["value"], p.value):
+            if not write_value_match(comp, lits["value"], p.value):
                 return False
         if want("name") and "name" in lits:
             a, b = lits["name"], p.name
@@ -376,15 +376,27 @@ class WriteExecutor:
         if parent_prim is not None and con.linkage is not None:
             kind, lk = con.linkage
             if kind == "my":
-                if getattr(p, lk) != parent_prim.guid:
+                # a keyed/unique 'my' sub matches GLOBALLY unless its
+                # linkage is part of the tag set — the link between
+                # cluster members joins the match only when covered
+                # by the key/unique fields (doc/gr-protocol.txt
+                # 6.1.9.2/6.1.10.1; probed: key=(value) reuses an
+                # existing match whose pointer aims elsewhere, and no
+                # link is written)
+                if (fields is None or lk in fields) and getattr(
+                    p, lk
+                ) != parent_prim.guid:
                     return False
             else:  # iam: parent.lk == p.guid, pre-filtered above
                 if getattr(parent_prim, lk) != p.guid:
                     return False
         elif con.linkage is not None and con.linkage[0] == "my":
             # linkage exists but the parent is not yet bound: the
-            # match must at least have the pointer
-            if getattr(p, con.linkage[1]) is None:
+            # match must at least have the pointer — only when the
+            # linkage is in the tag set (see above)
+            if (
+                fields is None or con.linkage[1] in fields
+            ) and getattr(p, con.linkage[1]) is None:
                 return False
         return True
 
@@ -442,9 +454,19 @@ class WriteExecutor:
         return None
 
     def _annotate_keys(self, con: Constraint) -> None:
-        if con.key is not None and con.key and id(con) not in self.resolved:
-            # key=() is an explicit "no key": always creates
-            # (ref test/unit/keyburn6.sh 'node key=()')
+        if (
+            con.key is not None
+            and id(con) not in self.resolved
+            and id(con) not in self.version_of
+        ):
+            # key=() binds with ZERO fields: every live newest
+            # primitive matches the key part, so the first one in id
+            # order is versioned/reused into the template (probed:
+            # 'write (value="c" key=())' versions the store's first
+            # newest primitive; chris7's '(name="new" key=())' root
+            # versions the previous root).  keyburn6's fresh create
+            # happens because its keyed LINK makes the cluster read
+            # fail, not because the empty key skips binding.
             fields = self._cluster_fields(con.key)
             # a keyed iam sub whose linkage is part of its keyed
             # parent's key binds only through the parent's old
@@ -481,6 +503,44 @@ class WriteExecutor:
                 for sub in con.subs:
                     self._annotate_keys(sub)
                 return
+            # a 'my' sub whose OWN key covers its linkage joins the
+            # parent's cluster the other way around — IF the parent is
+            # itself keyed (clusters span "primitives that each have
+            # keys", doc/gr-protocol.txt 6.1.10.1): the match must
+            # point at the parent's OLD primitive, so a failed parent
+            # key means a fresh child.  An unkeyed (or key=()) parent
+            # stays outside the cluster and the covered link matches
+            # any non-null pointer (chris7: key=(right value) under
+            # key=() versions a global match, pointing it at the new
+            # parent)
+            if (
+                parent is not None
+                and parent.key is not None  # key=() still clusters
+                and con.linkage is not None
+                and con.linkage[0] == "my"
+                and con.linkage[1] in fields
+            ):
+                old_parent = None
+                if id(parent) in self.resolved:
+                    old_parent = self.store.get(
+                        self.resolved[id(parent)]
+                    )
+                elif id(parent) in self.version_of:
+                    old_parent = self.store.get(
+                        self.version_of[id(parent)]
+                    )
+                if old_parent is not None:
+                    for m in self._match_tree(
+                        con, old_parent, fields, local_only=True
+                    ):
+                        if self._differs(con, m.prim, exclude=fields):
+                            self.version_of[id(con)] = m.prim.guid
+                        else:
+                            self.resolved[id(con)] = m.prim.guid
+                        break
+                for sub in con.subs:
+                    self._annotate_keys(sub)
+                return
             # keyed linkages written as iam subconstraints: the key
             # requires the pointer to exist, not the target to match
             # (ref graphd-write-annotate-keyed.c; keyburn2 §1.1/§1.2)
@@ -488,16 +548,52 @@ class WriteExecutor:
                 sub for sub in con.subs
                 if sub.linkage is not None and sub.linkage[0] == "iam"
             ]
-            m0 = next(self._match_tree(
+            # 'my' subs whose OWN key covers their linkage are cluster
+            # MEMBERS: the cluster matches all-or-nothing — a parent
+            # candidate with no matching keyed child is rejected
+            # entirely, even if the parent fields alone match (probed:
+            # key=(value) + (<-left value="x" key=(value left)) with no
+            # "x" child creates BOTH fresh despite a parent match)
+            cluster_subs = [
+                sub for sub in con.subs
+                if sub.key is not None
+                and sub.linkage is not None
+                and sub.linkage[0] == "my"
+                and sub.linkage[1] in self._cluster_fields(sub.key)
+            ]
+            m0 = None
+            sub_prims: dict = {}
+            for m in self._match_tree(
                 con, self._parent_prim(con), fields, local_only=True,
                 require_nonnull={
                     s.linkage[1] for s in iam_subs
                     if s.linkage[1] in fields
                     and id(s) not in self.resolved
                 },
-            ), None)
+            ):
+                sub_prims = {}
+                ok = True
+                for sub in cluster_subs:
+                    sfields = self._cluster_fields(sub.key)
+                    sm = next(self._match_tree(
+                        sub, m.prim, sfields, local_only=True
+                    ), None)
+                    if sm is None:
+                        ok = False
+                        break
+                    sub_prims[id(sub)] = sm.prim
+                if ok:
+                    m0 = m
+                    break
             if m0 is not None:
                 old = m0.prim
+                for sub in cluster_subs:
+                    sprim = sub_prims[id(sub)]
+                    sfields = self._cluster_fields(sub.key)
+                    if self._differs(sub, sprim, exclude=sfields):
+                        self.version_of[id(sub)] = sprim.guid
+                    else:
+                        self.resolved[id(sub)] = sprim.guid
                 version = self._differs(con, old, exclude=fields)
                 if not version:
                     # every iam pointer must keep its target: if the
@@ -681,7 +777,7 @@ class WriteExecutor:
             if f in exclude:
                 continue
             if f == "value":
-                if not value_eq(
+                if not write_value_match(
                     con.value_comparator or con.comparator, v, old.value
                 ):
                     return True
@@ -769,8 +865,15 @@ class WriteExecutor:
         archival = con.archival != "false"
 
         # 5. versioning: explicit guid=/guid~= (ref
-        # doc/gr-protocol.txt:531-554) or a key= match
+        # doc/gr-protocol.txt:531-554) or a key= match.  A key match
+        # versions the lineage HEAD at write time: when two keyed
+        # members of one request bound the same pre-write primitive,
+        # the second chains onto the first's fresh version (probed:
+        # key=(value) parent + key=() sub both match prim 0, the sub
+        # writes generation 2 with previous = the parent's new guid)
         prev = self.version_of.get(id(con))
+        if prev is not None:
+            prev = self.store.newest_of(prev).guid
         if con.guid:
             gc = con.guid[0]
             target = _single(gc.guids, "guid")

@@ -410,8 +410,12 @@ def _gen_adv_write(rng: random.Random) -> str:
         if rng.random() < 0.5:
             arrow = rng.choice(["<-left", "<-right"])
             sub = f"value={_q(rng.choice(_VALUES))}"
-            if rng.random() < 0.5:
-                sub += " key=(value)"
+            if rng.random() < 0.7:
+                lkw = arrow[2:]
+                skey = rng.choice(
+                    ["(value)", "(value)", f"(value {lkw})", "()"]
+                )
+                sub += f" key={skey}"
             body += f" ({arrow} {sub})"
         return f"write ({body})"
     if r < 0.85:
