@@ -409,12 +409,18 @@ class Compiler:
             ):
                 from dataclasses import replace as _dc_replace
 
+                # timestamps are check-only (no index) — they don't
+                # join the producer contest, so the 1-element name
+                # bin still short-circuits (version-fuzz seed 32:
+                # name= + timestamp<= + number sort surfaces the
+                # non-number value)
                 _probe = _dc_replace(
                     con,
                     subs=[
                         s for s in con.subs
                         if not s.is_optional and s.count_eq != 0
                     ],
+                    timestamps=[],
                 )
                 _hm = self._hmap_source(_probe)
                 if _hm is not None and _hm[0] == "name" and _hm[4] == 1:

@@ -102,6 +102,7 @@ class WriteExecutor:
         checks -> allocation."""
         self._normalize_prev_next(con)
         self._validate(con)
+        self._check_tag_fields(con)
         self._check_versioning(con)
         self._annotate_anchors(con)
         self._annotate_keys(con)
@@ -191,6 +192,72 @@ class WriteExecutor:
                     "subconstraint in a write template has no linkage",
                 )
             self._validate(sub)
+
+    def _check_tag_fields(self, con: Constraint) -> None:
+        """Every unique=/key= field must be specified in the template
+        (graphd_unique_parse_check, graphd-unique.c:122;
+        graphd_key_parse_check, graphd-key.c:617) — post-order, the
+        reference checks each constraint as its ')' completes.
+        Linkages count as specified via the my-linkage to the parent,
+        an explicit linkage GUID, or an iam subconstraint
+        (graphd_constraint_linkage_pattern, graphd-constraint.c:25);
+        typeguid is exempt when a type string is given."""
+        for sub in con.subs:
+            self._check_tag_fields(sub)
+        pat = set()
+        if con.linkage is not None and con.linkage[0] == "my":
+            pat.add(con.linkage[1])
+        for lk in LINKAGES:
+            if any(gc.op == "=" for gc in con.links.get(lk, ())):
+                pat.add(lk)
+        for sub in con.subs:
+            if sub.linkage is not None and sub.linkage[0] == "iam":
+                pat.add(sub.linkage[1])
+        for tag, is_key in ((con.unique, False), (con.key, True)):
+            if tag is None:
+                continue
+            fields = set(tag)
+            # PDB_LINKAGE enum order (pdb.h:77-105)
+            for lk in ("typeguid", "right", "left", "scope"):
+                if lk in fields and lk not in pat:
+                    if lk == "typeguid" and con.type_strcons:
+                        continue
+                    if is_key:
+                        raise WriteError(
+                            "SEMANTICS",
+                            f"{lk} is used as a key without "
+                            f"specifying a {lk} linkage for the "
+                            "constraint.",
+                        )
+                    raise WriteError(
+                        "SEMANTICS",
+                        f"request for {lk} uniqueness without "
+                        f"specifying a {lk}?",
+                    )
+            missing = []
+            if (
+                "datatype" in fields or "valuetype" in fields
+            ) and con.valuetype is None:
+                missing.append("data- or valuetype")
+            if "timestamp" in fields and not con.timestamps:
+                missing.append("timestamp")
+            if "name" in fields and not con.name_strcons:
+                missing.append("name")
+            if "value" in fields and not con.value_strcons:
+                missing.append("value")
+            if missing:
+                what = missing[0]
+                if is_key:
+                    raise WriteError(
+                        "SEMANTICS",
+                        f"{what} is used as a key without specifying "
+                        f"a {what} in the constraint",
+                    )
+                raise WriteError(
+                    "SEMANTICS",
+                    f"request for {what} uniqueness without "
+                    f"specifying a {what}?",
+                )
 
     # -- template field extraction ----------------------------------------
 
@@ -405,9 +472,41 @@ class WriteExecutor:
     def _annotate_anchors(self, con: Constraint) -> None:
         if con.anchor and id(con) not in self.resolved:
             parent_prim = self._parent_context(con)
-            matches = list(islice(self._match_tree(
+            matches = []
+            for m in self._match_tree(
                 con, parent_prim, local_only=con.anchor_local
-            ), 2))
+            ):
+                # an anchored 'my' sub under an unresolved parent
+                # matches in CONTEXT: the candidate's pointer target
+                # must satisfy the parent template (probed:
+                # '(<-right anchor value="a-b")' under value="cherry
+                # pie" misses an a-b link pointing at a null-value
+                # prim, while an empty parent template matches it)
+                if (
+                    parent_prim is None
+                    and con.parent is not None
+                    and con.linkage is not None
+                    and con.linkage[0] == "my"
+                    and id(con.parent) not in self.resolved
+                ):
+                    tg = getattr(m.prim, con.linkage[1])
+                    tp = self.store.get(tg) if tg else None
+                    if (
+                        tp is None
+                        or not tp.live
+                        or not self.store.is_newest(tp.guid)
+                    ):
+                        continue
+                    plits = self._literal_fields(con.parent)
+                    if plits.pop("__type_unresolved", False):
+                        continue
+                    if not self._prim_matches(
+                        tp, con.parent, plits, None, None
+                    ):
+                        continue
+                matches.append(m)
+                if len(matches) == 2:
+                    break
             if len(matches) != 1:
                 raise WriteError("EMPTY", "anchor constraint not found")
             self._adopt_match(con, matches[0])
@@ -561,6 +660,15 @@ class WriteExecutor:
                 and sub.linkage[0] == "my"
                 and sub.linkage[1] in self._cluster_fields(sub.key)
             ]
+            # keyed iam subs whose connection is in the PARENT's key
+            # are cluster members too (the parent holds the pointer);
+            # unkeyed ones keep keyburn2's pointer-must-exist +
+            # version-on-target-change semantics below
+            iam_cluster = [
+                sub for sub in iam_subs
+                if sub.key is not None and sub.linkage[1] in fields
+            ]
+            cluster_subs = cluster_subs + iam_cluster
             m0 = None
             sub_prims: dict = {}
             for m in self._match_tree(
@@ -595,13 +703,21 @@ class WriteExecutor:
                     else:
                         self.resolved[id(sub)] = sprim.guid
                 version = self._differs(con, old, exclude=fields)
+                # a versioned iam cluster member changes the parent's
+                # pointer, so the parent versions with it
+                version = version or any(
+                    id(s) in self.version_of for s in iam_cluster
+                )
                 if not version:
-                    # every iam pointer must keep its target: if the
-                    # old target no longer satisfies the sub template
-                    # the pointer changes to a fresh node and the
-                    # keyed match versions (keyburn2 §1.2/§2.1/§2.2:
-                    # Elke -> Anke, or null -> Anke, version Mike)
+                    # every UNKEYED iam pointer must keep its target:
+                    # if the old target no longer satisfies the sub
+                    # template the pointer changes to a fresh node and
+                    # the keyed match versions (keyburn2
+                    # §1.2/§2.1/§2.2: Elke -> Anke, or null -> Anke,
+                    # version Mike)
                     for sub in iam_subs:
+                        if sub in iam_cluster:
+                            continue
                         lk = sub.linkage[1]
                         if id(sub) in self.resolved:
                             if getattr(old, lk) != self.resolved[
@@ -630,9 +746,18 @@ class WriteExecutor:
         while changed:
             changed = False
             for node in con.walk():
-                if id(node) not in self.resolved:
+                # a VERSIONED key match participates too: the pointed
+                # check runs against the matched OLD primitive's
+                # pointers (graphd annotates the matched GUID before
+                # the version/reuse decision — CONSTRAINT_HAS_GUID;
+                # write-fuzz seed 177: a versioning key=(value right)
+                # parent still reuses its old right target)
+                g = self.resolved.get(id(node))
+                if g is None:
+                    g = self.version_of.get(id(node))
+                if g is None:
                     continue
-                prim = self.store.get(self.resolved[id(node)])
+                prim = self.store.get(g)
                 if prim is None:
                     continue
                 # upward: this match's linkage pointer names the parent

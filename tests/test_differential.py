@@ -400,11 +400,31 @@ def _gen_adv_write(rng: random.Random) -> str:
     if r < 0.35:
         fields = rng.choice(["(value)", "(name)", "(name value)"])
         body = f"value={_q(val)} name={_q(nm)} unique={fields}"
-        if rng.random() < 0.4:
+        if rng.random() < 0.5:
             arrow = rng.choice(["<-left", "<-right"])
-            body += f" ({arrow} value={_q(rng.choice(_VALUES))})"
+            sub = f"value={_q(rng.choice(_VALUES))}"
+            if rng.random() < 0.5:
+                lkw = arrow[2:]
+                sub += " unique=" + rng.choice(
+                    ["(value)", f"(value {lkw})"]
+                )
+            body += f" ({arrow} {sub})"
         return f"write ({body})"
     if r < 0.7:
+        if rng.random() < 0.3:
+            # iam direction: the parent holds the pointer, so the
+            # connection is keyed via the PARENT's key (keyburn2)
+            lkw = rng.choice(["left", "right"])
+            pfields = rng.choice(
+                [f"(name {lkw})", f"(value {lkw})", "(name)", "(value)"]
+            )
+            sub = f"value={_q(rng.choice(_VALUES))}"
+            if rng.random() < 0.5:
+                sub += " key=" + rng.choice(["(value)", "(name value)"])
+            return (
+                f"write (value={_q(val)} name={_q(nm)} key={pfields} "
+                f"{lkw}->({sub}))"
+            )
         fields = rng.choice(["(value)", "(name)", "(name value)"])
         body = f"value={_q(val)} name={_q(nm)} key={fields}"
         if rng.random() < 0.5:
@@ -419,6 +439,14 @@ def _gen_adv_write(rng: random.Random) -> str:
             body += f" ({arrow} {sub})"
         return f"write ({body})"
     if r < 0.85:
+        if rng.random() < 0.3:
+            return f"write (anchor value={_q(val)} name={_q(nm)})"
+        if rng.random() < 0.3:
+            arrow = rng.choice(["<-left", "<-right"])
+            return (
+                f"write (value={_q(val)} "
+                f"({arrow} anchor value={_q(rng.choice(_VALUES))}))"
+            )
         return f"write (anchor value={_q(val)})"
     return (
         f"write (value={_q(val)} "
