@@ -158,19 +158,6 @@ def check_supported(con: Constraint) -> None:
     for node in con.walk():
         if node.cursor is not None:
             raise Unsupported("cursor")
-        if node.sort is not None:
-            for i, sk in enumerate(node.sort):
-                comp = None
-                if node.sort_comparators and i < len(node.sort_comparators):
-                    comp = node.sort_comparators[i]
-                comp = resolve_comparator(
-                    comp or node.comparator or "default"
-                )
-                if comp == "number" and sk.pattern.kind == "value":
-                    # the NUMBERS-binset sort-root drops non-number
-                    # values under producer-dependent conditions
-                    # (compiler.py:333-410) — Spark path only
-                    raise Unsupported("number-sort")
         for chain in node.or_chains:
             for b in chain:
                 if b.or_chains:
@@ -221,6 +208,7 @@ class FastReader:
     def run(self, con: Constraint):
         check_supported(con)
         plan, matches = self._eval_set(con, exists_only=False)
+        matches = self._number_sort_drop(con, matches)
         self._apply_sort(con, plan, matches)
         # mirror of the pagination / count-check tail of Compiler.run
         # (compiler.py:486-612), with the full match count exact
@@ -280,6 +268,76 @@ class FastReader:
         if not ok:
             raise GraphdError("EMPTY", "not found")
         return plan, rows, total
+
+    def _number_sort_drop(self, con: Constraint, matches):
+        """Mirror of the NUMBERS-binset sort-root drop in Compiler.run
+        (compiler.py:349-439): a first-key number-comparator value
+        sort iterates the NUMBERS binset, so nulls and non-number
+        values never surface — unless a fixed producer (guid=), a
+        1-element name bin, a string vrange producer, or a
+        render-free result short-circuits it."""
+        if not con.sort:
+            return matches
+        first = con.sort[0]
+        comp0 = resolve_comparator(
+            con.sort_comparators[0]
+            if con.sort_comparators
+            else con.comparator or "default"
+        )
+        if first.pattern.kind != "value" or comp0 != "number":
+            return matches
+        if con.guid:
+            return matches  # fixed producer short-circuits
+        if any(
+            sc.op in _RANGE_OPS for sc in con.value_strcons
+        ) and resolve_comparator(
+            con.value_comparator or con.comparator
+        ) != "number":
+            return matches  # string vrange stays producer
+        pat = (
+            con.result if con.result is not None
+            else default_read_pattern()
+        )
+        if not any(
+            p.kind not in (
+                "count", "cursor", "estimate", "estimate-count",
+                "iterator", "timeout", "list", "none",
+            )
+            for p in pat.walk()
+        ):
+            return matches  # count-only result drops the unused sort
+        # 1-element name-hmap bin short-circuit (timestamps are
+        # check-only and don't join the producer contest)
+        if (
+            not con.value_strcons
+            and not con.type_strcons
+            and not any(con.links.values())
+            and not con.or_chains
+            and not con.next
+            and not con.prev
+            and not any(
+                not s.is_optional and s.count_eq != 0 for s in con.subs
+            )
+            and len(con.name_strcons) == 1
+        ):
+            sc = con.name_strcons[0]
+            if (
+                sc.op == "="
+                and len(sc.values) == 1
+                and sc.values[0]
+            ):
+                from itertools import islice
+                n_bin = len(list(islice(
+                    self.store.find_by_name(sc.values[0]), 2
+                )))
+                if n_bin == 1:
+                    return matches
+        from graphd_spark.comparators import number_sort_key
+        return [
+            (p, row) for p, row in matches
+            if p.value is not None
+            and number_sort_key(p.value) < b"\x02"
+        ]
 
     # -- sorting (mirror of _sort_components/_sort_exprs) -----------------
 

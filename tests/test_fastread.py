@@ -83,6 +83,20 @@ QUERIES = [
     'read (sort=(-value) pagesize=6 result=((value)))',
     'read (sort=(name -timestamp) pagesize=8 result=((name value)))',
     'read (sort=(value) sort-comparator="case" pagesize=6 result=((value)))',
+    # number-comparator value sorts: NUMBERS-binset drop + escapes
+    'read (sort=(value) sort-comparator="number" pagesize=20 '
+    "result=((value)))",
+    'read (name="song" sort=(value) sort-comparator="number" '
+    "result=((value)))",           # 1-element name bin short-circuits
+    'read (name="nation" sort=(value) sort-comparator="number" '
+    "result=((value)))",           # multi-element bin: drop applies
+    'read (sort=(value) sort-comparator="number" result=(count))',
+    'read (value>="1" comparator="number" sort=(value) '
+    'sort-comparator="number" pagesize=20 result=((value)))',
+    'read (value>"A" sort=(value) sort-comparator="number" '
+    "pagesize=20 result=((value)))",  # string vrange stays producer
+    'read (name="song" timestamp>1970-01-01T00:00:00.0000Z '
+    'sort=(value) sort-comparator="number" result=((value)))',
     'read (name="region" sort=(-value) result=((value contents)) '
     '(<-right sort=(-timestamp) pagesize=2))',
     'read (sort=(guid) start=2 pagesize=3 result=((guid)))',
