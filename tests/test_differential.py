@@ -514,6 +514,12 @@ def _gen_or_read(rng: random.Random) -> str:
                     f"name={_q(rng.choice(_NAMES))}",
                 ]
             )
+            if rng.random() < 0.2:
+                # or-chain INSIDE the subconstraint
+                sub += (
+                    f" {{value={_q(rng.choice(_VALUES))}}}"
+                    f" | {{name={_q(rng.choice(_NAMES))}}}"
+                )
             arrow = rng.choice(["<-left", "<-right", "left->", "right->"])
             svar = ""
             if bind and rng.random() < 0.5:
