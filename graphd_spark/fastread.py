@@ -13,11 +13,15 @@ expression (each mirrored site cites the compiler line it mirrors).
 
 Safety model: :class:`FastReader` first WALKS the constraint tree and
 raises :class:`Unsupported` for any feature outside its mirror
-(cursors, or-branches with subconstraints, number-comparator value
-sorts); the caller then falls back to the Spark compiler.  Sorts,
-globs, value ranges (including the reference's value-bin scan order
-for unsorted range reads), variables, pure-intrinsic or-chains,
-datelines, and asof time travel ARE mirrored.  For the supported
+(sorted/sub-level/prefix-bin cursors, and/isa/linksto cursor forms);
+the caller then falls back to the Spark compiler.  Sorts, globs,
+value ranges (including the reference's value-bin scan order for
+unsorted range reads), variables, or-chains (branch subconstraints,
+first-match bindings, contents slots), number-comparator value sorts
+(NUMBERS-binset drop), datelines, asof time travel, and unsorted
+root CURSORS (all-scan / guid-fixed / single-linkage gmap /
+single-equality hmap / eq-glob fixed materialization — frozen and
+thawed in the reference's byte format) ARE mirrored.  For the supported
 subset it produces the exact (plan, rows, total) triple
 ``Compiler.run`` would, feeding the same ``Assembler`` — so the golden
 suite and the differential fuzz campaigns (which replay through
@@ -51,6 +55,7 @@ from graphd_spark.compiler import (
     PRIM_ELEM_FIELDS,
     SetPlan,
     SubPlan,
+    _FIXED_MATERIALIZE_MAX,
     _OPS,
 )
 from graphd_spark.glob import glob_match
@@ -153,18 +158,60 @@ def _walk_patterns(con: Constraint):
             yield from pat.walk()
 
 
+def _wants_cursor(con: Constraint) -> bool:
+    pat = con.result if con.result is not None else default_read_pattern()
+    return any(p.kind == "cursor" for p in pat.walk())
+
+
+def _cursor_shape_ok(con: Constraint) -> bool:
+    """Is this a root shape whose frozen-cursor form the fast path
+    reproduces byte-for-byte?  Mirrors _iterator_cursor's branch
+    selection (compiler.py:666-820): guid= fixed sets, single-linkage
+    gmaps, single-equality hmap bins, eq/glob fixed materialization,
+    and the all-scan.  Sorted pages, subconstraints/or-chains
+    (and/isa/linksto/masquerade forms), and pure word-prefix roots
+    (prefix-bin iterators) stay on the Spark path."""
+    if con.sort is not None:
+        return False
+    if con.subs or con.or_chains or con.next or con.prev:
+        return False
+    # pure word-prefix root -> prefix-bin iterator (wordhash scan)
+    if len(con.value_strcons) == 1 and not con.name_strcons and not (
+        con.guid or con.links or con.type_strcons
+        or con.next or con.prev or con.timestamps
+    ):
+        sc = con.value_strcons[0]
+        if sc.op == "~=" and len(sc.values) == 1 and sc.values[0]:
+            body = sc.values[0]
+            body = body[1:] if body.startswith("^") else body
+            if body.endswith("*"):
+                p = body[:-1]
+                if p and p.isalnum() and p.isascii():
+                    return False
+    return True
+
+
 def check_supported(con: Constraint) -> None:
     """Raise Unsupported unless every feature of the tree is mirrored."""
     for node in con.walk():
-        if node.cursor is not None:
-            raise Unsupported("cursor")
+        if node.cursor is not None and node is not con:
+            raise Unsupported("sub-cursor")
         for chain in node.or_chains:
             for b in chain:
                 if b.or_chains:
                     raise Unsupported("nested-or-chain")
-    for pat in _walk_patterns(con):
-        if pat.kind == "cursor":
-            raise Unsupported("cursor-pattern")
+        if node is not con:
+            if node.result is not None and any(
+                p.kind == "cursor" for p in node.result.walk()
+            ):
+                raise Unsupported("sub-cursor-pattern")
+        for _var, pat in node.assignments:
+            if any(p.kind == "cursor" for p in pat.walk()):
+                raise Unsupported("cursor-assignment")
+    if (con.cursor is not None or _wants_cursor(con)) and (
+        not _cursor_shape_ok(con)
+    ):
+        raise Unsupported("cursor-shape")
 
 
 class FastReader:
@@ -207,7 +254,68 @@ class FastReader:
 
     def run(self, con: Constraint):
         check_supported(con)
+        wants_cursor = _wants_cursor(con)
+        if (con.cursor is not None or wants_cursor) and (
+            self.horizon is not None
+        ):
+            raise Unsupported("asof-cursor")  # pages omit [n:]
+        # cursor= resume (mirror of Compiler.run, compiler.py:192-345)
+        resume = 0
+        horizon = None
+        cstate = None
+        if con.cursor is not None:
+            import re as _re
+
+            cur = con.cursor
+            if cur == "null:":
+                raise GraphdError("EMPTY", "not found")
+            from graphd_spark.cursor import BadCursor, parse_cursor
+
+            try:
+                cstate = parse_cursor(cur, con, self.types.resolve)
+            except BadCursor as e:
+                raise GraphdError("BADCURSOR", e.message)
+            if cstate is not None:
+                if cstate.form not in (
+                    "all", "without", "fixed", "gmap", "hmap"
+                ):
+                    raise Unsupported("cursor-form")
+                horizon = cstate.horizon
+            elif cur.startswith("position:"):
+                try:
+                    resume = int(cur.split(":", 1)[1].split("/")[0])
+                except ValueError:
+                    resume = 0
+            elif cur.lower().startswith("sort:"):
+                raise Unsupported("sort-cursor-resume")
+            else:
+                body = cur
+                m = _re.match(r"(?i)cursor:[0-9a-f]+:", body)
+                if m:
+                    body = body[m.end():]
+                saw_offset = False
+                while body.startswith("["):
+                    close = body.find("]")
+                    if close < 0:
+                        break
+                    m = _re.match(r"\[([onON]):(\d+)\]", body[: close + 1])
+                    if m:
+                        if m.group(1).lower() == "o":
+                            resume = int(m.group(2))
+                            saw_offset = True
+                        else:
+                            horizon = int(m.group(2))
+                    body = body[close + 1:]
+                if not saw_offset and horizon is None:
+                    m = _re.search(r"/(\d+)/$", cur)
+                    if m:
+                        resume = int(m.group(1))
         plan, matches = self._eval_set(con, exists_only=False)
+        if horizon is not None:
+            matches = [(p, r) for p, r in matches if p.id < horizon]
+        # iterator-position resume (mirror compiler.py:218-282)
+        if cstate is not None:
+            matches = self._resume_filter(cstate, matches)
         matches = self._number_sort_drop(con, matches)
         self._apply_sort(con, plan, matches)
         # mirror of the pagination / count-check tail of Compiler.run
@@ -220,14 +328,15 @@ class FastReader:
             if con.resultpagesize is not None
             else pagesize
         )
-        start = con.start  # no cursor => resume == 0
+        start = con.start + resume
         limit = start + rps
         full = len(matches)
         rows = [row for _p, row in matches[start:limit]] if rps > 0 else []
         n_prefix = min(full, limit)
         pat = con.result if con.result is not None else default_read_pattern()
         need_total = (
-            any(
+            wants_cursor
+            or any(
                 p.kind in ("count", "estimate", "estimate-count")
                 for p in pat.walk()
             )
@@ -238,7 +347,13 @@ class FastReader:
         count_min_chk = (
             con.count_min if con.count_min is not None else start + 1
         )
+        # the implicit countlimit (start + pagesize) follows the
+        # cursor offset on resume (graphd-constraint-cursor.c:52-55)
         countlimit = con.countlimit
+        if countlimit is not None and getattr(
+            con, "countlimit_defaulted", False
+        ):
+            countlimit += resume
         plan.countlimit = countlimit
         wants_estimate = any(
             p.kind in ("estimate", "estimate-count") for p in pat.walk()
@@ -267,7 +382,323 @@ class FastReader:
             )
         if not ok:
             raise GraphdError("EMPTY", "not found")
+        # cursor emission (mirror of Compiler.run, compiler.py:600-663;
+        # the sorted branches are unreachable — _cursor_shape_ok
+        # rejects sorts)
+        if wants_cursor:
+            consumed = start + len(rows)
+            page_prims = [p for p, _r in matches[start:limit]]
+            if (
+                not rows
+                and con.pagesize == 0
+                and total > consumed
+                and not con.sort
+            ):
+                probe = matches[0][0] if matches else None
+                plan.cursor = (
+                    self._iterator_cursor(
+                        con, cstate, [probe], matches, resume
+                    )
+                    if probe is not None
+                    else None
+                ) or "null:"
+            elif consumed >= total or not rows:
+                if (
+                    rows
+                    and countlimit is not None
+                    and total >= countlimit
+                    and n_prefix >= limit
+                    and full > limit
+                ):
+                    plan.cursor = self._iterator_cursor(
+                        con, cstate, page_prims, matches, resume
+                    ) or f"position:{consumed}/{total}"
+                else:
+                    plan.cursor = "null:"
+            else:
+                plan.cursor = self._iterator_cursor(
+                    con, cstate, page_prims, matches, resume
+                ) or f"position:{consumed}/{total}"
         return plan, rows, total
+
+    def _resume_filter(self, cstate, matches):
+        """Reposition the candidate set at a thawed iterator state
+        (mirror of Compiler.run's cstate branches,
+        compiler.py:218-282)."""
+        form = cstate.form
+        if form in ("all", "without"):
+            lo = max(cstate.pos, cstate.low)
+            return [
+                (p, r) for p, r in matches
+                if p.id >= lo
+                and (cstate.high is None or p.id < cstate.high)
+            ]
+        if form == "fixed":
+            allowed = set(cstate.fixed_ids[cstate.pos:])
+            return [(p, r) for p, r in matches if p.id in allowed]
+        if form == "gmap":
+            out = matches
+            if cstate.high is not None:
+                out = [(p, r) for p, r in out if p.id < cstate.high]
+            if cstate.pos:
+                ids = [
+                    i for i in self._gmap_index_ids(cstate.lk, cstate.src)
+                    if i >= cstate.low
+                ]
+                if not ids:
+                    return []
+                b = ids[: cstate.pos][-1]
+                out = [(p, r) for p, r in out if p.id > b]
+            return out
+        if form == "hmap":
+            if not cstate.pos:
+                return matches
+            ids = self._hmap_resume_ids(cstate.lk, cstate.masq)
+            if not ids:
+                return []
+            b = ids[: cstate.pos][-1]
+            return [(p, r) for p, r in matches if p.id > b]
+        return matches
+
+    # -- cursor emission helpers (driver-side probes) ----------------------
+
+    _GMAP_WORDS = {"t": "typeguid", "l": "left", "r": "right",
+                   "s": "scope"}
+
+    def _gmap_index_ids(self, lk_letter: str, src: int) -> list[int]:
+        """The linkage index set's ids (index order == id order) —
+        driver mirror of _gmap_index_df."""
+        from graphd_spark.model import guid_compose
+
+        g = guid_compose(self.store.db_id, src)
+        return list(self.store._ptr_ids.get(
+            (self._GMAP_WORDS[lk_letter], g), ()
+        ))
+
+    def _gmap_stats_f(self, lk_letter: str, src: int, last_id: int):
+        """(low, high, #elements <= last_id) — mirror of _gmap_stats."""
+        import bisect
+
+        ids = self._gmap_index_ids(lk_letter, src)
+        if not ids:
+            return None, None, None
+        return ids[0], ids[-1] + 1, bisect.bisect_right(ids, last_id)
+
+    def _gmap_source_f(self, con: Constraint):
+        """Mirror of Compiler._gmap_source (single-linkage root)."""
+        from graphd_spark.model import guid_serial
+
+        if (
+            con.value_strcons or con.name_strcons or con.guid
+            or con.next or con.prev or con.timestamps
+            or con.dateline is not None
+        ):
+            return None
+        cands = []
+        for lk in ("typeguid", "right", "left", "scope"):
+            for gc in con.links.get(lk, []):
+                if (
+                    gc.op == "="
+                    and len(gc.guids) == 1
+                    and gc.guids[0] is not None
+                ):
+                    cands.append((lk, guid_serial(gc.guids[0])))
+                else:
+                    return None
+        for sc in con.type_strcons:
+            if sc.op == "=" and len(sc.values) == 1 and sc.values[0]:
+                g = self.types.resolve(sc.values[0])
+                if g is None:
+                    return None
+                cands.append(("typeguid", guid_serial(g)))
+            else:
+                return None
+        if len(cands) != 1:
+            return None
+        lk, src = cands[0]
+        return lk[0], src
+
+    def _hmap_bin_ids(self, tname: str, key: str) -> list[int]:
+        """Driver mirror of _hmap_bin_filter's membership."""
+        st = self.store
+        if tname == "name":
+            return list(st._name_ids.get(key.lower(), ()))
+        d = decode_number(key, scientific=True)
+        if d is not None:
+            from graphd_spark.comparators import render_sci
+
+            norm = render_sci(d)
+            return [
+                i for i in st._vnorm_ids.get(norm, ())
+                if st.rows[i - st._base].value_num == norm
+            ]
+        kl = key.lower()
+        return [
+            i for i in st._vnorm_ids.get(value_norm_key(key), ())
+            if (st.rows[i - st._base].value or "").lower() == kl
+        ]
+
+    def _hmap_resume_ids(self, tname: str, masq: str) -> list[int]:
+        """Bin members for a THAWED hmap key (mirror of the resume
+        filter: value_num == masq OR lower(value) == lower(masq));
+        non-value pools ('name', 'word') match on the name column
+        like the compiler's else-branch."""
+        st = self.store
+        if tname != "value":
+            return list(st._name_ids.get(masq.lower(), ()))
+        ids = {
+            i for i in st._vnorm_ids.get(masq, ())
+            if st.rows[i - st._base].value_num == masq
+        }
+        ml = masq.lower()
+        ids.update(
+            i for i in st._vnorm_ids.get(value_norm_key(masq), ())
+            if (st.rows[i - st._base].value or "").lower() == ml
+        )
+        return sorted(ids)
+
+    def _hmap_cursor_source_f(self, con: Constraint):
+        """Mirror of _hmap_cursor_source/_hmap_source: the root's own
+        hmap bin when its only indexed predicate is one name=/value=
+        equality."""
+        if (
+            con.subs or con.or_chains or con.guid or con.links
+            or con.type_strcons or con.next or con.prev
+            or con.timestamps
+        ):
+            return None
+        cands = []
+        for tname, scs in (
+            ("name", con.name_strcons), ("value", con.value_strcons)
+        ):
+            for sc in scs:
+                if sc.op != "=" or len(sc.values) != 1 or not sc.values[0]:
+                    return None
+                cands.append((tname, sc.values[0]))
+        if len(cands) != 1:
+            return None
+        tname, key = cands[0]
+        ids = self._hmap_bin_ids(tname, key)  # normalizes the RAW key
+        if tname == "value":
+            d = decode_number(key, scientific=True)
+            if d is not None:
+                from graphd_spark.comparators import render_sci
+
+                key = render_sci(d)  # set string carries the canonical
+        if not ids:
+            return None
+        return tname, key, ids[0], ids[-1] + 1, ids
+
+    def _iterator_cursor(self, con, cstate, page_prims, matches,
+                         prior=0):
+        """Reference-format frozen cursor for an unsorted root page —
+        driver mirror of Compiler._iterator_cursor for the forms
+        _cursor_shape_ok admits (continuations, guid= fixed sets,
+        single-linkage gmaps, hmap bins, eq/glob fixed
+        materialization, all-scan).  Returns None for a shape we
+        don't freeze (caller falls back to a position token)."""
+        import bisect
+
+        from graphd_spark.cursor import CursorState, freeze_cursor
+        from graphd_spark.model import guid_serial
+
+        if cstate is not None:
+            prior = cstate.offset
+        last_id = page_prims[-1].id
+        count = self.store.count()
+        if cstate is not None and cstate.form in (
+            "all", "without", "fixed", "gmap"
+        ):
+            if cstate.form == "fixed":
+                try:
+                    cstate.pos = cstate.fixed_ids.index(last_id) + 1
+                except ValueError:
+                    return None
+            elif cstate.form == "gmap":
+                _lo, _hi, pos = self._gmap_stats_f(
+                    cstate.lk, cstate.src, last_id
+                )
+                if pos is None:
+                    return None
+                cstate.pos = pos
+            else:
+                cstate.pos = last_id + 1
+            delivered = cstate.offset + len(page_prims)
+            n = cstate.horizon if cstate.horizon is not None else count
+            return freeze_cursor(
+                con, cstate, delivered, n, self.types.resolve
+            )
+        gc = con.guid[0] if len(con.guid) == 1 else None
+        if (
+            gc is not None
+            and gc.op == "="
+            and gc.guids
+            and all(g is not None for g in gc.guids)
+            and not con.subs
+            and not con.or_chains
+        ):
+            ids = [guid_serial(g) for g in gc.guids]
+            try:
+                pos = ids.index(last_id) + 1
+            except ValueError:
+                return None
+            st = CursorState(form="fixed", fixed_ids=ids, pos=pos)
+            return freeze_cursor(
+                con, st, prior + len(page_prims), count,
+                self.types.resolve,
+            )
+        gm = self._gmap_source_f(con)
+        if gm is not None:
+            lk, src = gm
+            low, high, pos = self._gmap_stats_f(lk, src, last_id)
+            if low is None:
+                return None
+            st = CursorState(
+                form="gmap", low=low, high=high, pos=pos, lk=lk, src=src
+            )
+            n = high if last_id == high - 1 else count
+            return freeze_cursor(
+                con, st, prior + len(page_prims), n, self.types.resolve
+            )
+        hm = self._hmap_cursor_source_f(con)
+        if hm is not None:
+            from graphd_spark.cursor import sign_cursor
+            from graphd_spark.freeze import hmap_set_str
+
+            tname, key, lo, hi, bin_ids = hm
+            pos = bisect.bisect_right(bin_ids, last_id)
+            body = "[o:{}][n:{}]{}/{}/".format(
+                prior + len(page_prims),
+                hi if last_id == bin_ids[-1] else count,
+                hmap_set_str(tname, key, lo, hi),
+                pos,
+            )
+            return sign_cursor(con, body, self.types.resolve)
+        if any(
+            sc.op in ("=", "~=")
+            and any(v is not None for v in sc.values)
+            for sc in (*con.value_strcons, *con.name_strcons)
+        ):
+            # pure word-prefix roots never reach the fast path
+            # (_cursor_shape_ok); small candidate sets materialize as
+            # a fixed iterator in id order
+            ids = sorted(p.id for p, _r in matches)[
+                : _FIXED_MATERIALIZE_MAX + 1
+            ]
+            if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+                return None
+            st = CursorState(
+                form="fixed", fixed_ids=ids,
+                pos=ids.index(last_id) + 1,
+            )
+            return freeze_cursor(
+                con, st, prior + len(page_prims), count,
+                self.types.resolve,
+            )
+        st = CursorState(form="all", low=0, high=count, pos=last_id + 1)
+        return freeze_cursor(
+            con, st, prior + len(page_prims), count, self.types.resolve
+        )
 
     def _number_sort_drop(self, con: Constraint, matches):
         """Mirror of the NUMBERS-binset sort-root drop in Compiler.run
