@@ -425,6 +425,12 @@ def _gen_adv_write(rng: random.Random) -> str:
                 f"write (value={_q(val)} name={_q(nm)} key={pfields} "
                 f"{lkw}->({sub}))"
             )
+        if rng.random() < 0.15:
+            # typeguid in the key, satisfied via a type= string
+            return (
+                f"write (value={_q(val)} type={_q(rng.choice(_TYPES))} "
+                "key=(value typeguid))"
+            )
         fields = rng.choice(["(value)", "(name)", "(name value)"])
         body = f"value={_q(val)} name={_q(nm)} key={fields}"
         if rng.random() < 0.5:
