@@ -1838,60 +1838,12 @@ class Compiler:
 
     def _sort_cursor(self, con, plan, rows, consumed: int,
                      horizon) -> str:
-        """Reference-format sorted cursor: "sort:[o:<next offset>]
-        [n:<id horizon>]" + the serialized sort-key values of the last
-        element shown, with a trailing guid tiebreak (ref
-        graphd-sort.c:1462-1513 graphd_sort_cursor_get,
-        graphd-read-set-cursor.c:33-61, graphd-sort-compile.c:55-140;
-        value syntax graphd-value.c:970-1040 graphd_value_serialize)."""
-        from graphd_spark.pattern import Assembler
-        from graphd_spark.values import (
-            Atom, Guid, List as VList, Null, Num, Str, Ts,
+        """Reference-format sorted cursor (see sort_cursor_string)."""
+        return sort_cursor_string(
+            self.store, self.types, self.asof, con, plan, rows,
+            consumed, horizon,
         )
-        from graphd_spark.model import ts_to_string
 
-        out = [f"sort:[o:{consumed}]"]
-        if self.asof is None:
-            n = horizon if horizon is not None else self.store.next_id
-            out.append(f"[n:{n}]")
-        last = rows[-1]
-        asm = Assembler(self.store, self.types)
-
-        def ser(v) -> str:
-            if v is Null:
-                return "n"
-            if isinstance(v, Str):
-                b = v.text.encode("utf-8")
-                return f"s{len(b)}:{v.text}"
-            if isinstance(v, Atom):
-                b = v.text.encode("utf-8")
-                return f"a{len(b)}:{v.text}"
-            if isinstance(v, Guid):
-                return f"g{v.text}"
-            if isinstance(v, Num):
-                return f"#{v.n}."
-            if isinstance(v, Ts):
-                return "t" + ts_to_string(v.ts)
-            if isinstance(v, VList):
-                return f"l{len(v.items)}:" + "".join(
-                    ser(i) for i in v.items
-                )
-            return "n"
-
-        for sk in con.sort:
-            k = sk.pattern.kind
-            if k == "datatype":
-                out.append(f"d{last['datatype']}.")
-            elif k in ("live", "archival"):
-                out.append("b1" if last[k] else "b0")
-            else:
-                out.append(ser(asm._eval_elem(sk.pattern, plan, last)))
-            if k == "guid":
-                break
-        else:
-            # all sorts end in a decisive guid comparison
-            out.append(f"g{last['guid']}")
-        return "".join(out)
 
     def compile(self, con: Constraint):
         """Public entry: compile a read constraint to its candidate
@@ -3013,3 +2965,63 @@ class Compiler:
                 pred = g if pred is None else (pred | g)
             return pred if pred is not None else F.lit(False)
         raise GraphdError("SEMANTICS", f"unsupported operator {sc.op!r}")
+
+
+def sort_cursor_string(store, types, asof, con, plan, rows,
+                       consumed: int, horizon) -> str:
+    """Reference-format sorted cursor: "sort:[o:<next offset>]
+    [n:<id horizon>]" + the serialized sort-key values of the last
+    element shown, with a trailing guid tiebreak (ref
+    graphd-sort.c:1462-1513 graphd_sort_cursor_get,
+    graphd-read-set-cursor.c:33-61, graphd-sort-compile.c:55-140;
+    value syntax graphd-value.c:970-1040 graphd_value_serialize).
+    Shared by the Spark compiler and the serving fast path —
+    ``rows`` may be Spark Rows or the fast path's dicts."""
+    from graphd_spark.pattern import Assembler
+    from graphd_spark.values import (
+        Atom, Guid, List as VList, Null, Num, Str, Ts,
+    )
+    from graphd_spark.model import ts_to_string
+
+    out = [f"sort:[o:{consumed}]"]
+    if asof is None:
+        n = horizon if horizon is not None else store.next_id
+        out.append(f"[n:{n}]")
+    last = rows[-1]
+    asm = Assembler(store, types)
+
+    def ser(v) -> str:
+        if v is Null:
+            return "n"
+        if isinstance(v, Str):
+            b = v.text.encode("utf-8")
+            return f"s{len(b)}:{v.text}"
+        if isinstance(v, Atom):
+            b = v.text.encode("utf-8")
+            return f"a{len(b)}:{v.text}"
+        if isinstance(v, Guid):
+            return f"g{v.text}"
+        if isinstance(v, Num):
+            return f"#{v.n}."
+        if isinstance(v, Ts):
+            return "t" + ts_to_string(v.ts)
+        if isinstance(v, VList):
+            return f"l{len(v.items)}:" + "".join(
+                ser(i) for i in v.items
+            )
+        return "n"
+
+    for sk in con.sort:
+        k = sk.pattern.kind
+        if k == "datatype":
+            out.append(f"d{last['datatype']}.")
+        elif k in ("live", "archival"):
+            out.append("b1" if last[k] else "b0")
+        else:
+            out.append(ser(asm._eval_elem(sk.pattern, plan, last)))
+        if k == "guid":
+            break
+    else:
+        # all sorts end in a decisive guid comparison
+        out.append(f"g{last['guid']}")
+    return "".join(out)

@@ -21,7 +21,8 @@ first-match bindings, contents slots), number-comparator value sorts
 (NUMBERS-binset drop), datelines, asof time travel, and unsorted
 root CURSORS (all-scan / guid-fixed / single-linkage gmap /
 single-equality hmap / eq-glob fixed materialization — frozen and
-thawed in the reference's byte format) ARE mirrored.  For the supported
+thawed in the reference's byte format) plus sorted-page ``sort:``
+cursors (shared serializer with the compiler) ARE mirrored.  For the supported
 subset it produces the exact (plan, rows, total) triple
 ``Compiler.run`` would, feeding the same ``Assembler`` — so the golden
 suite and the differential fuzz campaigns (which replay through
@@ -168,11 +169,10 @@ def _cursor_shape_ok(con: Constraint) -> bool:
     reproduces byte-for-byte?  Mirrors _iterator_cursor's branch
     selection (compiler.py:666-820): guid= fixed sets, single-linkage
     gmaps, single-equality hmap bins, eq/glob fixed materialization,
-    and the all-scan.  Sorted pages, subconstraints/or-chains
-    (and/isa/linksto/masquerade forms), and pure word-prefix roots
-    (prefix-bin iterators) stay on the Spark path."""
-    if con.sort is not None:
-        return False
+    and the all-scan, plus sorted ``sort:`` pages.
+    Subconstraints/or-chains (and/isa/linksto/masquerade forms) and
+    pure word-prefix roots (prefix-bin iterators) stay on the Spark
+    path."""
     if con.subs or con.or_chains or con.next or con.prev:
         return False
     # pure word-prefix root -> prefix-bin iterator (wordhash scan)
@@ -259,9 +259,20 @@ class FastReader:
             self.horizon is not None
         ):
             raise Unsupported("asof-cursor")  # pages omit [n:]
+        if (con.cursor is not None or wants_cursor) and (
+            con.sort
+            and self.store.count() >= 1000
+            and sum(len(v) for v in con.links.values())
+            + len(con.type_strcons) >= 2
+        ):
+            # large sorted multi-index scans suspend and stamp the
+            # resource cache (compiler.py:646-658) — session state
+            # the fast path must not fork
+            raise Unsupported("sort-suspend")
         # cursor= resume (mirror of Compiler.run, compiler.py:192-345)
         resume = 0
         horizon = None
+        resume_guid = None
         cstate = None
         if con.cursor is not None:
             import re as _re
@@ -286,13 +297,15 @@ class FastReader:
                     resume = int(cur.split(":", 1)[1].split("/")[0])
                 except ValueError:
                     resume = 0
-            elif cur.lower().startswith("sort:"):
-                raise Unsupported("sort-cursor-resume")
             else:
                 body = cur
-                m = _re.match(r"(?i)cursor:[0-9a-f]+:", body)
-                if m:
-                    body = body[m.end():]
+                is_sort = body.lower().startswith("sort:")
+                if is_sort:
+                    body = body[5:]
+                else:
+                    m = _re.match(r"(?i)cursor:[0-9a-f]+:", body)
+                    if m:
+                        body = body[m.end():]
                 saw_offset = False
                 while body.startswith("["):
                     close = body.find("]")
@@ -306,7 +319,13 @@ class FastReader:
                         else:
                             horizon = int(m.group(2))
                     body = body[close + 1:]
-                if not saw_offset and horizon is None:
+                if is_sort and not saw_offset:
+                    # bare sort state: resume after the serialized
+                    # last element (guid tiebreak identifies it)
+                    m = _re.search(r"g([0-9a-f]{32})$", body)
+                    if m:
+                        resume_guid = m.group(1)
+                elif not is_sort and not saw_offset and horizon is None:
                     m = _re.search(r"/(\d+)/$", cur)
                     if m:
                         resume = int(m.group(1))
@@ -318,6 +337,19 @@ class FastReader:
             matches = self._resume_filter(cstate, matches)
         matches = self._number_sort_drop(con, matches)
         self._apply_sort(con, plan, matches)
+        if resume_guid is not None:
+            # mirror of _key_resume_offset: the total order (sort
+            # keys + id tiebreak) is unique, so the offset of the
+            # element AFTER the cursor element is its index + 1;
+            # a vanished element restarts (offset 0)
+            from graphd_spark.model import guid_serial
+
+            sid = guid_serial(resume_guid)
+            resume = 0
+            for i, (p, _r) in enumerate(matches):
+                if p.id == sid:
+                    resume = i + 1
+                    break
         # mirror of the pagination / count-check tail of Compiler.run
         # (compiler.py:486-612), with the full match count exact
         pagesize = (
@@ -410,16 +442,33 @@ class FastReader:
                     and n_prefix >= limit
                     and full > limit
                 ):
-                    plan.cursor = self._iterator_cursor(
-                        con, cstate, page_prims, matches, resume
-                    ) or f"position:{consumed}/{total}"
+                    if con.sort:
+                        plan.cursor = self._sort_cursor_f(
+                            con, plan, rows, consumed, horizon
+                        )
+                    else:
+                        plan.cursor = self._iterator_cursor(
+                            con, cstate, page_prims, matches, resume
+                        ) or f"position:{consumed}/{total}"
                 else:
                     plan.cursor = "null:"
+            elif con.sort:
+                plan.cursor = self._sort_cursor_f(
+                    con, plan, rows, consumed, horizon
+                )
             else:
                 plan.cursor = self._iterator_cursor(
                     con, cstate, page_prims, matches, resume
                 ) or f"position:{consumed}/{total}"
         return plan, rows, total
+
+    def _sort_cursor_f(self, con, plan, rows, consumed, horizon):
+        from graphd_spark.compiler import sort_cursor_string
+
+        return sort_cursor_string(
+            self.store, self.types, None, con, plan, rows,
+            consumed, horizon,
+        )
 
     def _resume_filter(self, cstate, matches):
         """Reposition the candidate set at a thawed iterator state
