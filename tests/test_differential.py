@@ -297,8 +297,16 @@ def test_differential_cursors(spark, ref_bin, seed):
     for _ in range(rng.randrange(2, 5)):
         body = _gen_cursor_constraint(rng)
         ps = rng.randrange(1, 4)
+        srt = ""
+        if rng.random() < 0.3:
+            # sorted pages freeze sort: cursors (value serialization +
+            # guid tiebreak); name/value keys under the default
+            # comparator keep the candidate SET optimizer-independent
+            srt = "sort=" + rng.choice(
+                ["(value)", "(-value)", "(name value)", "(-name)"]
+            ) + " "
         reads.append(
-            f"read (pagesize={ps} result=(cursor (guid value)) {body})"
+            f"read (pagesize={ps} {srt}result=(cursor (guid value)) {body})"
         )
     all_lines = lines + reads
 
