@@ -734,6 +734,43 @@ class WriteExecutor:
                     self.version_of[id(con)] = old.guid
                 else:
                     self.resolved[id(con)] = old.guid
+            elif (
+                parent is not None
+                and parent.key is not None
+                and con.linkage is not None
+                and con.linkage[0] == "iam"
+                and con.linkage[1] not in self._cluster_fields(
+                    parent.key
+                )
+            ):
+                # a keyed iam sub with an UNCOVERED connection whose
+                # global key match failed binds through the matched
+                # parent's OLD pointer and versions that target into
+                # the desired state (probed: key=(value) parent +
+                # right->(value="a-b" key=(value)) versions the old
+                # "100" target when no global "a-b" exists; keyburn2
+                # §4.3/§4.4 pin that a GLOBAL match wins first)
+                old_parent = None
+                if id(parent) in self.resolved:
+                    old_parent = self.store.get(
+                        self.resolved[id(parent)]
+                    )
+                elif id(parent) in self.version_of:
+                    old_parent = self.store.get(
+                        self.version_of[id(parent)]
+                    )
+                if old_parent is not None:
+                    tg = getattr(old_parent, con.linkage[1])
+                    tp = self.store.get(tg) if tg else None
+                    if (
+                        tp is not None
+                        and tp.live
+                        and self.store.is_newest(tp.guid)
+                    ):
+                        if self._differs(con, tp, exclude=set()):
+                            self.version_of[id(con)] = tp.guid
+                        else:
+                            self.resolved[id(con)] = tp.guid
         for sub in con.subs:
             self._annotate_keys(sub)
 
