@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from graphd_spark.inventory import q, _t
+from graphd_spark.inventory_pipeline import _spread
 
 
 def _with_blob(docs: DataFrame) -> DataFrame:
@@ -158,7 +159,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition memory shape are the real 100 TB path.  The function
     is a closure so workers need no repo import."""
     (docs,) = _t(spark, sf_dir, "documents")
-    blobs = _with_blob(docs)
+    blobs = _with_blob(_spread(docs))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # STUB decoder: deterministic byte statistics stand in for

@@ -31,6 +31,20 @@ def _tokens(col):
     return F.split(F.trim(col), _TOKEN_RE)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to core count before an explode-heavy stage.
+
+    Toy-scale parquet (a single file below maxPartitionBytes) scans as
+    ONE partition, so all the per-token/per-shingle hashing upstream of
+    the first shuffle runs on one core.  At production scale the scan
+    already has >= defaultParallelism splits and this returns the input
+    unchanged — no shuffle is added where the data is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -261,7 +275,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving candidate pairs (the Jaccard denominator still uses the
     uncapped set sizes)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -371,7 +385,7 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     the implementation behind dedup_minhash_lsh, shared with
     dedup_components."""
     rows_per_band = _MINHASH_K // _BANDS
-    sh = docs.select(
+    sh = _spread(docs).select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
     # one md5 per shingle, then K affine transforms as an array column.
@@ -459,7 +473,7 @@ def _simhash_col(spark: SparkSession, docs: DataFrame) -> DataFrame:
     32x row multiplication."""
     # checkpoint = collapse barrier: keeps the md5 out of the 32
     # sum-aggregate expressions below (Catalyst would inline it 32x)
-    toks = docs.select(
+    toks = _spread(docs).select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     ).withColumn(
         "tok_hash",
@@ -650,6 +664,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 1e-6 before ranking so the rank order is insensitive to
     summation-order ulps; ties break on n_id."""
     (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = _spread(emb)
     qv = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
     )
@@ -746,6 +761,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n/2^bits of the corpus per query.  Recall tunes with bands of
     planes exactly like MinHash banding."""
     (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = _spread(emb)
     planes = _plane_coeffs()
     plane_arr = F.array(
         *[F.array(*[F.lit(c) for c in row]) for row in planes]
@@ -859,6 +875,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=_EMB_DUP_TAU
     )
     (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = _spread(emb)
     planes = _plane_coeffs()
     plane_arr = F.array(
         *[F.array(*[F.lit(c) for c in row]) for row in planes]
@@ -991,6 +1008,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list id — a query touches ~nprobe/nlist of the corpus instead of
     all of it, the classic IVF trade.""".format(n=_IVF_NPROBE)
     (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = _spread(emb)
     # per-dimension mean by label -> centroid arrays (tiny result)
     cent = (
         emb.select(
@@ -1063,6 +1081,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster embedding statistics (norm profile by label)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
+    emb = _spread(emb)
     return emb.groupBy("label").agg(
         F.count("*").alias("n"),
         F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
