@@ -1571,32 +1571,12 @@ class Compiler:
         return sign_cursor(con, body, self.types.resolve)
 
     def _resource_stamp(self, key: str = None, reuse: str = None) -> str:
-        """Session stamp for a cached iterator resource
-        (graphd-iterator-resource.c:198-205, PID+CLOCK+SEQ —
-        0x0123/0x456789AB in predictable mode).
+        """Session stamp for a cached iterator resource — shared with
+        the serving fast path (freeze.resource_stamp) so both paths
+        mint one stamp sequence from the store's session counters."""
+        from graphd_spark.freeze import resource_stamp
 
-        ``reuse``: a stamp thawed from an incoming cursor — if this
-        session allocated it, the underlying resource is still cached
-        and re-freezing keeps its stamp (a cache hit mutates the same
-        storable in place).  ``key``: content identity for resources
-        whose repeated freezes dedup to one stored object (the
-        suspension states).  Otherwise every freeze stores a fresh
-        object and mints the next stamp."""
-        reg = getattr(self.store, "cursor_resources", None)
-        if reg is None:
-            reg = self.store.cursor_resources = {}
-            self.store.cursor_resource_alloc = set()
-            self.store.cursor_resource_next = 1
-        if reuse is not None and reuse in self.store.cursor_resource_alloc:
-            return reuse
-        if key is not None and key in reg:
-            return reg[key]
-        stamp = "0123456789ab{}".format(self.store.cursor_resource_next)
-        self.store.cursor_resource_next += 1
-        self.store.cursor_resource_alloc.add(stamp)
-        if key is not None:
-            reg[key] = stamp
-        return stamp
+        return resource_stamp(self.store, key=key, reuse=reuse)
 
     def _isa_masquerade(self, con, ids) -> Optional[str]:
         """The fixed-isa provenance string when the root's candidates

@@ -13,21 +13,25 @@ expression (each mirrored site cites the compiler line it mirrors).
 
 Safety model: :class:`FastReader` first WALKS the constraint tree and
 raises :class:`Unsupported` for any feature outside its mirror
-(sorted/sub-level/prefix-bin cursors, and/isa/linksto cursor forms);
-the caller then falls back to the Spark compiler.  Sorts, globs,
-value ranges (including the reference's value-bin scan order for
-unsorted range reads), variables, or-chains (branch subconstraints,
-first-match bindings, contents slots), number-comparator value sorts
-(NUMBERS-binset drop), datelines, asof time travel, and unsorted
-root CURSORS (all-scan / guid-fixed / single-linkage gmap /
-single-equality hmap / eq-glob fixed materialization — frozen and
-thawed in the reference's byte format) plus sorted-page ``sort:``
-cursors (shared serializer with the compiler) ARE mirrored.  For the supported
-subset it produces the exact (plan, rows, total) triple
-``Compiler.run`` would, feeding the same ``Assembler`` — so the golden
-suite and the differential fuzz campaigns (which replay through
-``GraphSession.request`` against the reference binary) exercise BOTH
-paths and pin them to each other.
+(sub-level cursor patterns, asof+cursor combinations); the caller
+then falls back to the Spark compiler.  Sorts, globs, value ranges
+(including the reference's value-bin scan order for unsorted range
+reads), variables, or-chains (branch subconstraints, first-match
+bindings, contents slots), number-comparator value sorts
+(NUMBERS-binset drop), datelines, asof time travel, and the FULL
+root cursor family — all-scan / guid-fixed / single-linkage gmap /
+single-equality hmap / eq-glob and prefix-bin fixed materialization /
+and-iterator freezes (multi-index roots incl. propagated
+subconstraints, pre-evaluated small sets, linksto members) /
+sub-gmap collapses / isa masquerades / isa and or-linksto expansion
+freezes, frozen and thawed in the reference's byte format, plus
+sorted-page ``sort:`` cursors (shared serializer with the compiler,
+incl. the ≥1000-primitive suspension stamps) — ARE mirrored.  For
+the supported subset it produces the exact (plan, rows, total)
+triple ``Compiler.run`` would, feeding the same ``Assembler`` — so
+the golden suite and the differential fuzz campaigns (which replay
+through ``GraphSession.request`` against the reference binary)
+exercise BOTH paths and pin them to each other.
 
 Scale stance: this is the hot-working-set path (the reference's
 single-node serving analog).  Reads whose working set exceeds the
@@ -164,31 +168,24 @@ def _wants_cursor(con: Constraint) -> bool:
     return any(p.kind == "cursor" for p in pat.walk())
 
 
-def _cursor_shape_ok(con: Constraint) -> bool:
-    """Is this a root shape whose frozen-cursor form the fast path
-    reproduces byte-for-byte?  Mirrors _iterator_cursor's branch
-    selection (compiler.py:666-820): guid= fixed sets, single-linkage
-    gmaps, single-equality hmap bins, eq/glob fixed materialization,
-    and the all-scan, plus sorted ``sort:`` pages.
-    Subconstraints/or-chains (and/isa/linksto/masquerade forms) and
-    pure word-prefix roots (prefix-bin iterators) stay on the Spark
-    path."""
-    if con.subs or con.or_chains or con.next or con.prev:
-        return False
-    # pure word-prefix root -> prefix-bin iterator (wordhash scan)
-    if len(con.value_strcons) == 1 and not con.name_strcons and not (
-        con.guid or con.links or con.type_strcons
-        or con.next or con.prev or con.timestamps
-    ):
-        sc = con.value_strcons[0]
-        if sc.op == "~=" and len(sc.values) == 1 and sc.values[0]:
-            body = sc.values[0]
-            body = body[1:] if body.startswith("^") else body
-            if body.endswith("*"):
-                p = body[:-1]
-                if p and p.isalnum() and p.isascii():
-                    return False
-    return True
+def _prefix_pattern_f(con: Constraint) -> Optional[str]:
+    """The pure word-prefix P when the constraint's only value
+    predicate is ``value~="P*"`` — mirror of Compiler._prefix_pattern
+    (the shape the reference routes to the prefix iterator,
+    graphd-iterator-prefix.c)."""
+    if len(con.value_strcons) != 1 or con.name_strcons:
+        return None
+    sc = con.value_strcons[0]
+    if sc.op != "~=" or len(sc.values) != 1 or not sc.values[0]:
+        return None
+    pat = sc.values[0]
+    body = pat[1:] if pat.startswith("^") else pat
+    if not body.endswith("*"):
+        return None
+    p = body[:-1]
+    if not p or not p.isalnum() or not p.isascii():
+        return None
+    return p.lower()
 
 
 def check_supported(con: Constraint) -> None:
@@ -208,10 +205,6 @@ def check_supported(con: Constraint) -> None:
         for _var, pat in node.assignments:
             if any(p.kind == "cursor" for p in pat.walk()):
                 raise Unsupported("cursor-assignment")
-    if (con.cursor is not None or _wants_cursor(con)) and (
-        not _cursor_shape_ok(con)
-    ):
-        raise Unsupported("cursor-shape")
 
 
 class FastReader:
@@ -259,16 +252,6 @@ class FastReader:
             self.horizon is not None
         ):
             raise Unsupported("asof-cursor")  # pages omit [n:]
-        if (con.cursor is not None or wants_cursor) and (
-            con.sort
-            and self.store.count() >= 1000
-            and sum(len(v) for v in con.links.values())
-            + len(con.type_strcons) >= 2
-        ):
-            # large sorted multi-index scans suspend and stamp the
-            # resource cache (compiler.py:646-658) — session state
-            # the fast path must not fork
-            raise Unsupported("sort-suspend")
         # cursor= resume (mirror of Compiler.run, compiler.py:192-345)
         resume = 0
         horizon = None
@@ -288,10 +271,16 @@ class FastReader:
                 raise GraphdError("BADCURSOR", e.message)
             if cstate is not None:
                 if cstate.form not in (
-                    "all", "without", "fixed", "gmap", "hmap"
+                    "all", "without", "fixed", "gmap", "hmap",
+                    "and_it", "or_it", "isa_it", "fixed_masq",
                 ):
                     raise Unsupported("cursor-form")
                 horizon = cstate.horizon
+                # offset-positioned forms (mirror compiler.py:274-294)
+                if cstate.form == "fixed_masq":
+                    resume = cstate.pos
+                elif cstate.form == "isa_it":
+                    resume = cstate.offset
             elif cur.startswith("position:"):
                 try:
                     resume = int(cur.split(":", 1)[1].split("/")[0])
@@ -414,9 +403,7 @@ class FastReader:
             )
         if not ok:
             raise GraphdError("EMPTY", "not found")
-        # cursor emission (mirror of Compiler.run, compiler.py:600-663;
-        # the sorted branches are unreachable — _cursor_shape_ok
-        # rejects sorts)
+        # cursor emission (mirror of Compiler.run, compiler.py:600-686)
         if wants_cursor:
             consumed = start + len(rows)
             page_prims = [p for p, _r in matches[start:limit]]
@@ -453,6 +440,21 @@ class FastReader:
                 else:
                     plan.cursor = "null:"
             elif con.sort:
+                if self.store.count() >= 1000:
+                    # a sorted scan this large suspends, freezing the
+                    # iterator's state into the resource cache once
+                    # per query shape (mirror compiler.py:665-678;
+                    # graphd-stack.c:139, graphd-iterator-state.c)
+                    from graphd_spark.freeze import resource_stamp
+
+                    members = self._and_members_f(con)
+                    if members is not None and len(members) >= 2:
+                        resource_stamp(
+                            self.store,
+                            key="suspend:" + ";".join(
+                                f"{lk}->{src}" for lk, src in members
+                            ),
+                        )
                 plan.cursor = self._sort_cursor_f(
                     con, plan, rows, consumed, horizon
                 )
@@ -507,6 +509,14 @@ class FastReader:
                 return []
             b = ids[: cstate.pos][-1]
             return [(p, r) for p, r in matches if p.id > b]
+        if form in ("and_it", "or_it"):
+            # and/or iterators resume after their last delivered
+            # candidate id (mirror compiler.py:280-289;
+            # graphd-iterator-and-freeze.c thaw)
+            if cstate.tail == "$":
+                return []
+            return [(p, r) for p, r in matches if p.id > cstate.pos]
+        # fixed_masq / isa_it: resume by offset (run() sets it)
         return matches
 
     # -- cursor emission helpers (driver-side probes) ----------------------
@@ -638,14 +648,680 @@ class FastReader:
             return None
         return tname, key, ids[0], ids[-1] + 1, ids
 
+    # -- word-index mirror (prefix-bin iterators) --------------------------
+
+    def _prefix_bin_ids_f(self, prefix: str) -> list[int]:
+        """Ascending ids in the word-index bins a prefix scan for
+        ``prefix`` enumerates — driver mirror of _prefix_bin_ids
+        (libpdb/pdb-prefix.c candidate arrays, hash-bucket membership
+        rather than true matches)."""
+        from graphd_spark.wordhash import prefix_mask, word_hash
+
+        mask = prefix_mask(prefix)
+        want = word_hash(prefix) & mask
+        ids: set[int] = set()
+        for code, lst in self.store._word_ids.items():
+            if (code & mask) == want:
+                ids.update(lst)
+        return sorted(ids)[: _FIXED_MATERIALIZE_MAX + 1]
+
+    def _prefix_stats_f(self, prefix: str):
+        """Prefix-iterator statistics from the driver word index —
+        mirror of freeze.prefix_stats (one or-member per existing
+        hash bin; hmap cost rollup)."""
+        from graphd_spark.freeze import PrefixStats, hmap_costs
+        from graphd_spark.wordhash import prefix_mask, word_hash
+
+        mask = prefix_mask(prefix)
+        want = word_hash(prefix) & mask
+        total_n = total_nc = total_fc = 0
+        low = None
+        bins = 0
+        for code, lst in self.store._word_ids.items():
+            if (code & mask) != want or not lst:
+                continue
+            bins += 1
+            if bins > 10000:
+                return None
+            n_i = len(lst)
+            cc, nc, fc = hmap_costs(n_i)
+            total_n += n_i
+            total_nc += n_i * nc
+            total_fc += fc
+            lo_i = min(lst)
+            low = lo_i if low is None else min(low, lo_i)
+        if total_n == 0:
+            return None
+        return PrefixStats(
+            prefix=prefix.lower(),
+            low=int(low),
+            high=self.store.count(),
+            n=total_n,
+            next_cost=total_nc // total_n,
+            find_cost=total_fc,
+        )
+
+    # -- and / sub-level cursor mirrors ------------------------------------
+
+    def _sub_single_id(self, sub: Constraint) -> Optional[int]:
+        """The sub's single matching id, or None (mirror of the
+        compiler's GUID-consequence propagation probe: compile the sub
+        standalone and require exactly one match)."""
+        try:
+            _plan, sm = self._eval_set(sub, exists_only=True)
+        except GraphdError:
+            return None
+        if len(sm) != 1:
+            return None
+        return sm[0][0].id
+
+    def _and_members_f(self, con) -> Optional[list]:
+        """The root's AND-iterator members as (linkage letter, source
+        id) gmaps — driver mirror of Compiler._and_members
+        (compiler.py:888-939)."""
+        from graphd_spark.model import guid_serial
+
+        if con.or_chains or con.guid or con.next or con.prev:
+            return None
+        if any(
+            sc.op in ("=", "~=") and any(v is not None for v in sc.values)
+            for sc in (*con.value_strcons, *con.name_strcons)
+        ):
+            return None  # would add an hmap/prefix member
+        members = []
+        for sc in con.type_strcons:
+            if sc.op != "=" or len(sc.values) != 1 or not sc.values[0]:
+                return None
+            g = self.types.resolve(sc.values[0])
+            if g is None:
+                return None
+            members.append(("t", guid_serial(g)))
+        for lk in ("typeguid", "right", "left", "scope"):
+            for gc in con.links.get(lk, []):
+                if (
+                    gc.op != "=" or len(gc.guids) != 1
+                    or gc.guids[0] is None
+                ):
+                    return None
+                members.append((lk[0], guid_serial(gc.guids[0])))
+            for sub in con.subs:
+                if sub.linkage != ("iam", lk):
+                    continue
+                sid = self._sub_single_id(sub)
+                if sid is None:
+                    return None
+                members.append((lk[0], sid))
+        for sub in con.subs:
+            kind, lk = sub.linkage or (None, None)
+            if kind == "iam" and lk in (
+                "typeguid", "right", "left", "scope"
+            ):
+                continue
+            return None  # 'my'-side subs make isa/linksto members
+        return members
+
+    def _linksto_member_f(self, sub, lk) -> Optional[dict]:
+        """An or-of-gmaps linksto member — driver mirror of
+        Compiler._linksto_member (compiler.py:1117-1154)."""
+        from graphd_spark.freeze import hmap_set_str
+
+        hm = self._hmap_cursor_source_f(sub)
+        if hm is None:
+            return None
+        tname, key, hlo, hhi, src_ids = hm
+        n_src = len(src_ids)
+        if n_src < 2:
+            return None
+        st = self.store
+        tgt: set[int] = set()
+        for i in src_ids:
+            g = st.rows[i - st._base].guid
+            tgt.update(st._ptr_ids.get((lk, g), ()))
+        if not tgt:
+            return None
+        hset = hmap_set_str(tname, key, hlo, hhi)
+        letter = lk[0]
+        return {
+            "kind": "linksto",
+            "lk": lk,
+            "hmap_n": n_src,
+            "tgt_ids": tgt,
+            "lo": min(tgt),
+            "hi": max(tgt) + 1,
+            "set_str": lambda lo, hi: (
+                f"(or:(or-linksto:+{lo}-{hi}:{letter}->({hset})))"
+            ),
+            "standalone": lambda lo, hi: (
+                f"or:(or-linksto:+{lo}-{hi}:{letter}->({hset}))"
+            ),
+        }
+
+    def _and_members_ext_f(self, con) -> Optional[list]:
+        """AND members in the constraint-iterator's build order —
+        driver mirror of Compiler._and_members_ext
+        (compiler.py:1156-1251)."""
+        from graphd_spark.model import guid_serial
+
+        if con.or_chains or con.guid or con.next or con.prev:
+            return None
+        prefix = _prefix_pattern_f(con)
+        if prefix is None and any(
+            sc.op in ("=", "~=") and any(v is not None for v in sc.values)
+            for sc in (*con.value_strcons, *con.name_strcons)
+        ):
+            return None  # an hmap member form we don't freeze
+        members = []
+        handled = set()
+
+        def _gmap_member(letter, src):
+            return {
+                "kind": "gmap",
+                "src": src,
+                "letter": letter,
+                "set_str": lambda lo, hi: (
+                    f"(gmap:{lo}-{hi}:{letter}->{src})"
+                ),
+            }
+
+        for sc in con.type_strcons:
+            if sc.op != "=" or len(sc.values) != 1 or not sc.values[0]:
+                return None
+            g = self.types.resolve(sc.values[0])
+            if g is None:
+                return None
+            members.append(_gmap_member("t", guid_serial(g)))
+        linksto = []
+        for lk in ("typeguid", "right", "left", "scope"):
+            for gc in con.links.get(lk, []):
+                if (
+                    gc.op != "=" or len(gc.guids) != 1
+                    or gc.guids[0] is None
+                ):
+                    return None
+                members.append(
+                    _gmap_member(lk[0], guid_serial(gc.guids[0]))
+                )
+            for i, sub in enumerate(con.subs):
+                if sub.linkage != ("iam", lk):
+                    continue
+                handled.add(i)
+                hm = self._hmap_cursor_source_f(sub)
+                if hm is not None and len(hm[4]) >= 2:
+                    m = self._linksto_member_f(sub, lk)
+                    if m is None:
+                        return None
+                    linksto.append(m)
+                    continue
+                sid = self._sub_single_id(sub)
+                if sid is None:
+                    return None
+                members.append(_gmap_member(lk[0], sid))
+        if any(i not in handled for i in range(len(con.subs))):
+            return None  # 'my'-side subs make isa members
+        for m in members:
+            lo, hi, _ = self._gmap_stats_f(m["letter"], m["src"], 0)
+            if lo is None:
+                return None
+            m["lo"], m["hi"] = lo, hi
+        if prefix is not None:
+            ps = self._prefix_stats_f(prefix)
+            if ps is None:
+                return None
+            members.append(
+                {
+                    "kind": "prefix",
+                    "lo": ps.low,
+                    "hi": ps.high,
+                    "stats": ps,
+                    "prefix": prefix,
+                    "set_str": (
+                        lambda lo, hi, p=prefix: f"(prefix:{lo}-{hi}:{p})"
+                    ),
+                }
+            )
+        members.extend(linksto)
+        return members
+
+    def _member_id_sets_f(self, members) -> Optional[list]:
+        """Candidate id set of each and-member — driver mirror of
+        Compiler._member_id_sets (prefix bins keep their hash false
+        positives)."""
+        out = []
+        for m in members:
+            if m["kind"] == "gmap":
+                out.append(
+                    set(self._gmap_index_ids(m["letter"], m["src"]))
+                )
+            elif m["kind"] == "prefix":
+                out.append(set(self._prefix_bin_ids_f(m["prefix"])))
+            elif m["kind"] == "linksto":
+                out.append(set(m["tgt_ids"]))
+            else:
+                return None
+        return out
+
+    def _preevaluate_small_set_f(
+        self, con, members, page_prims, prior, count
+    ) -> Optional[str]:
+        """Mirror of Compiler._preevaluate_small_set
+        (and_become_small_set, graphd-iterator-and-optimize.c:747-1030):
+        a cheap-enough and pre-evaluates into a FIXED iterator over the
+        intersection of the member candidate sets."""
+        from graphd_spark.cursor import CursorState, freeze_cursor
+        from graphd_spark.freeze import (
+            COST_FUNCTION_CALL,
+            COST_GMAP_ARRAY,
+            COST_GMAP_ELEMENT,
+            COST_PRIMITIVE,
+            bsearch_cost,
+            hmap_costs,
+        )
+
+        COST_MAX = 1024 * 10  # GRAPHD_AND_PREEVALUATE_COST_MAX
+        stats = []  # (n | None, next_cost | None, check_cost)
+        for m in members:
+            if m["kind"] == "gmap":
+                n = self._gmap_stats_f(m["letter"], m["src"], 1 << 62)[2]
+                if n is None:
+                    return None
+                nc = COST_FUNCTION_CALL + COST_GMAP_ELEMENT
+                bs = COST_FUNCTION_CALL + bsearch_cost(
+                    n, 32 * 1024 // 5, COST_GMAP_ARRAY, COST_GMAP_ELEMENT
+                )
+                cc = min(bs, COST_PRIMITIVE + COST_FUNCTION_CALL)
+                stats.append((n, nc, cc))
+            elif m["kind"] == "prefix":
+                ps = m.get("stats")
+                if ps is None:
+                    return None
+                stats.append((ps.n, ps.next_cost, ps.check_cost))
+            elif m["kind"] == "linksto":
+                hn = m.get("hmap_n")
+                if hn is None:
+                    return None
+                hc, _n, _f = hmap_costs(hn)
+                stats.append((None, None, COST_PRIMITIVE + hc))
+            else:
+                return None
+        best = None
+        for i, (n, nc, _cc) in enumerate(stats):
+            if n is None or nc is None:
+                continue
+            total = (1 + n) * nc
+            if best is None or total < best[0]:
+                best = (total, n, i)
+        if best is None:
+            return None
+        best_total, best_n, bi = best
+        if best_total > COST_MAX // 2:
+            return None
+        for i, (_n, _nc, cc) in enumerate(stats):
+            if i == bi:
+                continue
+            if cc is None:
+                return None
+            best_total += best_n * cc
+        if best_total >= COST_MAX:
+            return None
+        id_sets = self._member_id_sets_f(members)
+        if id_sets is None:
+            return None
+        ids = sorted(set.intersection(*id_sets))
+        last_id = page_prims[-1].id
+        if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+            return None
+        st = CursorState(
+            form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
+        )
+        return freeze_cursor(
+            con, st, prior + len(page_prims), count, self.types.resolve
+        )
+
+    def _and_cursor_f(
+        self, con, cstate, page_prims, prior, count
+    ) -> Optional[str]:
+        """Frozen and-iterator cursor for multi-index roots — driver
+        mirror of Compiler._and_cursor (compiler.py:1253-1307;
+        graphd-iterator-and-freeze.c:619-805)."""
+        from graphd_spark.cursor import sign_cursor
+        from graphd_spark.freeze import resource_stamp
+
+        members = self._and_members_ext_f(con)
+        if members is None or len(members) < 2:
+            return None
+        pre = self._preevaluate_small_set_f(
+            con, members, page_prims, prior, count
+        )
+        if pre is not None:
+            return pre
+        low = max(m["lo"] for m in members)
+        high = min(m["hi"] for m in members)
+        last_id = page_prims[-1].id
+        rps = con.resultpagesize
+        if rps is None:
+            rps = (
+                con.pagesize
+                if con.pagesize is not None
+                else DEFAULT_PAGESIZE
+            )
+        subs = "".join(m["set_str"](low, high) for m in members)
+        psz = (
+            ""
+            if cstate is not None and cstate.form == "and_it"
+            else f"[psz:{rps}]"
+        )
+        set_part = (
+            f"and:#{low}-{high}:{len(members)}:{psz}[ov:0]"
+            f"{subs}[pro:0]"
+        )
+        if members[0]["kind"] == "gmap":
+            _lo, _hi, ppos = self._gmap_stats_f(
+                members[0]["letter"], members[0]["src"], last_id
+            )
+            pos_part = f"/{last_id}[pp:{ppos}]/"
+        else:
+            pos_part = f"/{last_id}/"
+        stamp = resource_stamp(
+            self.store, reuse=cstate.cache_stamp if cstate else None
+        )
+        body = "[o:{}][n:{}]{}{}@{}".format(
+            prior + len(page_prims), count, set_part, pos_part, stamp
+        )
+        return sign_cursor(con, body, self.types.resolve)
+
+    def _sub_gmap_cursor_f(
+        self, con, page_prims, prior, count, last_id
+    ) -> Optional[str]:
+        """A root whose only predicate is one ``L->(sub)`` resolving
+        to a SINGLE pointed-at source collapses to that linkage's gmap
+        iterator — driver mirror of Compiler._sub_gmap_cursor
+        (compiler.py:959-1022; graphd-iterator-linksto.c)."""
+        from graphd_spark.cursor import CursorState, freeze_cursor
+
+        if (
+            con.value_strcons or con.name_strcons or con.guid
+            or con.next or con.prev or con.timestamps
+            or con.dateline is not None or con.type_strcons
+            or any(con.links.values()) or con.or_chains
+            or len(con.subs) != 1
+        ):
+            return None
+        sub = con.subs[0]
+        if sub.linkage is None or sub.linkage[0] != "iam":
+            return None
+        lk = sub.linkage[1]
+        if lk not in ("typeguid", "left", "right", "scope"):
+            return None
+        if (
+            sub.subs or sub.or_chains or sub.count_eq is not None
+            or sub.count_min not in (None, 1) or sub.count_max is not None
+        ):
+            return None
+        hm = self._hmap_cursor_source_f(sub)
+        if hm is None:
+            return None
+        src_ids = hm[4]
+        if len(src_ids) > 50:
+            return None
+        # the linksto's or drops sources with EMPTY gmap bins; only a
+        # single surviving gmap collapses
+        live = [
+            i for i in src_ids if self._gmap_index_ids(lk[0], i)
+        ]
+        if len(live) != 1:
+            return None
+        src = live[0]
+        low, high, pos = self._gmap_stats_f(lk[0], src, last_id)
+        if low is None:
+            return None
+        st = CursorState(
+            form="gmap", low=low, high=high, pos=pos, lk=lk[0], src=src
+        )
+        n_echo = high if last_id == high - 1 else count
+        return freeze_cursor(
+            con, st, prior + len(page_prims), n_echo, self.types.resolve
+        )
+
+    def _isa_masquerade_f(self, con, ids) -> Optional[str]:
+        """The fixed-isa provenance string — driver mirror of
+        Compiler._isa_masquerade (compiler.py:1601-1723;
+        graphd-iterator-isa.c:656-769)."""
+        from graphd_spark.model import guid_compose, guid_serial
+
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        if sub.linkage is None:
+            return None
+        kind, lk = sub.linkage
+        if kind != "my" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        if sub.or_chains or sub.value_strcons or sub.name_strcons or (
+            sub.guid or sub.next or sub.prev or sub.timestamps
+        ):
+            return None
+        typeguid = None
+        for sc in sub.type_strcons:
+            if sc.op != "=" or len(sc.values) != 1 or not sc.values[0]:
+                return None
+            g = self.types.resolve(sc.values[0])
+            if g is None or typeguid is not None:
+                return None
+            typeguid = g
+        endpoint = None  # (linkage name, source id)
+        for elk in ("left", "right", "scope"):
+            for gc in sub.links.get(elk, []):
+                if (
+                    gc.op != "="
+                    or len(gc.guids) != 1
+                    or gc.guids[0] is None
+                    or endpoint is not None
+                ):
+                    return None
+                endpoint = (elk, guid_serial(gc.guids[0]))
+        for gc in sub.links.get("typeguid", []):
+            if (
+                gc.op != "=" or len(gc.guids) != 1
+                or gc.guids[0] is None or typeguid is not None
+            ):
+                return None
+            typeguid = gc.guids[0]
+        for gsub in sub.subs:
+            if gsub.linkage is None:
+                return None
+            gkind, glk = gsub.linkage
+            if gkind != "iam" or endpoint is not None or glk not in (
+                "left", "right", "scope"
+            ):
+                return None
+            gid = self._sub_single_id(gsub)
+            if gid is None:
+                return None
+            endpoint = (glk, gid)
+        ptr = self.store._ptr_ids
+        if typeguid is not None and endpoint is not None:
+            elk, src = endpoint
+            span = set(ptr.get(("typeguid", typeguid), ())) & set(
+                ptr.get((elk, guid_compose(self.store.db_id, src)), ())
+            )
+            if not span:
+                return None
+            sub_freeze = "vip:{}-{}:{}+{}->{}".format(
+                min(span), max(span) + 1, elk[0], typeguid, src
+            )
+        elif typeguid is not None or endpoint is not None:
+            elk, src = (
+                ("typeguid", guid_serial(typeguid))
+                if typeguid is not None
+                else endpoint
+            )
+            span = ptr.get(
+                (elk, guid_compose(self.store.db_id, src)), ()
+            )
+            if not span:
+                return None
+            sub_freeze = "gmap:{}-{}:{}->{}".format(
+                min(span), max(span) + 1, elk[0], src
+            )
+        else:
+            return None
+        return "fixed-isa:{}-{}:{}<-({})[hint:0]".format(
+            ids[0], ids[-1] + 1, lk[0], sub_freeze
+        )
+
+    def _isa_prefix_cursor_f(
+        self, con, cstate, page_prims, prior, count
+    ) -> Optional[str]:
+        """Frozen isa-iterator cursor for a word-prefix expansion too
+        large to materialize — driver mirror of
+        Compiler._isa_prefix_cursor (compiler.py:1425-1532;
+        graphd-iterator-isa.c isa_freeze)."""
+        from graphd_spark.cursor import sign_cursor
+        from graphd_spark.freeze import isa_stats, resource_stamp
+        from graphd_spark.model import guid_serial
+
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        kind, lk = sub.linkage or (None, None)
+        if kind != "my" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        if (
+            sub.subs or sub.or_chains or sub.guid or sub.links
+            or sub.type_strcons or sub.next or sub.prev or sub.timestamps
+        ):
+            return None
+        prefix = _prefix_pattern_f(sub)
+        if prefix is None:
+            return None
+        ps = self._prefix_stats_f(prefix)
+        if ps is None:
+            return None
+        try:
+            _plan, sm = self._eval_set(sub, exists_only=True)
+        except GraphdError:
+            return None
+        seen: list[int] = []
+        trial_n = 0
+        for p, _r in sm[:64]:
+            if len(seen) >= 5:
+                break
+            trial_n += 1
+            tg = getattr(p, lk)
+            if tg is None:
+                continue
+            t = guid_serial(tg)
+            if t not in seen:
+                seen.append(t)
+        if len(seen) < 5:
+            return None  # would have become a fixed set
+        ist = isa_stats(
+            store_n=count,
+            sub_n=ps.n,
+            sub_next_cost=ps.next_cost,
+            sub_check_cost=ps.check_cost,
+            sub_low=ps.low,
+            sub_high=ps.high,
+            trial_n=trial_n,
+            sample_n=len(seen),
+        )
+        stats = (
+            cstate.echo
+            if cstate is not None and cstate.echo
+            else ist.stats_str()
+        )
+        o = prior + len(page_prims)
+        last_id = page_prims[-1].id
+        sd_pos = 4 * max(5, o)
+        stamp = resource_stamp(
+            self.store, reuse=cstate.cache_stamp if cstate else None
+        )
+        pset = ps.set_str()
+        pst = ps.st_str()
+        body = (
+            "[o:{o}][n:{n}]isa:{ilo}-{ihi}:{L}<-({pset})"
+            "/{last}:~-[sp:{o}]/0:(-/{pst})-:{stats}:-:"
+            "[sd:({pset}/{sd}/{pst})@{stamp}]"
+        ).format(
+            o=o,
+            n=cstate.horizon if cstate and cstate.horizon else count,
+            ilo=ist.low,
+            ihi=ist.high,
+            L=lk[0],
+            pset=pset,
+            last=last_id,
+            pst=pst,
+            stats=stats,
+            sd=sd_pos,
+            stamp=stamp,
+        )
+        return sign_cursor(con, body, self.types.resolve)
+
+    def _or_linksto_cursor_f(
+        self, con, cstate, page_prims, prior, count
+    ) -> Optional[str]:
+        """Frozen or-of-gmaps cursor for a plural links-to expansion —
+        driver mirror of Compiler._or_linksto_cursor
+        (compiler.py:1534-1571; graphd-iterator-linksto.c:3610-3655)."""
+        from graphd_spark.cursor import sign_cursor
+        from graphd_spark.freeze import resource_stamp
+
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        kind, lk = sub.linkage or (None, None)
+        if kind != "iam" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        m = self._linksto_member_f(sub, lk)
+        if m is None:
+            return None
+        last_id = page_prims[-1].id
+        stamp = resource_stamp(
+            self.store, reuse=cstate.cache_stamp if cstate else None
+        )
+        body = "[o:{}][n:{}]{}/{}/@{}".format(
+            prior + len(page_prims),
+            cstate.horizon if cstate and cstate.horizon else count,
+            m["standalone"](m["lo"], m["hi"]),
+            last_id,
+            stamp,
+        )
+        return sign_cursor(con, body, self.types.resolve)
+
     def _iterator_cursor(self, con, cstate, page_prims, matches,
                          prior=0):
         """Reference-format frozen cursor for an unsorted root page —
-        driver mirror of Compiler._iterator_cursor for the forms
-        _cursor_shape_ok admits (continuations, guid= fixed sets,
-        single-linkage gmaps, hmap bins, eq/glob fixed
-        materialization, all-scan).  Returns None for a shape we
-        don't freeze (caller falls back to a position token)."""
+        full driver mirror of Compiler._iterator_cursor
+        (compiler.py:688-886): continuations, guid= fixed sets,
+        single-linkage gmaps, hmap bins, eq/glob/prefix-bin fixed
+        materialization, all-scan, and-iterator freezes, sub-gmap
+        collapses, isa masquerades, and isa/or-linksto expansion
+        freezes.  Returns None for a shape neither path freezes
+        (caller falls back to a position token)."""
         import bisect
 
         from graphd_spark.cursor import CursorState, freeze_cursor
@@ -696,55 +1372,119 @@ class FastReader:
                 con, st, prior + len(page_prims), count,
                 self.types.resolve,
             )
-        gm = self._gmap_source_f(con)
-        if gm is not None:
-            lk, src = gm
-            low, high, pos = self._gmap_stats_f(lk, src, last_id)
-            if low is None:
-                return None
-            st = CursorState(
-                form="gmap", low=low, high=high, pos=pos, lk=lk, src=src
-            )
-            n = high if last_id == high - 1 else count
-            return freeze_cursor(
-                con, st, prior + len(page_prims), n, self.types.resolve
-            )
-        hm = self._hmap_cursor_source_f(con)
-        if hm is not None:
-            from graphd_spark.cursor import sign_cursor
-            from graphd_spark.freeze import hmap_set_str
+        if not con.subs and not con.or_chains:
+            gm = self._gmap_source_f(con)
+            if gm is not None:
+                lk, src = gm
+                low, high, pos = self._gmap_stats_f(lk, src, last_id)
+                if low is None:
+                    return None
+                st = CursorState(
+                    form="gmap", low=low, high=high, pos=pos, lk=lk,
+                    src=src,
+                )
+                n = high if last_id == high - 1 else count
+                return freeze_cursor(
+                    con, st, prior + len(page_prims), n,
+                    self.types.resolve,
+                )
+            hm = self._hmap_cursor_source_f(con)
+            if hm is not None:
+                from graphd_spark.cursor import sign_cursor
+                from graphd_spark.freeze import hmap_set_str
 
-            tname, key, lo, hi, bin_ids = hm
-            pos = bisect.bisect_right(bin_ids, last_id)
-            body = "[o:{}][n:{}]{}/{}/".format(
-                prior + len(page_prims),
-                hi if last_id == bin_ids[-1] else count,
-                hmap_set_str(tname, key, lo, hi),
-                pos,
-            )
-            return sign_cursor(con, body, self.types.resolve)
-        if any(
-            sc.op in ("=", "~=")
-            and any(v is not None for v in sc.values)
-            for sc in (*con.value_strcons, *con.name_strcons)
-        ):
-            # pure word-prefix roots never reach the fast path
-            # (_cursor_shape_ok); small candidate sets materialize as
-            # a fixed iterator in id order
-            ids = sorted(p.id for p, _r in matches)[
-                : _FIXED_MATERIALIZE_MAX + 1
-            ]
-            if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
-                return None
+                tname, key, lo, hi, bin_ids = hm
+                pos = bisect.bisect_right(bin_ids, last_id)
+                body = "[o:{}][n:{}]{}/{}/".format(
+                    prior + len(page_prims),
+                    hi if last_id == bin_ids[-1] else count,
+                    hmap_set_str(tname, key, lo, hi),
+                    pos,
+                )
+                return sign_cursor(con, body, self.types.resolve)
+            if any(
+                sc.op in ("=", "~=")
+                and any(v is not None for v in sc.values)
+                for sc in (*con.value_strcons, *con.name_strcons)
+            ):
+                # positive value/name matches drive an hmap/prefix
+                # iterator; small candidate sets materialize as a
+                # fixed iterator (mirror compiler.py:795-831) — a
+                # bare word-prefix root materializes its PREFIX BIN
+                # contents, hash false positives included
+                prefix = _prefix_pattern_f(con)
+                if prefix is not None and not (
+                    con.guid or con.links or con.type_strcons
+                    or con.next or con.prev or con.timestamps
+                ):
+                    ids = self._prefix_bin_ids_f(prefix)
+                else:
+                    ids = sorted(p.id for p, _r in matches)[
+                        : _FIXED_MATERIALIZE_MAX + 1
+                    ]
+                if len(ids) > _FIXED_MATERIALIZE_MAX or (
+                    last_id not in ids
+                ):
+                    return None
+                st = CursorState(
+                    form="fixed", fixed_ids=ids,
+                    pos=ids.index(last_id) + 1,
+                )
+                return freeze_cursor(
+                    con, st, prior + len(page_prims), count,
+                    self.types.resolve,
+                )
             st = CursorState(
-                form="fixed", fixed_ids=ids,
-                pos=ids.index(last_id) + 1,
+                form="all", low=0, high=count, pos=last_id + 1
             )
             return freeze_cursor(
                 con, st, prior + len(page_prims), count,
                 self.types.resolve,
             )
-        st = CursorState(form="all", low=0, high=count, pos=last_id + 1)
+        and_cursor = self._and_cursor_f(
+            con, cstate, page_prims, prior, count
+        )
+        if and_cursor is not None:
+            return and_cursor
+        sub_gmap = self._sub_gmap_cursor_f(
+            con, page_prims, prior, count, last_id
+        )
+        if sub_gmap is not None:
+            return sub_gmap
+        # linkage-driven roots: small candidate sets materialize into
+        # a fixed iterator; larger ones keep their isa/linksto shape
+        # (mirror compiler.py:847-886)
+        ids = sorted(p.id for p, _r in matches)[
+            : _FIXED_MATERIALIZE_MAX + 1
+        ]
+        if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+            return self._isa_prefix_cursor_f(
+                con, cstate, page_prims, prior, count
+            ) or self._or_linksto_cursor_f(
+                con, cstate, page_prims, prior, count
+            )
+        masq = self._isa_masquerade_f(con, ids) if len(ids) > 5 else None
+        if masq is not None:
+            from graphd_spark.freeze import resource_stamp
+
+            st = CursorState(
+                form="fixed_masq", masq=masq,
+                pos=ids.index(last_id) + 1,
+            )
+            if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
+                st.cache_stamp = resource_stamp(
+                    self.store,
+                    reuse=cstate.cache_stamp if cstate else None,
+                )
+            else:
+                st.fixed_ids = ids
+            return freeze_cursor(
+                con, st, prior + len(page_prims), count,
+                self.types.resolve,
+            )
+        st = CursorState(
+            form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
+        )
         return freeze_cursor(
             con, st, prior + len(page_prims), count, self.types.resolve
         )
@@ -1521,6 +2261,88 @@ class FastReader:
                 }
             )
             return [st.rows[i - st._base] for i in ids]
+        # pure word-prefix glob: the word-index bins for value~="P*"
+        # are the reference's candidate array (libpdb/pdb-prefix.c) —
+        # a superset (hash false positives), re-checked by the glob
+        for sc in con.value_strcons:
+            if sc.op != "~=" or len(sc.values) != 1 or not sc.values[0]:
+                continue
+            body = sc.values[0]
+            body = body[1:] if body.startswith("^") else body
+            if not body.endswith("*"):
+                continue
+            pfx = body[:-1]
+            if not pfx or not pfx.isalnum() or not pfx.isascii():
+                continue
+            from graphd_spark.wordhash import prefix_mask, word_hash
+
+            mask = prefix_mask(pfx.lower())
+            want = word_hash(pfx.lower()) & mask
+            ids = sorted(
+                {
+                    i
+                    for code, lst in st._word_ids.items()
+                    if (code & mask) == want
+                    for i in lst
+                }
+            )
+            return [st.rows[i - st._base] for i in ids]
+        # linkage equality: left=G / typeguid=G ... -> the pointer gmap
+        # bin IS the candidate set (raw-guid match, like the join)
+        for lk in ("typeguid", "left", "right", "scope"):
+            for gc in con.links.get(lk, []):
+                if (
+                    gc.op == "="
+                    and gc.guids
+                    and all(g is not None for g in gc.guids)
+                ):
+                    ids = sorted(
+                        {
+                            i
+                            for g in gc.guids
+                            for i in st._ptr_ids.get((lk, g), ())
+                        }
+                    )
+                    return [st.rows[i - st._base] for i in ids]
+        # a mandatory linkage sub bounds the root set: root candidates
+        # are the primitives its candidate SUPERSET links to/from (the
+        # reference's producer contest picks the same index;
+        # graphd-constraint-iterator.c).  Everything is still checked
+        # by _row_for, so a superset is all we need — the sub's own
+        # _candidates (no sub evaluation).
+        for sub in con.subs:
+            if sub.linkage is None or sub.is_optional:
+                continue
+            if sub.count_eq == 0 or sub.count_max == 0:
+                continue
+            kind, lk = sub.linkage
+            sc_list = self._candidates(sub)
+            if sc_list is st.rows or len(sc_list) > 512:
+                continue  # sub is no narrower than a scan
+            ids: set[int] = set()
+            if kind == "iam" and lk in (
+                "typeguid", "left", "right", "scope"
+            ):
+                # parent.lk == child.guid
+                for c in sc_list:
+                    ids.update(st._ptr_ids.get((lk, c.guid), ()))
+            elif kind == "my":
+                # child.lk == parent.guid
+                lks = ("left", "right") if lk == "bi" else (lk,)
+                for c in sc_list:
+                    for L in lks:
+                        g = getattr(c, L)
+                        if g is not None:
+                            p = st.by_guid.get(g)
+                            if p is not None:
+                                ids.add(p.id)
+            else:
+                continue
+            return [
+                st.rows[i - st._base]
+                for i in sorted(ids)
+                if st._base <= i < st.next_id
+            ]
         return st.rows
 
     def _guid_include_ids(self, con: Constraint) -> Optional[set]:

@@ -52,6 +52,37 @@ def bits(x: int) -> int:
     return b
 
 
+def resource_stamp(store, key: str = None, reuse: str = None) -> str:
+    """Session stamp for a cached iterator resource
+    (graphd-iterator-resource.c:198-205, PID+CLOCK+SEQ —
+    0x0123/0x456789AB in predictable mode).  Shared by the Spark
+    compiler and the serving fast path so both mint the SAME stamp
+    sequence from the store's session counters.
+
+    ``reuse``: a stamp thawed from an incoming cursor — if this
+    session allocated it, the underlying resource is still cached
+    and re-freezing keeps its stamp (a cache hit mutates the same
+    storable in place).  ``key``: content identity for resources
+    whose repeated freezes dedup to one stored object (the
+    suspension states).  Otherwise every freeze stores a fresh
+    object and mints the next stamp."""
+    reg = getattr(store, "cursor_resources", None)
+    if reg is None:
+        reg = store.cursor_resources = {}
+        store.cursor_resource_alloc = set()
+        store.cursor_resource_next = 1
+    if reuse is not None and reuse in store.cursor_resource_alloc:
+        return reuse
+    if key is not None and key in reg:
+        return reg[key]
+    stamp = "0123456789ab{}".format(store.cursor_resource_next)
+    store.cursor_resource_next += 1
+    store.cursor_resource_alloc.add(stamp)
+    if key is not None:
+        reg[key] = stamp
+    return stamp
+
+
 def bsearch_cost(n: int, n_per_tile: int, array_cost: int,
                  element_cost: int) -> int:
     """pdb_iterator_bsearch_cost (pdb-iterator.c:147-157)."""

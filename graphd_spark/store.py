@@ -99,6 +99,11 @@ class PrimitiveStore:
         self._vnorm_ids: dict[str, list[int]] = {}
         self._ptr_ids: dict[tuple[str, str], list[int]] = {}
         self._lin_ids: dict[tuple[str, str], list[int]] = {}
+        # word-index mirror (libpdb/pdb-word.c): 25-bit word-hash code
+        # -> ids whose value contains any word with that code, deduped
+        # per id.  Drives the fast path's prefix-bin candidate sets and
+        # prefix-iterator statistics (value~="P*" cursors).
+        self._word_ids: dict[int, list[int]] = {}
         self._txn_start: Optional[int] = None
         self._version = 0  # bumped per commit; invalidates the df cache
         self._df = None
@@ -255,6 +260,11 @@ class PrimitiveStore:
     def _index_prim(self, p: Primitive) -> None:
         if p.value_norm is not None:
             self._vnorm_ids.setdefault(p.value_norm, []).append(p.id)
+        if p.value is not None:
+            from graphd_spark.wordhash import value_word_codes
+
+            for code in value_word_codes(p.value):
+                self._word_ids.setdefault(code, []).append(p.id)
         for lk in ("typeguid", "left", "right", "scope"):
             v = getattr(p, lk)
             if v is not None:
@@ -267,6 +277,11 @@ class PrimitiveStore:
     def _unindex_prim(self, p: Primitive) -> None:
         if p.value_norm is not None:
             self._vnorm_ids[p.value_norm].pop()
+        if p.value is not None:
+            from graphd_spark.wordhash import value_word_codes
+
+            for code in value_word_codes(p.value):
+                self._word_ids[code].pop()
         for lk in ("typeguid", "left", "right", "scope"):
             v = getattr(p, lk)
             if v is not None:

@@ -1,0 +1,122 @@
+"""Serving fast path: frozen cursors for sub-level / and / isa /
+linksto root shapes, mirrored from the compiler (round-5 additions).
+
+Two layers of pinning:
+
+- NO-SPARK chains: a GraphSession constructed without a SparkSession
+  pages multi-predicate / expansion reads to exhaustion — proof the
+  new cursor forms never touch Spark (the fast path's whole point).
+- Two-path parity: the same chains replayed against a compiler-only
+  session must produce byte-identical pages, including the frozen
+  cursor strings (and-iterator freezes, fixed materializations, isa
+  masquerades, prefix bins, resource stamps).
+
+The differential cursor fuzz (tools/diff_campaign.py --cursors) pins
+the same chains against the reference binary.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from graphd_spark.api import GraphSession
+
+
+def _paginate(gs: GraphSession, read: str, max_hops: int = 30) -> list[str]:
+    """Page a cursored read to exhaustion; returns all replies."""
+    out = [gs.request(read)]
+    hops = 0
+    while hops < max_hops:
+        m = re.search(r'"((?:cursor|sort|position):[^"]*)"', out[-1])
+        if not m or m.group(1) == "null:":
+            break
+        esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+        out.append(
+            gs.request(
+                read.replace(
+                    "result=(cursor", f'cursor="{esc}" result=(cursor', 1
+                )
+            )
+        )
+        hops += 1
+    return out
+
+
+def _seed(gs: GraphSession) -> None:
+    # two typed clusters sharing endpoints: multi-index (and-iterator)
+    # shapes, single- and plural-source linkage expansions, a word
+    # corpus for prefix bins, and an isa-masquerade fan-out
+    gs.request('write (name="hub" value="h0")')
+    gs.request('write (name="hub" value="h1")')
+    for i in range(12):
+        gs.request(
+            f'write (value="spoke{i}" left->(name="hub" value="h0") '
+            f'right->(name="hub" value="h1"))'
+        )
+    for i in range(8):
+        gs.request(f'write (value="alpha w{i}" type="word")')
+        gs.request(f'write (value="beta w{i}" type="word")')
+    # plural-source linksto: links point at BOTH "target" nodes
+    gs.request('write (name="tgt" value="t")')
+    gs.request('write (name="tgt" value="t")')
+    for i in range(6):
+        gs.request(
+            f'write (value="ln{i}" '
+            f'right->(name="tgt" start=0 pagesize=1))'
+        )
+
+
+CHAINS = [
+    # and-iterator root: type gmap + left gmap intersect
+    'read (pagesize=2 result=(cursor (guid value)) '
+    '(<-left name="hub" value="h0") (<-right name="hub" value="h1"))',
+    # sub-gmap collapse: single predicate, one pointed-at source
+    'read (pagesize=3 result=(cursor (guid value)) '
+    '(<-left name="hub" value="h0"))',
+    # prefix-bin root: value~="P*" materializes the word-index bins
+    'read (pagesize=3 result=(cursor (guid value)) value~="alpha*")',
+    # prefix + linkage: and-iterator with a prefix member
+    'read (pagesize=2 result=(cursor (guid value)) value~="spoke*" '
+    '(<-left name="hub"))',
+    # isa expansion (my-side sub): left->(...) root
+    'read (pagesize=2 result=(cursor (guid value)) '
+    'left->(name="hub" value="h0"))',
+    # plural-source linksto
+    'read (pagesize=2 result=(cursor (guid value)) '
+    '(<-right name="tgt"))',
+    # type= root with pagination (gmap member via types)
+    'read (pagesize=3 result=(cursor (guid value)) type="word")',
+]
+
+
+def test_cursor_chains_need_no_spark():
+    """Every chain pages to exhaustion with NO SparkSession at all."""
+    gs = GraphSession()  # no spark: any fallback would raise
+    _seed(gs)
+    for read in CHAINS:
+        pages = _paginate(gs, read)
+        assert pages, read
+        assert not any("error SYSTEM" in p for p in pages), (read, pages)
+        # the chain must terminate (exhausted cursor or no cursor)
+        last = pages[-1]
+        m = re.search(r'"((?:cursor|sort|position):[^"]*)"', last)
+        assert m is None or m.group(1) == "null:", (read, last)
+
+
+@pytest.fixture(scope="module")
+def sessions(spark):
+    fast = GraphSession(spark)
+    _seed(fast)
+    slow = GraphSession(spark)
+    slow.fast_read_enabled = False
+    _seed(slow)
+    return fast, slow
+
+
+@pytest.mark.parametrize("q", CHAINS)
+def test_cursor_chain_parity(sessions, q):
+    """Pages AND frozen cursor strings byte-identical on both paths."""
+    fast, slow = sessions
+    assert _paginate(fast, q) == _paginate(slow, q)
