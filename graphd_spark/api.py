@@ -123,15 +123,17 @@ class GraphSession:
         if line.startswith("\n"):
             keep = len(line) - len(line.lstrip("\n"))
             line = line[:keep] + line[keep:].lstrip(" \t")
+        toks = None
         try:
             from graphd_spark.gql.lexer import tokenize
 
-            if all(t.kind == "end" for t in tokenize(line)):
+            toks = tokenize(line)
+            if all(t.kind == "end" for t in toks):
                 return ""  # comment-only input: no request, no reply
         except LexError:
             pass  # the parser below reports it
         try:
-            req = parse_request(line)
+            req = parse_request(line, toks=toks)
         except (ParseError, LexError) as e:
             code = getattr(e, "code", "SYNTAX")
             return self._error(

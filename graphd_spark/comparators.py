@@ -25,6 +25,7 @@ graph_decode_number (:215-372); comparison order from graph_fuzzycmp
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 import pandas as pd
@@ -314,9 +315,16 @@ def normalize_value(s: str) -> str:
 
 
 def value_norm_key(s: Optional[str]) -> Optional[str]:
-    """Case-folded normalized value (the stored ``value_norm``)."""
+    """Case-folded normalized value (the stored ``value_norm``).
+    Pure string function; memoized — the serving loop recomputes it
+    per request for hot template literals."""
     if s is None:
         return None
+    return _value_norm_key_cached(s)
+
+
+@lru_cache(maxsize=65536)
+def _value_norm_key_cached(s: str) -> str:
     return _ascii_lower(normalize_value(s))
 
 

@@ -27,7 +27,7 @@ LINKAGES = ("left", "right", "typeguid", "scope")
 UNSPECIFIED, TRUE, FALSE, DONTCARE = "unspecified", "true", "false", "dontcare"
 
 
-@dataclass
+@dataclass(slots=True)
 class StrCon:
     """One string constraint: value/name/type OP strings.
 
@@ -37,9 +37,11 @@ class StrCon:
 
     op: str  # '=', '!=', '~=', '<', '<=', '>', '>='
     values: list[Optional[str]]
+    #: source tokens of the parsed string set (parser diagnostics)
+    _val_toks: Optional[list] = None
 
 
-@dataclass
+@dataclass(slots=True)
 class GuidCon:
     """GUID / linkage-GUID constraint (ref graphd/graphd.h:487-514).
 
@@ -50,7 +52,7 @@ class GuidCon:
     guids: list[Optional[str]]
 
 
-@dataclass
+@dataclass(slots=True)
 class GenCon:
     """newest=/oldest= generational constraint (ref graphd/graphd.h:458-472)."""
 
@@ -59,7 +61,7 @@ class GenCon:
     n: int
 
 
-@dataclass
+@dataclass(slots=True)
 class TsCon:
     """timestamp OP literal (ref libgdp/gdp-parse.c:1696-1760)."""
 
@@ -67,7 +69,7 @@ class TsCon:
     text: str  # raw literal; bound to a 48-bit ts at compile time
 
 
-@dataclass
+@dataclass(slots=True)
 class Pattern:
     """Result pattern node (ref graphd/graphd.h:567-677 pattern enum)."""
 
@@ -92,13 +94,13 @@ class Pattern:
             yield from c.walk()
 
 
-@dataclass
+@dataclass(slots=True)
 class SortKey:
     pattern: Pattern
     descending: bool = False
 
 
-@dataclass
+@dataclass(slots=True)
 class Constraint:
     """One node of the constraint tree (ref graphd/graphd.h:1131-1413)."""
 
@@ -128,6 +130,10 @@ class Constraint:
     pagesize: Optional[int] = None
     resultpagesize: Optional[int] = None
     countlimit: Optional[int] = None
+    #: countlimit was synthesized from start+pagesize, not written
+    #: by the user (cursor resume shifts it; graphd-constraint-
+    #: cursor.c:52-55)
+    countlimit_defaulted: bool = False
     start: int = 0
     cursor: Optional[str] = None
     dateline: Optional[str] = None
@@ -168,6 +174,10 @@ class Constraint:
     #: across root subs and every branch's subs).
     clause_order: list = field(default_factory=list)
     parent: Optional["Constraint"] = None
+    #: parser-internal: start= seen (duplicate detection) and the
+    #: source token of a meta arrow (error positions)
+    _start_seen: bool = False
+    _meta_tok: Optional[tuple] = None
 
     def ordered_clauses(self):
         """("sub", Constraint) / ("chain", list[Constraint]) in parse
@@ -195,7 +205,7 @@ class Constraint:
         return self.count_min == 0 and self.count_eq is None
 
 
-@dataclass
+@dataclass(slots=True)
 class Request:
     """A parsed protocol request line."""
 

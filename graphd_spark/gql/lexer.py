@@ -14,6 +14,7 @@ libgdp/gdp-lexer.c consume_comments_and_space).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 
@@ -41,7 +42,7 @@ def _is_num_c(c: str) -> bool:
     return _is_alnum_c(c) or c in "-.:"
 
 
-@dataclass
+@dataclass(slots=True)
 class Token:
     kind: str
     text: str
@@ -49,6 +50,13 @@ class Token:
 
     def matches(self, word: str) -> bool:
         return self.kind == ATOM and self.text.lower() == word.lower()
+
+
+# ASCII fast-path scanners (identical charsets to _is_alnum_c /
+# _is_num_c for ASCII input; a non-ASCII continuation falls back to
+# the per-char loop so unicode-alnum semantics are preserved exactly)
+_ATOM_RE = re.compile(r"[\w-]*", re.ASCII)
+_NUM_RE = re.compile(r"[\w.:-]*", re.ASCII)
 
 
 def tokenize(s: str) -> list[Token]:
@@ -61,30 +69,32 @@ def tokenize(s: str) -> list[Token]:
             continue
         start = i
         if c.isalpha() or c == "_":
-            # atom: alnum/_ plus interior dashes; trailing dashes put back
-            j = i
-            dashes = 0
-            while j < n:
-                ch = s[j]
-                if ch == "-":
-                    dashes += 1
-                elif _is_alnum_c(ch):
-                    dashes = 0
-                else:
-                    break
-                j += 1
-            j -= dashes  # put trailing dashes back
+            # atom: alnum/_ plus interior dashes; trailing dashes put
+            # back.  ASCII regex scan + unicode-continuation fallback.
+            j = _ATOM_RE.match(s, i).end()
+            while j < n and (s[j] == "-" or _is_alnum_c(s[j])):
+                j += 1  # rare: unicode alnum continuation
+            while j > i and s[j - 1] == "-":
+                j -= 1  # put trailing dashes back
             toks.append(Token(ATOM, s[i:j], start))
             i = j
             continue
         if c.isdigit():
-            j = i
+            j = _NUM_RE.match(s, i).end()
             while j < n and _is_num_c(s[j]):
-                j += 1
+                j += 1  # rare: unicode alnum continuation
             toks.append(Token(ATOM, s[i:j], start))
             i = j
             continue
         if c == '"':
+            # fast path: no escapes / newlines before the close quote
+            q = s.find('"', i + 1)
+            if q >= 0:
+                seg = s[i + 1:q]
+                if "\\" not in seg and "\n" not in seg:
+                    toks.append(Token(STR, seg, start))
+                    i = q + 1
+                    continue
             j = i + 1
             out = []
             esc = False

@@ -99,9 +99,9 @@ def _linecol(text: str, pos: int) -> tuple[int, int]:
 
 
 class Parser:
-    def __init__(self, text: str, command: str = "read"):
+    def __init__(self, text: str, command: str = "read", toks=None):
         self.text = text
-        self.toks = L.tokenize(text)
+        self.toks = L.tokenize(text) if toks is None else toks
         self.i = 0
         self.command = command
 
@@ -212,11 +212,12 @@ class Parser:
 
     def _merge_item(self, con: Constraint, item: Constraint) -> None:
         """Fold a single parsed clause item into the enclosing node."""
-        sub_off, chain_off = len(con.subs), len(con.or_chains)
-        con.clause_order.extend(
-            (k, i + (sub_off if k == "sub" else chain_off))
-            for k, i in item.clause_order
-        )
+        if item.clause_order:
+            sub_off, chain_off = len(con.subs), len(con.or_chains)
+            con.clause_order.extend(
+                (k, i + (sub_off if k == "sub" else chain_off))
+                for k, i in item.clause_order
+            )
         for f in (
             "guid",
             "prev",
@@ -229,11 +230,14 @@ class Parser:
             "assignments",
             "subs",
         ):
-            getattr(con, f).extend(getattr(item, f))
+            v = getattr(item, f)
+            if v:
+                getattr(con, f).extend(v)
         for s in item.subs:
             s.parent = con
-        for k, v in item.links.items():
-            con.links.setdefault(k, []).extend(v)
+        if item.links:
+            for k, v in item.links.items():
+                con.links.setdefault(k, []).extend(v)
         for f in (
             "valuetype",
             "count_min",
@@ -1393,8 +1397,8 @@ _MODIFIERS = {
 }
 
 
-def parse_request(line: str) -> Request:
-    p = Parser(line)
+def parse_request(line: str, toks=None) -> Request:
+    p = Parser(line, toks=toks)
     cmd_tok = p.next()
     if cmd_tok.kind != L.ATOM:
         raise ParseError(
