@@ -334,14 +334,24 @@ class GraphSession:
                 not had_boot and self.types.attribute_has_key is not None
             )
             self.store.rollback()
-            self.types.__init__(self.store)
             if boot_created:
                 # the type-system bootstrap is its own transaction and
                 # survives the failed write (ref test/unit/big1.sh:
-                # the write after two TOOBIG failures starts at id 9)
+                # the write after two TOOBIG failures starts at id 9);
+                # the rollback removed the half-made core, so rebuild
+                # the handles from scratch
+                self.types.__init__(self.store)
                 self.store.begin()
                 self.types.ensure_bootstrap()
                 self.store.commit()
+            # a pre-existing bootstrap keeps its cached handles: the
+            # reference's g_attribute_has_key et al. live for the
+            # database lifetime and survive failed writes — later
+            # writes may even VERSION the ROOT_NAMESPACE primitive,
+            # after which a fresh bootstrap_read would fail while the
+            # cached handles keep resolving type names (write-fuzz
+            # seed 25: key=() cluster versions the root namespace;
+            # the reference still renders "has_key")
             raise
         self.store.commit()
         return self._write_value(node)

@@ -89,6 +89,37 @@ class SubPlan:
     eff_col: Optional[str] = None
 
 
+def timestamp_bounds(con) -> tuple:
+    """clause_merge_timestamp fold (graphd-constraint-clause.c:100-160)
+    of con.timestamps into a (min, max) pair of 48-bit stamps; None =
+    unbounded.  Partial-precision literals take their rounded
+    endpoints, matching the row predicate; '!=' doesn't move the
+    bounds (the reference nudges exactly-equal ends, which the row
+    check enforces anyway)."""
+    tmin = None
+    tmax = None
+    for tc in con.timestamps:
+        try:
+            lo = ts_from_string(tc.text)
+            hi = ts_from_string(tc.text, round_up=True)
+        except ValueError:
+            continue  # the row-predicate builder reports the error
+        if tc.op == "=":
+            tmin = lo if tmin is None else max(tmin, lo)
+            tmax = hi if tmax is None else min(tmax, hi)
+        elif tc.op == "<":
+            v = lo - 1
+            tmax = v if tmax is None else min(tmax, v)
+        elif tc.op == "<=":
+            tmax = hi if tmax is None else min(tmax, hi)
+        elif tc.op == ">":
+            v = hi + 1
+            tmin = v if tmin is None else max(tmin, v)
+        elif tc.op == ">=":
+            tmin = lo if tmin is None else max(tmin, lo)
+    return tmin, tmax
+
+
 @dataclass
 class SetPlan:
     con: Constraint
@@ -218,27 +249,42 @@ class Compiler:
             # pdb-iterator-all.c, graphd-iterator-fixed.c)
             horizon = cstate.horizon
             if cstate.form in ("all", "without"):
-                df = df.filter(
-                    F.col("id") >= max(cstate.pos, cstate.low)
-                )
-                if cstate.high is not None:
-                    df = df.filter(F.col("id") < cstate.high)
+                if cstate.backward:
+                    # backward scan: skip the first `pos` elements of
+                    # the DESCENDING id range (ids are dense in an
+                    # all-span, so the boundary is high - pos)
+                    df = df.filter(
+                        (F.col("id") >= cstate.low)
+                        & (F.col("id") < cstate.high - cstate.pos)
+                    )
+                else:
+                    df = df.filter(
+                        F.col("id") >= max(cstate.pos, cstate.low)
+                    )
+                    if cstate.high is not None:
+                        df = df.filter(F.col("id") < cstate.high)
             elif cstate.form == "fixed":
-                allowed = cstate.fixed_ids[cstate.pos:]
+                allowed = (
+                    cstate.fixed_ids[: len(cstate.fixed_ids) - cstate.pos]
+                    if cstate.backward
+                    else cstate.fixed_ids[cstate.pos:]
+                )
                 df = df.filter(F.col("id").isin(allowed))
             elif cstate.form == "gmap":
                 # resume past the first `pos` elements of the linkage
                 # index (index order == id order; ref
-                # pdb-iterator-gmap.c it_gmap_offset)
+                # pdb-iterator-gmap.c it_gmap_offset); backward scans
+                # consume from the top of the index
                 if cstate.high is not None:
                     df = df.filter(F.col("id") < cstate.high)
                 if cstate.pos:
                     b = self._gmap_pos_boundary(cstate)
-                    df = (
-                        df.filter(F.col("id") > b)
-                        if b is not None
-                        else df.filter(F.lit(False))
-                    )
+                    if b is None:
+                        df = df.filter(F.lit(False))
+                    elif cstate.backward:
+                        df = df.filter(F.col("id") < b)
+                    else:
+                        df = df.filter(F.col("id") > b)
             elif cstate.form == "hmap":
                 # skip the bin's first `pos` elements (bin order ==
                 # id order; pdb-iterator-hmap.c it_hmap_offset).  The
@@ -247,30 +293,47 @@ class Compiler:
                 # is the reference's own, not re-decodable)
                 if cstate.pos:
                     if cstate.lk == "value":
+                        # the thawed key IS the stored normalization
+                        # (case preserved) — only case-fold it;
+                        # re-normalizing is NOT idempotent ("12e1"
+                        # re-parses as the number 120 -> "12e2")
+                        from graphd_spark.comparators import (
+                            _ascii_lower as _alow,
+                        )
+
                         flt = (
-                            F.col("value_num") == cstate.masq
-                        ) | (
-                            F.lower(F.col("value"))
-                            == cstate.masq.lower()
+                            F.col("value_norm") == _alow(cstate.masq)
                         )
                     else:
                         flt = (
                             F.lower(F.col("name"))
                             == cstate.masq.lower()
                         )
-                    b = (
-                        self.store.to_df(self.spark)
-                        .filter(flt)
-                        .orderBy("id")
-                        .limit(cstate.pos)
-                        .agg(F.max("id").alias("b"))
-                        .head()
-                    )
-                    df = (
-                        df.filter(F.col("id") > int(b["b"]))
-                        if b is not None and b["b"] is not None
-                        else df.filter(F.lit(False))
-                    )
+                    pool = self.store.to_df(self.spark).filter(flt)
+                    if cstate.backward:
+                        b = (
+                            pool.orderBy(F.col("id").desc())
+                            .limit(cstate.pos)
+                            .agg(F.min("id").alias("b"))
+                            .head()
+                        )
+                        df = (
+                            df.filter(F.col("id") < int(b["b"]))
+                            if b is not None and b["b"] is not None
+                            else df.filter(F.lit(False))
+                        )
+                    else:
+                        b = (
+                            pool.orderBy("id")
+                            .limit(cstate.pos)
+                            .agg(F.max("id").alias("b"))
+                            .head()
+                        )
+                        df = (
+                            df.filter(F.col("id") > int(b["b"]))
+                            if b is not None and b["b"] is not None
+                            else df.filter(F.lit(False))
+                        )
             elif cstate.form == "fixed_masq":
                 # a masqueraded fixed set enumerates the root's own
                 # candidate set in id order, so position == offset
@@ -346,7 +409,33 @@ class Compiler:
         if horizon is not None:
             df = df.filter(F.col("id") < horizon)
         order = self._sort_exprs(con, plan)
+        # graphd_sort_needed (graphd-sort.c:1722-1758): a leading
+        # timestamp/guid sort key over a SORTED iterator needs no
+        # sort — production is id order, or reverse id order for a
+        # descending key (the iterator runs backward,
+        # graphd_sort_iterator_direction).  The unsorted producers at
+        # this engine's shapes are value/name RANGE scans (vrange bin
+        # order — there the sort is real, with sort: cursors).
+        # Probed against the reference binary: explicit out-of-order
+        # timestamps surface in id order under sort=(timestamp);
+        # sort=(-timestamp) pages freeze backward all:~ / hmap:~ /
+        # gmap:~ / fixed:~ iterators with pos = elements consumed.
+        sort_skipped = False
+        perfect_backward = False
         if con.sort:
+            first0 = con.sort[0]
+            if first0.pattern.kind in ("timestamp", "guid") and not any(
+                sc.op in ("<", "<=", ">", ">=")
+                for sc in (*con.value_strcons, *con.name_strcons)
+            ):
+                sort_skipped = True
+                perfect_backward = bool(first0.descending)
+                order = [
+                    F.col("id").desc()
+                    if perfect_backward
+                    else F.col("id").asc()
+                ]
+        if con.sort and not sort_skipped:
             first = con.sort[0]
             comp0 = resolve_comparator(
                 con.sort_comparators[0]
@@ -569,10 +658,29 @@ class Compiler:
             or con.count_max is not None
             or (con.count_min or 0) > 1
         )
+        # iterator-state resumes reposition the scan, so `total` below
+        # counts the REMAINING tail; o_base converts to the absolute
+        # frame for count-bound checks and count rendering (probed:
+        # resumed pages keep rendering the original capped count, and
+        # the emptiness check is o+1, not start+1)
+        o_base = (
+            cstate.offset
+            if cstate is not None
+            and cstate.form in (
+                "all", "without", "fixed", "gmap", "hmap",
+                "and_it", "or_it",
+            )
+            else 0
+        )
         # a page starting beyond the end is EMPTY (ref: default
-        # count-min is start+1), but an explicit count bound overrides
+        # count-min is start+1), but an explicit count bound overrides.
+        # On an iterator resume the check is offset+1; a pagesize=0
+        # probe needs one element regardless of start= (probed:
+        # start=1 pagesize=0 answers ok with [o:1])
         count_min_chk = (
-            con.count_min if con.count_min is not None else start + 1
+            con.count_min
+            if con.count_min is not None
+            else (o_base + 1 if (o_base or rps == 0) else start + 1)
         )
         # the implicit countlimit (start + pagesize) follows the
         # cursor offset on resume (graphd-constraint-cursor.c:52-55
@@ -586,6 +694,12 @@ class Compiler:
         wants_estimate = any(
             p.kind in ("estimate", "estimate-count") for p in pat.walk()
         )
+        # remaining-frame verification need (count bounds are absolute)
+        verify_need = max(count_min_chk - o_base, 0)
+        if con.count_eq is not None:
+            verify_need = max(verify_need, con.count_eq + 1 - o_base)
+        if con.count_max is not None:
+            verify_need = max(verify_need, con.count_max + 1 - o_base)
         if n_prefix < limit:
             total = n_prefix  # page not full: exact
         elif need_total:
@@ -594,27 +708,23 @@ class Compiler:
             # is unlimited", graphd-semantic.c:297; test estimate-count),
             # and count-bound checks count just far enough to verify
             # (count=1 must see a second element to fail; test count2)
-            verify_need = count_min_chk
-            if con.count_eq is not None:
-                verify_need = max(verify_need, con.count_eq + 1)
-            if con.count_max is not None:
-                verify_need = max(verify_need, con.count_max + 1)
             if countlimit is not None and not wants_estimate:
                 cdf = cdf.limit(max(countlimit, verify_need))
             total = cdf.count()
-        elif count_min_chk > n_prefix:
+        elif verify_need > n_prefix:
             # page capped below count_min (e.g. pagesize=0): probe just
             # enough rows to decide emptiness, never a full count
-            total = df.limit(count_min_chk).count()
+            total = df.limit(verify_need).count()
         else:
             total = n_prefix
+        total_abs = o_base + total
         # the root set's own count bounds (ref graphd-read.c:606:
         # an unsatisfiable set answers "error EMPTY not found")
         if con.count_eq is not None:
-            ok = total == con.count_eq
+            ok = total_abs == con.count_eq
         else:
-            ok = total >= count_min_chk and (
-                con.count_max is None or total <= con.count_max
+            ok = total_abs >= count_min_chk and (
+                con.count_max is None or total_abs <= con.count_max
             )
         if not ok:
             raise GraphdError("EMPTY", "not found")
@@ -625,13 +735,20 @@ class Compiler:
                 not rows
                 and con.pagesize == 0
                 and total > consumed
-                and not con.sort
+                and (not con.sort or sort_skipped)
             ):
                 # pagesize=0 still consumes the count-min probe
                 # element, and the cursor points past it (ref
-                # test/unit/brendan4.sh: [o:1] on an empty page)
+                # test/unit/brendan4.sh: [o:1] on an empty page).
+                # The probe runs FORWARD even under a skipped
+                # descending sort (probed: sort=(-timestamp)
+                # pagesize=0 freezes all:0-N/1/)
+                probe_order = (
+                    [F.col("id").asc()] if sort_skipped else order
+                )
                 probe = (
-                    df.orderBy(*order).limit(1).select("guid", "id")
+                    df.orderBy(*probe_order).limit(max(total, 1))
+                    .select("guid", "id")
                     .collect()
                 )
                 plan.cursor = (
@@ -652,17 +769,23 @@ class Compiler:
                     and n_prefix >= limit
                     and df.limit(limit + 1).count() > limit
                 ):
-                    if con.sort:
+                    if con.sort and not sort_skipped:
                         plan.cursor = self._sort_cursor(
                             con, plan, rows, consumed, horizon
                         )
                     else:
                         plan.cursor = self._iterator_cursor(
-                            con, cstate, rows, df, resume
+                            con, cstate, rows, df, resume,
+                            backward=perfect_backward,
+                            delivered=(
+                                cstate.offset
+                                if cstate is not None
+                                else resume
+                            ) + con.start + len(rows),
                         ) or f"position:{consumed}/{total}"
                 else:
                     plan.cursor = "null:"
-            elif con.sort:
+            elif con.sort and not sort_skipped:
                 if self.store.count() >= 1000:
                     # a sorted scan this large exceeds the request
                     # budget and suspends, freezing the iterator's
@@ -681,11 +804,26 @@ class Compiler:
                 )
             else:
                 plan.cursor = self._iterator_cursor(
-                    con, cstate, rows, df, resume
+                    con, cstate, rows, df, resume,
+                    backward=perfect_backward,
+                    delivered=(
+                        cstate.offset if cstate is not None else resume
+                    ) + con.start + len(rows),
                 ) or f"position:{consumed}/{total}"
-        return plan, rows, total
+        # rendered counts clamp at the ORIGINAL (unshifted) countlimit
+        # (probed: resumed pages keep rendering the first page's capped
+        # count; pagesize=0 renders 0); estimates look past the cap
+        if (
+            con.countlimit is not None
+            and not wants_estimate
+            and total_abs > con.countlimit
+        ):
+            return plan, rows, con.countlimit
+        return plan, rows, total_abs
 
-    def _iterator_cursor(self, con, cstate, rows, df, prior=0) -> Optional[str]:
+    def _iterator_cursor(self, con, cstate, rows, df, prior=0,
+                         backward=False,
+                         delivered=None) -> Optional[str]:
         """Reference-format frozen cursor for an unsorted root page
         (ref graphd_read_set_cursor_get_value + constraint_cursor_
         from_iterator).  Returns None when the plan's iterator shape
@@ -697,12 +835,22 @@ class Compiler:
 
         if cstate is not None:
             prior = cstate.offset
+        if delivered is None:
+            # [o:] counts consumed elements: prior pages + this page's
+            # start= skip + the delivered rows (probed: start=1
+            # pagesize=1 freezes [o:2], [o:4], ...)
+            delivered = prior + len(rows)
+        prior = delivered - len(rows)
         last_id = guid_serial(rows[-1]["guid"])
         count = self.store.count()
         if cstate is not None and cstate.form in (
             "all", "without", "fixed", "gmap"
         ):
-            if cstate.form == "fixed":
+            if cstate.backward:
+                # backward iterators freeze pos = elements consumed
+                # (probed: all:~ / gmap:~ / fixed:~ resume chains)
+                cstate.pos = delivered
+            elif cstate.form == "fixed":
                 try:
                     cstate.pos = cstate.fixed_ids.index(last_id) + 1
                 except ValueError:
@@ -716,7 +864,6 @@ class Compiler:
                 cstate.pos = pos
             else:
                 cstate.pos = last_id + 1
-            delivered = cstate.offset + len(rows)
             n = cstate.horizon if cstate.horizon is not None else count
             return freeze_cursor(
                 con, cstate, delivered, n, self.types.resolve
@@ -735,13 +882,18 @@ class Compiler:
             # guid= sets materialize as a fixed iterator in list order
             # (ref graphd-iterator-fixed.c; test cursor5)
             ids = [guid_serial(g) for g in gc.guids]
-            try:
-                pos = ids.index(last_id) + 1
-            except ValueError:
-                return None
-            st = CursorState(form="fixed", fixed_ids=ids, pos=pos)
+            if backward:
+                pos = delivered
+            else:
+                try:
+                    pos = ids.index(last_id) + 1
+                except ValueError:
+                    return None
+            st = CursorState(
+                form="fixed", fixed_ids=ids, pos=pos, backward=backward
+            )
             return freeze_cursor(
-                con, st, prior + len(rows), count, self.types.resolve
+                con, st, delivered, count, self.types.resolve
             )
         if not con.subs and not con.or_chains:
             gm = self._gmap_source(con)
@@ -758,13 +910,19 @@ class Compiler:
                     # (graphd-read-set-cursor.c:51; brendan4 n:10 on
                     # a drained one-element gmap vs the store count
                     # on partial pages — differential probes)
+                    if backward:
+                        pos = delivered
                     st = CursorState(
                         form="gmap", low=low, high=high, pos=pos,
-                        lk=lk, src=src,
+                        lk=lk, src=src, backward=backward,
                     )
-                    n = high if last_id == high - 1 else count
+                    n = (
+                        count
+                        if backward
+                        else (high if last_id == high - 1 else count)
+                    )
                     return freeze_cursor(
-                        con, st, prior + len(rows), n, self.types.resolve
+                        con, st, delivered, n, self.types.resolve
                     )
                 return None
             hm = self._hmap_cursor_source(con)
@@ -782,12 +940,17 @@ class Compiler:
                     F.max("id").alias("mx"),
                 ).head()
                 if row is not None and row["mx"] is not None:
-                    pos = int(row["pos"] or 0)
+                    if backward:
+                        pos = delivered
+                        n_echo = count
+                    else:
+                        pos = int(row["pos"] or 0)
+                        n_echo = hi if last_id == int(row["mx"]) else count
+                    hset = hmap_set_str(tname, key, lo, hi)
+                    if backward:
+                        hset = hset.replace("hmap:", "hmap:~", 1)
                     body = "[o:{}][n:{}]{}/{}/".format(
-                        prior + len(rows),
-                        hi if last_id == int(row["mx"]) else count,
-                        hmap_set_str(tname, key, lo, hi),
-                        pos,
+                        delivered, n_echo, hset, pos,
                     )
                     from graphd_spark.cursor import sign_cursor
 
@@ -824,17 +987,53 @@ class Compiler:
                     return None
                 st = CursorState(
                     form="fixed", fixed_ids=ids,
-                    pos=ids.index(last_id) + 1,
+                    pos=(
+                        delivered
+                        if backward
+                        else ids.index(last_id) + 1
+                    ),
+                    backward=backward,
                 )
                 return freeze_cursor(
-                    con, st, prior + len(rows), count, self.types.resolve
+                    con, st, delivered, count, self.types.resolve
                 )
             # unindexed roots scan everything (pdb all-iterator)
             st = CursorState(
-                form="all", low=0, high=count, pos=last_id + 1
+                form="all", low=0, high=count,
+                pos=delivered if backward else last_id + 1,
+                backward=backward,
             )
             return freeze_cursor(
-                con, st, prior + len(rows), count, self.types.resolve
+                con, st, delivered, count, self.types.resolve
+            )
+        if backward:
+            # backward multi-index/expansion roots: only the
+            # pre-evaluated small-set (fixed:~) form is probed; the
+            # and:~/isa:~ freezes aren't modeled (caller emits the
+            # position fallback)
+            members = self._and_members_ext(con)
+            if members is not None and len(members) >= 2:
+                return self._preevaluate_small_set(
+                    con, members, rows, prior, count, backward=True
+                )
+            sub_gmap = self._sub_gmap_cursor(
+                con, rows, prior, count, last_id, backward=True
+            )
+            if sub_gmap is not None:
+                return sub_gmap
+            ids = [
+                r["id"]
+                for r in df.select("id").orderBy("id")
+                .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
+            ]
+            if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+                return None
+            st = CursorState(
+                form="fixed", fixed_ids=ids,
+                pos=delivered, backward=True,
+            )
+            return freeze_cursor(
+                con, st, delivered, count, self.types.resolve
             )
         and_cursor = self._and_cursor(con, cstate, rows, prior, count)
         if and_cursor is not None:
@@ -876,13 +1075,13 @@ class Compiler:
             else:
                 st.fixed_ids = ids
             return freeze_cursor(
-                con, st, prior + len(rows), count, self.types.resolve
+                con, st, delivered, count, self.types.resolve
             )
         st = CursorState(
             form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
         )
         return freeze_cursor(
-                con, st, prior + len(rows), count, self.types.resolve
+                con, st, delivered, count, self.types.resolve
             )
 
     def _and_members(self, con) -> Optional[list]:
@@ -956,13 +1155,15 @@ class Compiler:
             return None
         return p.lower()
 
-    def _sub_gmap_cursor(self, con, rows, prior, count, last_id):
+    def _sub_gmap_cursor(self, con, rows, prior, count, last_id,
+                         backward=False):
         """A root whose only predicate is one ``L->(sub)`` where the
         sub resolves to a SINGLE primitive collapses to that linkage's
         gmap iterator — the reference's linksto optimization replaces a
         one-id subiterator with a plain gmap (graphd-iterator-linksto.c;
         differential cursor seed 36 froze gmap:27-29:l->26 where we
         materialized fixed:2)."""
+        delivered = prior + len(rows)
         if (
             con.value_strcons or con.name_strcons or con.guid
             or con.next or con.prev or con.timestamps
@@ -1013,12 +1214,19 @@ class Compiler:
         low, high, pos = self._gmap_stats(lk[0], src, last_id)
         if low is None:
             return None
+        if backward:
+            pos = delivered
         st = CursorState(
-            form="gmap", low=low, high=high, pos=pos, lk=lk[0], src=src
+            form="gmap", low=low, high=high, pos=pos, lk=lk[0], src=src,
+            backward=backward,
         )
-        n_echo = high if last_id == high - 1 else count
+        n_echo = (
+            count
+            if backward
+            else (high if last_id == high - 1 else count)
+        )
         return freeze_cursor(
-            con, st, prior + len(rows), n_echo, self.types.resolve
+            con, st, delivered, n_echo, self.types.resolve
         )
 
     def _prefix_bin_ids(self, prefix: str) -> list[int]:
@@ -1100,18 +1308,23 @@ class Compiler:
         )
 
     def _hmap_bin_filter(self, tname: str, key: str):
-        """(stored key, membership column) of an hmap bin.  Number
-        strings index under their canonical scientific form, so every
-        number-equal spelling shares one bin ("12", "12.0" and "+12"
-        all live under "12e1"; differential seeds 21/22)."""
-        from graphd_spark.comparators import decode_number, render_sci
+        """(stored key, membership column) of an hmap bin.  The value
+        hash buckets by pdb_hmap_value_normalize (normalize_value):
+        full numbers index under their canonical scientific form
+        ("12", "12.0" and "+12" share "12e1"; differential seeds
+        21/22) and embedded number FRAGMENTS string-normalize
+        ("2006-01-02" freezes and matches as "2006-1-2"; cursor-fuzz
+        seed 81 against the reference binary)."""
+        from graphd_spark.comparators import (
+            normalize_value,
+            value_norm_key,
+        )
 
         if tname == "value":
-            d = decode_number(key, scientific=True)
-            if d is not None:
-                norm = render_sci(d)
-                return norm, F.col("value_num") == norm
-            return key, F.lower(F.col("value")) == key.lower()
+            return (
+                normalize_value(key),
+                F.col("value_norm") == value_norm_key(key),
+            )
         return key, F.lower(F.col("name")) == key.lower()
 
     def _linksto_member(self, sub, lk) -> Optional[dict]:
@@ -1258,6 +1471,8 @@ class Compiler:
         a cached-resource ticket (graphd-iterator-state.c:75-127)."""
         from graphd_spark.cursor import sign_cursor
 
+        delivered = prior + len(rows)
+
         members = self._and_members_ext(con)
         if members is None or len(members) < 2:
             return None
@@ -1302,12 +1517,12 @@ class Compiler:
             reuse=cstate.cache_stamp if cstate else None
         )
         body = "[o:{}][n:{}]{}{}@{}".format(
-            prior + len(rows), count, set_part, pos_part, stamp
+            delivered, count, set_part, pos_part, stamp
         )
         return sign_cursor(con, body, self.types.resolve)
 
     def _preevaluate_small_set(
-        self, con, members, rows, prior, count
+        self, con, members, rows, prior, count, backward=False
     ) -> Optional[str]:
         """Mirror of and_become_small_set (graphd-iterator-and-
         optimize.c:747-1030): when the cheapest member's full
@@ -1318,6 +1533,7 @@ class Compiler:
         timestamps don't narrow it) — differential cursor seed 476.
         Returns the frozen fixed cursor, or None to keep the and
         form."""
+        delivered = prior + len(rows)
         from graphd_spark.cursor import CursorState, freeze_cursor
         from graphd_spark.freeze import (
             COST_FUNCTION_CALL,
@@ -1387,10 +1603,12 @@ class Compiler:
         if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
             return None
         st = CursorState(
-            form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
+            form="fixed", fixed_ids=ids,
+            pos=delivered if backward else ids.index(last_id) + 1,
+            backward=backward,
         )
         return freeze_cursor(
-            con, st, prior + len(rows), count, self.types.resolve
+            con, st, delivered, count, self.types.resolve
         )
 
     def _member_id_sets(self, members) -> Optional[list]:
@@ -1432,6 +1650,7 @@ class Compiler:
         engine's own data via the reference cost model (see freeze.py);
         a resumed cursor keeps its thawed statistics
         (isa_statistics_thaw)."""
+        delivered = prior + len(rows)
         from graphd_spark.cursor import sign_cursor
         from graphd_spark.freeze import isa_stats, prefix_stats
 
@@ -1499,7 +1718,7 @@ class Compiler:
             if cstate is not None and cstate.echo
             else ist.stats_str()
         )
-        o = prior + len(rows)
+        o = delivered
         last_id = guid_serial(rows[-1]["guid"])
         # the dup tracker's production clone reads 4 subiterator
         # elements per result produced; short pages still fill the
@@ -1538,6 +1757,7 @@ class Compiler:
         source set is plural: the or wears the linksto masquerade
         (graphd_iterator_linksto_set_or_masquerade,
         graphd-iterator-linksto.c:3610-3655; test/unit/isa.sh q4/q5)."""
+        delivered = prior + len(rows)
         from graphd_spark.cursor import sign_cursor
 
         if len(con.subs) != 1 or con.or_chains:
@@ -1562,7 +1782,7 @@ class Compiler:
             reuse=cstate.cache_stamp if cstate else None
         )
         body = "[o:{}][n:{}]{}/{}/@{}".format(
-            prior + len(rows),
+            delivered,
             cstate.horizon if cstate and cstate.horizon else count,
             m["standalone"](m["lo"], m["hi"]),
             last_id,
@@ -1766,15 +1986,28 @@ class Compiler:
         return int(row["lo"]), int(row["hi"]) + 1, int(row["pos"] or 0)
 
     def _gmap_pos_boundary(self, cstate) -> Optional[int]:
-        """Id of the cstate.pos-th index element (resume lower bound)."""
-        row = (
-            self._gmap_index_df(cstate.lk, cstate.src)
-            .filter(F.col("id") >= cstate.low)
-            .orderBy("id")
-            .limit(cstate.pos)
-            .agg(F.max("id").alias("b"))
-            .head()
+        """Id of the cstate.pos-th index element in scan order (the
+        resume boundary): ascending for forward scans, from the top
+        of the index for backward ones."""
+        idx = self._gmap_index_df(cstate.lk, cstate.src).filter(
+            F.col("id") >= cstate.low
         )
+        if cstate.backward:
+            if cstate.high is not None:
+                idx = idx.filter(F.col("id") < cstate.high)
+            row = (
+                idx.orderBy(F.col("id").desc())
+                .limit(cstate.pos)
+                .agg(F.min("id").alias("b"))
+                .head()
+            )
+        else:
+            row = (
+                idx.orderBy("id")
+                .limit(cstate.pos)
+                .agg(F.max("id").alias("b"))
+                .head()
+            )
         if row is None or row["b"] is None:
             return None
         return int(row["b"])
@@ -2523,6 +2756,27 @@ class Compiler:
                     ">=": c >= lo,
                 }[tc.op]
             )
+        if con.timestamps:
+            # timestamp bounds ALSO compile to id-range datelines via
+            # a bsearch that assumes timestamp order
+            # (graphd_read_compile_timestamps, graphd-read.c:300-420;
+            # graphd-timestamp.c:46).  Explicit timestamp= writes
+            # break monotonicity, so the id bound can exclude rows the
+            # row predicate matches — probed: ts>0 skips an
+            # out-of-order stamp below the boundary id
+            tmin, tmax = timestamp_bounds(con)
+            if tmin is not None and tmin > 0:
+                b = self.store.timestamp_to_id(tmin, "ge")
+                if b is None:
+                    conds.append(F.lit(False))
+                else:
+                    conds.append(F.col("id") >= b)
+            if tmax is not None:
+                b = self.store.timestamp_to_id(tmax, "le")
+                if b is None:
+                    conds.append(F.lit(False))
+                else:
+                    conds.append(F.col("id") < b + 1)
 
         # generation: default newest=0 — only current versions match
         # (ref graphd/graphd.h:458-472).  A next= constraint naming a

@@ -281,7 +281,9 @@ def _signature(con: Constraint, parts: list[str], resolve=None) -> None:
             if sk.descending and not s.startswith("-"):
                 s = "-" + s
             items.append(s)
-        if not items or items[-1] != "guid":
+        if not items or items[-1] not in ("guid", "-guid"):
+            # a trailing guid key in either direction IS the tiebreak
+            # (probed: sort=(-guid) signs without an appended guid)
             items.append("guid")
         _sep(parts, "sort=(" + ", ".join(items) + ")")
 
@@ -429,6 +431,12 @@ class CursorState:
     #: was saved as [cache:@STAMP] (graphd-iterator-resource.c)
     masq: str = ""
     cache_stamp: str = ""
+    #: backward iterator (the '~' direction flag): a descending
+    #: timestamp/guid "perfect" sort runs the producer high-to-low and
+    #: freezes pos = elements consumed (graphd_sort_iterator_direction,
+    #: graphd-sort.c:1704-1716; probed: sort=(-timestamp) pages freeze
+    #: all:~/hmap:~/gmap:~/fixed:~ with pos == [o:])
+    backward: bool = False
     #: isa-form extras: the thawed statistics triple to echo back
     #: (a resumed isa keeps its thawed stats, graphd-iterator-isa.c
     #: isa_statistics_thaw) and the dup subiterator's position
@@ -491,10 +499,11 @@ def parse_cursor(text: str, con: Constraint,
             st.horizon = int(mm.group(2))
         body = body[close + 1:]
 
-    mm = re.match(r"^all:(\d+)-(\d+)/(\d+)/$", body)
+    mm = re.match(r"^all:(~?)(\d+)-(\d+)/(\d+)/$", body)
     if mm:
         st.form = "all"
-        st.low, st.high, st.pos = (int(x) for x in mm.groups())
+        st.backward = mm.group(1) == "~"
+        st.low, st.high, st.pos = (int(x) for x in mm.groups()[1:])
         return _validated(st)
     if body.startswith("and:"):
         # and-iterator: and:DLOW[-HIGH]:N:[opts](SUB)...(SUB)[pro:P]
@@ -534,17 +543,18 @@ def parse_cursor(text: str, con: Constraint,
             st.cache_stamp = mm.group(1)
         return _validated(st)
     mm = re.match(
-        r"^hmap:(\d+)-(\d+):pool:(name|value|word):\d+:(.*)/(\d+)/$",
+        r"^hmap:(~?)(\d+)-(\d+):pool:(name|value|word):\d+:(.*)/(\d+)/$",
         body,
     )
     if mm:
         # hash-bin iterator: key + position in the bin
         # (pdb-iterator-hmap.c:146-186)
         st.form = "hmap"
-        st.low, st.high = int(mm.group(1)), int(mm.group(2))
-        st.lk = mm.group(3)
-        st.masq = _xx_decode(mm.group(4))
-        st.pos = int(mm.group(5))
+        st.backward = mm.group(1) == "~"
+        st.low, st.high = int(mm.group(2)), int(mm.group(3))
+        st.lk = mm.group(4)
+        st.masq = _xx_decode(mm.group(5))
+        st.pos = int(mm.group(6))
         return _validated(st)
     if body.startswith(("isa:", "or:(")):
         # isa:LOW-HIGH:L<-(SUB)/POS:.../STATE  (graphd-iterator-isa.c
@@ -629,26 +639,28 @@ def parse_cursor(text: str, con: Constraint,
         if re.search(r"(?:left|right|typeguid|scope)[<+-]", st.masq):
             signed = None
         return _validated(st)
-    mm = re.match(r"^fixed:(\d+):([0-9,]*?)(?:/(\d+)/)?$", body)
+    mm = re.match(r"^fixed:(~?)(\d+):([0-9,]*?)(?:/(\d+)/)?$", body)
     if mm:
         st.form = "fixed"
-        ids = [int(x) for x in mm.group(2).split(",") if x != ""]
-        if len(ids) != int(mm.group(1)):
+        st.backward = mm.group(1) == "~"
+        ids = [int(x) for x in mm.group(3).split(",") if x != ""]
+        if len(ids) != int(mm.group(2)):
             raise _old_style(text)
         st.fixed_ids = ids
-        st.pos = int(mm.group(3)) if mm.group(3) is not None else 0
+        st.pos = int(mm.group(4)) if mm.group(4) is not None else 0
         return _validated(st)
-    mm = re.match(r"^gmap:(\d+)-(\d+):([a-z]+)->(\d+)/(\d+)/$", body)
+    mm = re.match(r"^gmap:(~?)(\d+)-(\d+):([a-z]+)->(\d+)/(\d+)/$", body)
     if mm:
         st.form = "gmap"
-        st.low, st.high = int(mm.group(1)), int(mm.group(2))
-        st.lk = mm.group(3)[0]
-        st.src = int(mm.group(4))
-        st.pos = int(mm.group(5))
+        st.backward = mm.group(1) == "~"
+        st.low, st.high = int(mm.group(2)), int(mm.group(3))
+        st.lk = mm.group(4)[0]
+        st.src = int(mm.group(5))
+        st.pos = int(mm.group(6))
         # the linkage name may be spelled out ("type->10", will5.sh);
         # the engine freezes one letter, and the checksum spans the
         # body as frozen — skip validation for the long spelling
-        if len(mm.group(3)) > 1:
+        if len(mm.group(4)) > 1:
             signed = None
         return _validated(st)
     mm = re.match(
@@ -707,13 +719,16 @@ def freeze_cursor(
             )
         body = f"fixed:({state.masq})/{state.pos}/{tail}"
     elif state.form == "all":
-        body = f"all:{state.low}-{state.high}/{state.pos}/"
+        t = "~" if state.backward else ""
+        body = f"all:{t}{state.low}-{state.high}/{state.pos}/"
     elif state.form == "fixed":
         ids = ",".join(str(i) for i in state.fixed_ids)
-        body = f"fixed:{len(state.fixed_ids)}:{ids}/{state.pos}/"
+        t = "~" if state.backward else ""
+        body = f"fixed:{t}{len(state.fixed_ids)}:{ids}/{state.pos}/"
     elif state.form == "gmap":
+        t = "~" if state.backward else ""
         body = (
-            f"gmap:{state.low}-{state.high}:{state.lk}->{state.src}"
+            f"gmap:{t}{state.low}-{state.high}:{state.lk}->{state.src}"
             f"/{state.pos}/"
         )
     elif state.form == "without":

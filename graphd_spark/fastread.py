@@ -215,6 +215,10 @@ class FastReader:
         self.store = store
         self.types = types
         self._n = 0
+        #: per-request cache of timestamp-range id bounds, keyed by
+        #: constraint identity (the reference compiles them once per
+        #: constraint; graphd_read_compile_timestamps)
+        self._ts_id_bounds: dict = {}
         # asof= binds to an id horizon (mirror of _asof_horizon,
         # compiler.py:146-167): candidates, traversal children, and
         # newest-ness all evaluate within it
@@ -325,7 +329,26 @@ class FastReader:
         if cstate is not None:
             matches = self._resume_filter(cstate, matches)
         matches = self._number_sort_drop(con, matches)
-        self._apply_sort(con, plan, matches)
+        # graphd_sort_needed mirror (compiler.py perfect-sort skip): a
+        # leading timestamp/guid key over a sorted producer needs no
+        # sort — id order, reversed for a descending key (backward
+        # iterator).  Value/name RANGES keep the real sort (vrange
+        # producers are bin-ordered/unsorted in the reference).
+        sort_skipped = False
+        perfect_backward = False
+        if con.sort:
+            first0 = con.sort[0]
+            if first0.pattern.kind in ("timestamp", "guid") and not any(
+                sc.op in ("<", "<=", ">", ">=")
+                for sc in (*con.value_strcons, *con.name_strcons)
+            ):
+                sort_skipped = True
+                perfect_backward = bool(first0.descending)
+        if sort_skipped:
+            if perfect_backward:
+                matches = matches[::-1]
+        else:
+            self._apply_sort(con, plan, matches)
         if resume_guid is not None:
             # mirror of _key_resume_offset: the total order (sort
             # keys + id tiebreak) is unique, so the offset of the
@@ -365,8 +388,22 @@ class FastReader:
             or con.count_max is not None
             or (con.count_min or 0) > 1
         )
+        # iterator-state resumes count the REMAINING tail; o_base
+        # converts to the absolute frame for count-bound checks and
+        # count rendering (mirror of Compiler.run)
+        o_base = (
+            cstate.offset
+            if cstate is not None
+            and cstate.form in (
+                "all", "without", "fixed", "gmap", "hmap",
+                "and_it", "or_it",
+            )
+            else 0
+        )
         count_min_chk = (
-            con.count_min if con.count_min is not None else start + 1
+            con.count_min
+            if con.count_min is not None
+            else (o_base + 1 if (o_base or rps == 0) else start + 1)
         )
         # the implicit countlimit (start + pagesize) follows the
         # cursor offset on resume (graphd-constraint-cursor.c:52-55)
@@ -379,27 +416,28 @@ class FastReader:
         wants_estimate = any(
             p.kind in ("estimate", "estimate-count") for p in pat.walk()
         )
+        verify_need = max(count_min_chk - o_base, 0)
+        if con.count_eq is not None:
+            verify_need = max(verify_need, con.count_eq + 1 - o_base)
+        if con.count_max is not None:
+            verify_need = max(verify_need, con.count_max + 1 - o_base)
         if n_prefix < limit:
             total = n_prefix
         elif need_total:
-            verify_need = count_min_chk
-            if con.count_eq is not None:
-                verify_need = max(verify_need, con.count_eq + 1)
-            if con.count_max is not None:
-                verify_need = max(verify_need, con.count_max + 1)
             if countlimit is not None and not wants_estimate:
                 total = min(full, max(countlimit, verify_need))
             else:
                 total = full
-        elif count_min_chk > n_prefix:
-            total = min(full, count_min_chk)
+        elif verify_need > n_prefix:
+            total = min(full, verify_need)
         else:
             total = n_prefix
+        total_abs = o_base + total
         if con.count_eq is not None:
-            ok = total == con.count_eq
+            ok = total_abs == con.count_eq
         else:
-            ok = total >= count_min_chk and (
-                con.count_max is None or total <= con.count_max
+            ok = total_abs >= count_min_chk and (
+                con.count_max is None or total_abs <= con.count_max
             )
         if not ok:
             raise GraphdError("EMPTY", "not found")
@@ -411,14 +449,19 @@ class FastReader:
                 not rows
                 and con.pagesize == 0
                 and total > consumed
-                and not con.sort
+                and (not con.sort or sort_skipped)
             ):
-                probe = matches[0][0] if matches else None
+                # the count-min probe runs FORWARD even under a
+                # skipped descending sort, and consumes `total`
+                # elements — the count scan's consumption (probed:
+                # pagesize=0 countlimit=9 freezes [o:3] all:0-3/3/)
+                asc = matches[::-1] if perfect_backward else matches
+                probe_prims = [p for p, _r in asc[: max(total, 1)]]
                 plan.cursor = (
                     self._iterator_cursor(
-                        con, cstate, [probe], matches, resume
+                        con, cstate, probe_prims, matches, resume
                     )
-                    if probe is not None
+                    if probe_prims
                     else None
                 ) or "null:"
             elif consumed >= total or not rows:
@@ -429,17 +472,23 @@ class FastReader:
                     and n_prefix >= limit
                     and full > limit
                 ):
-                    if con.sort:
+                    if con.sort and not sort_skipped:
                         plan.cursor = self._sort_cursor_f(
                             con, plan, rows, consumed, horizon
                         )
                     else:
                         plan.cursor = self._iterator_cursor(
-                            con, cstate, page_prims, matches, resume
+                            con, cstate, page_prims, matches, resume,
+                            backward=perfect_backward,
+                            delivered=(
+                                cstate.offset
+                                if cstate is not None
+                                else resume
+                            ) + con.start + len(rows),
                         ) or f"position:{consumed}/{total}"
                 else:
                     plan.cursor = "null:"
-            elif con.sort:
+            elif con.sort and not sort_skipped:
                 if self.store.count() >= 1000:
                     # a sorted scan this large suspends, freezing the
                     # iterator's state into the resource cache once
@@ -460,9 +509,21 @@ class FastReader:
                 )
             else:
                 plan.cursor = self._iterator_cursor(
-                    con, cstate, page_prims, matches, resume
+                    con, cstate, page_prims, matches, resume,
+                    backward=perfect_backward,
+                    delivered=(
+                        cstate.offset if cstate is not None else resume
+                    ) + con.start + len(rows),
                 ) or f"position:{consumed}/{total}"
-        return plan, rows, total
+        # rendered counts clamp at the ORIGINAL (unshifted) countlimit
+        # (mirror of Compiler.run; probed against the reference)
+        if (
+            con.countlimit is not None
+            and not wants_estimate
+            and total_abs > con.countlimit
+        ):
+            return plan, rows, con.countlimit
+        return plan, rows, total_abs
 
     def _sort_cursor_f(self, con, plan, rows, consumed, horizon):
         from graphd_spark.compiler import sort_cursor_string
@@ -478,6 +539,13 @@ class FastReader:
         compiler.py:218-282)."""
         form = cstate.form
         if form in ("all", "without"):
+            if cstate.backward:
+                # skip the first `pos` of the DESCENDING dense span
+                hi = (cstate.high or 0) - cstate.pos
+                return [
+                    (p, r) for p, r in matches
+                    if cstate.low <= p.id < hi
+                ]
             lo = max(cstate.pos, cstate.low)
             return [
                 (p, r) for p, r in matches
@@ -485,7 +553,11 @@ class FastReader:
                 and (cstate.high is None or p.id < cstate.high)
             ]
         if form == "fixed":
-            allowed = set(cstate.fixed_ids[cstate.pos:])
+            if cstate.backward:
+                n = len(cstate.fixed_ids) - cstate.pos
+                allowed = set(cstate.fixed_ids[:n]) if n > 0 else set()
+            else:
+                allowed = set(cstate.fixed_ids[cstate.pos:])
             return [(p, r) for p, r in matches if p.id in allowed]
         if form == "gmap":
             out = matches
@@ -495,11 +567,20 @@ class FastReader:
                 ids = [
                     i for i in self._gmap_index_ids(cstate.lk, cstate.src)
                     if i >= cstate.low
+                    and (
+                        not cstate.backward
+                        or cstate.high is None
+                        or i < cstate.high
+                    )
                 ]
                 if not ids:
                     return []
-                b = ids[: cstate.pos][-1]
-                out = [(p, r) for p, r in out if p.id > b]
+                if cstate.backward:
+                    b = ids[-cstate.pos:][0]
+                    out = [(p, r) for p, r in out if p.id < b]
+                else:
+                    b = ids[: cstate.pos][-1]
+                    out = [(p, r) for p, r in out if p.id > b]
             return out
         if form == "hmap":
             if not cstate.pos:
@@ -507,6 +588,9 @@ class FastReader:
             ids = self._hmap_resume_ids(cstate.lk, cstate.masq)
             if not ids:
                 return []
+            if cstate.backward:
+                b = ids[-cstate.pos:][0]
+                return [(p, r) for p, r in matches if p.id < b]
             b = ids[: cstate.pos][-1]
             return [(p, r) for p, r in matches if p.id > b]
         if form in ("and_it", "or_it"):
@@ -578,43 +662,27 @@ class FastReader:
         return lk[0], src
 
     def _hmap_bin_ids(self, tname: str, key: str) -> list[int]:
-        """Driver mirror of _hmap_bin_filter's membership."""
+        """Driver mirror of _hmap_bin_filter's membership: the value
+        hash buckets by pdb_hmap_value_normalize, i.e. the stored
+        value_norm column ("12"/"12.0"/"+12" share one bin, and so do
+        "2006-01-02"/"2006-1-2"; cursor-fuzz seed 81)."""
         st = self.store
         if tname == "name":
             return list(st._name_ids.get(key.lower(), ()))
-        d = decode_number(key, scientific=True)
-        if d is not None:
-            from graphd_spark.comparators import render_sci
-
-            norm = render_sci(d)
-            return [
-                i for i in st._vnorm_ids.get(norm, ())
-                if st.rows[i - st._base].value_num == norm
-            ]
-        kl = key.lower()
-        return [
-            i for i in st._vnorm_ids.get(value_norm_key(key), ())
-            if (st.rows[i - st._base].value or "").lower() == kl
-        ]
+        return sorted(st._vnorm_ids.get(value_norm_key(key), ()))
 
     def _hmap_resume_ids(self, tname: str, masq: str) -> list[int]:
-        """Bin members for a THAWED hmap key (mirror of the resume
-        filter: value_num == masq OR lower(value) == lower(masq));
-        non-value pools ('name', 'word') match on the name column
-        like the compiler's else-branch."""
+        """Bin members for a THAWED hmap key.  The thawed key IS the
+        stored normalization (case preserved) — only case-fold it;
+        re-normalizing is NOT idempotent ("12e1" the canonical form
+        re-parses as the number 120 -> "12e2").  Non-value pools
+        ('name', 'word') match on the name column."""
+        from graphd_spark.comparators import _ascii_lower
+
         st = self.store
         if tname != "value":
             return list(st._name_ids.get(masq.lower(), ()))
-        ids = {
-            i for i in st._vnorm_ids.get(masq, ())
-            if st.rows[i - st._base].value_num == masq
-        }
-        ml = masq.lower()
-        ids.update(
-            i for i in st._vnorm_ids.get(value_norm_key(masq), ())
-            if (st.rows[i - st._base].value or "").lower() == ml
-        )
-        return sorted(ids)
+        return sorted(st._vnorm_ids.get(_ascii_lower(masq), ()))
 
     def _hmap_cursor_source_f(self, con: Constraint):
         """Mirror of _hmap_cursor_source/_hmap_source: the root's own
@@ -639,11 +707,12 @@ class FastReader:
         tname, key = cands[0]
         ids = self._hmap_bin_ids(tname, key)  # normalizes the RAW key
         if tname == "value":
-            d = decode_number(key, scientific=True)
-            if d is not None:
-                from graphd_spark.comparators import render_sci
+            from graphd_spark.comparators import normalize_value
 
-                key = render_sci(d)  # set string carries the canonical
+            # the set string carries the normalized key (canonical
+            # scientific form for numbers, word-normalized fragments
+            # otherwise — "2006-01-02" freezes as "2006-1-2")
+            key = normalize_value(key)
         if not ids:
             return None
         return tname, key, ids[0], ids[-1] + 1, ids
@@ -901,12 +970,13 @@ class FastReader:
         return out
 
     def _preevaluate_small_set_f(
-        self, con, members, page_prims, prior, count
+        self, con, members, page_prims, prior, count, backward=False
     ) -> Optional[str]:
         """Mirror of Compiler._preevaluate_small_set
         (and_become_small_set, graphd-iterator-and-optimize.c:747-1030):
         a cheap-enough and pre-evaluates into a FIXED iterator over the
         intersection of the member candidate sets."""
+        delivered = prior + len(page_prims)
         from graphd_spark.cursor import CursorState, freeze_cursor
         from graphd_spark.freeze import (
             COST_FUNCTION_CALL,
@@ -971,10 +1041,16 @@ class FastReader:
         if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
             return None
         st = CursorState(
-            form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
+            form="fixed", fixed_ids=ids,
+            pos=(
+                delivered
+                if backward
+                else ids.index(last_id) + 1
+            ),
+            backward=backward,
         )
         return freeze_cursor(
-            con, st, prior + len(page_prims), count, self.types.resolve
+            con, st, delivered, count, self.types.resolve
         )
 
     def _and_cursor_f(
@@ -983,6 +1059,7 @@ class FastReader:
         """Frozen and-iterator cursor for multi-index roots — driver
         mirror of Compiler._and_cursor (compiler.py:1253-1307;
         graphd-iterator-and-freeze.c:619-805)."""
+        delivered = prior + len(page_prims)
         from graphd_spark.cursor import sign_cursor
         from graphd_spark.freeze import resource_stamp
 
@@ -1025,17 +1102,18 @@ class FastReader:
             self.store, reuse=cstate.cache_stamp if cstate else None
         )
         body = "[o:{}][n:{}]{}{}@{}".format(
-            prior + len(page_prims), count, set_part, pos_part, stamp
+            delivered, count, set_part, pos_part, stamp
         )
         return sign_cursor(con, body, self.types.resolve)
 
     def _sub_gmap_cursor_f(
-        self, con, page_prims, prior, count, last_id
+        self, con, page_prims, prior, count, last_id, backward=False
     ) -> Optional[str]:
         """A root whose only predicate is one ``L->(sub)`` resolving
         to a SINGLE pointed-at source collapses to that linkage's gmap
         iterator — driver mirror of Compiler._sub_gmap_cursor
         (compiler.py:959-1022; graphd-iterator-linksto.c)."""
+        delivered = prior + len(page_prims)
         from graphd_spark.cursor import CursorState, freeze_cursor
 
         if (
@@ -1074,12 +1152,19 @@ class FastReader:
         low, high, pos = self._gmap_stats_f(lk[0], src, last_id)
         if low is None:
             return None
+        if backward:
+            pos = delivered
         st = CursorState(
-            form="gmap", low=low, high=high, pos=pos, lk=lk[0], src=src
+            form="gmap", low=low, high=high, pos=pos, lk=lk[0], src=src,
+            backward=backward,
         )
-        n_echo = high if last_id == high - 1 else count
+        n_echo = (
+            count
+            if backward
+            else (high if last_id == high - 1 else count)
+        )
         return freeze_cursor(
-            con, st, prior + len(page_prims), n_echo, self.types.resolve
+            con, st, delivered, n_echo, self.types.resolve
         )
 
     def _isa_masquerade_f(self, con, ids) -> Optional[str]:
@@ -1184,6 +1269,7 @@ class FastReader:
         large to materialize — driver mirror of
         Compiler._isa_prefix_cursor (compiler.py:1425-1532;
         graphd-iterator-isa.c isa_freeze)."""
+        delivered = prior + len(page_prims)
         from graphd_spark.cursor import sign_cursor
         from graphd_spark.freeze import isa_stats, resource_stamp
         from graphd_spark.model import guid_serial
@@ -1246,7 +1332,7 @@ class FastReader:
             if cstate is not None and cstate.echo
             else ist.stats_str()
         )
-        o = prior + len(page_prims)
+        o = delivered
         last_id = page_prims[-1].id
         sd_pos = 4 * max(5, o)
         stamp = resource_stamp(
@@ -1279,6 +1365,7 @@ class FastReader:
         """Frozen or-of-gmaps cursor for a plural links-to expansion —
         driver mirror of Compiler._or_linksto_cursor
         (compiler.py:1534-1571; graphd-iterator-linksto.c:3610-3655)."""
+        delivered = prior + len(page_prims)
         from graphd_spark.cursor import sign_cursor
         from graphd_spark.freeze import resource_stamp
 
@@ -1304,7 +1391,7 @@ class FastReader:
             self.store, reuse=cstate.cache_stamp if cstate else None
         )
         body = "[o:{}][n:{}]{}/{}/@{}".format(
-            prior + len(page_prims),
+            delivered,
             cstate.horizon if cstate and cstate.horizon else count,
             m["standalone"](m["lo"], m["hi"]),
             last_id,
@@ -1313,7 +1400,7 @@ class FastReader:
         return sign_cursor(con, body, self.types.resolve)
 
     def _iterator_cursor(self, con, cstate, page_prims, matches,
-                         prior=0):
+                         prior=0, backward=False, delivered=None):
         """Reference-format frozen cursor for an unsorted root page —
         full driver mirror of Compiler._iterator_cursor
         (compiler.py:688-886): continuations, guid= fixed sets,
@@ -1329,12 +1416,21 @@ class FastReader:
 
         if cstate is not None:
             prior = cstate.offset
+        if delivered is None:
+            # [o:] counts consumed elements: prior pages + this page's
+            # start= skip + the delivered rows (callers pass the exact
+            # value; the default covers start=0 probes)
+            delivered = prior + len(page_prims)
+        prior = delivered - len(page_prims)
         last_id = page_prims[-1].id
         count = self.store.count()
         if cstate is not None and cstate.form in (
             "all", "without", "fixed", "gmap"
         ):
-            if cstate.form == "fixed":
+            if cstate.backward:
+                # backward iterators freeze pos = elements consumed
+                cstate.pos = delivered
+            elif cstate.form == "fixed":
                 try:
                     cstate.pos = cstate.fixed_ids.index(last_id) + 1
                 except ValueError:
@@ -1348,7 +1444,6 @@ class FastReader:
                 cstate.pos = pos
             else:
                 cstate.pos = last_id + 1
-            delivered = cstate.offset + len(page_prims)
             n = cstate.horizon if cstate.horizon is not None else count
             return freeze_cursor(
                 con, cstate, delivered, n, self.types.resolve
@@ -1363,13 +1458,18 @@ class FastReader:
             and not con.or_chains
         ):
             ids = [guid_serial(g) for g in gc.guids]
-            try:
-                pos = ids.index(last_id) + 1
-            except ValueError:
-                return None
-            st = CursorState(form="fixed", fixed_ids=ids, pos=pos)
+            if backward:
+                pos = delivered
+            else:
+                try:
+                    pos = ids.index(last_id) + 1
+                except ValueError:
+                    return None
+            st = CursorState(
+                form="fixed", fixed_ids=ids, pos=pos, backward=backward
+            )
             return freeze_cursor(
-                con, st, prior + len(page_prims), count,
+                con, st, delivered, count,
                 self.types.resolve,
             )
         if not con.subs and not con.or_chains:
@@ -1379,13 +1479,19 @@ class FastReader:
                 low, high, pos = self._gmap_stats_f(lk, src, last_id)
                 if low is None:
                     return None
+                if backward:
+                    pos = delivered
                 st = CursorState(
                     form="gmap", low=low, high=high, pos=pos, lk=lk,
-                    src=src,
+                    src=src, backward=backward,
                 )
-                n = high if last_id == high - 1 else count
+                n = (
+                    count
+                    if backward
+                    else (high if last_id == high - 1 else count)
+                )
                 return freeze_cursor(
-                    con, st, prior + len(page_prims), n,
+                    con, st, delivered, n,
                     self.types.resolve,
                 )
             hm = self._hmap_cursor_source_f(con)
@@ -1394,12 +1500,17 @@ class FastReader:
                 from graphd_spark.freeze import hmap_set_str
 
                 tname, key, lo, hi, bin_ids = hm
-                pos = bisect.bisect_right(bin_ids, last_id)
+                if backward:
+                    pos = delivered
+                    n_echo = count
+                else:
+                    pos = bisect.bisect_right(bin_ids, last_id)
+                    n_echo = hi if last_id == bin_ids[-1] else count
+                hset = hmap_set_str(tname, key, lo, hi)
+                if backward:
+                    hset = hset.replace("hmap:", "hmap:~", 1)
                 body = "[o:{}][n:{}]{}/{}/".format(
-                    prior + len(page_prims),
-                    hi if last_id == bin_ids[-1] else count,
-                    hmap_set_str(tname, key, lo, hi),
-                    pos,
+                    delivered, n_echo, hset, pos,
                 )
                 return sign_cursor(con, body, self.types.resolve)
             if any(
@@ -1428,17 +1539,53 @@ class FastReader:
                     return None
                 st = CursorState(
                     form="fixed", fixed_ids=ids,
-                    pos=ids.index(last_id) + 1,
+                    pos=(
+                        delivered
+                        if backward
+                        else ids.index(last_id) + 1
+                    ),
+                    backward=backward,
                 )
                 return freeze_cursor(
-                    con, st, prior + len(page_prims), count,
+                    con, st, delivered, count,
                     self.types.resolve,
                 )
             st = CursorState(
-                form="all", low=0, high=count, pos=last_id + 1
+                form="all", low=0, high=count,
+                pos=delivered if backward else last_id + 1,
+                backward=backward,
             )
             return freeze_cursor(
-                con, st, prior + len(page_prims), count,
+                con, st, delivered, count,
+                self.types.resolve,
+            )
+        if backward:
+            # backward multi-index/expansion roots (mirror of the
+            # compiler's backward block): pre-evaluated small sets and
+            # sub-gmap collapses freeze backward; and:~/isa:~ forms
+            # aren't modeled (position fallback)
+            members = self._and_members_ext_f(con)
+            if members is not None and len(members) >= 2:
+                return self._preevaluate_small_set_f(
+                    con, members, page_prims, prior, count,
+                    backward=True,
+                )
+            sub_gmap = self._sub_gmap_cursor_f(
+                con, page_prims, prior, count, last_id, backward=True
+            )
+            if sub_gmap is not None:
+                return sub_gmap
+            ids = sorted(p.id for p, _r in matches)[
+                : _FIXED_MATERIALIZE_MAX + 1
+            ]
+            if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+                return None
+            st = CursorState(
+                form="fixed", fixed_ids=ids,
+                pos=delivered, backward=True,
+            )
+            return freeze_cursor(
+                con, st, delivered, count,
                 self.types.resolve,
             )
         and_cursor = self._and_cursor_f(
@@ -1479,14 +1626,14 @@ class FastReader:
             else:
                 st.fixed_ids = ids
             return freeze_cursor(
-                con, st, prior + len(page_prims), count,
+                con, st, delivered, count,
                 self.types.resolve,
             )
         st = CursorState(
             form="fixed", fixed_ids=ids, pos=ids.index(last_id) + 1
         )
         return freeze_cursor(
-            con, st, prior + len(page_prims), count, self.types.resolve
+            con, st, delivered, count, self.types.resolve
         )
 
     def _number_sort_drop(self, con: Constraint, matches):
@@ -2433,6 +2580,32 @@ class FastReader:
                 ">=": t >= lo,
             }[tc.op]
             if not ok:
+                return False
+        if con.timestamps:
+            # timestamp bounds also compile to id-range datelines via
+            # the reference's timestamp->id bsearch (mirror of
+            # _intrinsic_pred; graphd-read.c:300-420)
+            b = self._ts_id_bounds.get(id(con))
+            if b is None:
+                from graphd_spark.compiler import timestamp_bounds
+
+                tmin, tmax = timestamp_bounds(con)
+                lo_id = hi_id = None
+                dead = False
+                if tmin is not None and tmin > 0:
+                    lo_id = self.store.timestamp_to_id(tmin, "ge")
+                    dead = dead or lo_id is None
+                if tmax is not None:
+                    hi_id = self.store.timestamp_to_id(tmax, "le")
+                    dead = dead or hi_id is None
+                b = (lo_id, hi_id, dead)
+                self._ts_id_bounds[id(con)] = b
+            lo_id, hi_id, dead = b
+            if dead:
+                return False
+            if lo_id is not None and p.id < lo_id:
+                return False
+            if hi_id is not None and p.id > hi_id:
                 return False
         # generation: default newest=0 (compiler.py:2340-2352)
         dist = self._maxgen(p) - p.generation

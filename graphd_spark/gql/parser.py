@@ -1103,11 +1103,11 @@ def apply_semantics(con: Constraint, command: str = "read",
                     c.countlimit = 1
                 if c.resultpagesize is not None and c.resultpagesize > 1:
                     c.resultpagesize = 1
-            if (
-                c.pagesize is not None
-                and c.countlimit is None
-                and c.start + c.pagesize > 0
-            ):
+            if c.pagesize is not None and c.countlimit is None:
+                # pagesize=0 caps the count at start+0 too — the
+                # rendered count is 0 even though the emptiness probe
+                # still pulls an element (probed: pagesize=0
+                # result=(cursor count) answers 0 with [o:1])
                 c.countlimit = c.start + c.pagesize
                 # a resumed cursor shifts the implicit cap by its
                 # offset (scan_prefix defaults start to the cursor

@@ -353,19 +353,70 @@ class PrimitiveStore:
         return self.rows[-1] if self.rows else None
 
     def asof_id_for_ts(self, ts: int) -> int:
-        """Largest id whose timestamp <= ts (timestamps are monotone
-        with ids, ref doc/gr-model.txt:53-61); -1 when none."""
-        rows = self.rows
-        lo, hi = 0, len(rows) - 1
-        ans = -1
-        while lo <= hi:
-            mid = (lo + hi) // 2
-            if rows[mid].timestamp <= ts:
-                ans = mid
-                lo = mid + 1
+        """asof horizon id: graphd_timestamp_to_id(ts, LE)
+        (graphd_read_compile_asof, graphd-read.c:442-480); -1 when no
+        primitive qualifies (the reference's dateline 0).  Uses the
+        reference's exact bsearch so explicit out-of-order timestamps
+        land on the same arbitrary-but-deterministic boundary."""
+        found = self.timestamp_to_id(ts, "le")
+        return -1 if found is None else found
+
+    def ts_of_id(self, id: int) -> int:
+        """Stored timestamp of one primitive (bsearch point read)."""
+        return self.rows[id - self._base].timestamp
+
+    def timestamp_to_id(self, ts: int, op: str) -> Optional[int]:
+        """EXACT mirror of graphd_timestamp_to_id (graphd/
+        graphd-timestamp.c:46-200): a binary search over all
+        primitives, "which must be in timestamp order — whether or not
+        that is actually true depends on the inserting party".
+        Explicit ``timestamp=`` writes break monotonicity and the
+        reference STILL bsearches, so timestamp range bounds land on
+        arbitrary-but-deterministic ids; cursor/read parity needs the
+        identical walk.  op in ('lt','le','eq','ge','gt'); None is
+        GRAPHD_ERR_NO (the constraint compiles to false)."""
+        n = self.count()
+        if n == 0:
+            return None
+        base = 0
+        nelem = n
+        while True:
+            hs = nelem // 2
+            found = base + hs
+            val = self.ts_of_id(found)
+            if val == ts:
+                if op == "lt":
+                    found -= 1
+                    if found < 0:
+                        return None
+                elif op == "gt":
+                    found += 1
+                    if found >= n:
+                        return None
+                return found
+            if val > ts:
+                nelem = hs
+                if nelem == 0:
+                    # found > ts; found-1, if it exists, < ts
+                    if op in ("lt", "le"):
+                        found -= 1
+                        if found < 0:
+                            return None
+                    elif op == "eq":
+                        return None
+                    return found
             else:
-                hi = mid - 1
-        return self._base + ans if ans >= 0 else -1
+                base = found + 1
+                nelem -= hs + 1
+                if nelem == 0:
+                    # found < ts; found+1, if it exists, > ts
+                    if op == "eq":
+                        return None
+                    if op in ("ge", "gt"):
+                        found += 1
+                        if found >= n:
+                            return None
+                    return found
 
     # -- Spark view -------------------------------------------------------
 
@@ -630,6 +681,19 @@ class ParquetLogStore(PrimitiveStore):
             .parquet(self.path)
         )
 
+    def ts_of_id(self, id: int) -> int:
+        """Timestamp point read; ids below the cache base go through
+        one Spark lookup (the bsearch reads ~log2(n) of these)."""
+        if id >= self._base:
+            return self.rows[id - self._base].timestamp
+        from pyspark.sql import functions as F
+
+        row = (
+            self._log_df().filter(F.col("id") == id)
+            .select("timestamp").head()
+        )
+        return int(row["timestamp"])
+
     @property
     def _covers_all(self) -> bool:
         """True while the driver cache mirrors the whole log (every
@@ -838,23 +902,8 @@ class ParquetLogStore(PrimitiveStore):
         )
         return self._from_row(rows[0]) if rows else None
 
-    def asof_id_for_ts(self, ts: int) -> int:
-        if self._covers_all:
-            return super().asof_id_for_ts(ts)
-        from pyspark.sql import functions as F
-
-        ans = -1
-        if self._base > 0:
-            row = (
-                self._log_df()
-                .filter(F.col("timestamp") <= ts)
-                .agg(F.max("id").alias("m"))
-                .collect()
-            )
-            if row and row[0]["m"] is not None:
-                ans = row[0]["m"]
-        local = super().asof_id_for_ts(ts)
-        return max(ans, local)
+    # asof_id_for_ts inherits the exact bsearch; ts_of_id (below)
+    # answers point reads for ids under the cache base through Spark
 
     # -- Spark view -------------------------------------------------------
 

@@ -113,6 +113,14 @@ def _gen_write(rng: random.Random) -> str:
         parts.append(f"value={_q(rng.choice(_VALUES))}")
     if rng.random() < 0.5:
         parts.append(f"name={_q(rng.choice(_NAMES))}")
+    if rng.random() < 0.12:
+        # explicit out-of-order stamps: the stored timestamp column is
+        # NOT monotone with ids, exercising the reference's
+        # timestamp->id bsearch bounds, the "perfect" sort skips, and
+        # keyed timestamp tag fields (probed round 5)
+        parts.append(
+            f"timestamp=1970-01-01T00:00:00.{rng.randrange(60):04d}Z"
+        )
     for _ in range(rng.randrange(3)):
         child = [f"value={_q(rng.choice(_VALUES))}"]
         if rng.random() < 0.4:
@@ -305,6 +313,17 @@ def test_differential_cursors(spark, ref_bin, seed):
             srt = "sort=" + rng.choice(
                 ["(value)", "(-value)", "(name value)", "(-name)"]
             ) + " "
+        elif rng.random() < 0.25:
+            # timestamp/guid first keys are "perfect" sorts: no sort
+            # context, iterator cursors, backward (~) freezes for the
+            # descending keys (graphd_sort_needed; probed round 5).
+            # NEVER combine a descending key with a value range — the
+            # reference binary asserts out (graphd-iterator-and.c:1558
+            # direction mismatch); these shapes carry no ranges.
+            srt = "sort=" + rng.choice(
+                ["(timestamp)", "(-timestamp)", "(guid)", "(-guid)",
+                 "(timestamp guid)", "(-timestamp value)"]
+            ) + " "
         reads.append(
             f"read (pagesize={ps} {srt}result=(cursor (guid value)) {body})"
         )
@@ -468,11 +487,86 @@ def _gen_adv_write(rng: random.Random) -> str:
     )
 
 
+#: predictable-mode guids of the script's first two primitives (the
+#: plain-write prologue guarantees they exist; ref keyburn5/keyburn6
+#: pin key semantics against literal guids this way)
+_G0 = "00000012400034568000000000000000"
+_G1 = "00000012400034568000000000000001"
+
+#: deterministic write timestamps (predictable mode steps
+#: 1970-01-01T00:00:00.NNNN per primitive, so explicit stamps in key
+#: fields reproduce bit-for-bit)
+_TS_LITS = [
+    "1970-01-01T00:00:00.0003Z",
+    "1970-01-01T00:00:00.0007Z",
+]
+
+
+def _gen_keytree_write(rng: random.Random) -> str:
+    """Multi-level keyed clusters and tag-field keys — the
+    keyburn3..6 surface (doc/gr-protocol.txt:744-813): nested key=
+    trees (keyed child with keyed grandchild), timestamp / datatype
+    tag fields in key=/unique= (present AND missing — the missing-
+    field SEMANTICS error is itself a parity probe), guid~= version
+    chaining combined with key=, and meta-arrow linkage keys over
+    literal guids."""
+    val, nm = rng.choice(_VALUES), rng.choice(_NAMES)
+    r = rng.random()
+    if r < 0.3:
+        # timestamp / datatype tag fields
+        kw = rng.choice(["key", "unique"])
+        fields = rng.choice(
+            [
+                "(value timestamp)",
+                "(timestamp)",
+                "(value datatype)",
+                "(datatype)",
+                "(value timestamp datatype)",
+            ]
+        )
+        body = f"value={_q(val)} {kw}={fields}"
+        if "timestamp" in fields and rng.random() < 0.8:
+            body += f" timestamp={rng.choice(_TS_LITS)}"
+        if "datatype" in fields and rng.random() < 0.8:
+            body += f" valuetype={rng.choice([2, 3])}"
+        return f"write ({body})"
+    if r < 0.6:
+        # nested keyed cluster: keyed parent -> keyed child -> keyed
+        # grandchild (all-or-nothing cluster algebra across levels)
+        a2 = rng.choice(["<-left", "<-right"])
+        g = f"value={_q(rng.choice(_VALUES))} key=(value)"
+        skey = rng.choice(["(value)", f"(value {a2[2:]})", "()"])
+        s = f"value={_q(rng.choice(_VALUES))} key={skey} ({a2} {g})"
+        a1 = rng.choice(["<-left", "<-right"])
+        pkey = rng.choice(["(value)", "(name value)", "()"])
+        return (
+            f"write (value={_q(val)} name={_q(nm)} key={pkey} "
+            f"({a1} {s}))"
+        )
+    if r < 0.8:
+        # keyburn5: guid~= version chaining x key= combinations
+        pre = f"value={_q(val)}"
+        if rng.random() < 0.5:
+            pre += f" guid~={_G0}"
+        if rng.random() < 0.7:
+            pre += " key=(value)"
+        return f"write ({pre})"
+    # keyburn6: meta-arrow link keyed on its linkage fields
+    return (
+        f"write (node key=() (-> key=(left right typeguid value) "
+        f"typeguid={_G1} value={_q(val)} right={_G0}))"
+    )
+
+
 def gen_write_script(seed: int) -> list[str]:
     rng = random.Random(50_000 + seed)
     lines = [_gen_write(rng) for _ in range(rng.randrange(2, 6))]
     for _ in range(rng.randrange(5, 11)):
-        lines.append(_gen_adv_write(rng))
+        lines.append(
+            _gen_keytree_write(rng)
+            if rng.random() < 0.35
+            else _gen_adv_write(rng)
+        )
         if rng.random() < 0.4:
             lines.append(f"read ({_gen_constraint(rng)})")
     lines += [
