@@ -392,15 +392,19 @@ class Compiler:
                         else:
                             horizon = int(m.group(2))
                     body = body[close + 1:]
-                if is_sort and not saw_offset:
-                    # bare sort state: the serialized values position
-                    # the scan after the page's last element; its
-                    # trailing guid tiebreak identifies it exactly
-                    # (ref graphd-sort.c:1553-1650 sort cursor thaw)
+                if is_sort:
+                    # sort state: the serialized values position the
+                    # scan after the page's last element; its trailing
+                    # guid tiebreak identifies it exactly (ref
+                    # graphd-sort.c:1553-1650 sort cursor thaw).  Even
+                    # with an [o:] present, the reference re-enters
+                    # through the boundary KEY, not the offset (the
+                    # first-key null class narrows; probed round 5)
                     m = _re.search(r"g([0-9a-f]{32})$", body)
                     if m:
                         resume_guid = m.group(1)
-                elif not is_sort and not saw_offset and horizon is None:
+                        resume = 0
+                elif not saw_offset and horizon is None:
                     # last-resort: trailing /N/ position of the
                     # reference's and-iterator freeze
                     m = _re.search(r"/(\d+)/$", cur)
@@ -607,7 +611,7 @@ class Compiler:
                     F.col("id").asc(),
                 ]
         if resume_guid is not None:
-            resume = self._key_resume_offset(
+            resume, df = self._key_resume_offset(
                 df, con, plan, resume_guid
             )
         pagesize = (
@@ -2012,12 +2016,21 @@ class Compiler:
             return None
         return int(row["b"])
 
-    def _key_resume_offset(self, df, con, plan, guid: str) -> int:
-        """Offset of the element AFTER the cursor element in this
-        query's total order — computed as a distributed count of rows
-        ordering strictly before it (plus the element itself), never a
-        global window.  Null keys sort greatest (asc_nulls_last /
-        desc_nulls_first), so comparisons treat null as +inf."""
+    def _key_resume_offset(self, df, con, plan, guid: str):
+        """(offset, df) for a resumed ``sort:`` cursor: the offset of
+        the element AFTER the cursor element in this query's total
+        order — computed as a distributed count of rows ordering
+        strictly before it (plus the element itself), never a global
+        window.  Null keys sort greatest (asc_nulls_last /
+        desc_nulls_first), so comparisons treat null as +inf.
+
+        The returned df is narrowed to the boundary's FIRST-KEY NULL
+        CLASS: the reference's thawed sort scan re-enters through the
+        first key's index — a non-null boundary resumes in the key
+        index, where null-key rows don't exist, and a null boundary
+        resumes in the null bin (probed: sort=(name) chains drop
+        null-name rows after a named boundary, answer EMPTY when only
+        null-name rows remain, and vice versa)."""
         comps = self._sort_components(con, plan)
         tagged = df.select(
             F.col("id"),
@@ -2027,7 +2040,16 @@ class Compiler:
             F.col("id") == guid_serial(guid)
         ).head()
         if cur is None:
-            return 0
+            return 0, df
+        if comps:
+            k0 = cur["__k0"]
+            c0 = comps[0][0]
+            df = df.filter(c0.isNull() if k0 is None else c0.isNotNull())
+            tagged = tagged.filter(
+                F.col("__k0").isNull()
+                if k0 is None
+                else F.col("__k0").isNotNull()
+            )
         before = F.lit(False)
         eq_prefix = F.lit(True)
         for i, (_c, desc) in enumerate(comps):
@@ -2047,7 +2069,7 @@ class Compiler:
             before = before | (eq_prefix & lt)
             eq_prefix = eq_prefix & k.eqNullSafe(v)
         n_before = tagged.filter(before).count()
-        return n_before + 1
+        return n_before + 1, df
 
     def _sort_cursor(self, con, plan, rows, consumed: int,
                      horizon) -> str:

@@ -281,9 +281,12 @@ def _signature(con: Constraint, parts: list[str], resolve=None) -> None:
             if sk.descending and not s.startswith("-"):
                 s = "-" + s
             items.append(s)
+            if s in ("guid", "-guid"):
+                # guid is a total order: keys after it are
+                # unreachable and the semantic layer drops them
+                # (probed: sort=(-guid value) signs "sort=(-guid)")
+                break
         if not items or items[-1] not in ("guid", "-guid"):
-            # a trailing guid key in either direction IS the tiebreak
-            # (probed: sort=(-guid) signs without an appended guid)
             items.append("guid")
         _sep(parts, "sort=(" + ", ".join(items) + ")")
 

@@ -312,13 +312,17 @@ class FastReader:
                         else:
                             horizon = int(m.group(2))
                     body = body[close + 1:]
-                if is_sort and not saw_offset:
-                    # bare sort state: resume after the serialized
-                    # last element (guid tiebreak identifies it)
+                if is_sort:
+                    # sort state: resume after the serialized last
+                    # element (guid tiebreak identifies it) — even
+                    # with an [o:] present, the reference re-enters
+                    # through the boundary KEY, not the offset (the
+                    # first-key null class narrows; probed round 5)
                     m = _re.search(r"g([0-9a-f]{32})$", body)
                     if m:
                         resume_guid = m.group(1)
-                elif not is_sort and not saw_offset and horizon is None:
+                        resume = 0
+                elif not saw_offset and horizon is None:
                     m = _re.search(r"/(\d+)/$", cur)
                     if m:
                         resume = int(m.group(1))
@@ -353,11 +357,38 @@ class FastReader:
             # mirror of _key_resume_offset: the total order (sort
             # keys + id tiebreak) is unique, so the offset of the
             # element AFTER the cursor element is its index + 1;
-            # a vanished element restarts (offset 0)
+            # a vanished element restarts (offset 0).  The resumed
+            # candidate set narrows to the boundary's FIRST-KEY NULL
+            # CLASS — the reference's thawed sort scan re-enters
+            # through the first key's index (non-null boundary) or
+            # the null bin (null boundary); probed round 5
             from graphd_spark.model import guid_serial
 
             sid = guid_serial(resume_guid)
             resume = 0
+            b_row = next(
+                ((p, r) for p, r in matches if p.id == sid), None
+            )
+            if b_row is not None and con.sort:
+                fn0 = None
+                for i0, sk in enumerate(con.sort):
+                    comp = None
+                    if con.sort_comparators and i0 < len(
+                        con.sort_comparators
+                    ):
+                        comp = con.sort_comparators[i0]
+                    comp = resolve_comparator(
+                        comp or con.comparator or "default"
+                    )
+                    fn0 = self._sort_key_fn(sk.pattern, comp, plan)
+                    if fn0 is not None:
+                        break
+                if fn0 is not None:
+                    b_null = fn0(b_row[0], b_row[1]) is None
+                    matches = [
+                        (p, r) for p, r in matches
+                        if (fn0(p, r) is None) == b_null
+                    ]
             for i, (p, _r) in enumerate(matches):
                 if p.id == sid:
                     resume = i + 1

@@ -294,6 +294,37 @@ def ref_bin():
     return path
 
 
+def gen_sortcursor_reads(rng: random.Random) -> list[str]:
+    """Sorted-page cursor chains: randomized sort keys x comparators x
+    page sizes over cursor-safe constraint shapes.  Targets the sort:
+    total-order serializer (compiler.sort_cursor_string) with value/
+    name first keys, and the perfect-sort iterator forms (incl. the
+    backward ``~`` freezes) with timestamp/guid first keys.  Value
+    ranges stay out of these shapes: the reference binary asserts out
+    on descending-direction and-iterators over vrange members
+    (graphd-iterator-and.c:1558)."""
+    reads = []
+    for _ in range(rng.randrange(2, 5)):
+        body = _gen_cursor_constraint(rng)
+        keys = rng.sample(
+            ["value", "-value", "name", "-name", "timestamp",
+             "-timestamp", "guid", "-guid"],
+            rng.randrange(1, 3),
+        )
+        srt = "sort=(" + " ".join(keys) + ")"
+        comp = ""
+        if rng.random() < 0.4:
+            comp = " sort-comparator=" + rng.choice(
+                ['"number"', '"octet"', '"case"', '"datetime"']
+            )
+        ps = rng.randrange(1, 4)
+        reads.append(
+            f"read (pagesize={ps} {srt}{comp} "
+            f"result=(cursor (guid value)) {body})"
+        )
+    return reads
+
+
 @pytest.mark.parametrize("seed", SEEDS)
 def test_differential_cursors(spark, ref_bin, seed):
     """Page every cursored read to exhaustion in both engines."""

@@ -2,8 +2,8 @@
 through both the reference binary and this engine, report divergences.
 
 Usage: python tools/diff_campaign.py [start] [end]
-           [--cursors | --versions | --roundtrip | --replica
-            | --orchains | --writes]
+           [--cursors | --sortcursors | --versions | --roundtrip
+            | --replica | --orchains | --writes]
 
 --roundtrip: writes -> dump -> restore into a fresh store -> reads,
   compared against the reference binary (payload byte-equality,
@@ -34,6 +34,7 @@ from tests.test_differential import (  # noqa: E402
     gen_or_script,
     gen_roundtrip,
     gen_script,
+    gen_sortcursor_reads,
     gen_write_script,
     gen_version_script,
     run_engine,
@@ -41,23 +42,30 @@ from tests.test_differential import (  # noqa: E402
 )
 
 
-def _run_cursor_seed(spark, seed: int) -> tuple[list[str], list[str], list[str]]:
+def _run_cursor_seed(
+    spark, seed: int, sorted_pages: bool = False
+) -> tuple[list[str], list[str], list[str]]:
     """One cursored-pagination seed through both engines (the logic of
-    tests/test_differential.py::test_differential_cursors)."""
+    tests/test_differential.py::test_differential_cursors); with
+    ``sorted_pages`` the reads come from gen_sortcursor_reads (sort
+    keys x comparators x page sizes, paged to exhaustion)."""
     import re as _re
     import select
     import subprocess
     import tempfile
 
-    rng = random.Random(10_000 + seed)
+    rng = random.Random((20_000 if sorted_pages else 10_000) + seed)
     lines = [_gen_write(rng) for _ in range(rng.randrange(6, 14))]
-    reads = []
-    for _ in range(rng.randrange(2, 5)):
-        body = _gen_cursor_constraint(rng)
-        ps = rng.randrange(1, 4)
-        reads.append(
-            f"read (pagesize={ps} result=(cursor (guid value)) {body})"
-        )
+    if sorted_pages:
+        reads = gen_sortcursor_reads(rng)
+    else:
+        reads = []
+        for _ in range(rng.randrange(2, 5)):
+            body = _gen_cursor_constraint(rng)
+            ps = rng.randrange(1, 4)
+            reads.append(
+                f"read (pagesize={ps} result=(cursor (guid value)) {body})"
+            )
 
     def paginate(ask):
         out = []
@@ -118,6 +126,7 @@ def main() -> int:
     replica = "--replica" in sys.argv
     orchains = "--orchains" in sys.argv
     writes = "--writes" in sys.argv
+    sortcursors = "--sortcursors" in sys.argv
     start = int(args[0]) if args else 24
     end = int(args[1]) if len(args) > 1 else start + 100
 
@@ -144,8 +153,10 @@ def main() -> int:
             elif seed % 10 == 0:
                 print(f"seed {seed} ok")
             continue
-        if cursors:
-            lines, got, want = _run_cursor_seed(spark, seed)
+        if cursors or sortcursors:
+            lines, got, want = _run_cursor_seed(
+                spark, seed, sorted_pages=sortcursors
+            )
         else:
             if versions:
                 lines = gen_version_script(seed)
