@@ -182,8 +182,11 @@ class WriteExecutor:
                         # the null guid prints "0"
                         # (libgraph/graph-guid.c graph_guid_to_string)
                         shown = "0" if set(g) == {"0"} else g
+                        # the typeguid linkage displays as "type"
+                        # (pdb_linkage_to_string, libpdb/pdb-linkage.c)
+                        word = "type" if lk == "typeguid" else lk
                         raise WriteError(
-                            "SEMANTICS", f"{lk}={shown}: not found"
+                            "SEMANTICS", f"{word}={shown}: not found"
                         )
         for sub in con.subs:
             if sub.linkage is None:
@@ -380,13 +383,19 @@ class WriteExecutor:
                 continue
             if not self._prim_matches(p, con, lits, parent_prim, check):
                 continue
-            if require_nonnull and any(
-                getattr(p, lk) is None for lk in require_nonnull
+            if require_nonnull and not all(
+                self._pointer_alive(getattr(p, lk))
+                for lk in require_nonnull
             ):
                 # a keyed linkage expressed as a subconstraint needs
                 # the candidate to HAVE that pointer (keyburn2 §1.1:
                 # a right-less Mike is no key match for key=(name
-                # right) right->(...))
+                # right) right->(...)), and the pointer must aim at a
+                # LIVE NEWEST primitive — a superseded target
+                # disqualifies the candidate even though a mismatching
+                # live target merely versions it (keyburn2 §1.2 vs
+                # write-fuzz seed 283, probed: versioning the old
+                # target makes the keyed write create fresh)
                 continue
             m = Match(prim=p)
             ok = True
@@ -399,6 +408,16 @@ class WriteExecutor:
                     m.subs[i] = sub_m
             if ok:
                 yield m
+
+    def _pointer_alive(self, guid) -> bool:
+        """True when a raw pointer references a live, newest primitive
+        (the keyed-match pointer requirement; see require_nonnull)."""
+        if guid is None:
+            return False
+        tp = self.store.get(guid)
+        return (
+            tp is not None and tp.live and self.store.is_newest(tp.guid)
+        )
 
     def _prim_matches(
         self,
@@ -439,6 +458,19 @@ class WriteExecutor:
                 if p.timestamp != ts_from_string(tc.text):
                     return False
             except ValueError:
+                return False
+            # the reference's match is a READ, so timestamp bounds
+            # ALSO compile to the id range of graphd_timestamp_to_id's
+            # bsearch (graphd-read.c:300-420) — with explicit
+            # out-of-order stamps a newest duplicate beyond the
+            # boundary id is invisible and unique=(timestamp) creates
+            # anyway (write-fuzz seed 223 vs the reference binary)
+            ts = ts_from_string(tc.text)
+            lo = self.store.timestamp_to_id(ts, "ge")
+            hi = self.store.timestamp_to_id(ts, "le")
+            if lo is None or hi is None:
+                return False
+            if not (lo <= p.id <= hi):
                 return False
         if parent_prim is not None and con.linkage is not None:
             kind, lk = con.linkage
