@@ -233,7 +233,7 @@ class GraphSession:
                 val = self._do_write(req)
                 return self._ok(val, rid, _resolved())
             if req.command == "read":
-                val = self._do_read(req)
+                val = self._do_read(req, line=line)
                 return self._ok(val, rid, _resolved())
             if req.command == "sync":
                 # checkpoint + horizon echo (ref graphd-sync.c:65-68,
@@ -728,7 +728,7 @@ class GraphSession:
     #: Class attribute so tests can force either path.
     fast_read_enabled = True
 
-    def _do_read(self, req):
+    def _do_read(self, req, line: Optional[str] = None):
         asof = req.modifiers.get("asof")
         if (
             self.fast_read_enabled
@@ -737,9 +737,26 @@ class GraphSession:
         ):
             from graphd_spark.fastread import FastReader, Unsupported
 
+            # session-level eval cache: a cursor chain replays the
+            # same template with only cursor= changing — key on the
+            # line with cursor= stripped (+ asof), so every page of a
+            # chain reuses one candidate evaluation (the reference's
+            # iterator resource cache analog)
+            ckey = None
+            if line is not None:
+                import re as _re
+
+                ckey = (
+                    _re.sub(r'\s*cursor="(?:[^"\\]|\\.)*"', "", line),
+                    asof,
+                )
+            if not hasattr(self, "_fastread_eval_cache"):
+                self._fastread_eval_cache = {}
             try:
                 plan, rows, total = FastReader(
-                    self.store, self.types, asof=asof
+                    self.store, self.types, asof=asof,
+                    eval_cache=self._fastread_eval_cache,
+                    cache_key=ckey,
                 ).run(req.constraint)
             except Unsupported:
                 pass

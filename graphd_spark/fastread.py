@@ -211,7 +211,9 @@ class FastReader:
     """Mirror of Compiler.run for the supported subset (see module
     docstring).  Construction is cheap; one instance per request."""
 
-    def __init__(self, store, types, asof: Optional[str] = None):
+    def __init__(self, store, types, asof: Optional[str] = None,
+                 eval_cache: Optional[dict] = None,
+                 cache_key: Optional[str] = None):
         self.store = store
         self.types = types
         self._n = 0
@@ -219,6 +221,15 @@ class FastReader:
         #: constraint identity (the reference compiles them once per
         #: constraint; graphd_read_compile_timestamps)
         self._ts_id_bounds: dict = {}
+        #: session-level (plan, matches) cache for repeated template
+        #: shapes — the serving analog of the reference's iterator
+        #: resource cache (graphd-iterator-resource.c): a cursor chain
+        #: re-evaluates the same candidate set page after page, so
+        #: caching the eval turns an O(n) page into an O(page) one.
+        #: Keyed by the caller (request line sans cursor= + store
+        #: version + asof); rows are never mutated after evaluation
+        self._eval_cache = eval_cache
+        self._cache_key = cache_key
         # asof= binds to an id horizon (mirror of _asof_horizon,
         # compiler.py:146-167): candidates, traversal children, and
         # newest-ness all evaluate within it
@@ -326,7 +337,18 @@ class FastReader:
                     m = _re.search(r"/(\d+)/$", cur)
                     if m:
                         resume = int(m.group(1))
-        plan, matches = self._eval_set(con, exists_only=False)
+        ck = None
+        if self._eval_cache is not None and self._cache_key is not None:
+            ck = (self._cache_key, self.store._version, self.store.count())
+        hit = self._eval_cache.get(ck) if ck is not None else None
+        if hit is not None:
+            plan, matches = hit[0], list(hit[1])
+        else:
+            plan, matches = self._eval_set(con, exists_only=False)
+            if ck is not None:
+                self._eval_cache[ck] = (plan, list(matches))
+                while len(self._eval_cache) > 32:
+                    self._eval_cache.pop(next(iter(self._eval_cache)))
         if horizon is not None:
             matches = [(p, r) for p, r in matches if p.id < horizon]
         # iterator-position resume (mirror compiler.py:218-282)
