@@ -761,7 +761,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n/2^bits of the corpus per query.  Recall tunes with bands of
     planes exactly like MinHash banding."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    emb = _spread(emb)
+    # NOT spread: the bucket ids compute map-side from broadcast
+    # literals — a repartition shuffles the embedding arrays for
+    # no parallelism gain (A/B at sf0.1: 2.1s vs 3.5s for IVF)
     planes = _plane_coeffs()
     plane_arr = F.array(
         *[F.array(*[F.lit(c) for c in row]) for row in planes]
@@ -1008,7 +1010,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list id — a query touches ~nprobe/nlist of the corpus instead of
     all of it, the classic IVF trade.""".format(n=_IVF_NPROBE)
     (emb,) = _t(spark, sf_dir, "embeddings")
-    emb = _spread(emb)
+    # NOT spread: the bucket ids compute map-side from broadcast
+    # literals — a repartition shuffles the embedding arrays for
+    # no parallelism gain (A/B at sf0.1: 2.1s vs 3.5s for IVF)
     # per-dimension mean by label -> centroid arrays (tiny result)
     cent = (
         emb.select(
