@@ -348,6 +348,8 @@ class Compiler:
                 # graphd-iterator-or.c:3009; tests slip, isa)
                 if cstate.tail == "$":
                     df = df.filter(F.lit(False))
+                elif cstate.backward:
+                    df = df.filter(F.col("id") < cstate.pos)
                 else:
                     df = df.filter(F.col("id") > cstate.pos)
             elif cstate.form == "isa_it":
@@ -1001,6 +1003,14 @@ class Compiler:
                 return freeze_cursor(
                     con, st, delivered, count, self.types.resolve
                 )
+            # multi-index roots (two+ direct linkage equalities)
+            # intersect like sub-driven ands: pre-evaluated fixed sets
+            # or the and:/and:- freeze (probed: left=G right=G chains)
+            and_cursor = self._and_cursor(
+                con, cstate, rows, prior, count, backward=backward
+            )
+            if and_cursor is not None:
+                return and_cursor
             # unindexed roots scan everything (pdb all-iterator)
             st = CursorState(
                 form="all", low=0, high=count,
@@ -1011,14 +1021,19 @@ class Compiler:
                 con, st, delivered, count, self.types.resolve
             )
         if backward:
-            # backward multi-index/expansion roots: only the
-            # pre-evaluated small-set (fixed:~) form is probed; the
-            # and:~/isa:~ freezes aren't modeled (caller emits the
-            # position fallback)
+            # backward multi-index roots: pre-evaluated small sets
+            # freeze fixed:~; bigger intersections freeze the backward
+            # and:- form with gmap:~ members (probed; isa:~ expansion
+            # freezes stay unmodeled -> position fallback)
             members = self._and_members_ext(con)
             if members is not None and len(members) >= 2:
-                return self._preevaluate_small_set(
+                pre = self._preevaluate_small_set(
                     con, members, rows, prior, count, backward=True
+                )
+                if pre is not None:
+                    return pre
+                return self._and_cursor(
+                    con, cstate, rows, prior, count, backward=True
                 )
             sub_gmap = self._sub_gmap_cursor(
                 con, rows, prior, count, last_id, backward=True
@@ -1467,7 +1482,8 @@ class Compiler:
         members.extend(linksto)
         return members
 
-    def _and_cursor(self, con, cstate, rows, prior, count) -> Optional[str]:
+    def _and_cursor(self, con, cstate, rows, prior, count,
+                    backward=False) -> Optional[str]:
         """Frozen and-iterator cursor for multi-index roots:
         ``and:#LOW-HIGH:N:[psz:..][ov:0](SUB)..(SUB)[pro:0]/POS
         [pp:..]/@STAMP`` (graphd-iterator-and-freeze.c:619-805;
@@ -1481,7 +1497,7 @@ class Compiler:
         if members is None or len(members) < 2:
             return None
         pre = self._preevaluate_small_set(
-            con, members, rows, prior, count
+            con, members, rows, prior, count, backward=backward
         )
         if pre is not None:
             return pre
@@ -1495,35 +1511,91 @@ class Compiler:
                 if con.pagesize is not None
                 else DEFAULT_PAGESIZE
             )
-        subs = "".join(m["set_str"](low, high) for m in members)
-        # a resumed and rebuilds from the thawed set, which carries no
-        # page-size context — [psz:] only appears on fresh builds
-        # (gia_context_pagesize_valid, graphd-iterator-and-freeze.c:681)
+        if backward:
+            subs = "".join(
+                m["set_str"](low, high).replace(
+                    "(gmap:", "(gmap:~", 1
+                ).replace("(prefix:", "(prefix:~", 1)
+                for m in members
+            )
+            head = f"and:-{low}-{high}"
+        else:
+            subs = "".join(m["set_str"](low, high) for m in members)
+            head = f"and:#{low}-{high}"
+        # [psz:] always prints on fresh builds; on RESUME it persists
+        # only when the producer is a gmap (probed: resumed gmap-led
+        # and chains keep [psz:2]; the isa golden's prefix-led and
+        # drops it — gia_context_pagesize_valid)
+        resumed = cstate is not None and cstate.form == "and_it"
         psz = (
-            ""
-            if cstate is not None and cstate.form == "and_it"
-            else f"[psz:{rps}]"
+            f"[psz:{rps}]"
+            if not resumed or members[0]["kind"] == "gmap"
+            else ""
         )
         set_part = (
-            f"and:#{low}-{high}:{len(members)}:{psz}[ov:0]"
+            f"{head}:{len(members)}:{psz}[ov:0]"
             f"{subs}[pro:0]"
         )
-        # producer position: only a gmap producer freezes one
-        # (pdb-iterator-gmap has_position; slip's [pp:7])
+        # producer position: a gmap producer freezes one once the
+        # statistics have run — [pp:N] appears at position >= 5, and
+        # crossing the 6th pull mints one extra resource stamp before
+        # the freeze (probed: ps2 chains stamp ab1,ab2,ab4,ab5...; ps5
+        # chains ab1,ab3,ab4...; pp:4 never prints, pp:5 does)
+        ppos = None
+        prior_ppos = 0
         if members[0]["kind"] == "gmap":
-            _lo, _hi, ppos = self._gmap_stats(
-                members[0]["letter"], members[0]["src"], last_id
+            ppos = self._and_producer_pos(
+                members[0], last_id, backward
             )
+            if cstate is not None and cstate.form == "and_it" and (
+                cstate.pos >= 0
+            ):
+                prior_ppos = self._and_producer_pos(
+                    members[0], cstate.pos, backward
+                )
+        if ppos is not None and prior_ppos < 6 <= ppos:
+            # the statistics resource stores once per shape: a sorted
+            # suspension already stored it under the same content key
+            # (slip: suspend mints ab1, the and freeze prints ab2 with
+            # no crossing mint between)
+            skey = "suspend:" + ";".join(
+                f"{m['letter']}->{m['src']}"
+                for m in members
+                if m["kind"] == "gmap"
+            )
+            if skey not in getattr(
+                self.store, "cursor_resources", {}
+            ):
+                self._resource_stamp()  # the statistics resource
+        if ppos is not None and ppos >= 5:
             pos_part = f"/{last_id}[pp:{ppos}]/"
         else:
             pos_part = f"/{last_id}/"
-        stamp = self._resource_stamp(
-            reuse=cstate.cache_stamp if cstate else None
-        )
+        # every and freeze mints a FRESH stamp (probed: resumed pages
+        # never echo the incoming one)
+        stamp = self._resource_stamp()
         body = "[o:{}][n:{}]{}{}@{}".format(
             delivered, count, set_part, pos_part, stamp
         )
         return sign_cursor(con, body, self.types.resolve)
+
+    def _and_producer_pos(self, member, boundary_id, backward):
+        """Elements the gmap producer has pulled through boundary_id
+        (index elements <= boundary forward, >= boundary backward)."""
+        if backward:
+            lo, hi, below = self._gmap_stats(
+                member["letter"], member["src"], boundary_id - 1
+            )
+            if lo is None:
+                return None
+            total = self._gmap_stats(
+                member["letter"], member["src"], 1 << 62
+            )[2]
+            return total - below
+        _lo, _hi, ppos = self._gmap_stats(
+            member["letter"], member["src"], boundary_id
+        )
+        return ppos
 
     def _preevaluate_small_set(
         self, con, members, rows, prior, count, backward=False

@@ -517,6 +517,9 @@ def parse_cursor(text: str, con: Constraint,
         if not mm:
             raise _old_style(text)
         st.form = "and_it"
+        # '-' (and '~') mark a backward and-iterator (descending
+        # perfect sorts); '#' is the forward-sorted marker
+        st.backward = mm.group(1) in ("-", "~")
         st.low = int(mm.group(2))
         st.high = int(mm.group(3)) if mm.group(3) else None
         rest = body[mm.end():]

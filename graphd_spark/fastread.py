@@ -648,10 +648,12 @@ class FastReader:
             return [(p, r) for p, r in matches if p.id > b]
         if form in ("and_it", "or_it"):
             # and/or iterators resume after their last delivered
-            # candidate id (mirror compiler.py:280-289;
-            # graphd-iterator-and-freeze.c thaw)
+            # candidate id — before it for backward iterators (mirror
+            # compiler.py; graphd-iterator-and-freeze.c thaw)
             if cstate.tail == "$":
                 return []
+            if cstate.backward:
+                return [(p, r) for p, r in matches if p.id < cstate.pos]
             return [(p, r) for p, r in matches if p.id > cstate.pos]
         # fixed_masq / isa_it: resume by offset (run() sets it)
         return matches
@@ -1091,7 +1093,9 @@ class FastReader:
             return None
         ids = sorted(set.intersection(*id_sets))
         last_id = page_prims[-1].id
-        if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+        # no separate id cap: the cost budget bounds materialization
+        # (mirror of Compiler._preevaluate_small_set; probed 639/640)
+        if last_id not in ids:
             return None
         st = CursorState(
             form="fixed", fixed_ids=ids,
@@ -1107,7 +1111,7 @@ class FastReader:
         )
 
     def _and_cursor_f(
-        self, con, cstate, page_prims, prior, count
+        self, con, cstate, page_prims, prior, count, backward=False
     ) -> Optional[str]:
         """Frozen and-iterator cursor for multi-index roots — driver
         mirror of Compiler._and_cursor (compiler.py:1253-1307;
@@ -1120,7 +1124,7 @@ class FastReader:
         if members is None or len(members) < 2:
             return None
         pre = self._preevaluate_small_set_f(
-            con, members, page_prims, prior, count
+            con, members, page_prims, prior, count, backward=backward
         )
         if pre is not None:
             return pre
@@ -1134,30 +1138,78 @@ class FastReader:
                 if con.pagesize is not None
                 else DEFAULT_PAGESIZE
             )
-        subs = "".join(m["set_str"](low, high) for m in members)
+        if backward:
+            subs = "".join(
+                m["set_str"](low, high).replace(
+                    "(gmap:", "(gmap:~", 1
+                ).replace("(prefix:", "(prefix:~", 1)
+                for m in members
+            )
+            head = f"and:-{low}-{high}"
+        else:
+            subs = "".join(m["set_str"](low, high) for m in members)
+            head = f"and:#{low}-{high}"
+        # [psz:] always prints on fresh builds; on RESUME it persists
+        # only when the producer is a gmap (probed: resumed gmap-led
+        # and chains keep [psz:2]; the isa golden's prefix-led and
+        # drops it — gia_context_pagesize_valid)
+        resumed = cstate is not None and cstate.form == "and_it"
         psz = (
-            ""
-            if cstate is not None and cstate.form == "and_it"
-            else f"[psz:{rps}]"
+            f"[psz:{rps}]"
+            if not resumed or members[0]["kind"] == "gmap"
+            else ""
         )
         set_part = (
-            f"and:#{low}-{high}:{len(members)}:{psz}[ov:0]"
+            f"{head}:{len(members)}:{psz}[ov:0]"
             f"{subs}[pro:0]"
         )
+        ppos = None
+        prior_ppos = 0
         if members[0]["kind"] == "gmap":
-            _lo, _hi, ppos = self._gmap_stats_f(
-                members[0]["letter"], members[0]["src"], last_id
+            ppos = self._and_producer_pos_f(
+                members[0], last_id, backward
             )
+            if cstate is not None and cstate.form == "and_it" and (
+                cstate.pos >= 0
+            ):
+                prior_ppos = self._and_producer_pos_f(
+                    members[0], cstate.pos, backward
+                )
+        if ppos is not None and prior_ppos < 6 <= ppos:
+            # the statistics resource stores once per shape: a sorted
+            # suspension already stored it under the same content key
+            # (slip: suspend mints ab1, the and freeze prints ab2 with
+            # no crossing mint between)
+            skey = "suspend:" + ";".join(
+                f"{m['letter']}->{m['src']}"
+                for m in members
+                if m["kind"] == "gmap"
+            )
+            if skey not in getattr(
+                self.store, "cursor_resources", {}
+            ):
+                resource_stamp(self.store)  # the statistics resource
+        if ppos is not None and ppos >= 5:
             pos_part = f"/{last_id}[pp:{ppos}]/"
         else:
             pos_part = f"/{last_id}/"
-        stamp = resource_stamp(
-            self.store, reuse=cstate.cache_stamp if cstate else None
-        )
+        stamp = resource_stamp(self.store)
         body = "[o:{}][n:{}]{}{}@{}".format(
             delivered, count, set_part, pos_part, stamp
         )
         return sign_cursor(con, body, self.types.resolve)
+
+    def _and_producer_pos_f(self, member, boundary_id, backward):
+        """Mirror of Compiler._and_producer_pos over the driver
+        linkage index."""
+        import bisect
+
+        ids = self._gmap_index_ids(member["letter"], member["src"])
+        if not ids:
+            return None
+        if backward:
+            return len(ids) - bisect.bisect_right(ids, boundary_id - 1)
+        return bisect.bisect_right(ids, boundary_id)
 
     def _sub_gmap_cursor_f(
         self, con, page_prims, prior, count, last_id, backward=False
@@ -1603,6 +1655,14 @@ class FastReader:
                     con, st, delivered, count,
                     self.types.resolve,
                 )
+            # multi-index roots (two+ direct linkage equalities)
+            # intersect like sub-driven ands (mirror of the compiler)
+            and_cursor = self._and_cursor_f(
+                con, cstate, page_prims, prior, count,
+                backward=backward,
+            )
+            if and_cursor is not None:
+                return and_cursor
             st = CursorState(
                 form="all", low=0, high=count,
                 pos=delivered if backward else last_id + 1,
@@ -1613,14 +1673,20 @@ class FastReader:
                 self.types.resolve,
             )
         if backward:
-            # backward multi-index/expansion roots (mirror of the
-            # compiler's backward block): pre-evaluated small sets and
-            # sub-gmap collapses freeze backward; and:~/isa:~ forms
-            # aren't modeled (position fallback)
+            # backward multi-index roots (mirror of the compiler's
+            # backward block): pre-evaluated small sets freeze
+            # fixed:~; bigger intersections the backward and:- form;
+            # isa:~ expansion freezes stay unmodeled
             members = self._and_members_ext_f(con)
             if members is not None and len(members) >= 2:
-                return self._preevaluate_small_set_f(
+                pre = self._preevaluate_small_set_f(
                     con, members, page_prims, prior, count,
+                    backward=True,
+                )
+                if pre is not None:
+                    return pre
+                return self._and_cursor_f(
+                    con, cstate, page_prims, prior, count,
                     backward=True,
                 )
             sub_gmap = self._sub_gmap_cursor_f(

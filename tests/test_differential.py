@@ -965,3 +965,72 @@ def check_replica_seed(spark, seed: int) -> list[str]:
 def test_differential_replica(spark, seed):
     problems = check_replica_seed(spark, seed)
     assert not problems, "\n".join(problems)
+
+
+@pytest.mark.parametrize("n", [150, 639, 640, 700])
+def test_differential_and_cursors(spark, ref_bin, n):
+    """Large multi-linkage intersections: the pre-evaluation cost
+    crossover (639 ids freeze fixed:, 640 flip to the and: form), the
+    [pp:] >=5 producer positions with their crossing resource stamps,
+    [psz:] persistence on gmap-led resumes, and the backward and:-
+    freeze under sort=(-timestamp) — all paged through both engines
+    and compared byte-for-byte (round-5 probes)."""
+    import re as _re
+    import select
+
+    lines = ['write (value="h0")', 'write (value="h1")'] + [
+        f'write (value="{i}" left=00000012400034568000000000000000 '
+        f'right=00000012400034568000000000000001)'
+        for i in range(n)
+    ]
+
+    def q(sort, ps=2):
+        return (
+            f'read (left=00000012400034568000000000000000 '
+            f'right=00000012400034568000000000000001 {sort}'
+            f'pagesize={ps} result=(cursor (value)))'
+        )
+
+    chains = [(q(""), 8), (q("sort=(-timestamp) "), 8), (q("", 5), 4)]
+
+    def drive(ask, read, pages):
+        out = [ask(read)]
+        for _ in range(pages):
+            m = _re.search(r'"((?:cursor|sort|position):[^"]*)"', out[-1])
+            if not m or m.group(1) == "null:":
+                break
+            esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+            out.append(ask(read.replace(
+                "result=(cursor", f'cursor="{esc}" result=(cursor', 1
+            )))
+        return out
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+
+        def ask_ref(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            ready, _, _ = select.select([proc.stdout], [], [], 120)
+            if not ready:
+                raise TimeoutError(req)
+            return proc.stdout.readline().rstrip("\n")
+
+        try:
+            [ask_ref(ln) for ln in lines]
+            want = [drive(ask_ref, r, p) for r, p in chains]
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=60)
+
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    for ln in lines:
+        gs.request(ln)
+    got = [drive(gs.request, r, p) for r, p in chains]
+    assert got == want
