@@ -251,10 +251,20 @@ def _gen_cursor_constraint(rng: random.Random) -> str:
     r = rng.random()
     if r < 0.2:
         return f"value={_q(rng.choice(_VALUES))}"
-    if r < 0.35:
+    if r < 0.3:
         return f"name={_q(rng.choice(_NAMES))}"
-    if r < 0.5:
+    if r < 0.42:
         return f"type={_q(rng.choice(_TYPES))}"
+    if r < 0.5:
+        # direct multi-linkage equality roots: and-iterator /
+        # pre-evaluated fixed freezes (ids 0/1 exist — the prologue
+        # writes or the bootstrap occupy them)
+        links = rng.sample(
+            [f"left={_G0}", f"right={_G0}", f"left={_G1}",
+             f"right={_G1}", f"scope={_G0}"],
+            rng.randrange(1, 3),
+        )
+        return " ".join(links)
     if r < 0.65:
         return "value~=" + _q(rng.choice(["a*", "b*", "c*", "z*"]))
     sub = rng.choice(
@@ -317,7 +327,20 @@ def gen_sortcursor_reads(rng: random.Random) -> list[str]:
             comp = " sort-comparator=" + rng.choice(
                 ['"number"', '"octet"', '"case"', '"datetime"']
             )
-        ps = rng.randrange(1, 4)
+        # KNOWN BOUNDARY (sortcursor seed 101): a TIGHT sorted page
+        # whose first key is value/name reflects the reference's
+        # budgeted producer truncation — the sort sees only the first
+        # ~pagesize+1 candidates in PRODUCER order (probed: a 6-row
+        # number-merged value bin pages (rank, null) under sort=(name)
+        # pagesize=2, not the name-sorted prefix; an explicit
+        # countlimit does not lift it).  That is optimizer state, not
+        # query semantics, so value/name first keys page wide here;
+        # timestamp/guid first keys (id-ordered production) keep
+        # tight pages and chain.
+        if keys[0].lstrip("-") in ("timestamp", "guid"):
+            ps = rng.randrange(1, 4)
+        else:
+            ps = 40
         reads.append(
             f"read (pagesize={ps} {srt}{comp} "
             f"result=(cursor (guid value)) {body})"
@@ -337,13 +360,18 @@ def test_differential_cursors(spark, ref_bin, seed):
         body = _gen_cursor_constraint(rng)
         ps = rng.randrange(1, 4)
         srt = ""
+        wide_sort = False
         if rng.random() < 0.3:
             # sorted pages freeze sort: cursors (value serialization +
             # guid tiebreak); name/value keys under the default
-            # comparator keep the candidate SET optimizer-independent
+            # comparator keep the candidate SET optimizer-independent,
+            # but TIGHT pages reflect the reference's budgeted producer
+            # truncation (see gen_sortcursor_reads' KNOWN BOUNDARY) —
+            # so these page wide
             srt = "sort=" + rng.choice(
                 ["(value)", "(-value)", "(name value)", "(-name)"]
             ) + " "
+            wide_sort = True
         elif rng.random() < 0.25:
             # timestamp/guid first keys are "perfect" sorts: no sort
             # context, iterator cursors, backward (~) freezes for the
@@ -355,6 +383,8 @@ def test_differential_cursors(spark, ref_bin, seed):
                 ["(timestamp)", "(-timestamp)", "(guid)", "(-guid)",
                  "(timestamp guid)", "(-timestamp value)"]
             ) + " "
+        if wide_sort:
+            ps = 40
         reads.append(
             f"read (pagesize={ps} {srt}result=(cursor (guid value)) {body})"
         )
