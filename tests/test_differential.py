@@ -328,15 +328,16 @@ def gen_sortcursor_reads(rng: random.Random) -> list[str]:
                 ['"number"', '"octet"', '"case"', '"datetime"']
             )
         # KNOWN BOUNDARY (sortcursor seed 101): a TIGHT sorted page
-        # whose first key is value/name reflects the reference's
-        # budgeted producer truncation — the sort sees only the first
-        # ~pagesize+1 candidates in PRODUCER order (probed: a 6-row
-        # number-merged value bin pages (rank, null) under sort=(name)
-        # pagesize=2, not the name-sorted prefix; an explicit
-        # countlimit does not lift it).  That is optimizer state, not
-        # query semantics, so value/name first keys page wide here;
-        # timestamp/guid first keys (id-ordered production) keep
-        # tight pages and chain.
+        # whose first key is value/name and whose candidates include
+        # NULL first keys reflects the reference's budgeted producer
+        # truncation — the sort sees only the first ~pagesize+1
+        # candidates in PRODUCER order (probed: a 6-row bin with null
+        # names pages (rank, null-g0) under sort=(name) pagesize=2,
+        # not the name-sorted prefix, while the same bin fully named
+        # DOES page the sorted prefix; explicit countlimit does not
+        # lift it).  Optimizer state, not query semantics, so
+        # value/name first keys page wide here; timestamp/guid first
+        # keys (id-ordered production) keep tight pages and chain.
         if keys[0].lstrip("-") in ("timestamp", "guid"):
             ps = rng.randrange(1, 4)
         else:
@@ -365,9 +366,10 @@ def test_differential_cursors(spark, ref_bin, seed):
             # sorted pages freeze sort: cursors (value serialization +
             # guid tiebreak); name/value keys under the default
             # comparator keep the candidate SET optimizer-independent,
-            # but TIGHT pages reflect the reference's budgeted producer
-            # truncation (see gen_sortcursor_reads' KNOWN BOUNDARY) —
-            # so these page wide
+            # but TIGHT pages over candidates with NULL first keys
+            # reflect the reference's budgeted producer truncation
+            # (see gen_sortcursor_reads' KNOWN BOUNDARY) — so these
+            # page wide
             srt = "sort=" + rng.choice(
                 ["(value)", "(-value)", "(name value)", "(-name)"]
             ) + " "
