@@ -137,7 +137,11 @@ def _serving_bench(spark, sf_dir: str, seconds: float = 5.0) -> dict:
       reads over the hydrated working set serve driver-side from
       point indexes (fastread.py) with no Spark job — the same
       architecture as the reference's in-process serving — so this
-      measures the single-threaded end-to-end request loop.
+      measures the single-threaded end-to-end request loop.  The
+      8-value template cycle hits the session's eval cache (the
+      reference's iterator-resource-cache analog), so this is the
+      HOT-template number; a cold template costs one extra candidate
+      evaluation.
       Analytical shapes (sorts, ranges, cursors) fall back to the
       Spark path, whose per-request floor is Spark's per-action
       latency; that trade is the design.
