@@ -430,10 +430,33 @@ class Compiler:
         perfect_backward = False
         if con.sort:
             first0 = con.sort[0]
-            if first0.pattern.kind in ("timestamp", "guid") and not any(
+            # a value range only forces the real sort when the vrange
+            # IS the producer; with another indexed predicate the
+            # range is check-only and production stays id-ordered
+            # (same condition as the unsorted scan-order block below;
+            # probed: value<="b" + mandatory sub + sort=(timestamp)
+            # answers in id order, script seed 1427)
+            _vranges = any(
                 sc.op in ("<", "<=", ">", ">=")
-                for sc in (*con.value_strcons, *con.name_strcons)
-            ):
+                for sc in con.value_strcons
+            )
+            _nranges = any(
+                sc.op in ("<", "<=", ">", ">=")
+                for sc in con.name_strcons
+            )
+            _range_checked = bool(
+                con.type_strcons or con.links or con.name_strcons
+                or con.guid
+                or any(
+                    (s.linkage or (None, None))[0] in ("iam", "my")
+                    and not s.is_optional
+                    and s.count_eq != 0
+                    for s in con.subs
+                )
+            )
+            if first0.pattern.kind in ("timestamp", "guid") and not (
+                _nranges
+            ) and (not _vranges or _range_checked):
                 sort_skipped = True
                 perfect_backward = bool(first0.descending)
                 order = [

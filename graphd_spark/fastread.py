@@ -364,10 +364,30 @@ class FastReader:
         perfect_backward = False
         if con.sort:
             first0 = con.sort[0]
-            if first0.pattern.kind in ("timestamp", "guid") and not any(
+            # check-only value ranges keep production id-ordered, so
+            # the perfect skip still applies (mirror of Compiler.run;
+            # probed: script seed 1427)
+            _vranges = any(
                 sc.op in ("<", "<=", ">", ">=")
-                for sc in (*con.value_strcons, *con.name_strcons)
-            ):
+                for sc in con.value_strcons
+            )
+            _nranges = any(
+                sc.op in ("<", "<=", ">", ">=")
+                for sc in con.name_strcons
+            )
+            _range_checked = bool(
+                con.type_strcons or con.links or con.name_strcons
+                or con.guid
+                or any(
+                    (s.linkage or (None, None))[0] in ("iam", "my")
+                    and not s.is_optional
+                    and s.count_eq != 0
+                    for s in con.subs
+                )
+            )
+            if first0.pattern.kind in ("timestamp", "guid") and not (
+                _nranges
+            ) and (not _vranges or _range_checked):
                 sort_skipped = True
                 perfect_backward = bool(first0.descending)
         if sort_skipped:
