@@ -233,7 +233,7 @@ class GraphSession:
                 val = self._do_write(req)
                 return self._ok(val, rid, _resolved())
             if req.command == "read":
-                val = self._do_read(req, line=line)
+                val = self._do_read(req, toks=toks)
                 return self._ok(val, rid, _resolved())
             if req.command == "sync":
                 # checkpoint + horizon echo (ref graphd-sync.c:65-68,
@@ -728,7 +728,41 @@ class GraphSession:
     #: Class attribute so tests can force either path.
     fast_read_enabled = True
 
-    def _do_read(self, req, line: Optional[str] = None):
+    @staticmethod
+    def _cursorless_key(toks) -> str:
+        """Eval-cache key from the token stream with the root-level
+        `cursor=...` field elided: every page of a cursor chain maps
+        to one key.  Token-level elision respects string-literal
+        boundaries — a raw-text regex could match `cursor="` INSIDE a
+        value literal and collapse two different queries onto one key
+        (e.g. `(value="acursor=" name="n1")` vs `(value="an1")`).
+        """
+        parts = []
+        depth = 0
+        i, n = 0, len(toks)
+        while i < n:
+            t = toks[i]
+            k = t.kind
+            if k == "(":
+                depth += 1
+            elif k == ")":
+                depth -= 1
+            elif (
+                depth == 1
+                and k == "atom"
+                and i + 2 < n
+                and toks[i + 1].kind == "="
+                and toks[i + 2].kind in ("str", "atom")
+                and t.text.lower() == "cursor"
+            ):
+                i += 3
+                continue
+            parts.append(k)
+            parts.append(t.text)
+            i += 1
+        return "\x00".join(parts)
+
+    def _do_read(self, req, toks=None):
         asof = req.modifiers.get("asof")
         if (
             self.fast_read_enabled
@@ -739,17 +773,12 @@ class GraphSession:
 
             # session-level eval cache: a cursor chain replays the
             # same template with only cursor= changing — key on the
-            # line with cursor= stripped (+ asof), so every page of a
-            # chain reuses one candidate evaluation (the reference's
-            # iterator resource cache analog)
+            # tokenized request with cursor= elided (+ asof), so every
+            # page of a chain reuses one candidate evaluation (the
+            # reference's iterator resource cache analog)
             ckey = None
-            if line is not None:
-                import re as _re
-
-                ckey = (
-                    _re.sub(r'\s*cursor="(?:[^"\\]|\\.)*"', "", line),
-                    asof,
-                )
+            if toks is not None:
+                ckey = (self._cursorless_key(toks), asof)
             if not hasattr(self, "_fastread_eval_cache"):
                 self._fastread_eval_cache = {}
             try:

@@ -342,11 +342,20 @@ class FastReader:
             ck = (self._cache_key, self.store._version, self.store.count())
         hit = self._eval_cache.get(ck) if ck is not None else None
         if hit is not None:
-            plan, matches = hit[0], list(hit[1])
+            # shallow-copy the cached plan: cursor/cursor_ctx/countlimit
+            # are (re)assigned per request below, and the cached object
+            # must stay pristine for the next hit
+            import copy as _copy
+
+            plan, matches = _copy.copy(hit[0]), list(hit[1])
         else:
             plan, matches = self._eval_set(con, exists_only=False)
             if ck is not None:
-                self._eval_cache[ck] = (plan, list(matches))
+                # store a pristine copy — `plan` itself is mutated
+                # below (cursor/countlimit) while serving this request
+                import copy as _copy
+
+                self._eval_cache[ck] = (_copy.copy(plan), list(matches))
                 while len(self._eval_cache) > 32:
                     self._eval_cache.pop(next(iter(self._eval_cache)))
         if horizon is not None:

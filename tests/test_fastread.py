@@ -142,6 +142,35 @@ def test_fast_path_needs_no_spark():
     )
 
 
+def test_eval_cache_key_respects_string_boundaries():
+    """A value literal containing 'cursor=' must not collapse onto
+    another query's cache key (round-5 advice: the old raw-text regex
+    matched `cursor="` INSIDE a string literal, so the poisoned query
+    below cached under the victim's key and served its rows)."""
+    gs = GraphSession()  # no spark: pure fast path
+    gs.request('write (value="acursor=" name="n1")')
+    assert gs.request(
+        'read (value="acursor=" name="n1" result=((value)))'
+    ) == 'ok (("acursor="))'
+    # under the regex key this stripped to value="an1" ... == the line
+    # below, so the next request hit the poisoned entry and answered ok
+    r = gs.request('read (value="an1" result=((value)))')
+    assert r.startswith("error EMPTY")
+
+
+def test_eval_cache_hit_does_not_alias_plan():
+    """Cache hits must not serve a plan object mutated by an earlier
+    request (cursor/countlimit are per-request state)."""
+    gs = GraphSession()
+    for i in range(8):
+        gs.request(f'write (name="p" value="c{i}")')
+    q = 'read (name="p" pagesize=3 result=(cursor (value)))'
+    first = gs.request(q)
+    # replay the identical first-page request: same reply, byte-exact
+    # (a stale plan.cursor from the first run would leak otherwise)
+    assert gs.request(q) == first
+
+
 def test_fast_path_engages(spark, monkeypatch):
     """A supported read on a covered store must NOT touch Spark."""
     from graphd_spark import fastread
