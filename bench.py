@@ -91,20 +91,33 @@ def main() -> None:
     inventory_gql._graph(spark, sf_dir)
 
     import gc
+    import statistics
 
+    # median-of-3 per query: a single-pass protocol is exposed to
+    # one-off straggler stages (round-5 BENCH recorded a 4.6× phantom
+    # regression on unchanged code); the median filters that noise
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = inventory.QUERIES[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
-        # free the query's cached/checkpointed blocks before the next
-        # timed region: dropping the DataFrame refs lets Spark's
-        # ContextCleaner unpersist localCheckpoint RDDs, so one
-        # query's working set doesn't become the next one's GC load
-        gc.collect()
-        spark.catalog.clearCache()
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            samples.append(time.perf_counter() - t0)
+            # free the query's cached/checkpointed blocks before the
+            # next timed region: dropping the DataFrame refs lets
+            # Spark's ContextCleaner unpersist localCheckpoint RDDs,
+            # so one run's working set doesn't become the next's GC
+            # load
+            gc.collect()
+            spark.catalog.clearCache()
+        timings[name] = round(statistics.median(samples), 3)
+        print(
+            f"# {name}: {timings[name]}s median of "
+            f"{[round(s, 3) for s in samples]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     serving = _serving_bench(spark, sf_dir)
 
@@ -244,6 +257,11 @@ def _serving_bench(spark, sf_dir: str, seconds: float = 5.0) -> dict:
     # working-set scale) and drives keyed 1-hop reads — point lookups
     # must stay index-speed, not O(mirror)
     out["deep_qps_1hop"] = _deep_serving_qps(spark, seconds=seconds)
+    # cold 2-hop: every request line is distinct (100k distinct probe
+    # values over a 2-hop-shaped 100k-primitive mirror), so the
+    # 32-entry eval cache cannot serve any timed request — the honest
+    # counterpart to the hot protocol_qps_2hop template cycle
+    out["deep_qps_2hop"] = _deep_serving_qps_2hop(spark, seconds=seconds)
 
     out["baseline_anchor_qps_per_core"] = 3333
     out["baseline_anchor_bytes_per_primitive"] = 100
@@ -288,6 +306,56 @@ def _deep_serving_qps(spark, n: int = 100_000, seconds: float = 5.0):
         r = gs.request(
             f'read (value="w{i:06d}" result=((guid value name)))'
         )
+        assert r.startswith("ok"), r
+        done += 1
+    return round(done / (time.perf_counter() - t0), 1)
+
+
+def _deep_serving_qps_2hop(spark, n: int = 50_000, seconds: float = 5.0):
+    """Cold 2-hop serving: the nation→link→region template shape at
+    working-set scale (n nations + n link primitives + 997 regions),
+    probed with n DISTINCT request lines so neither the eval cache nor
+    any per-template state can amortize work across requests."""
+    import hashlib
+    import os
+    import time
+
+    from graphd_spark.api import GraphSession
+    from graphd_spark.store import ParquetLogStore
+
+    cache = "/tmp/graphd_serving_cache/deep2-" + hashlib.md5(
+        str(n).encode()
+    ).hexdigest()[:8]
+    if not (
+        os.path.isdir(cache)
+        and any(f.endswith(".parquet") for f in os.listdir(cache))
+    ):
+        st = ParquetLogStore(spark, cache, fresh=True)
+        regions = [
+            st.append(value=f"R{j}", name="region").guid for j in range(997)
+        ]
+        for i in range(n):
+            nat = st.append(value=f"n{i:06d}", name="nation")
+            st.append(
+                name="in-region",
+                left=nat.guid,
+                right=regions[i % 997],
+            )
+        st.commit()
+    gs = GraphSession.attach(spark, cache)
+    assert gs.store.hydrate(limit=2 * n + 1000)
+    tmpl = (
+        'read (name="nation" value="n{i:06d}" result=((value)) '
+        '(<-left name="in-region" right->(name="region" '
+        "result=((value)))))"
+    )
+    for i in range(4):  # warm the code paths, not the per-value work
+        gs.request(tmpl.format(i=i))
+    t0 = time.perf_counter()
+    done = 0
+    while time.perf_counter() - t0 < seconds:
+        i = (done * 7919) % n
+        r = gs.request(tmpl.format(i=i))
         assert r.startswith("ok"), r
         done += 1
     return round(done / (time.perf_counter() - t0), 1)
