@@ -155,6 +155,14 @@ class SetPlan:
     countlimit: Optional[int] = None
 
 
+#: sorted-page simulation cap: the incremental-sorter mirror collects
+#: one (id, key...) tuple per candidate, so an unselective sorted read
+#: over a huge store keeps the declarative top-k plan instead (the
+#: truncation needs 2*(start+pagesize) < candidates AND interleaved
+#: null keys to be observable; the cap is far above every golden/fuzz
+#: store and matches the serving mirror's working-set scale)
+_SORTSIM_CAP = 200_000
+
 _OPS = {
     "=": lambda a, b: a == b,
     "!=": lambda a, b: a != b,
@@ -230,6 +238,7 @@ class Compiler:
         resume = 0
         horizon = None
         resume_guid = None
+        sort_o = 0
         cstate = None
         if con.cursor is not None:
             import re as _re
@@ -398,13 +407,14 @@ class Compiler:
                     # sort state: the serialized values position the
                     # scan after the page's last element; its trailing
                     # guid tiebreak identifies it exactly (ref
-                    # graphd-sort.c:1553-1650 sort cursor thaw).  Even
-                    # with an [o:] present, the reference re-enters
-                    # through the boundary KEY, not the offset (the
-                    # first-key null class narrows; probed round 5)
+                    # graphd-sort.c:1553-1650 sort cursor thaw).  The
+                    # reference re-enters through the boundary KEY
+                    # (the sortsim cursor grid); [o:] carries the
+                    # cumulative emitted count for count bookkeeping
                     m = _re.search(r"g([0-9a-f]{32})$", body)
                     if m:
                         resume_guid = m.group(1)
+                        sort_o = resume
                         resume = 0
                 elif not saw_offset and horizon is None:
                     # last-resort: trailing /N/ position of the
@@ -635,7 +645,46 @@ class Compiler:
                     ).asc_nulls_last(),
                     F.col("id").asc(),
                 ]
-        if resume_guid is not None:
+        # the reference's bounded incremental sorter over id-ordered
+        # production (mirror of the fast path; sortsim.py): tight
+        # sorted pages whose candidates interleave null keys truncate
+        # exactly like graphd-sort.c.  Only engages when an INDEXED
+        # producer drives production in id order; bare scans get a
+        # sort-root-ordered producer whose truncation is lossless, so
+        # the declarative top-k plan below is already exact.  Capped:
+        # the sim collects one (id, keys) tuple per candidate, so an
+        # unselective sort over a huge store falls back to the
+        # declarative plan rather than collecting the world.
+        sim_info = None
+        P_sim = 0
+        if (
+            con.sort
+            and not sort_skipped
+            and not ((_vranges or _nranges) and not _range_checked)
+        ):
+            from graphd_spark.sortsim import production_is_id_ordered
+
+            if production_is_id_ordered(con):
+                _ps0 = (
+                    con.pagesize
+                    if con.pagesize is not None
+                    else DEFAULT_PAGESIZE
+                )
+                _rps0 = (
+                    con.resultpagesize
+                    if con.resultpagesize is not None
+                    else _ps0
+                )
+                P_sim = con.start + _rps0
+                if P_sim > 0 and df.limit(
+                    _SORTSIM_CAP + 1
+                ).count() <= _SORTSIM_CAP:
+                    sim_info = self._sortsim_run(
+                        con, plan, df, P_sim, resume_guid
+                    )
+        if sim_info is not None:
+            resume = 0
+        elif resume_guid is not None:
             resume, df = self._key_resume_offset(
                 df, con, plan, resume_guid
             )
@@ -657,7 +706,23 @@ class Compiler:
         # offset), so only the rps-row page ever crosses to the
         # driver — a start=10^6 read no longer collects a million
         # structs to throw them away
-        if rps > 0:
+        if sim_info is not None:
+            # page = the simulation's surviving array, start-sliced;
+            # one bounded isin fetch materializes just those structs
+            sim_ids, sim_accepted, sim_trailing = sim_info
+            page_ids = sim_ids[start:limit] if rps > 0 else []
+            if page_ids:
+                got = {
+                    r["id"]: r["__e"]
+                    for r in df.filter(F.col("id").isin(page_ids))
+                    .select(F.col("id"), elem.alias("__e"))
+                    .collect()
+                }
+                page = [got[i] for i in page_ids]
+            else:
+                page = []
+            n_prefix = min(sim_accepted, limit)
+        elif rps > 0:
             page = [
                 r["__e"]
                 for r in df.orderBy(*order)
@@ -671,7 +736,9 @@ class Compiler:
         # n_prefix = min(total, limit), recovered without collecting
         # the prefix: a non-empty (or start=0) page pins it exactly;
         # an empty page past the data needs one count-only probe
-        if page or start == 0:
+        if sim_info is not None:
+            pass
+        elif page or start == 0:
             n_prefix = start + len(page)
         else:
             n_prefix = df.limit(start).count()
@@ -699,7 +766,7 @@ class Compiler:
                 "all", "without", "fixed", "gmap", "hmap",
                 "and_it", "or_it",
             )
-            else 0
+            else (sort_o if sim_info is not None else 0)
         )
         # a page starting beyond the end is EMPTY (ref: default
         # count-min is start+1), but an explicit count bound overrides.
@@ -718,7 +785,7 @@ class Compiler:
         if countlimit is not None and getattr(
             con, "countlimit_defaulted", False
         ):
-            countlimit += resume
+            countlimit += sort_o if sim_info is not None else resume
         plan.countlimit = countlimit
         wants_estimate = any(
             p.kind in ("estimate", "estimate-count") for p in pat.walk()
@@ -731,6 +798,21 @@ class Compiler:
             verify_need = max(verify_need, con.count_max + 1 - o_base)
         if n_prefix < limit:
             total = n_prefix  # page not full: exact
+        elif sim_info is not None:
+            # the sim's set count is the ACCEPTED count (mirror of the
+            # fast path: prefilter-rejected candidates are invisible,
+            # grsc_one_deliver_count_success)
+            if need_total:
+                if countlimit is not None and not wants_estimate:
+                    total = min(
+                        sim_info[1], max(countlimit, verify_need)
+                    )
+                else:
+                    total = sim_info[1]
+            elif verify_need > n_prefix:
+                total = min(sim_info[1], verify_need)
+            else:
+                total = n_prefix
         elif need_total:
             cdf = df
             # estimates look past the count cap ("the count page size
@@ -758,7 +840,33 @@ class Compiler:
         if not ok:
             raise GraphdError("EMPTY", "not found")
         rows = page
-        if wants_cursor:
+        if wants_cursor and sim_info is not None:
+            # exact cursor-nullness rule of the incremental sorter
+            # (mirror of the fast path; graphd_sort_cursor_get after
+            # graphd_sort_finish drops the con_start prefix): null
+            # unless the final array still holds P elements AND a
+            # condense truncated — start > 0 sorted chains always end
+            # after one page
+            if (
+                rows
+                and con.start == 0
+                and start + len(rows) == P_sim
+                and sim_info[2]
+            ):
+                if self.store.count() >= 1000:
+                    members = self._and_members(con)
+                    if members is not None and len(members) >= 2:
+                        self._resource_stamp(
+                            "suspend:" + ";".join(
+                                f"{lk}->{src}" for lk, src in members
+                            )
+                        )
+                plan.cursor = self._sort_cursor(
+                    con, plan, rows, start + len(rows) + sort_o, horizon
+                )
+            else:
+                plan.cursor = "null:"
+        elif wants_cursor:
             consumed = start + len(rows)
             if (
                 not rows
@@ -2129,7 +2237,7 @@ class Compiler:
         comps = self._sort_components(con, plan)
         tagged = df.select(
             F.col("id"),
-            *[c.alias(f"__k{i}") for i, (c, _d) in enumerate(comps)],
+            *[c.alias(f"__k{i}") for i, (c, _d, _k) in enumerate(comps)],
         )
         cur = tagged.filter(
             F.col("id") == guid_serial(guid)
@@ -2147,7 +2255,7 @@ class Compiler:
             )
         before = F.lit(False)
         eq_prefix = F.lit(True)
-        for i, (_c, desc) in enumerate(comps):
+        for i, (_c, desc, _k) in enumerate(comps):
             k = F.col(f"__k{i}")
             cv = cur[f"__k{i}"]
             if isinstance(cv, bytearray):
@@ -2173,6 +2281,51 @@ class Compiler:
             self.store, self.types, self.asof, con, plan, rows,
             consumed, horizon,
         )
+
+    def _sortsim_run(self, con, plan, df, P_sim: int, resume_guid):
+        """Collect candidate sort keys in producer (id) order and run
+        the incremental-sorter simulation (sortsim.simulate) — the
+        Spark-path mirror of the fast path's call.  Returns
+        (surviving page ids in sort order, accepted count, trailing)
+        or None to fall back to the declarative plan."""
+        from graphd_spark.sortsim import simulate
+
+        comps = self._sort_components(con, plan)
+        tagged = (
+            df.select(
+                F.col("id"),
+                *[
+                    c.alias(f"__k{i}")
+                    for i, (c, _d, _k) in enumerate(comps)
+                ],
+            )
+            .orderBy("id")
+            .collect()
+        )
+        specs = [
+            (desc, kind not in ("variable", "contents"))
+            for _c, desc, kind in comps
+        ]
+
+        def keys_of(r):
+            out = []
+            for i in range(len(comps)):
+                v = r[f"__k{i}"]
+                if isinstance(v, bytearray):
+                    v = bytes(v)
+                out.append(v)
+            return tuple(out)
+
+        entries = [(keys_of(r), r["id"]) for r in tagged]
+        grid = None
+        if resume_guid is not None:
+            sid = guid_serial(resume_guid)
+            grid = next((k for k, i in entries if i == sid), None)
+            # a vanished boundary element restarts at page 1
+        arr, accepted, trailing = simulate(
+            entries, P_sim, specs, grid=grid
+        )
+        return [pid for _k, pid in arr], accepted, trailing
 
 
     def compile(self, con: Constraint):
@@ -2654,8 +2807,8 @@ class Compiler:
     # -- sorting -----------------------------------------------------------
 
     def _sort_components(self, con: Constraint, plan: SetPlan):
-        """(key column, descending) pairs of the query's total order,
-        ending in the decisive id tiebreak."""
+        """(key column, descending, pattern kind) triples of the
+        query's total order, ending in the decisive id tiebreak."""
         comps = []
         keys = con.sort or []
         for i, sk in enumerate(keys):
@@ -2670,8 +2823,8 @@ class Compiler:
             col = self._sort_key_col(sk.pattern, con, plan, comp)
             if col is None:
                 continue
-            comps.append((col, sk.descending))
-        comps.append((F.col("id"), False))
+            comps.append((col, sk.descending, sk.pattern.kind))
+        comps.append((F.col("id"), False, "guid"))
         return comps
 
     def _sort_exprs(self, con: Constraint, plan: SetPlan):
@@ -2679,7 +2832,7 @@ class Compiler:
         # (graph_fuzzycmp: NULL compares greater than any string)
         return [
             col.desc_nulls_first() if desc else col.asc_nulls_last()
-            for col, desc in self._sort_components(con, plan)
+            for col, desc, _k in self._sort_components(con, plan)
         ]
 
     def _sort_key_col(self, pat: Pattern, con: Constraint, plan: SetPlan,

@@ -271,6 +271,7 @@ class FastReader:
         resume = 0
         horizon = None
         resume_guid = None
+        sort_o = 0
         cstate = None
         if con.cursor is not None:
             import re as _re
@@ -325,13 +326,14 @@ class FastReader:
                     body = body[close + 1:]
                 if is_sort:
                     # sort state: resume after the serialized last
-                    # element (guid tiebreak identifies it) — even
-                    # with an [o:] present, the reference re-enters
-                    # through the boundary KEY, not the offset (the
-                    # first-key null class narrows; probed round 5)
+                    # element (guid tiebreak identifies it) — the
+                    # reference re-enters through the boundary KEY
+                    # (the sortsim cursor grid); [o:] carries the
+                    # cumulative emitted count for count bookkeeping
                     m = _re.search(r"g([0-9a-f]{32})$", body)
                     if m:
                         resume_guid = m.group(1)
+                        sort_o = resume
                         resume = 0
                 elif not saw_offset and horizon is None:
                     m = _re.search(r"/(\d+)/$", cur)
@@ -399,20 +401,84 @@ class FastReader:
             ) and (not _vranges or _range_checked):
                 sort_skipped = True
                 perfect_backward = bool(first0.descending)
+        sim_info = None
+        from graphd_spark.sortsim import production_is_id_ordered
+
         if sort_skipped:
             if perfect_backward:
                 matches = matches[::-1]
+        elif con.sort and not (
+            (_vranges or _nranges) and not _range_checked
+        ) and production_is_id_ordered(con):
+            # real sort over id-ordered production: the reference's
+            # bounded incremental sorter (sortsim.py) — tight pages
+            # whose candidates interleave null keys truncate exactly
+            # like graphd-sort.c, and cursor resumes replay the grid
+            # rules (the round-5 null-class model is its special case)
+            from graphd_spark.sortsim import simulate
+
+            _ps0 = (
+                con.pagesize
+                if con.pagesize is not None
+                else DEFAULT_PAGESIZE
+            )
+            _rps0 = (
+                con.resultpagesize
+                if con.resultpagesize is not None
+                else _ps0
+            )
+            P_sim = con.start + _rps0
+            if P_sim > 0:
+                keyfns = []
+                for i0, sk in enumerate(con.sort):
+                    comp = None
+                    if con.sort_comparators and i0 < len(
+                        con.sort_comparators
+                    ):
+                        comp = con.sort_comparators[i0]
+                    comp = resolve_comparator(
+                        comp or con.comparator or "default"
+                    )
+                    fn = self._sort_key_fn(sk.pattern, comp, plan)
+                    if fn is None:
+                        continue
+                    keyfns.append(
+                        (fn, sk.descending,
+                         sk.pattern.kind not in ("variable", "contents"))
+                    )
+                keyfns.append((lambda p, row: p.id, False, True))
+                specs = [(d, pre) for _f, d, pre in keyfns]
+                entries = [
+                    (tuple(f(p, r) for f, _d, _p in keyfns), (p, r))
+                    for p, r in matches
+                ]
+                grid = None
+                if resume_guid is not None:
+                    from graphd_spark.model import guid_serial
+
+                    sid = guid_serial(resume_guid)
+                    b = next(
+                        (k for k, pr in entries if pr[0].id == sid), None
+                    )
+                    grid = b  # vanished boundary restarts at page 1
+                arr, accepted, trailing = simulate(
+                    entries, P_sim, specs, grid=grid
+                )
+                matches = [payload for _k, payload in arr]
+                resume = 0
+                sim_info = (accepted, trailing, P_sim)
+            else:
+                self._apply_sort(con, plan, matches)
         else:
             self._apply_sort(con, plan, matches)
-        if resume_guid is not None:
-            # mirror of _key_resume_offset: the total order (sort
-            # keys + id tiebreak) is unique, so the offset of the
-            # element AFTER the cursor element is its index + 1;
-            # a vanished element restarts (offset 0).  The resumed
-            # candidate set narrows to the boundary's FIRST-KEY NULL
-            # CLASS — the reference's thawed sort scan re-enters
-            # through the first key's index (non-null boundary) or
-            # the null bin (null boundary); probed round 5
+        if resume_guid is not None and sim_info is None:
+            # sort-root-ordered production (bare scans, vrange
+            # producers): the ordered producer truncates losslessly,
+            # and the thawed scan re-enters through the boundary's
+            # FIRST-KEY NULL CLASS — the key's index (non-null
+            # boundary, where null-key rows don't exist) or the null
+            # bin (null boundary); probed round 5.  A vanished
+            # element restarts (offset 0).
             from graphd_spark.model import guid_serial
 
             sid = guid_serial(resume_guid)
@@ -456,7 +522,10 @@ class FastReader:
         )
         start = con.start + resume
         limit = start + rps
-        full = len(matches)
+        # under the incremental-sorter sim, the set count is the
+        # ACCEPTED count — prefilter-rejected candidates are invisible
+        # (grsc_one_deliver_count_success fires on accept only)
+        full = sim_info[0] if sim_info is not None else len(matches)
         rows = [row for _p, row in matches[start:limit]] if rps > 0 else []
         n_prefix = min(full, limit)
         pat = con.result if con.result is not None else default_read_pattern()
@@ -480,7 +549,7 @@ class FastReader:
                 "all", "without", "fixed", "gmap", "hmap",
                 "and_it", "or_it",
             )
-            else 0
+            else (sort_o if sim_info is not None else 0)
         )
         count_min_chk = (
             con.count_min
@@ -493,7 +562,7 @@ class FastReader:
         if countlimit is not None and getattr(
             con, "countlimit_defaulted", False
         ):
-            countlimit += resume
+            countlimit += sort_o if sim_info is not None else resume
         plan.countlimit = countlimit
         wants_estimate = any(
             p.kind in ("estimate", "estimate-count") for p in pat.walk()
@@ -524,7 +593,40 @@ class FastReader:
         if not ok:
             raise GraphdError("EMPTY", "not found")
         # cursor emission (mirror of Compiler.run, compiler.py:600-686)
-        if wants_cursor:
+        if wants_cursor and sim_info is not None:
+            # the exact cursor-nullness rule of the incremental
+            # sorter (graphd_sort_cursor_get:1478-1481 after
+            # graphd_sort_finish drops the con_start prefix): null
+            # unless the final array still holds P - con_start
+            # elements AND a condense truncated (trailing) — so
+            # start > 0 sorted chains always end after one page, and
+            # countlimit never changes cursor nullness
+            _acc, _trail, _P = sim_info
+            if (
+                rows
+                and con.start == 0
+                and start + len(rows) == _P
+                and _trail
+            ):
+                if self.store.count() >= 1000:
+                    # mirror the large-scan suspension stamp of the
+                    # non-sim sort branch below
+                    from graphd_spark.freeze import resource_stamp
+
+                    members = self._and_members_f(con)
+                    if members is not None and len(members) >= 2:
+                        resource_stamp(
+                            self.store,
+                            key="suspend:" + ";".join(
+                                f"{lk}->{src}" for lk, src in members
+                            ),
+                        )
+                plan.cursor = self._sort_cursor_f(
+                    con, plan, rows, start + len(rows) + sort_o, horizon
+                )
+            else:
+                plan.cursor = "null:"
+        elif wants_cursor:
             consumed = start + len(rows)
             page_prims = [p for p, _r in matches[start:limit]]
             if (

@@ -327,21 +327,13 @@ def gen_sortcursor_reads(rng: random.Random) -> list[str]:
             comp = " sort-comparator=" + rng.choice(
                 ['"number"', '"octet"', '"case"', '"datetime"']
             )
-        # KNOWN BOUNDARY (sortcursor seed 101): a TIGHT sorted page
-        # whose first key is value/name and whose candidates include
-        # NULL first keys reflects the reference's budgeted producer
-        # truncation — the sort sees only the first ~pagesize+1
-        # candidates in PRODUCER order (probed: a 6-row bin with null
-        # names pages (rank, null-g0) under sort=(name) pagesize=2,
-        # not the name-sorted prefix, while the same bin fully named
-        # DOES page the sorted prefix; explicit countlimit does not
-        # lift it).  Optimizer state, not query semantics, so
-        # value/name first keys page wide here; timestamp/guid first
-        # keys (id-ordered production) keep tight pages and chain.
-        if keys[0].lstrip("-") in ("timestamp", "guid"):
-            ps = rng.randrange(1, 4)
-        else:
-            ps = 40
+        # round 6: tight pages for EVERY first-key kind — the engine
+        # now models the reference's bounded incremental sorter
+        # (graphd_spark/sortsim.py: 2P candidate array, median
+        # prefilter with inverted null polarity, cursor grid), so the
+        # value/name null-truncation shapes that seed 101 exposed
+        # chain tight instead of paging wide
+        ps = rng.randrange(1, 4)
         reads.append(
             f"read (pagesize={ps} {srt}{comp} "
             f"result=(cursor (guid value)) {body})"
@@ -361,19 +353,14 @@ def test_differential_cursors(spark, ref_bin, seed):
         body = _gen_cursor_constraint(rng)
         ps = rng.randrange(1, 4)
         srt = ""
-        wide_sort = False
         if rng.random() < 0.3:
             # sorted pages freeze sort: cursors (value serialization +
-            # guid tiebreak); name/value keys under the default
-            # comparator keep the candidate SET optimizer-independent,
-            # but TIGHT pages over candidates with NULL first keys
-            # reflect the reference's budgeted producer truncation
-            # (see gen_sortcursor_reads' KNOWN BOUNDARY) — so these
-            # page wide
+            # guid tiebreak); tight pages over null first keys
+            # exercise the incremental-sorter truncation model
+            # (graphd_spark/sortsim.py) since round 6
             srt = "sort=" + rng.choice(
                 ["(value)", "(-value)", "(name value)", "(-name)"]
             ) + " "
-            wide_sort = True
         elif rng.random() < 0.25:
             # timestamp/guid first keys are "perfect" sorts: no sort
             # context, iterator cursors, backward (~) freezes for the
@@ -385,8 +372,6 @@ def test_differential_cursors(spark, ref_bin, seed):
                 ["(timestamp)", "(-timestamp)", "(guid)", "(-guid)",
                  "(timestamp guid)", "(-timestamp value)"]
             ) + " "
-        if wide_sort:
-            ps = 40
         reads.append(
             f"read (pagesize={ps} {srt}result=(cursor (guid value)) {body})"
         )
