@@ -155,6 +155,11 @@ class SetPlan:
     countlimit: Optional[int] = None
 
 
+#: isa small-set window for hmap-driven subs: GRAPHD_ISA_INLINE_BUDGET
+#: (15000) / (PDB_COST_PRIMITIVE 12 + hmap next cost 4) — see
+#: Compiler._isa_materialize_cap
+_ISA_SMALL_SET_MAX = 937
+
 #: sorted-page simulation cap: the incremental-sorter mirror collects
 #: one (id, key...) tuple per candidate, so an unselective sorted read
 #: over a huge store keeps the declarative top-k plan instead (the
@@ -249,9 +254,13 @@ class Compiler:
             from graphd_spark.cursor import BadCursor, parse_cursor
 
             try:
-                cstate = parse_cursor(cur, con, self.types.resolve)
+                cstate = parse_cursor(
+                    cur, con, self.types.resolve,
+                    asof=self.asof is not None,
+                )
             except BadCursor as e:
                 raise GraphdError("BADCURSOR", e.message)
+        masq_raw = False
         if cstate is not None:
             # a modeled iterator freeze (all / fixed / without):
             # resume by iterator position, not offset (ref
@@ -319,6 +328,11 @@ class Compiler:
                             == cstate.masq.lower()
                         )
                     pool = self.store.to_df(self.spark).filter(flt)
+                    if self.asof is not None:
+                        pool = pool.filter(
+                            F.col("id")
+                            <= self._asof_horizon(self.asof)
+                        )
                     if cstate.backward:
                         b = (
                             pool.orderBy(F.col("id").desc())
@@ -344,11 +358,24 @@ class Compiler:
                             else df.filter(F.lit(False))
                         )
             elif cstate.form == "fixed_masq":
-                # a masqueraded fixed set enumerates the root's own
-                # candidate set in id order, so position == offset
-                # into the compiled result (graphd-iterator-fixed.c
-                # fixed_iterator_next; test/unit/colors3.sh)
-                resume = cstate.pos
+                # a masqueraded fixed set repositions in its RAW id
+                # array (bin false positives and rejected targets
+                # counted; graphd-iterator-fixed.c fixed_iterator_next;
+                # test/unit/colors3.sh) — inline ids ride the cursor,
+                # cached states regenerate from the provenance
+                raw = cstate.fixed_ids or self._isa_expansion_ids(con)
+                if raw:
+                    allowed = (
+                        raw[: len(raw) - cstate.pos]
+                        if cstate.backward
+                        else raw[cstate.pos:]
+                    )
+                    df = df.filter(F.col("id").isin(allowed))
+                    masq_raw = True
+                else:
+                    # no raw set recoverable: position == offset into
+                    # the compiled result
+                    resume = cstate.pos
             elif cstate.form in ("and_it", "or_it"):
                 # and/or iterators resume after their last delivered
                 # candidate id — a state-cache miss replays the scan
@@ -762,9 +789,12 @@ class Compiler:
         o_base = (
             cstate.offset
             if cstate is not None
-            and cstate.form in (
-                "all", "without", "fixed", "gmap", "hmap",
-                "and_it", "or_it",
+            and (
+                cstate.form in (
+                    "all", "without", "fixed", "gmap", "hmap",
+                    "and_it", "or_it",
+                )
+                or (cstate.form == "fixed_masq" and masq_raw)
             )
             else (sort_o if sim_info is not None else 0)
         )
@@ -947,6 +977,17 @@ class Compiler:
                         cstate.offset if cstate is not None else resume
                     ) + con.start + len(rows),
                 ) or f"position:{consumed}/{total}"
+        if (
+            self.asof is not None
+            and plan.cursor
+            and plan.cursor != "null:"
+        ):
+            # asof pages omit the [n:] block (probed; mirror fastread)
+            from graphd_spark.cursor import strip_cursor_horizon
+
+            plan.cursor = strip_cursor_horizon(
+                plan.cursor, con, self.types.resolve
+            )
         # rendered counts clamp at the ORIGINAL (unshifted) countlimit
         # (probed: resumed pages keep rendering the first page's capped
         # count; pagesize=0 renders 0); estimates look past the cap
@@ -980,6 +1021,10 @@ class Compiler:
         prior = delivered - len(rows)
         last_id = guid_serial(rows[-1]["guid"])
         count = self.store.count()
+        if self.asof is not None:
+            # asof pages clamp every frozen bound at the id horizon
+            # and omit [n:] (probed; mirror fastread._iterator_cursor)
+            count = min(count, self._asof_horizon(self.asof) + 1)
         if cstate is not None and cstate.form in (
             "all", "without", "fixed", "gmap"
         ):
@@ -1171,13 +1216,44 @@ class Compiler:
             )
             if sub_gmap is not None:
                 return sub_gmap
-            ids = [
+            cap = self._isa_materialize_cap(con)
+            if cap == 0:
+                return None
+            ids = self._isa_expansion_ids(con) or [
                 r["id"]
                 for r in df.select("id").orderBy("id")
-                .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
+                .limit(cap + 1).collect()
             ]
-            if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+            if len(ids) > cap or last_id not in ids:
                 return None
+            # backward masquerade: /POS/~ tail; the inner fixed-isa:~
+            # marker follows the CACHED resource's direction
+            masq = (
+                self._isa_masquerade(con, ids)
+                if len(ids) > 5
+                else None
+            )
+            if masq is not None:
+                from graphd_spark.freeze import masq_resource
+
+                st = CursorState(
+                    form="fixed_masq", masq=masq,
+                    pos=delivered, backward=True,
+                )
+                if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
+                    stamp, res_bwd = masq_resource(
+                        self.store, masq, True,
+                        reuse=cstate.cache_stamp if cstate else None,
+                    )
+                    st.cache_stamp = stamp
+                else:
+                    st.fixed_ids = ids
+                    res_bwd = True  # inline state: the running direction
+                if res_bwd:
+                    st.masq = masq.replace("fixed-isa:", "fixed-isa:~", 1)
+                return freeze_cursor(
+                    con, st, delivered, count, self.types.resolve
+                )
             st = CursorState(
                 form="fixed", fixed_ids=ids,
                 pos=delivered, backward=True,
@@ -1197,12 +1273,18 @@ class Compiler:
         # candidate sets into a fixed iterator (graphd-iterator-fixed.c;
         # tests cursor3/cursor4); larger sets keep their and/gmap shape,
         # which we don't freeze
-        ids = [
-            r["id"]
-            for r in df.select("id").orderBy("id")
-            .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
-        ]
-        if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+        cap = self._isa_materialize_cap(con)
+        ids = (
+            self._isa_expansion_ids(con)
+            or [
+                r["id"]
+                for r in df.select("id").orderBy("id")
+                .limit(cap + 1).collect()
+            ]
+            if cap
+            else []
+        )
+        if not cap or len(ids) > cap or last_id not in ids:
             # too big to materialize: the expansion keeps its
             # isa / or-linksto iterator shape (graphd-iterator-isa.c,
             # graphd-iterator-linksto.c; test/unit/isa.sh)
@@ -1214,14 +1296,22 @@ class Compiler:
             # isa-produced fixed sets remember their provenance
             # instead of the raw ids (isa_set_fixed_masquerade,
             # graphd-iterator-isa.c:723-769; test/unit/colors3.sh)
+            from graphd_spark.freeze import masq_resource
+
             st = CursorState(
                 form="fixed_masq", masq=masq,
                 pos=ids.index(last_id) + 1,
             )
             if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
-                st.cache_stamp = self._resource_stamp(
-                    reuse=cstate.cache_stamp if cstate else None
+                stamp, res_bwd = masq_resource(
+                    self.store, masq, False,
+                    reuse=cstate.cache_stamp if cstate else None,
                 )
+                st.cache_stamp = stamp
+                if res_bwd:
+                    st.masq = masq.replace(
+                        "fixed-isa:", "fixed-isa:~", 1
+                    )
             else:
                 st.fixed_ids = ids
             return freeze_cursor(
@@ -1396,9 +1486,14 @@ class Compiler:
                 and prefix_match_codes(su_decode(v), prefix)
             )
 
+        raw = self.store.to_df(self.spark)
+        if self.asof is not None:
+            raw = raw.filter(
+                F.col("id") <= self._asof_horizon(self.asof)
+            )
         return [
             r["id"]
-            for r in self.store.to_df(self.spark)
+            for r in raw
             .filter(F.col("value").isNotNull())
             .filter(_in_bins(F.col("value")))
             .select("id")
@@ -1440,8 +1535,13 @@ class Compiler:
             return None
         tname, key = cands[0]
         key, flt = self._hmap_bin_filter(tname, key)
+        raw = self.store.to_df(self.spark)
+        if self.asof is not None:
+            raw = raw.filter(
+                F.col("id") <= self._asof_horizon(self.asof)
+            )
         row = (
-            self.store.to_df(self.spark)
+            raw
             .filter(flt)
             .agg(
                 F.min("id").alias("lo"),
@@ -2005,15 +2105,90 @@ class Compiler:
 
         return resource_stamp(self.store, key=key, reuse=reuse)
 
-    def _isa_masquerade(self, con, ids) -> Optional[str]:
+    def _isa_sub_hmap(self, con):
+        """The (sub, hmap source) pair when the root is a single-'my'-
+        sub expansion whose sub compiles to one hmap bin."""
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        if sub.linkage is None or sub.subs or sub.or_chains:
+            return None
+        kind, lk = sub.linkage
+        if kind != "my" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        hm = self._hmap_source(sub)
+        if hm is None:
+            return None
+        return sub, hm
+
+    def _isa_materialize_cap(self, con) -> int:
+        """Materialize window for a linkage-expansion root.  The
+        reference's isa small-set drains the SUB iterator under
+        GRAPHD_ISA_INLINE_BUDGET_TOTAL = 15000
+        (graphd-iterator-isa.c:43-53, isa_become_small_set:767-905),
+        each candidate costing PDB_COST_PRIMITIVE (12) plus the sub's
+        next cost — for an hmap-driven sub (one value=/name= equality)
+        that's FUNCTION_CALL + HMAP_ELEMENT = 4, so exactly
+        15000 // 16 = 937 SUB candidates fit (probed: 937 links ->
+        fixed, 938 -> and:#; the gate counts sub candidates, not
+        distinct targets — 1000 links over 50 targets stay and:#).
+        Prefix-driven subs wrap in an and(all, prefix) whose per-next
+        budget varies with the store (probed thresholds 522 vs >530),
+        so they keep the conservative default window, as do all other
+        shapes.  Returns 0 when the shape must NOT materialize."""
+        sh = self._isa_sub_hmap(con)
+        if sh is None:
+            return _FIXED_MATERIALIZE_MAX
+        n_sub = sh[1][4]
+        return _ISA_SMALL_SET_MAX if n_sub <= _ISA_SMALL_SET_MAX else 0
+
+    def _isa_expansion_ids(self, con) -> Optional[list]:
+        """RAW materialized target set of an hmap-sub expansion: every
+        bin member's linkage target, deduped and sorted — INCLUDING
+        bin false positives whose value only bin-merges with the
+        written one (number normalization) and targets the constraint
+        check later rejects.  The reference's fixed iterator holds
+        this raw set, so the frozen bounds and /POS/ count produced-
+        then-rejected candidates too (probed: a "100" write sharing
+        the "1e2" bin shifts the bounds and offsets every position
+        by one)."""
+        sh = self._isa_sub_hmap(con)
+        if sh is None:
+            return None
+        sub, hm = sh
+        lk = sub.linkage[1]
+        flt = hm[5]
+        raw = self.store.to_df(self.spark)
+        if self.asof is not None:
+            raw = raw.filter(
+                F.col("id") <= self._asof_horizon(self.asof)
+            )
+        tg = [
+            r[lk] for r in raw.filter(flt).select(lk).collect()
+        ]
+        return sorted({guid_serial(g) for g in tg if g is not None})
+
+    def _isa_masquerade(self, con, ids, backward: bool = False
+                        ) -> Optional[str]:
         """The fixed-isa provenance string when the root's candidates
         were produced by expanding one subconstraint's linkage — the
         shape ``fixed-isa:LOW-HIGH:L<-(SUB)[hint:0]`` where SUB is the
         child's own index iterator (vip when typeguid + one endpoint
-        are pinned, gmap for a single linkage)
-        (graphd-iterator-isa.c:656-769; test/unit/colors3.sh)."""
+        are pinned, gmap for a single linkage, hmap for one
+        value=/name= equality)
+        (graphd-iterator-isa.c:656-769; test/unit/colors3.sh).
+        ``backward`` adds the descending marker (``fixed-isa:~``)."""
         from graphd_spark.model import guid_compose
 
+        t = "~" if backward else ""
         if len(con.subs) != 1 or con.or_chains:
             return None
         if (
@@ -2030,6 +2205,20 @@ class Compiler:
             "left", "right", "typeguid", "scope"
         ):
             return None
+        if not (sub.subs or sub.or_chains):
+            # a sub whose only predicate is one value=/name= equality
+            # keeps its hmap bin as the isa's subiterator (probed:
+            # fixed-isa:LO-HI:L<-(hmap:...) at >= 6 distinct targets;
+            # 5 or fewer freeze the raw unmasqueraded fixed set)
+            hm = self._hmap_source(sub)
+            if hm is not None:
+                from graphd_spark.freeze import hmap_set_str
+
+                tname, key, slo, shi, _n, _flt = hm
+                return "fixed-isa:{}{}-{}:{}<-({})[hint:0]".format(
+                    t, ids[0], ids[-1] + 1, lk[0],
+                    hmap_set_str(tname, key, slo, shi),
+                )
         if sub.or_chains or sub.value_strcons or sub.name_strcons or (
             sub.guid or sub.next or sub.prev or sub.timestamps
         ):
@@ -2125,8 +2314,8 @@ class Compiler:
         # the fixed iterator narrowed its bounds to the actual id span
         # (fixed_optimize, graphd-iterator-fixed.c:1016-1019); hint 0
         # differs from HINT_DEFAULT so it prints
-        return "fixed-isa:{}-{}:{}<-({})[hint:0]".format(
-            ids[0], ids[-1] + 1, lk[0], sub_freeze
+        return "fixed-isa:{}{}-{}:{}<-({})[hint:0]".format(
+            t, ids[0], ids[-1] + 1, lk[0], sub_freeze
         )
 
     #: gmap linkage letter -> primitive column (pdb_linkage_to_string)
@@ -2170,13 +2359,19 @@ class Compiler:
 
     def _gmap_index_df(self, lk: str, src: int):
         """The linkage index set: ids whose raw linkage column equals
-        the source guid (index order == id order)."""
+        the source guid (index order == id order); asof clamps at the
+        horizon."""
         from graphd_spark.model import guid_compose
 
         g = guid_compose(self.store.db_id, src)
-        return self.store.to_df(self.spark).filter(
+        df = self.store.to_df(self.spark).filter(
             F.col(self._GMAP_COLS[lk]) == g
         )
+        if self.asof is not None:
+            df = df.filter(
+                F.col("id") <= self._asof_horizon(self.asof)
+            )
+        return df
 
     def _gmap_stats(self, lk: str, src: int, last_id: int):
         """(first index id, last index id + 1, #elements <= last_id)

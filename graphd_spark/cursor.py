@@ -216,7 +216,8 @@ def _typeguid_guidcons(con: Constraint, resolve) -> list:
     return out
 
 
-def constraint_signature(con: Constraint, resolve=None) -> str:
+def constraint_signature(con: Constraint, resolve=None,
+                         asof: bool = False) -> str:
     """Canonical signature of a constraint subtree (checksum input).
 
     Ports the field order and renderings of graphd_constraint_signature
@@ -229,11 +230,12 @@ def constraint_signature(con: Constraint, resolve=None) -> str:
     the read path sees them (graphd-read.c convert_types).
     """
     parts: list[str] = []
-    _signature(con, parts, resolve)
+    _signature(con, parts, resolve, asof)
     return "".join(parts)
 
 
-def _signature(con: Constraint, parts: list[str], resolve=None) -> None:
+def _signature(con: Constraint, parts: list[str], resolve=None,
+               asof: bool = False) -> None:
     if con.parent is not None and con.linkage is not None:
         kind, lk = con.linkage
         lk = _LINKAGE_NAMES.get(lk, lk)
@@ -361,14 +363,25 @@ def _signature(con: Constraint, parts: list[str], resolve=None) -> None:
                     # (sic) the reference prints count>= twice
                     _sep(parts, f"count>={lo if lo is not None else 0}")
 
+    # datelines sign structurally (min then max; signature_dateline,
+    # graphd-constraint-signature.c:324-340); an asof= pushes a
+    # dateline maximum into EVERY constraint of the tree
+    # (graphd_read_compile_datelines, graphd-read.c:271-288), so
+    # asof'd cursors sign "dateline<=#..." at each level
+    dl_op = con.dateline[0] if con.dateline is not None else None
+    if dl_op == ">":
+        _sep(parts, "dateline>=#...")
+    if dl_op == "<" or asof:
+        _sep(parts, "dateline<=#...")
+
     for var, pat in con.assignments:
         _sep(parts, f"{var}={pattern_to_string(pat)}")
 
     for sub in con.subs:
-        _signature(sub, parts, resolve)
+        _signature(sub, parts, resolve, asof)
     for chain in con.or_chains:
         for b in chain:
-            _signature(b, parts, resolve)
+            _signature(b, parts, resolve, asof)
 
     if con.parent is not None:
         parts.append(")")
@@ -401,8 +414,9 @@ def _guidcon_sig(gc) -> str:
     )
 
 
-def signature_checksum(con: Constraint, resolve=None) -> int:
-    return checksum16(constraint_signature(con, resolve))
+def signature_checksum(con: Constraint, resolve=None,
+                       asof: bool = False) -> int:
+    return checksum16(constraint_signature(con, resolve, asof))
 
 
 # -- freeze / thaw ---------------------------------------------------------
@@ -459,7 +473,7 @@ def _old_style(text: str) -> BadCursor:
 
 
 def parse_cursor(text: str, con: Constraint,
-                 resolve=None) -> Optional[CursorState]:
+                 resolve=None, asof: bool = False) -> Optional[CursorState]:
     """Parse + validate a cursor= value.
 
     Returns a CursorState for the forms this engine freezes, None for
@@ -479,7 +493,9 @@ def parse_cursor(text: str, con: Constraint,
 
     def _validated(st: CursorState) -> CursorState:
         if signed is not None:
-            expect = signature_checksum(con, resolve) ^ checksum16(checksum_body)
+            expect = signature_checksum(
+                con, resolve, asof
+            ) ^ checksum16(checksum_body)
             if signed != expect:
                 raise BadCursor(
                     f'cursor "{text}" and checksum {expect:x} '
@@ -624,12 +640,15 @@ def parse_cursor(text: str, con: Constraint,
             raise _old_style(text)
         st.masq = body[len("fixed:("): i]
         rest = body[i + 1:]
-        mm = re.match(r"^/(\d+)/(.*)$", rest)
+        mm = re.match(r"^/(\d+)/(~?)(.*)$", rest)
         if not mm:
             raise _old_style(text)
         st.form = "fixed_masq"
         st.pos = int(mm.group(1))
-        state = mm.group(2)
+        # '~' after the position: backward (descending) fixed set —
+        # the inner fixed-isa:~ marker appears on the first page only
+        st.backward = mm.group(2) == "~"
+        state = mm.group(3)
         cm = re.match(r"^\[cache:@([0-9a-zA-Z]+)\]$", state)
         if cm:
             st.cache_stamp = cm.group(1)
@@ -687,11 +706,24 @@ def parse_cursor(text: str, con: Constraint,
     raise _old_style(text)
 
 
-def sign_cursor(con: Constraint, body: str, resolve=None) -> str:
+def strip_cursor_horizon(cur: str, con: Constraint, resolve=None) -> str:
+    """asof'd pages omit the [n:] horizon block entirely (probed:
+    ``cursor:xxxx:[o:3]hmap:0-9:.../3/`` and ``sort:[o:3]...`` with no
+    [n:]): drop the block from a built cursor and re-sign the
+    envelope, since the checksum spans the body."""
+    m = re.match(r"(?i)^cursor:[0-9a-f]{1,4}:(.*)$", cur, flags=re.S)
+    if m:
+        body = re.sub(r"\[n:\d+\]", "", m.group(1), count=1)
+        return sign_cursor(con, body, resolve, asof=True)
+    return re.sub(r"\[n:\d+\]", "", cur, count=1)
+
+
+def sign_cursor(con: Constraint, body: str, resolve=None,
+                asof: bool = False) -> str:
     """Wrap a fully-built freeze body in the signed cursor envelope
     (graphd_constraint_cursor_from_iterator:
     ``cursor:%4.4hx:`` = set-signature checksum ^ body checksum)."""
-    check = signature_checksum(con, resolve) ^ checksum16(body)
+    check = signature_checksum(con, resolve, asof) ^ checksum16(body)
     return f"cursor:{check:04x}:{body}"
 
 
@@ -723,7 +755,8 @@ def freeze_cursor(
                 len(state.fixed_ids),
                 ",".join(str(i) for i in state.fixed_ids),
             )
-        body = f"fixed:({state.masq})/{state.pos}/{tail}"
+        t = "~" if state.backward else ""
+        body = f"fixed:({state.masq})/{state.pos}/{t}{tail}"
     elif state.form == "all":
         t = "~" if state.backward else ""
         body = f"all:{t}{state.low}-{state.high}/{state.pos}/"

@@ -61,6 +61,7 @@ from graphd_spark.compiler import (
     SetPlan,
     SubPlan,
     _FIXED_MATERIALIZE_MAX,
+    _ISA_SMALL_SET_MAX,
     _OPS,
 )
 from graphd_spark.glob import glob_match
@@ -216,6 +217,7 @@ class FastReader:
                  cache_key: Optional[str] = None):
         self.store = store
         self.types = types
+        self.asof = asof
         self._n = 0
         #: per-request cache of timestamp-range id bounds, keyed by
         #: constraint identity (the reference compiles them once per
@@ -263,10 +265,6 @@ class FastReader:
     def run(self, con: Constraint):
         check_supported(con)
         wants_cursor = _wants_cursor(con)
-        if (con.cursor is not None or wants_cursor) and (
-            self.horizon is not None
-        ):
-            raise Unsupported("asof-cursor")  # pages omit [n:]
         # cursor= resume (mirror of Compiler.run, compiler.py:192-345)
         resume = 0
         horizon = None
@@ -282,7 +280,10 @@ class FastReader:
             from graphd_spark.cursor import BadCursor, parse_cursor
 
             try:
-                cstate = parse_cursor(cur, con, self.types.resolve)
+                cstate = parse_cursor(
+                    cur, con, self.types.resolve,
+                    asof=self.horizon is not None,
+                )
             except BadCursor as e:
                 raise GraphdError("BADCURSOR", e.message)
             if cstate is not None:
@@ -363,8 +364,29 @@ class FastReader:
         if horizon is not None:
             matches = [(p, r) for p, r in matches if p.id < horizon]
         # iterator-position resume (mirror compiler.py:218-282)
+        masq_raw = False
         if cstate is not None:
-            matches = self._resume_filter(cstate, matches)
+            if cstate.form == "fixed_masq":
+                # reposition in the RAW masqueraded array (bin false
+                # positives counted; mirror compiler.py fixed_masq
+                # branch) — inline ids ride the cursor, cached states
+                # regenerate from the constraint
+                raw = cstate.fixed_ids or self._isa_expansion_ids_f(
+                    con
+                )
+                if raw:
+                    if cstate.backward:
+                        n = len(raw) - cstate.pos
+                        allowed = set(raw[:n]) if n > 0 else set()
+                    else:
+                        allowed = set(raw[cstate.pos:])
+                    matches = [
+                        (p, r) for p, r in matches if p.id in allowed
+                    ]
+                    masq_raw = True
+                    resume = 0
+            else:
+                matches = self._resume_filter(cstate, matches)
         matches = self._number_sort_drop(con, matches)
         # graphd_sort_needed mirror (compiler.py perfect-sort skip): a
         # leading timestamp/guid key over a sorted producer needs no
@@ -545,9 +567,12 @@ class FastReader:
         o_base = (
             cstate.offset
             if cstate is not None
-            and cstate.form in (
-                "all", "without", "fixed", "gmap", "hmap",
-                "and_it", "or_it",
+            and (
+                cstate.form in (
+                    "all", "without", "fixed", "gmap", "hmap",
+                    "and_it", "or_it",
+                )
+                or (cstate.form == "fixed_masq" and masq_raw)
             )
             else (sort_o if sim_info is not None else 0)
         )
@@ -699,6 +724,18 @@ class FastReader:
                         cstate.offset if cstate is not None else resume
                     ) + con.start + len(rows),
                 ) or f"position:{consumed}/{total}"
+        if (
+            self.horizon is not None
+            and plan.cursor
+            and plan.cursor != "null:"
+        ):
+            # asof pages omit the [n:] block (probed); re-sign since
+            # the checksum spans the body
+            from graphd_spark.cursor import strip_cursor_horizon
+
+            plan.cursor = strip_cursor_horizon(
+                plan.cursor, con, self.types.resolve
+            )
         # rendered counts clamp at the ORIGINAL (unshifted) countlimit
         # (mirror of Compiler.run; probed against the reference)
         if (
@@ -713,7 +750,7 @@ class FastReader:
         from graphd_spark.compiler import sort_cursor_string
 
         return sort_cursor_string(
-            self.store, self.types, None, con, plan, rows,
+            self.store, self.types, self.asof, con, plan, rows,
             consumed, horizon,
         )
 
@@ -796,13 +833,16 @@ class FastReader:
 
     def _gmap_index_ids(self, lk_letter: str, src: int) -> list[int]:
         """The linkage index set's ids (index order == id order) —
-        driver mirror of _gmap_index_df."""
+        driver mirror of _gmap_index_df; asof clamps at the horizon."""
         from graphd_spark.model import guid_compose
 
         g = guid_compose(self.store.db_id, src)
-        return list(self.store._ptr_ids.get(
+        ids = list(self.store._ptr_ids.get(
             (self._GMAP_WORDS[lk_letter], g), ()
         ))
+        if self.horizon is not None:
+            ids = [i for i in ids if i <= self.horizon]
+        return ids
 
     def _gmap_stats_f(self, lk_letter: str, src: int, last_id: int):
         """(low, high, #elements <= last_id) — mirror of _gmap_stats."""
@@ -854,8 +894,12 @@ class FastReader:
         "2006-01-02"/"2006-1-2"; cursor-fuzz seed 81)."""
         st = self.store
         if tname == "name":
-            return list(st._name_ids.get(key.lower(), ()))
-        return sorted(st._vnorm_ids.get(value_norm_key(key), ()))
+            ids = list(st._name_ids.get(key.lower(), ()))
+        else:
+            ids = sorted(st._vnorm_ids.get(value_norm_key(key), ()))
+        if self.horizon is not None:
+            ids = [i for i in ids if i <= self.horizon]
+        return ids
 
     def _hmap_resume_ids(self, tname: str, masq: str) -> list[int]:
         """Bin members for a THAWED hmap key.  The thawed key IS the
@@ -867,8 +911,12 @@ class FastReader:
 
         st = self.store
         if tname != "value":
-            return list(st._name_ids.get(masq.lower(), ()))
-        return sorted(st._vnorm_ids.get(_ascii_lower(masq), ()))
+            ids = list(st._name_ids.get(masq.lower(), ()))
+        else:
+            ids = sorted(st._vnorm_ids.get(_ascii_lower(masq), ()))
+        if self.horizon is not None:
+            ids = [i for i in ids if i <= self.horizon]
+        return ids
 
     def _hmap_cursor_source_f(self, con: Constraint):
         """Mirror of _hmap_cursor_source/_hmap_source: the root's own
@@ -918,6 +966,9 @@ class FastReader:
         for code, lst in self.store._word_ids.items():
             if (code & mask) == want:
                 ids.update(lst)
+        if self.horizon is not None:
+            # asof: bins only hold ids at/under the horizon
+            ids = {i for i in ids if i <= self.horizon}
         return sorted(ids)[: _FIXED_MATERIALIZE_MAX + 1]
 
     def _prefix_stats_f(self, prefix: str):
@@ -1403,12 +1454,73 @@ class FastReader:
             con, st, delivered, n_echo, self.types.resolve
         )
 
-    def _isa_masquerade_f(self, con, ids) -> Optional[str]:
+    def _isa_sub_hmap_f(self, con):
+        """Mirror of Compiler._isa_sub_hmap: (sub, hmap source) when
+        the root is a single-'my'-sub expansion over one hmap bin."""
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        if sub.linkage is None or sub.subs or sub.or_chains:
+            return None
+        kind, lk = sub.linkage
+        if kind != "my" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        hm = self._hmap_cursor_source_f(sub)
+        if hm is None:
+            return None
+        return sub, hm
+
+    def _isa_materialize_cap_f(self, con) -> int:
+        """Mirror of Compiler._isa_materialize_cap: hmap-driven subs
+        materialize up to the isa small-set budget window (937 sub
+        candidates; probed 937/938), other shapes keep the default;
+        0 = never materialize."""
+        sh = self._isa_sub_hmap_f(con)
+        if sh is None:
+            return _FIXED_MATERIALIZE_MAX
+        n_sub = len(sh[1][4])
+        return (
+            _ISA_SMALL_SET_MAX if n_sub <= _ISA_SMALL_SET_MAX else 0
+        )
+
+    def _isa_expansion_ids_f(self, con) -> Optional[list]:
+        """Mirror of Compiler._isa_expansion_ids: the RAW materialized
+        target set of an hmap-sub expansion (bin false positives and
+        later-rejected targets included — the reference's fixed
+        iterator bounds and /POS/ count them)."""
+        from graphd_spark.model import guid_compose, guid_serial
+
+        sh = self._isa_sub_hmap_f(con)
+        if sh is None:
+            return None
+        sub, hm = sh
+        lk = sub.linkage[1]
+        out = set()
+        for i in hm[4]:
+            p = self.store.get(guid_compose(self.store.db_id, i))
+            if p is None:
+                continue
+            g = getattr(p, lk)
+            if g is not None:
+                out.add(guid_serial(g))
+        return sorted(out)
+
+    def _isa_masquerade_f(self, con, ids, backward: bool = False
+                          ) -> Optional[str]:
         """The fixed-isa provenance string — driver mirror of
         Compiler._isa_masquerade (compiler.py:1601-1723;
         graphd-iterator-isa.c:656-769)."""
         from graphd_spark.model import guid_compose, guid_serial
 
+        t = "~" if backward else ""
         if len(con.subs) != 1 or con.or_chains:
             return None
         if (
@@ -1425,6 +1537,18 @@ class FastReader:
             "left", "right", "typeguid", "scope"
         ):
             return None
+        if not (sub.subs or sub.or_chains):
+            # hmap-driven sub: the bin stays the isa's subiterator
+            # (mirror of Compiler._isa_masquerade's hmap branch)
+            hm = self._hmap_cursor_source_f(sub)
+            if hm is not None:
+                from graphd_spark.freeze import hmap_set_str
+
+                tname, key, slo, shi, _bin_ids = hm
+                return "fixed-isa:{}{}-{}:{}<-({})[hint:0]".format(
+                    t, ids[0], ids[-1] + 1, lk[0],
+                    hmap_set_str(tname, key, slo, shi),
+                )
         if sub.or_chains or sub.value_strcons or sub.name_strcons or (
             sub.guid or sub.next or sub.prev or sub.timestamps
         ):
@@ -1494,8 +1618,8 @@ class FastReader:
             )
         else:
             return None
-        return "fixed-isa:{}-{}:{}<-({})[hint:0]".format(
-            ids[0], ids[-1] + 1, lk[0], sub_freeze
+        return "fixed-isa:{}{}-{}:{}<-({})[hint:0]".format(
+            t, ids[0], ids[-1] + 1, lk[0], sub_freeze
         )
 
     def _isa_prefix_cursor_f(
@@ -1660,6 +1784,11 @@ class FastReader:
         prior = delivered - len(page_prims)
         last_id = page_prims[-1].id
         count = self.store.count()
+        if self.horizon is not None:
+            # asof pages clamp every frozen bound at the id horizon
+            # and omit [n:] entirely (probed: asof'd chains freeze
+            # all:0-H / hmap:0-H with no [n:] block)
+            count = min(count, self.horizon + 1)
         if cstate is not None and cstate.form in (
             "all", "without", "fixed", "gmap"
         ):
@@ -1825,11 +1954,43 @@ class FastReader:
             )
             if sub_gmap is not None:
                 return sub_gmap
-            ids = sorted(p.id for p, _r in matches)[
-                : _FIXED_MATERIALIZE_MAX + 1
-            ]
-            if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+            cap = self._isa_materialize_cap_f(con)
+            if cap == 0:
                 return None
+            ids = self._isa_expansion_ids_f(con) or sorted(
+                p.id for p, _r in matches
+            )[: cap + 1]
+            if len(ids) > cap or last_id not in ids:
+                return None
+            # backward masquerade: /POS/~ tail; the inner fixed-isa:~
+            # marker follows the CACHED resource's direction (mirror
+            # compiler.py backward materialize site)
+            masq = (
+                self._isa_masquerade_f(con, ids)
+                if len(ids) > 5
+                else None
+            )
+            if masq is not None:
+                from graphd_spark.freeze import masq_resource
+
+                st = CursorState(
+                    form="fixed_masq", masq=masq,
+                    pos=delivered, backward=True,
+                )
+                if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
+                    stamp, res_bwd = masq_resource(
+                        self.store, masq, True,
+                        reuse=cstate.cache_stamp if cstate else None,
+                    )
+                    st.cache_stamp = stamp
+                else:
+                    st.fixed_ids = ids
+                    res_bwd = True  # inline: the running direction
+                if res_bwd:
+                    st.masq = masq.replace("fixed-isa:", "fixed-isa:~", 1)
+                return freeze_cursor(
+                    con, st, delivered, count, self.types.resolve
+                )
             st = CursorState(
                 form="fixed", fixed_ids=ids,
                 pos=delivered, backward=True,
@@ -1851,10 +2012,14 @@ class FastReader:
         # linkage-driven roots: small candidate sets materialize into
         # a fixed iterator; larger ones keep their isa/linksto shape
         # (mirror compiler.py:847-886)
-        ids = sorted(p.id for p, _r in matches)[
-            : _FIXED_MATERIALIZE_MAX + 1
-        ]
-        if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
+        cap = self._isa_materialize_cap_f(con)
+        ids = (
+            self._isa_expansion_ids_f(con)
+            or sorted(p.id for p, _r in matches)[: cap + 1]
+            if cap
+            else []
+        )
+        if not cap or len(ids) > cap or last_id not in ids:
             return self._isa_prefix_cursor_f(
                 con, cstate, page_prims, prior, count
             ) or self._or_linksto_cursor_f(
@@ -1862,17 +2027,22 @@ class FastReader:
             )
         masq = self._isa_masquerade_f(con, ids) if len(ids) > 5 else None
         if masq is not None:
-            from graphd_spark.freeze import resource_stamp
+            from graphd_spark.freeze import masq_resource
 
             st = CursorState(
                 form="fixed_masq", masq=masq,
                 pos=ids.index(last_id) + 1,
             )
             if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
-                st.cache_stamp = resource_stamp(
-                    self.store,
+                stamp, res_bwd = masq_resource(
+                    self.store, masq, False,
                     reuse=cstate.cache_stamp if cstate else None,
                 )
+                st.cache_stamp = stamp
+                if res_bwd:
+                    st.masq = masq.replace(
+                        "fixed-isa:", "fixed-isa:~", 1
+                    )
             else:
                 st.fixed_ids = ids
             return freeze_cursor(

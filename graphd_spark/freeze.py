@@ -83,6 +83,25 @@ def resource_stamp(store, key: str = None, reuse: str = None) -> str:
     return stamp
 
 
+def masq_resource(store, masq: str, backward: bool,
+                  reuse: str = None) -> tuple:
+    """(stamp, resource direction) of the cached fixed-set resource
+    behind a masqueraded freeze ([cache:@STAMP]).  The resource is
+    keyed by the DIRECTION-LESS masquerade identity: a backward chain
+    over the same set reuses the forward chain's cached resource
+    (probed: forward + backward chains in one session share the same
+    stamp, and a resumed freeze prints the CACHED resource's
+    direction marker, not the running iterator's)."""
+    dirs = getattr(store, "cursor_resource_dirs", None)
+    if dirs is None:
+        dirs = store.cursor_resource_dirs = {}
+    key = "fixedmasq:" + masq
+    stamp = resource_stamp(store, key=key, reuse=reuse)
+    if key not in dirs:
+        dirs[key] = backward
+    return stamp, dirs[key]
+
+
 def bsearch_cost(n: int, n_per_tile: int, array_cost: int,
                  element_cost: int) -> int:
     """pdb_iterator_bsearch_cost (pdb-iterator.c:147-157)."""

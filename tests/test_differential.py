@@ -304,7 +304,76 @@ def ref_bin():
     return path
 
 
-def gen_sortcursor_reads(rng: random.Random) -> list[str]:
+def gen_cursor_writes(rng: random.Random):
+    """Write prologue for the cursor campaigns, with an optional
+    LINK BURST: 6-12 extra writes whose subs share one value, so a
+    linkage-expansion read reaches the reference's fixed-isa
+    masquerade window (>= 6 distinct targets; the raw unmasqueraded
+    fixed freeze covers <= 5) and, descending, the fixed-isa:~ form.
+    Returns (lines, burst) with burst = (arrow, shared value) or
+    None."""
+    lines = [_gen_write(rng) for _ in range(rng.randrange(6, 14))]
+    burst = None
+    if rng.random() < 0.5:
+        v = rng.choice(_VALUES)
+        arrow = rng.choice(["<-left", "<-right"])
+        for _ in range(rng.randrange(6, 13)):
+            lines.append(
+                f"write (value={_q(rng.choice(_VALUES))} "
+                f"({arrow} value={_q(v)}))"
+            )
+        burst = (arrow, v)
+    return lines, burst
+
+
+def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
+    """Cursored reads (shared by the pytest campaign and
+    tools/diff_campaign.py --cursors)."""
+    reads = []
+    for i in range(rng.randrange(2, 5)):
+        body = _gen_cursor_constraint(rng)
+        if i == 0 and burst is not None:
+            # aim the first read at the burst's expansion: the
+            # masqueraded fixed-isa freeze window (>= 6 targets)
+            arrow, v = burst
+            body = f"({arrow} value={_q(v)})"
+        ps = rng.randrange(1, 4)
+        # round 6: asof'd cursor chains serve through the fast path —
+        # pages omit [n:], bounds clamp at the id horizon, and the
+        # signature gains the pushed dateline maxima (probed)
+        asof = ""
+        if rng.random() < 0.15:
+            asof = "asof=1970-01-01T00:00:00.{:04d} ".format(
+                rng.randrange(5, 30)
+            )
+        srt = ""
+        if rng.random() < 0.3:
+            # sorted pages freeze sort: cursors (value serialization +
+            # guid tiebreak); tight pages over null first keys
+            # exercise the incremental-sorter truncation model
+            # (graphd_spark/sortsim.py) since round 6
+            srt = "sort=" + rng.choice(
+                ["(value)", "(-value)", "(name value)", "(-name)"]
+            ) + " "
+        elif rng.random() < 0.25:
+            # timestamp/guid first keys are "perfect" sorts: no sort
+            # context, iterator cursors, backward (~) freezes for the
+            # descending keys (graphd_sort_needed; probed round 5).
+            # NEVER combine a descending key with a value range — the
+            # reference binary asserts out (graphd-iterator-and.c:1558
+            # direction mismatch); these shapes carry no ranges.
+            srt = "sort=" + rng.choice(
+                ["(timestamp)", "(-timestamp)", "(guid)", "(-guid)",
+                 "(timestamp guid)", "(-timestamp value)"]
+            ) + " "
+        reads.append(
+            f"read {asof}(pagesize={ps} {srt}"
+            f"result=(cursor (guid value)) {body})"
+        )
+    return reads
+
+
+def gen_sortcursor_reads(rng: random.Random, burst=None) -> list[str]:
     """Sorted-page cursor chains: randomized sort keys x comparators x
     page sizes over cursor-safe constraint shapes.  Targets the sort:
     total-order serializer (compiler.sort_cursor_string) with value/
@@ -314,8 +383,13 @@ def gen_sortcursor_reads(rng: random.Random) -> list[str]:
     on descending-direction and-iterators over vrange members
     (graphd-iterator-and.c:1558)."""
     reads = []
-    for _ in range(rng.randrange(2, 5)):
+    for i in range(rng.randrange(2, 5)):
         body = _gen_cursor_constraint(rng)
+        if i == 0 and burst is not None:
+            # aim the first read at the burst's expansion so the
+            # masqueraded fixed-isa freezes chain under sorts
+            arrow, v = burst
+            body = f"({arrow} value={_q(v)})"
         keys = rng.sample(
             ["value", "-value", "name", "-name", "timestamp",
              "-timestamp", "guid", "-guid"],
@@ -347,34 +421,8 @@ def test_differential_cursors(spark, ref_bin, seed):
     import re as _re
 
     rng = random.Random(10_000 + seed)
-    lines = [_gen_write(rng) for _ in range(rng.randrange(6, 14))]
-    reads = []
-    for _ in range(rng.randrange(2, 5)):
-        body = _gen_cursor_constraint(rng)
-        ps = rng.randrange(1, 4)
-        srt = ""
-        if rng.random() < 0.3:
-            # sorted pages freeze sort: cursors (value serialization +
-            # guid tiebreak); tight pages over null first keys
-            # exercise the incremental-sorter truncation model
-            # (graphd_spark/sortsim.py) since round 6
-            srt = "sort=" + rng.choice(
-                ["(value)", "(-value)", "(name value)", "(-name)"]
-            ) + " "
-        elif rng.random() < 0.25:
-            # timestamp/guid first keys are "perfect" sorts: no sort
-            # context, iterator cursors, backward (~) freezes for the
-            # descending keys (graphd_sort_needed; probed round 5).
-            # NEVER combine a descending key with a value range — the
-            # reference binary asserts out (graphd-iterator-and.c:1558
-            # direction mismatch); these shapes carry no ranges.
-            srt = "sort=" + rng.choice(
-                ["(timestamp)", "(-timestamp)", "(guid)", "(-guid)",
-                 "(timestamp guid)", "(-timestamp value)"]
-            ) + " "
-        reads.append(
-            f"read (pagesize={ps} {srt}result=(cursor (guid value)) {body})"
-        )
+    lines, burst = gen_cursor_writes(rng)
+    reads = gen_cursor_reads(rng, burst)
     all_lines = lines + reads
 
     def paginate(ask):

@@ -29,6 +29,8 @@ from tests.test_differential import (  # noqa: E402
     _ensure_binary,
     _gen_cursor_constraint,
     _gen_write,
+    gen_cursor_reads,
+    gen_cursor_writes,
     check_replica_seed,
     check_roundtrip_seed,
     gen_or_script,
@@ -55,17 +57,11 @@ def _run_cursor_seed(
     import tempfile
 
     rng = random.Random((20_000 if sorted_pages else 10_000) + seed)
-    lines = [_gen_write(rng) for _ in range(rng.randrange(6, 14))]
+    lines, burst = gen_cursor_writes(rng)
     if sorted_pages:
-        reads = gen_sortcursor_reads(rng)
+        reads = gen_sortcursor_reads(rng, burst)
     else:
-        reads = []
-        for _ in range(rng.randrange(2, 5)):
-            body = _gen_cursor_constraint(rng)
-            ps = rng.randrange(1, 4)
-            reads.append(
-                f"read (pagesize={ps} result=(cursor (guid value)) {body})"
-            )
+        reads = gen_cursor_reads(rng, burst)
 
     def paginate(ask):
         out = []
