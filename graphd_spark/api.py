@@ -123,23 +123,42 @@ class GraphSession:
         if line.startswith("\n"):
             keep = len(line) - len(line.lstrip("\n"))
             line = line[:keep] + line[keep:].lstrip(" \t")
+        # session AST cache: a hot serving template repeats the SAME
+        # request line, so the tokenize+parse (the dominant hot-path
+        # cost) amortizes to one dict probe.  Reads only — evaluation
+        # never mutates the parsed tree (write ASTs are not cached).
+        # Distinct lines (the cold benchmarks, cursor chains) miss by
+        # construction.
+        ast_cache = getattr(self, "_ast_cache", None)
+        if ast_cache is None:
+            ast_cache = self._ast_cache = {}
+        cached = ast_cache.get(line)
         toks = None
-        try:
-            from graphd_spark.gql.lexer import tokenize
+        if cached is not None:
+            req, read_key = cached
+        else:
+            read_key = None
+            try:
+                from graphd_spark.gql.lexer import tokenize
 
-            toks = tokenize(line)
-            if all(t.kind == "end" for t in toks):
-                return ""  # comment-only input: no request, no reply
-        except LexError:
-            pass  # the parser below reports it
-        try:
-            req = parse_request(line, toks=toks)
-        except (ParseError, LexError) as e:
-            code = getattr(e, "code", "SYNTAX")
-            return self._error(
-                code, str(e), self._id_of_line(line),
-                extra=self._dateline_echo_of_line(line),
-            )
+                toks = tokenize(line)
+                if all(t.kind == "end" for t in toks):
+                    return ""  # comment-only input: no request, no reply
+            except LexError:
+                pass  # the parser below reports it
+            try:
+                req = parse_request(line, toks=toks)
+            except (ParseError, LexError) as e:
+                code = getattr(e, "code", "SYNTAX")
+                return self._error(
+                    code, str(e), self._id_of_line(line),
+                    extra=self._dateline_echo_of_line(line),
+                )
+            if req.command == "read" and toks is not None:
+                read_key = self._cursorless_key(toks)
+                ast_cache[line] = (req, read_key)
+                while len(ast_cache) > 64:
+                    ast_cache.pop(next(iter(ast_cache)))
         rid = req.modifiers.get("id")
         from graphd_spark.model import guid_compose, guid_serial
 
@@ -233,7 +252,7 @@ class GraphSession:
                 val = self._do_write(req)
                 return self._ok(val, rid, _resolved())
             if req.command == "read":
-                val = self._do_read(req, toks=toks)
+                val = self._do_read(req, read_key=read_key)
                 return self._ok(val, rid, _resolved())
             if req.command == "sync":
                 # checkpoint + horizon echo (ref graphd-sync.c:65-68,
@@ -762,7 +781,7 @@ class GraphSession:
             i += 1
         return "\x00".join(parts)
 
-    def _do_read(self, req, toks=None):
+    def _do_read(self, req, read_key=None):
         asof = req.modifiers.get("asof")
         if (
             self.fast_read_enabled
@@ -777,8 +796,8 @@ class GraphSession:
             # page of a chain reuses one candidate evaluation (the
             # reference's iterator resource cache analog)
             ckey = None
-            if toks is not None:
-                ckey = (self._cursorless_key(toks), asof)
+            if read_key is not None:
+                ckey = (read_key, asof)
             if not hasattr(self, "_fastread_eval_cache"):
                 self._fastread_eval_cache = {}
             try:

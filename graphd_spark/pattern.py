@@ -46,7 +46,19 @@ def _p(kind, **kw) -> Pattern:
 
 
 def default_read_pattern() -> Pattern:
-    """ref graphd-pattern.c:38-59 default_read_pattern."""
+    """ref graphd-pattern.c:38-59 default_read_pattern.  Built once —
+    patterns are never mutated after parse, and the reference compares
+    this one pointer-equal too (gva_* skip the shared default)."""
+    global _DEFAULT_READ_PATTERN
+    if _DEFAULT_READ_PATTERN is None:
+        _DEFAULT_READ_PATTERN = _default_read_pattern_build()
+    return _DEFAULT_READ_PATTERN
+
+
+_DEFAULT_READ_PATTERN = None
+
+
+def _default_read_pattern_build() -> Pattern:
     return _p(
         "list",
         children=[
