@@ -455,15 +455,18 @@ def number_sort_key(s: Optional[str]) -> Optional[bytes]:
 
 def datetime_sort_key(s: Optional[str]) -> Optional[bytes]:
     """Order-preserving key for the ``datetime`` comparator (ref
-    datetime_sort_compare, graphd-comparator-datetime.c): plain
-    case-insensitive byte order, except two BCE dates ('-'-prefixed)
-    compare in reverse."""
+    datetime_sort_compare, graphd-comparator-datetime.c:469-482):
+    plain case-insensitive byte order, except when BOTH strings are
+    '-'-prefixed (BCE dates) the comparison reverses.  Against
+    anything else a '-'-prefixed string compares by its RAW first
+    byte, so the BCE block sits at the '-' position of the byte order
+    ("+12" < "-3" < "007"; sortcursor seed 249), reversed internally."""
     if s is None:
         return None
     if s.startswith("-"):
         body = _ascii_lower(s[1:]).encode("utf-8", "surrogateescape")
-        return b"\x00" + bytes(0xFF - b for b in body) + b"\xff"
-    return b"\x01" + _ascii_lower(s).encode("utf-8", "surrogateescape")
+        return b"-" + bytes(0xFF - b for b in body) + b"\xff"
+    return _ascii_lower(s).encode("utf-8", "surrogateescape")
 
 
 # --- datetime comparator: bin-scan order, domain, delimited glob ---------

@@ -1029,9 +1029,35 @@ class Compiler:
             "all", "without", "fixed", "gmap"
         ):
             if cstate.backward:
-                # backward iterators freeze pos = elements consumed
-                # (probed: all:~ / gmap:~ / fixed:~ resume chains)
-                cstate.pos = delivered
+                # backward iterators freeze pos = PRODUCER elements
+                # consumed, rejections included — the descending
+                # distance of the last delivered element from the top
+                # of the structure (probed: all:~ over value!= pages
+                # /1/ /2/ /4/ when a non-matching id sits between;
+                # fixed:~ prefix bins count hash false positives)
+                if cstate.form == "fixed":
+                    try:
+                        cstate.pos = len(
+                            cstate.fixed_ids
+                        ) - cstate.fixed_ids.index(last_id)
+                    except ValueError:
+                        return None
+                elif cstate.form == "gmap":
+                    idx = [
+                        r["id"]
+                        for r in self._gmap_index_df(
+                            cstate.lk, cstate.src
+                        ).select("id").orderBy("id").collect()
+                    ]
+                    if last_id not in idx:
+                        return None
+                    cstate.pos = len(idx) - idx.index(last_id)
+                else:  # all / without: dense id span
+                    cstate.pos = (
+                        cstate.high
+                        if cstate.high is not None
+                        else count
+                    ) - last_id
             elif cstate.form == "fixed":
                 try:
                     cstate.pos = cstate.fixed_ids.index(last_id) + 1
@@ -1050,8 +1076,6 @@ class Compiler:
             return freeze_cursor(
                 con, cstate, delivered, n, self.types.resolve
             )
-        if self.asof is not None:
-            return None  # asof pages omit [n:]; not modeled
         gc = con.guid[0] if len(con.guid) == 1 else None
         if (
             gc is not None
@@ -1064,13 +1088,14 @@ class Compiler:
             # guid= sets materialize as a fixed iterator in list order
             # (ref graphd-iterator-fixed.c; test cursor5)
             ids = [guid_serial(g) for g in gc.guids]
-            if backward:
-                pos = delivered
-            else:
-                try:
-                    pos = ids.index(last_id) + 1
-                except ValueError:
-                    return None
+            try:
+                pos = (
+                    len(ids) - ids.index(last_id)
+                    if backward
+                    else ids.index(last_id) + 1
+                )
+            except ValueError:
+                return None
             st = CursorState(
                 form="fixed", fixed_ids=ids, pos=pos, backward=backward
             )
@@ -1093,7 +1118,9 @@ class Compiler:
                     # a drained one-element gmap vs the store count
                     # on partial pages — differential probes)
                     if backward:
-                        pos = delivered
+                        # consumed from the top, rejections included
+                        total = self._gmap_stats(lk, src, 1 << 62)[2]
+                        pos = total - pos + 1
                     st = CursorState(
                         form="gmap", low=low, high=high, pos=pos,
                         lk=lk, src=src, backward=backward,
@@ -1123,7 +1150,10 @@ class Compiler:
                 ).head()
                 if row is not None and row["mx"] is not None:
                     if backward:
-                        pos = delivered
+                        # consumed from the top of the bin,
+                        # rejections included
+                        n_bin = pos_df.count()
+                        pos = n_bin - int(row["pos"] or 0) + 1
                         n_echo = count
                     else:
                         pos = int(row["pos"] or 0)
@@ -1170,7 +1200,7 @@ class Compiler:
                 st = CursorState(
                     form="fixed", fixed_ids=ids,
                     pos=(
-                        delivered
+                        len(ids) - ids.index(last_id)
                         if backward
                         else ids.index(last_id) + 1
                     ),
@@ -1190,7 +1220,7 @@ class Compiler:
             # unindexed roots scan everything (pdb all-iterator)
             st = CursorState(
                 form="all", low=0, high=count,
-                pos=delivered if backward else last_id + 1,
+                pos=(count - last_id) if backward else last_id + 1,
                 backward=backward,
             )
             return freeze_cursor(
@@ -1238,7 +1268,7 @@ class Compiler:
 
                 st = CursorState(
                     form="fixed_masq", masq=masq,
-                    pos=delivered, backward=True,
+                    pos=len(ids) - ids.index(last_id), backward=True,
                 )
                 if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
                     stamp, res_bwd = masq_resource(
@@ -1256,7 +1286,7 @@ class Compiler:
                 )
             st = CursorState(
                 form="fixed", fixed_ids=ids,
-                pos=delivered, backward=True,
+                pos=len(ids) - ids.index(last_id), backward=True,
             )
             return freeze_cursor(
                 con, st, delivered, count, self.types.resolve
@@ -1455,7 +1485,8 @@ class Compiler:
         if low is None:
             return None
         if backward:
-            pos = delivered
+            total = self._gmap_stats(lk[0], src, 1 << 62)[2]
+            pos = total - pos + 1
         st = CursorState(
             form="gmap", low=low, high=high, pos=pos, lk=lk[0], src=src,
             backward=backward,
@@ -1911,7 +1942,11 @@ class Compiler:
             return None
         st = CursorState(
             form="fixed", fixed_ids=ids,
-            pos=delivered if backward else ids.index(last_id) + 1,
+            pos=(
+                len(ids) - ids.index(last_id)
+                if backward
+                else ids.index(last_id) + 1
+            ),
             backward=backward,
         )
         return freeze_cursor(
@@ -2796,6 +2831,25 @@ class Compiler:
             p.kind == "cursor" for p in sub.result.walk()
         )
         cstate = None
+        # a BARE linkage sub compiles to the parent's own gmap
+        # iterator, so its cursor freezes per-parent gmap spans
+        # (probed: (<-left pagesize=1 result=(cursor ...)) freezes
+        # gmap:LO-HI:l->PARENT/POS/ per parent; a thawed gmap pins the
+        # whole sub to that parent's index, so other parents lose
+        # their contents and mandatory subs drop them)
+        from graphd_spark.model import guid_compose
+
+        bare_gmap = (
+            sub.linkage is not None
+            and sub.linkage[0] == "my"
+            and not (
+                sub.value_strcons or sub.name_strcons
+                or sub.type_strcons or sub.guid
+                or any(sub.links.values()) or sub.subs
+                or sub.or_chains or sub.next or sub.prev
+                or sub.timestamps or sub.dateline is not None
+            )
+        )
         if sub.cursor is not None and sub.cursor != "null:":
             from graphd_spark.cursor import BadCursor, parse_cursor
 
@@ -2819,9 +2873,54 @@ class Compiler:
                     child_df = child_df.filter(
                         F.col("id") >= max(cstate.pos, cstate.low)
                     )
+                elif cstate.form == "gmap":
+                    # the thawed per-parent iterator: only that
+                    # parent's children, past the consumed prefix
+                    lk_col = self._GMAP_COLS[cstate.lk]
+                    child_df = child_df.filter(
+                        F.col(lk_col)
+                        == guid_compose(self.store.db_id, cstate.src)
+                    )
+                    if cstate.pos:
+                        b = self._gmap_pos_boundary(cstate)
+                        if b is None:
+                            child_df = child_df.filter(F.lit(False))
+                        else:
+                            child_df = child_df.filter(F.col("id") > b)
         elif sub.cursor == "null:":
             child_df = child_df.filter(F.lit(False))
         if not wants_cursor:
+            return child_df
+        horizon = (
+            cstate.horizon
+            if cstate is not None and cstate.horizon is not None
+            else self.store.count()
+        )
+        if bare_gmap:
+            lkname = sub.linkage[1]
+            if cstate is not None and cstate.form == "gmap":
+                # freeze positions count from the FULL index, not the
+                # thawed remainder (cstate.lk is the letter form)
+                pairs_df = self._gmap_index_df(cstate.lk, cstate.src)
+            else:
+                pairs_df = child_df
+            pairs = [
+                (r["id"], r[lkname])
+                for r in pairs_df.select("id", lkname)
+                .orderBy("id").limit(_FIXED_MATERIALIZE_MAX + 1)
+                .collect()
+            ]
+            if len(pairs) > _FIXED_MATERIALIZE_MAX:
+                return child_df  # unmodeled scale: evaluator -> null:
+            sub_plan.cursor_ctx = {
+                "mode": "gmap",
+                "con": sub,
+                "lk": lkname,
+                "pairs": pairs,
+                "offset": cstate.offset if cstate is not None else 0,
+                "horizon": horizon,
+                "resolve": self.types.resolve,
+            }
             return child_df
         if cstate is not None and cstate.form == "fixed":
             ids = cstate.fixed_ids
@@ -2837,11 +2936,7 @@ class Compiler:
             "con": sub,
             "fixed_ids": ids,
             "offset": cstate.offset if cstate is not None else 0,
-            "horizon": (
-                cstate.horizon
-                if cstate is not None and cstate.horizon is not None
-                else self.store.count()
-            ),
+            "horizon": horizon,
             "resolve": self.types.resolve,
         }
         return child_df

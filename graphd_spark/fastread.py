@@ -1282,7 +1282,7 @@ class FastReader:
         st = CursorState(
             form="fixed", fixed_ids=ids,
             pos=(
-                delivered
+                len(ids) - ids.index(last_id)
                 if backward
                 else ids.index(last_id) + 1
             ),
@@ -1440,7 +1440,8 @@ class FastReader:
         if low is None:
             return None
         if backward:
-            pos = delivered
+            total = self._gmap_stats_f(lk[0], src, 1 << 62)[2]
+            pos = total - pos + 1
         st = CursorState(
             form="gmap", low=low, high=high, pos=pos, lk=lk[0], src=src,
             backward=backward,
@@ -1793,8 +1794,26 @@ class FastReader:
             "all", "without", "fixed", "gmap"
         ):
             if cstate.backward:
-                # backward iterators freeze pos = elements consumed
-                cstate.pos = delivered
+                # backward iterators freeze pos = PRODUCER elements
+                # consumed, rejections included (mirror compiler)
+                if cstate.form == "fixed":
+                    try:
+                        cstate.pos = len(
+                            cstate.fixed_ids
+                        ) - cstate.fixed_ids.index(last_id)
+                    except ValueError:
+                        return None
+                elif cstate.form == "gmap":
+                    idx = self._gmap_index_ids(cstate.lk, cstate.src)
+                    if last_id not in idx:
+                        return None
+                    cstate.pos = len(idx) - idx.index(last_id)
+                else:  # all / without: dense id span
+                    cstate.pos = (
+                        cstate.high
+                        if cstate.high is not None
+                        else count
+                    ) - last_id
             elif cstate.form == "fixed":
                 try:
                     cstate.pos = cstate.fixed_ids.index(last_id) + 1
@@ -1823,13 +1842,14 @@ class FastReader:
             and not con.or_chains
         ):
             ids = [guid_serial(g) for g in gc.guids]
-            if backward:
-                pos = delivered
-            else:
-                try:
-                    pos = ids.index(last_id) + 1
-                except ValueError:
-                    return None
+            try:
+                pos = (
+                    len(ids) - ids.index(last_id)
+                    if backward
+                    else ids.index(last_id) + 1
+                )
+            except ValueError:
+                return None
             st = CursorState(
                 form="fixed", fixed_ids=ids, pos=pos, backward=backward
             )
@@ -1845,7 +1865,8 @@ class FastReader:
                 if low is None:
                     return None
                 if backward:
-                    pos = delivered
+                    total = self._gmap_stats_f(lk, src, 1 << 62)[2]
+                    pos = total - pos + 1
                 st = CursorState(
                     form="gmap", low=low, high=high, pos=pos, lk=lk,
                     src=src, backward=backward,
@@ -1866,7 +1887,10 @@ class FastReader:
 
                 tname, key, lo, hi, bin_ids = hm
                 if backward:
-                    pos = delivered
+                    # consumed from the top of the bin
+                    pos = len(bin_ids) - bisect.bisect_left(
+                        bin_ids, last_id
+                    )
                     n_echo = count
                 else:
                     pos = bisect.bisect_right(bin_ids, last_id)
@@ -1905,7 +1929,7 @@ class FastReader:
                 st = CursorState(
                     form="fixed", fixed_ids=ids,
                     pos=(
-                        delivered
+                        len(ids) - ids.index(last_id)
                         if backward
                         else ids.index(last_id) + 1
                     ),
@@ -1925,7 +1949,7 @@ class FastReader:
                 return and_cursor
             st = CursorState(
                 form="all", low=0, high=count,
-                pos=delivered if backward else last_id + 1,
+                pos=(count - last_id) if backward else last_id + 1,
                 backward=backward,
             )
             return freeze_cursor(
@@ -1975,7 +1999,7 @@ class FastReader:
 
                 st = CursorState(
                     form="fixed_masq", masq=masq,
-                    pos=delivered, backward=True,
+                    pos=len(ids) - ids.index(last_id), backward=True,
                 )
                 if len(ids) >= 10:  # GRAPHD_ITERATOR_FIXED_CACHE_MIN
                     stamp, res_bwd = masq_resource(
@@ -1993,7 +2017,7 @@ class FastReader:
                 )
             st = CursorState(
                 form="fixed", fixed_ids=ids,
-                pos=delivered, backward=True,
+                pos=len(ids) - ids.index(last_id), backward=True,
             )
             return freeze_cursor(
                 con, st, delivered, count,

@@ -185,10 +185,33 @@ class Assembler:
         from graphd_spark.model import guid_serial
 
         ctx = plan.cursor_ctx
-        ids = ctx["fixed_ids"]
         if not rows:
             return None
         last = guid_serial(rows[-1]["guid"])
+        if ctx.get("mode") == "gmap":
+            # bare-linkage subs freeze the PARENT's own gmap iterator
+            # (probed: gmap:LO-HI:l->PARENT/POS/ per parent row)
+            lk = ctx["lk"]
+            pg = rows[-1][lk]
+            if pg is None:
+                return None
+            ids = [i for i, g in ctx["pairs"] if g == pg]
+            try:
+                pos = ids.index(last) + 1
+            except ValueError:
+                return None
+            if pos >= len(ids):
+                return None  # exhausted -> null:
+            st = CursorState(
+                form="gmap", low=ids[0], high=ids[-1] + 1,
+                lk=("t" if lk == "typeguid" else lk[0]),
+                src=guid_serial(pg), pos=pos,
+            )
+            return freeze_cursor(
+                ctx["con"], st, ctx["offset"] + len(rows),
+                ctx["horizon"], ctx["resolve"],
+            )
+        ids = ctx["fixed_ids"]
         try:
             pos = ids.index(last) + 1
         except ValueError:

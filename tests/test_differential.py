@@ -1032,6 +1032,82 @@ def test_differential_replica(spark, seed):
     assert not problems, "\n".join(problems)
 
 
+def test_differential_sub_cursors(spark, ref_bin):
+    """Sub-level cursor patterns (a `cursor` result inside a
+    subconstraint): bare-linkage subs freeze the PARENT's own gmap
+    iterator — gmap:LO-HI:l->PARENT/POS/ per parent — and a thawed
+    gmap pins the whole sub to that parent's index, dropping other
+    parents whose mandatory sub then yields nothing (round-6 probes;
+    ref graphd-read-set-cursor.c:33-87).  Paged to exhaustion in both
+    engines, byte-compared."""
+    import re as _re
+    import select
+
+    lines = [
+        'write (value="p%d" (<-left value="c%d1") '
+        '(<-left value="c%d2") (<-left value="c%d3"))' % (i, i, i, i)
+        for i in range(4)
+    ]
+    reads = [
+        'read (value="p1" result=((value contents)) '
+        "(<-left pagesize=1 result=(cursor (value))))",
+        'read (value="p2" result=((value contents)) '
+        "(<-left pagesize=2 result=(cursor (value))))",
+        "read (pagesize=2 result=((value contents)) "
+        "(<-left pagesize=1 result=(cursor (value))))",
+    ]
+
+    def paginate(ask):
+        out = []
+        for read in reads:
+            r = ask(read)
+            out.append(r)
+            hops = 0
+            while hops < 6:
+                m = _re.search(r'"(cursor:[^"]*|null:)"', r)
+                if not m or m.group(1) == "null:":
+                    break
+                r = ask(read.replace(
+                    "(<-left ", f'(<-left cursor="{m.group(1)}" ', 1
+                ))
+                out.append(r)
+                hops += 1
+        return out
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+
+        def ask_ref(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            select.select([proc.stdout], [], [], 30)
+            return proc.stdout.readline().rstrip("\n")
+
+        try:
+            for ln in lines:
+                ask_ref(ln)
+            ref_pages = paginate(ask_ref)
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=30)
+
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    for ln in lines:
+        gs.request(ln)
+    got_pages = paginate(gs.request)
+    assert got_pages == ref_pages, "\n".join(
+        f"  got: {g}\n  exp: {w}"
+        for g, w in zip(got_pages, ref_pages)
+        if g != w
+    )
+
+
 @pytest.mark.parametrize("n", [150, 639, 640, 700])
 def test_differential_and_cursors(spark, ref_bin, n):
     """Large multi-linkage intersections: the pre-evaluation cost
