@@ -374,10 +374,29 @@ class PrimitiveStore:
         reference STILL bsearches, so timestamp range bounds land on
         arbitrary-but-deterministic ids; cursor/read parity needs the
         identical walk.  op in ('lt','le','eq','ge','gt'); None is
-        GRAPHD_ERR_NO (the constraint compiles to false)."""
+        GRAPHD_ERR_NO (the constraint compiles to false).
+
+        Memoized per (store count, ts, op): keyed writes run two
+        bsearches per candidate per timestamp literal, and on a
+        ParquetLogStore every probe below the cache base is a Spark
+        point read — the count key self-invalidates on appends."""
         n = self.count()
         if n == 0:
             return None
+        cache = getattr(self, "_ts2id_cache", None)
+        if cache is None:
+            cache = self._ts2id_cache = {}
+        ck = (n, ts, op)
+        if ck in cache:
+            return cache[ck]
+        out = self._timestamp_to_id_walk(ts, op, n)
+        if len(cache) > 4096:
+            cache.clear()
+        cache[ck] = out
+        return out
+
+    def _timestamp_to_id_walk(self, ts: int, op: str, n: int
+                              ) -> Optional[int]:
         base = 0
         nelem = n
         while True:
