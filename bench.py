@@ -258,9 +258,16 @@ def _serving_bench(spark, sf_dir: str, seconds: float = 5.0) -> dict:
     # must stay index-speed, not O(mirror)
     out["deep_qps_1hop"] = _deep_serving_qps(spark, seconds=seconds)
     # cold 2-hop: every request line is distinct (100k distinct probe
-    # values over a 2-hop-shaped 100k-primitive mirror), so the
-    # 32-entry eval cache cannot serve any timed request — the honest
-    # counterpart to the hot protocol_qps_2hop template cycle
+    # values over a 2-hop-shaped 100k-primitive mirror), so neither
+    # the eval cache nor the AST cache can serve any timed request —
+    # the honest counterpart to the hot protocol_qps_2hop template
+    # cycle.  FINDING (round 6): the cold floor is per-request
+    # tokenize+parse (~140us for the 3-level template; pure-Python
+    # lexing+tree build) plus the per-candidate sub evaluation
+    # (~300us); the hot path amortizes both through the AST + eval
+    # caches (13k q/s), but distinct-line 2-hop sits near ~2.3k q/s.
+    # Closing it needs a compiled-template path (parse once, bind the
+    # literal per request) — structural, deferred.
     out["deep_qps_2hop"] = _deep_serving_qps_2hop(spark, seconds=seconds)
 
     out["baseline_anchor_qps_per_core"] = 3333
