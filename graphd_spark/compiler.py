@@ -76,6 +76,103 @@ DEFAULT_PAGESIZE = 1024  # ref graphd/graphd-sort.c:21-22
 _FIXED_MATERIALIZE_MAX = 100
 
 
+def _iter_expressible(con) -> bool:
+    """True when every predicate of ``con`` lives at the reference's
+    ITERATOR level — the tree graphd compiles into gmap/hmap/vip/
+    linksto iterators and and-iterator checks, which its sub-cursor
+    pre-evaluation materializes over RAW primitives (probed round 6:
+    a versioned-away child stays in the frozen fixed set, value
+    ranges and sub-sub existence are applied, the generational
+    newest test is not; ref graphd-read-set-cursor.c,
+    graphd-iterator-and.c pre-evaluation)."""
+    if (con.or_chains or con.next
+            or con.prev or con.dateline is not None or con.gens):
+        return False
+    for s in con.subs:
+        if s.linkage is None:
+            return False
+        # anti / counted sub-subs constrain acceptance, not the
+        # iterator; their effect on the frozen set is unprobed
+        if s.count_eq is not None or s.count_max is not None:
+            return False
+        if (s.count_min or 1) > 1:
+            return False
+        if not _iter_expressible(s):
+            return False
+    return True
+
+
+def sub_cursor_mode(sub) -> Optional[str]:
+    """Which per-parent iterator a cursor-rendering subconstraint
+    freezes (probed round 6; ref graphd-read-set-cursor.c:33-87,
+    libpdb/pdb-vip.c):
+
+    - ``'gmap'``  — a BARE linkage sub freezes the parent's own raw
+      linkage index: ``gmap:LO-HI:l->PARENT/POS/`` with POS counting
+      raw index elements, rejections included.
+    - ``'vip'``   — linkage + a single typeguid equality and nothing
+      else freezes the (endpoint, typeguid) combined index with the
+      pre-evaluated fixed set nested:
+      ``vip:LO-HI:l+TG->SRC/LAST_ID/(fixed:N:ids/CONSUMED/)``.
+    - ``'fixed'`` — linkage + iterator-expressible predicates
+      pre-evaluate per parent over the RAW indexes into a plain
+      ``fixed:N:ids/POS/`` (no newest/live generational filtering).
+    - ``None``    — shapes whose reference freeze this engine does
+      not model: sorted subs (per-parent ``sort:`` boundary keys),
+      or-chains (``or:`` trees), next/prev/dateline/generation
+      constraints, counted sub-subs, and iam-side linkage.
+    """
+    if sub.linkage is None or sub.linkage[0] != "my":
+        return None
+    if sub.linkage[1] == "bi":
+        return None
+    # explicit liveness/archival flags select bgmap iterators whose
+    # interaction with the pre-evaluated freeze is unprobed
+    if sub.live != "true" or sub.archival != "dontcare":
+        return None
+    if sub.sort:
+        # "perfect" sorts only: a timestamp/guid first key orders by
+        # id, so the iterator itself serves the sort (descending =
+        # the backward '~' forms; probed: (-timestamp) subs freeze
+        # gmap:~ / vip:~ / fixed:~).  Value/name first keys freeze
+        # the reference's per-parent sort: boundary-key cursors —
+        # not modeled (graphd-sort.c per-constraint sort context).
+        if sub.sort[0].pattern.kind not in ("timestamp", "guid"):
+            return None
+        if any(
+            sc.op in ("<", "<=", ">", ">=")
+            for sc in sub.name_strcons
+        ):
+            return None
+    if not _iter_expressible(sub):
+        return None
+    has_preds = (
+        sub.value_strcons or sub.name_strcons or sub.guid
+        or any(sub.links.values()) or sub.subs or sub.timestamps
+        or sub.valuetype is not None or sub.false
+    )
+    tcs = sub.type_strcons
+    if not tcs and not has_preds:
+        return "gmap"
+    if (
+        len(tcs) == 1 and tcs[0].op == "=" and len(tcs[0].values) == 1
+        and tcs[0].values[0] is not None and not has_preds
+    ):
+        return "vip"
+    return "fixed"
+
+
+def sub_sort_backward(sub) -> bool:
+    """True when a modeled sorted sub runs its producer backward
+    (descending timestamp/guid first key -> the '~' iterator
+    freezes)."""
+    return bool(
+        sub.sort
+        and sub.sort[0].pattern.kind in ("timestamp", "guid")
+        and sub.sort[0].descending
+    )
+
+
 @dataclass
 class SubPlan:
     mode: str  # 'anti' | 'semi' | 'skip' | 'agg'
@@ -2699,7 +2796,14 @@ class Compiler:
             child_key = F.col("guid")    # parent.lk -> child.guid
             parent_key = F.col(lk)
 
-        count_min = sub.count_min if sub.count_min is not None else 1
+        count_min = (
+            sub.count_min
+            if sub.count_min is not None
+            # implicit minimum follows start=: a page beginning
+            # at `start` requires start+1 matches
+            # (ref graphd-semantic.c:740-743)
+            else (sub.start or 0) + 1
+        )
         parent_pat = (
             parent.result
             if parent.result is not None
@@ -2821,41 +2925,31 @@ class Compiler:
         """Subconstraint cursors (per-parent contents pagination, ref
         graphd-read-set-cursor.c; test/unit/cursor6.sh): thaw a
         cursor= resume into a candidate-set restriction, and when the
-        sub's result wants a cursor, materialize the (small) candidate
-        set so the evaluator can freeze a fixed iterator per parent.
+        sub's result wants a cursor, build the per-parent iterator
+        context the shared assembler freezes from (see
+        sub_cursor_mode for the probed freeze family).
 
-        The frozen set is the sub's own candidate list — with several
-        parents every parent shares it, like the reference's
-        per-constraint (not per-parent-instance) iterator."""
+        The per-parent index sets come from the store's in-memory
+        index mirror via a FastReader helper, so both execution paths
+        freeze byte-identical cursors; without a current mirror (a
+        partially-loaded ParquetLogStore) the legacy accepted-set
+        materialization below stands in — its frozen positions count
+        accepted rather than raw producer elements, which only
+        differs once candidates are rejected by the generational
+        newest test (versioned children)."""
         wants_cursor = sub.result is not None and any(
             p.kind == "cursor" for p in sub.result.walk()
         )
         cstate = None
-        # a BARE linkage sub compiles to the parent's own gmap
-        # iterator, so its cursor freezes per-parent gmap spans
-        # (probed: (<-left pagesize=1 result=(cursor ...)) freezes
-        # gmap:LO-HI:l->PARENT/POS/ per parent; a thawed gmap pins the
-        # whole sub to that parent's index, so other parents lose
-        # their contents and mandatory subs drop them)
         from graphd_spark.model import guid_compose
 
-        bare_gmap = (
-            sub.linkage is not None
-            and sub.linkage[0] == "my"
-            and not (
-                sub.value_strcons or sub.name_strcons
-                or sub.type_strcons or sub.guid
-                or any(sub.links.values()) or sub.subs
-                or sub.or_chains or sub.next or sub.prev
-                or sub.timestamps or sub.dateline is not None
-            )
-        )
         if sub.cursor is not None and sub.cursor != "null:":
             from graphd_spark.cursor import BadCursor, parse_cursor
 
             try:
                 cstate = parse_cursor(
-                    sub.cursor, sub, self.types.resolve
+                    sub.cursor, sub, self.types.resolve,
+                    asof=self.asof is not None,
                 )
             except BadCursor as e:
                 raise GraphdError("BADCURSOR", e.message)
@@ -2865,9 +2959,30 @@ class Compiler:
                         F.col("id") < cstate.horizon
                     )
                 if cstate.form == "fixed":
-                    allowed = cstate.fixed_ids[cstate.pos:]
+                    ids = cstate.fixed_ids
+                    allowed = (
+                        ids[: len(ids) - cstate.pos]
+                        if cstate.backward
+                        else ids[cstate.pos:]
+                    )
                     child_df = child_df.filter(
                         F.col("id").isin(allowed)
+                    )
+                elif cstate.form == "vip":
+                    # a thawed vip pins the sub to that parent's
+                    # (endpoint, typeguid) index past the consumed
+                    # boundary id (probed: other parents' mandatory
+                    # subs then yield nothing and drop them)
+                    lk_col = self._GMAP_COLS[cstate.lk]
+                    child_df = child_df.filter(
+                        (F.col(lk_col) == guid_compose(
+                            self.store.db_id, cstate.src))
+                        & (F.col("typeguid") == cstate.tg)
+                        & (
+                            F.col("id") < cstate.pos
+                            if cstate.backward
+                            else F.col("id") > cstate.pos
+                        )
                     )
                 elif cstate.form in ("all", "without"):
                     child_df = child_df.filter(
@@ -2886,17 +3001,58 @@ class Compiler:
                         if b is None:
                             child_df = child_df.filter(F.lit(False))
                         else:
-                            child_df = child_df.filter(F.col("id") > b)
+                            child_df = child_df.filter(
+                                F.col("id") < b
+                                if cstate.backward
+                                else F.col("id") > b
+                            )
         elif sub.cursor == "null:":
             child_df = child_df.filter(F.lit(False))
         if not wants_cursor:
             return child_df
-        horizon = (
-            cstate.horizon
-            if cstate is not None and cstate.horizon is not None
-            else self.store.count()
+        if self.asof is not None:
+            horizon = min(
+                self.store.count(), self._asof_horizon(self.asof) + 1
+            )
+        else:
+            horizon = (
+                cstate.horizon
+                if cstate is not None and cstate.horizon is not None
+                else self.store.count()
+            )
+        ctx = {
+            "con": sub,
+            "offset": cstate.offset if cstate is not None else 0,
+            "lo": sub.start or 0,
+            "horizon": horizon,
+            "asof": self.asof is not None,
+            "backward": sub_sort_backward(sub),
+            "resolve": self.types.resolve,
+        }
+        mode = sub_cursor_mode(sub)
+        mirror = (
+            getattr(self.store, "_covers_all", True)
+            and self.store.mirror_current()
         )
-        if bare_gmap:
+        if mode is not None and mirror:
+            from graphd_spark.fastread import FastReader
+
+            fr = FastReader(self.store, self.types, asof=self.asof)
+            ctx.update(fr.sub_cursor_index(sub, mode, cstate))
+            sub_plan.cursor_ctx = ctx
+            return child_df
+        # legacy fallback: materialize the accepted candidate set
+        if (
+            mode in (None, "gmap") and sub.linkage is not None
+            and sub.linkage[0] == "my" and sub.linkage[1] != "bi"
+            and not (
+                sub.value_strcons or sub.name_strcons
+                or sub.type_strcons or sub.guid
+                or any(sub.links.values()) or sub.subs
+                or sub.or_chains or sub.next or sub.prev
+                or sub.timestamps or sub.dateline is not None
+            )
+        ):
             lkname = sub.linkage[1]
             if cstate is not None and cstate.form == "gmap":
                 # freeze positions count from the FULL index, not the
@@ -2912,15 +3068,8 @@ class Compiler:
             ]
             if len(pairs) > _FIXED_MATERIALIZE_MAX:
                 return child_df  # unmodeled scale: evaluator -> null:
-            sub_plan.cursor_ctx = {
-                "mode": "gmap",
-                "con": sub,
-                "lk": lkname,
-                "pairs": pairs,
-                "offset": cstate.offset if cstate is not None else 0,
-                "horizon": horizon,
-                "resolve": self.types.resolve,
-            }
+            ctx.update({"mode": "gmap", "lk": lkname, "pairs": pairs})
+            sub_plan.cursor_ctx = ctx
             return child_df
         if cstate is not None and cstate.form == "fixed":
             ids = cstate.fixed_ids
@@ -2932,13 +3081,8 @@ class Compiler:
             ]
             if len(ids) > _FIXED_MATERIALIZE_MAX:
                 return child_df  # unmodeled shape: evaluator -> null:
-        sub_plan.cursor_ctx = {
-            "con": sub,
-            "fixed_ids": ids,
-            "offset": cstate.offset if cstate is not None else 0,
-            "horizon": horizon,
-            "resolve": self.types.resolve,
-        }
+        ctx.update({"mode": "fixed", "fixed_ids": ids})
+        sub_plan.cursor_ctx = ctx
         return child_df
 
     def _has_deep_assignments(self, con: Constraint) -> bool:

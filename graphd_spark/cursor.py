@@ -426,7 +426,7 @@ def signature_checksum(con: Constraint, resolve=None,
 _KNOWN_PREFIXES = (
     "and:", "or:", "vrange:", "gmap:", "hmap:", "isa:", "linksto:",
     "prefix:", "bgmap:", "null:", "sort:", "position:", "all:",
-    "fixed:", "without:", "cursor:",
+    "fixed:", "without:", "cursor:", "vip:",
 )
 
 
@@ -459,6 +459,14 @@ class CursorState:
     #: isa_statistics_thaw) and the dup subiterator's position
     echo: str = ""
     sd_pos: int = 0
+    #: vip-form extras (the (endpoint, typeguid) combined index,
+    #: libpdb/pdb-vip.c): the typeguid guid string, and the position
+    #: of the nested pre-evaluated fixed state.  Probed format:
+    #: ``vip:LO-HI:l+TG->SRC/POS/(fixed:N:ids/P/)`` where POS is the
+    #: last consumed ID (not an element count) and P counts consumed
+    #: elements of the inner fixed set.
+    tg: str = ""
+    inner_pos: int = 0
 
 
 class BadCursor(Exception):
@@ -674,6 +682,30 @@ def parse_cursor(text: str, con: Constraint,
         st.fixed_ids = ids
         st.pos = int(mm.group(4)) if mm.group(4) is not None else 0
         return _validated(st)
+    mm = re.match(
+        r"^vip:(~?)(\d+)-(\d+):([tlrs])\+([0-9a-f]{32})->(\d+)"
+        r"/(\d+)/\(fixed:(~?)(\d+):([0-9,]*?)/(\d+)/\)$",
+        body,
+    )
+    if mm:
+        # vip iterator: the (endpoint, typeguid) combined index with
+        # its pre-evaluated fixed set nested as local state
+        # (libpdb/pdb-vip.c; probed: a `(<-left type="T")` sub freezes
+        # vip:LO-HI:l+TG->SRC/LAST_ID/(fixed:N:ids/CONSUMED/), with
+        # '~' on both levels for descending perfect sorts)
+        st.form = "vip"
+        st.backward = mm.group(1) == "~" or mm.group(8) == "~"
+        st.low, st.high = int(mm.group(2)), int(mm.group(3))
+        st.lk = mm.group(4)
+        st.tg = mm.group(5)
+        st.src = int(mm.group(6))
+        st.pos = int(mm.group(7))
+        ids = [int(x) for x in mm.group(10).split(",") if x != ""]
+        if len(ids) != int(mm.group(9)):
+            raise _old_style(text)
+        st.fixed_ids = ids
+        st.inner_pos = int(mm.group(11))
+        return _validated(st)
     mm = re.match(r"^gmap:(~?)(\d+)-(\d+):([a-z]+)->(\d+)/(\d+)/$", body)
     if mm:
         st.form = "gmap"
@@ -769,6 +801,20 @@ def freeze_cursor(
         body = (
             f"gmap:{t}{state.low}-{state.high}:{state.lk}->{state.src}"
             f"/{state.pos}/"
+        )
+    elif state.form == "vip":
+        # (endpoint, typeguid) combined index with the pre-evaluated
+        # fixed set nested as local state; the outer position is the
+        # last consumed ID, the inner one counts consumed elements —
+        # from the top of the set when backward ('~' on both levels)
+        # (libpdb/pdb-vip.c freeze; probed round 6)
+        ids = ",".join(str(i) for i in state.fixed_ids)
+        t = "~" if state.backward else ""
+        body = (
+            f"vip:{t}{state.low}-{state.high}:{state.lk}+{state.tg}"
+            f"->{state.src}/{state.pos}/"
+            f"(fixed:{t}{len(state.fixed_ids)}:{ids}"
+            f"/{state.inner_pos}/)"
         )
     elif state.form == "without":
         body = (

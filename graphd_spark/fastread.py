@@ -87,10 +87,10 @@ class _SubSpec:
     """One subconstraint's evaluation plan (mirror of _attach_sub)."""
 
     __slots__ = ("sub", "mode", "sp", "count_min", "outer", "rps", "lo",
-                 "child_spec", "var_imports")
+                 "child_spec", "var_imports", "cstate", "cfilter")
 
     def __init__(self, sub, mode, sp, count_min, outer, rps, lo,
-                 child_spec, var_imports):
+                 child_spec, var_imports, cstate=None, cfilter=None):
         self.sub = sub
         self.mode = mode
         self.sp = sp
@@ -99,6 +99,8 @@ class _SubSpec:
         self.rps = rps
         self.lo = lo
         self.child_spec = child_spec
+        self.cstate = cstate
+        self.cfilter = cfilter
         self.var_imports = var_imports
 
 
@@ -110,6 +112,9 @@ class _NodeSpec:
         self.assigns = assigns
         self.chains = chains or []
 
+
+#: gmap/vip cursor linkage letters (mirror of Compiler._GMAP_COLS)
+_GMAP_NAMES = {"t": "typeguid", "l": "left", "r": "right", "s": "scope"}
 
 #: mirror of Compiler._var_expr's scalar assignment kinds
 _VAR_ATTRS = {
@@ -191,21 +196,34 @@ def _prefix_pattern_f(con: Constraint) -> Optional[str]:
 
 def check_supported(con: Constraint) -> None:
     """Raise Unsupported unless every feature of the tree is mirrored."""
-    for node in con.walk():
-        if node.cursor is not None and node is not con:
-            raise Unsupported("sub-cursor")
+    from graphd_spark.compiler import sub_cursor_mode
+
+    def _walk(node, in_branch):
+        if node is not con:
+            wants = (
+                node.cursor is not None
+                or (node.result is not None and any(
+                    p.kind == "cursor" for p in node.result.walk()
+                ))
+            )
+            if wants and (
+                in_branch or sub_cursor_mode(node) is None
+            ):
+                # sub-level cursors are mirrored for the probed
+                # gmap/vip/fixed freeze family on direct subs only
+                raise Unsupported("sub-cursor-shape")
         for chain in node.or_chains:
             for b in chain:
                 if b.or_chains:
                     raise Unsupported("nested-or-chain")
-        if node is not con:
-            if node.result is not None and any(
-                p.kind == "cursor" for p in node.result.walk()
-            ):
-                raise Unsupported("sub-cursor-pattern")
+                _walk(b, True)
         for _var, pat in node.assignments:
             if any(p.kind == "cursor" for p in pat.walk()):
                 raise Unsupported("cursor-assignment")
+        for s in node.subs:
+            _walk(s, in_branch)
+
+    _walk(con, False)
 
 
 class FastReader:
@@ -2351,7 +2369,14 @@ class FastReader:
                     "SEMANTICS",
                     "subconstraint is not connected to its parent",
                 )
-            count_min = sub.count_min if sub.count_min is not None else 1
+            count_min = (
+                sub.count_min
+                if sub.count_min is not None
+                # implicit minimum follows start=: a page
+                # beginning at `start` requires start+1
+                # matches (ref graphd-semantic.c:740-743)
+                else (sub.start or 0) + 1
+            )
             need_payload = not exists_only and (
                 pattern_shows_contents(parent_pat, con)
                 or bool(sub.assignments)
@@ -2403,9 +2428,13 @@ class FastReader:
                     plan.var_patterns[var] = (sub_plan, arr, cnt, vpat)
                 for var, entry in sub_plan.var_patterns.items():
                     plan.var_patterns.setdefault(var, entry)
+                sub_cstate, sub_cfilter = self._sub_cursor_setup_f(
+                    sub, sub_plan
+                )
                 subs.append(_SubSpec(
                     sub, "agg", sp, count_min, outer, rps, lo,
-                    child_spec, imports,
+                    child_spec, imports, cstate=sub_cstate,
+                    cfilter=sub_cfilter,
                 ))
             plan.sub_plans.append(sp)
         # or-chains with subconstraints / assignments (mirror of
@@ -2577,6 +2606,206 @@ class FastReader:
                 matches.append((p, row))
         return plan, matches
 
+    def _sub_cursor_setup_f(self, sub, sub_plan):
+        """Subconstraint cursors, driver mirror of
+        Compiler._sub_cursor_setup (ref graphd-read-set-cursor.c;
+        test/unit/cursor6.sh): thaw a cursor= resume into a
+        per-parent child filter (returned with the cstate, applied in
+        _row_for's candidate loop), and when the sub's result wants a
+        cursor build the cursor_ctx the shared assembler freezes
+        from (see compiler.sub_cursor_mode for the probed family)."""
+        wants_cursor = sub.result is not None and any(
+            p.kind == "cursor" for p in sub.result.walk()
+        )
+        cstate = None
+        if sub.cursor is not None and sub.cursor != "null:":
+            from graphd_spark.cursor import BadCursor, parse_cursor
+
+            try:
+                cstate = parse_cursor(
+                    sub.cursor, sub, self.types.resolve,
+                    asof=self.horizon is not None,
+                )
+            except BadCursor as e:
+                raise GraphdError("BADCURSOR", e.message)
+        cfilter = self._sub_child_filter(sub, cstate)
+        if not wants_cursor:
+            return cstate, cfilter
+        from graphd_spark.compiler import sub_cursor_mode
+
+        mode = sub_cursor_mode(sub)
+        if mode is None:
+            raise Unsupported("sub-cursor-shape")
+        if self.horizon is not None:
+            horizon = min(self.store.count(), self.horizon + 1)
+        else:
+            horizon = (
+                cstate.horizon
+                if cstate is not None and cstate.horizon is not None
+                else self.store.count()
+            )
+        from graphd_spark.compiler import sub_sort_backward
+
+        ctx = {
+            "con": sub,
+            "offset": cstate.offset if cstate is not None else 0,
+            "lo": sub.start or 0,
+            "horizon": horizon,
+            "asof": self.horizon is not None,
+            "backward": sub_sort_backward(sub),
+            "resolve": self.types.resolve,
+        }
+        ctx.update(self.sub_cursor_index(sub, mode, cstate))
+        sub_plan.cursor_ctx = ctx
+        return cstate, cfilter
+
+    def sub_cursor_index(self, sub, mode, cstate):
+        """Per-parent producer index for a cursor-rendering sub — the
+        set the reference's frozen iterator spans (RAW index order,
+        no generational filtering; probed round 6).  Shared by both
+        execution paths: the compiler builds its cursor_ctx through
+        this when the store's index mirror is current, so frozen
+        cursors are byte-identical."""
+        ptr = self.store._ptr_ids
+        hz = self.horizon
+        lkname = sub.linkage[1]
+        if mode == "gmap":
+            def index(pg, _ptr=ptr, _lk=lkname, _hz=hz):
+                ids = [
+                    i for i in _ptr.get((_lk, pg), ())
+                    if _hz is None or i <= _hz
+                ]
+                ids.sort()
+                return ids
+
+            return {"mode": "gmap", "lk": lkname, "index": index}
+        if mode == "vip":
+            tg = self.types.resolve(sub.type_strcons[0].values[0])
+            if tg is None:
+                # unknown type: the intrinsic match errors before any
+                # candidate renders, so the index is never consulted
+                return {"mode": "vip", "lk": lkname, "tg": "",
+                        "index": lambda pg: []}
+            if cstate is not None and cstate.form == "vip":
+                # a thawed vip IS the iterator: re-freeze its set
+                ids0 = list(cstate.fixed_ids)
+                return {"mode": "vip", "lk": lkname, "tg": tg,
+                        "index": lambda pg: ids0}
+
+            def index(pg, _ptr=ptr, _lk=lkname, _tg=tg, _hz=hz):
+                tids = set(_ptr.get(("typeguid", _tg), ()))
+                ids = [
+                    i for i in _ptr.get((_lk, pg), ())
+                    if i in tids and (_hz is None or i <= _hz)
+                ]
+                ids.sort()
+                return ids
+
+            return {"mode": "vip", "lk": lkname, "tg": tg,
+                    "index": index}
+        # fixed: the pre-evaluated intersection of the parent's raw
+        # linkage index with the sub's iterator-level predicates
+        # (graphd-iterator-and pre-evaluation; newest/live checks
+        # excluded — probed: versioned-away children stay in the set
+        # and count in /POS/)
+        if cstate is not None and cstate.form in ("fixed", "vip"):
+            ids0 = list(cstate.fixed_ids)
+            return {"mode": "fixed", "lk": lkname,
+                    "index": lambda pg: ids0}
+
+        def index(pg, _ptr=ptr, _lk=lkname, _hz=hz, _sub=sub):
+            out = []
+            for i in sorted(_ptr.get((_lk, pg), ())):
+                if _hz is not None and i > _hz:
+                    continue
+                c = self.store.rows[i - self.store._base]
+                if self._iter_match(c, _sub):
+                    out.append(i)
+                    if len(out) > _FIXED_MATERIALIZE_MAX:
+                        return None  # unmodeled scale: -> null:
+            return out
+
+        return {"mode": "fixed", "lk": lkname, "index": index}
+
+    def _sub_child_filter(self, sub, cstate):
+        """Thawed-resume candidate restriction, mirror of the
+        child_df filters in Compiler._sub_cursor_setup.  None = no
+        restriction; otherwise a predicate over child primitives."""
+        if sub.cursor == "null:":
+            return lambda c: False
+        if cstate is None:
+            return None
+        from graphd_spark.model import guid_compose
+
+        checks = []
+        if cstate.horizon is not None:
+            hz = cstate.horizon
+            checks.append(lambda c: c.id < hz)
+        if cstate.form == "fixed":
+            ids = cstate.fixed_ids
+            allowed = set(
+                ids[: len(ids) - cstate.pos]
+                if cstate.backward
+                else ids[cstate.pos:]
+            )
+            checks.append(lambda c: c.id in allowed)
+        elif cstate.form == "vip":
+            lkname = _GMAP_NAMES[cstate.lk]
+            src_g = guid_compose(self.store.db_id, cstate.src)
+            tg = cstate.tg
+            pos = cstate.pos
+            if cstate.backward:
+                checks.append(
+                    lambda c: getattr(c, lkname) == src_g
+                    and c.typeguid == tg and c.id < pos
+                )
+            else:
+                checks.append(
+                    lambda c: getattr(c, lkname) == src_g
+                    and c.typeguid == tg and c.id > pos
+                )
+        elif cstate.form in ("all", "without"):
+            lo = max(cstate.pos, cstate.low)
+            checks.append(lambda c: c.id >= lo)
+        elif cstate.form == "gmap":
+            lkname = _GMAP_NAMES[cstate.lk]
+            src_g = guid_compose(self.store.db_id, cstate.src)
+            checks.append(lambda c: getattr(c, lkname) == src_g)
+            if cstate.pos:
+                b = self._gmap_pos_boundary_f(cstate)
+                if b is None:
+                    return lambda c: False
+                if cstate.backward:
+                    checks.append(lambda c: c.id < b)
+                else:
+                    checks.append(lambda c: c.id > b)
+        if not checks:
+            return None
+        if len(checks) == 1:
+            return checks[0]
+        return lambda c: all(ck(c) for ck in checks)
+
+    def _gmap_pos_boundary_f(self, cstate):
+        """Id of the cstate.pos-th raw index element in scan order
+        (mirror of Compiler._gmap_pos_boundary)."""
+        from graphd_spark.model import guid_compose
+
+        g = guid_compose(self.store.db_id, cstate.src)
+        ids = sorted(
+            i for i in self.store._ptr_ids.get(
+                (_GMAP_NAMES[cstate.lk], g), ()
+            )
+            if (self.horizon is None or i <= self.horizon)
+            and i >= cstate.low
+        )
+        if cstate.backward:
+            if cstate.high is not None:
+                ids = [i for i in ids if i < cstate.high]
+            take = ids[-cstate.pos:] if cstate.pos else []
+            return take[0] if take else None
+        take = ids[:cstate.pos]
+        return take[-1] if take else None
+
     def _row_for(self, p: Primitive, con: Constraint, spec: "_NodeSpec",
                  build_row: bool):
         """Rowdict for one candidate, or _NO_MATCH.  Mirrors the join
@@ -2615,6 +2844,8 @@ class FastReader:
                 if self.horizon is not None and cid > self.horizon:
                     continue
                 c = self.store.rows[cid - self.store._base]
+                if ss.cfilter is not None and not ss.cfilter(c):
+                    continue  # thawed sub-cursor restriction
                 crow = self._row_for(
                     c, sub, ss.child_spec,
                     build_row=sp.arr_col is not None,
@@ -2970,6 +3201,50 @@ class FastReader:
     # -- intrinsic matcher (mirror of _intrinsic_pred) ---------------------
 
     def _match_intrinsic(self, p: Primitive, con: Constraint) -> bool:
+        if not self._iter_intrinsic(p, con):
+            return False
+        # generation: default newest=0 (compiler.py:2340-2352)
+        dist = self._maxgen(p) - p.generation
+        if con.gens:
+            for g in con.gens:
+                target = dist if g.field == "newest" else p.generation
+                if not _OPS[g.op](target, g.n):
+                    return False
+        elif not any(
+            g is not None for gc in con.next for g in gc.guids
+        ):
+            if dist != 0:
+                return False
+        return True
+
+    def _iter_match(self, p: Primitive, con: Constraint) -> bool:
+        """Iterator-level match: the predicates the reference compiles
+        into a constraint's iterator tree — everything in
+        _match_intrinsic EXCEPT the generational newest test (which
+        runs above the iterator), plus raw existence for mandatory
+        subconstraints (their linkage joins are linksto/isa
+        iterators).  Used to pre-evaluate frozen sub-cursor sets
+        (probed: a versioned-away child stays in the frozen fixed set
+        and still counts in /POS/; sub-sub existence and value-range
+        checks are applied; graphd-read-set-cursor.c)."""
+        if not self._iter_intrinsic(p, con):
+            return False
+        for sub in con.subs:
+            if sub.count_eq == 0 or sub.is_optional:
+                continue
+            if sub.linkage is None:
+                return False
+            if not any(
+                self._iter_match(
+                    self.store.rows[cid - self.store._base], sub
+                )
+                for cid in self._child_ids(p, sub)
+                if self.horizon is None or cid <= self.horizon
+            ):
+                return False
+        return True
+
+    def _iter_intrinsic(self, p: Primitive, con: Constraint) -> bool:
         if con.false:
             return False
         if con.live == TRUE and not p.live:
@@ -3050,18 +3325,6 @@ class FastReader:
             if lo_id is not None and p.id < lo_id:
                 return False
             if hi_id is not None and p.id > hi_id:
-                return False
-        # generation: default newest=0 (compiler.py:2340-2352)
-        dist = self._maxgen(p) - p.generation
-        if con.gens:
-            for g in con.gens:
-                target = dist if g.field == "newest" else p.generation
-                if not _OPS[g.op](target, g.n):
-                    return False
-        elif not any(
-            g is not None for gc in con.next for g in gc.guids
-        ):
-            if dist != 0:
                 return False
         return True
 

@@ -176,53 +176,97 @@ class Assembler:
             return List(items)
         return self._eval_set_atom(pat, plan, rows, total)
 
-    def _sub_cursor(self, plan, rows):
-        """Freeze a fixed-iterator cursor for a subconstraint page
-        (ref graphd-read-set-cursor.c; test/unit/cursor6.sh): the
-        candidate set was materialized at compile time; position is
-        the last shown element's index within it."""
-        from graphd_spark.cursor import CursorState, freeze_cursor
+    def _sub_cursor(self, plan, rows, total):
+        """Freeze a per-parent iterator cursor for a subconstraint
+        page (ref graphd-read-set-cursor.c, libpdb/pdb-vip.c;
+        test/unit/cursor6.sh; round-6 probes).  The frozen set is the
+        RAW per-parent producer (``ctx["index"]``) — positions count
+        producer elements, rejections included — while exhaustion
+        follows the ACCEPTED stream: the page delivering the last
+        accepted element freezes ``null:`` even when rejected raw
+        elements trail it (the reference's lookahead drains the
+        producer).  An asof'd read omits the [n:] horizon block and
+        signs the envelope with the asof'd set signature, like root
+        cursors do."""
+        from graphd_spark.cursor import (
+            CursorState,
+            freeze_cursor,
+            strip_cursor_horizon,
+        )
         from graphd_spark.model import guid_serial
 
         ctx = plan.cursor_ctx
         if not rows:
             return None
+        lo = ctx.get("lo", 0)
+        if lo + len(rows) >= (total or 0):
+            return None  # every accepted element delivered -> null:
         last = guid_serial(rows[-1]["guid"])
-        if ctx.get("mode") == "gmap":
-            # bare-linkage subs freeze the PARENT's own gmap iterator
-            # (probed: gmap:LO-HI:l->PARENT/POS/ per parent row)
+        delivered = ctx["offset"] + lo + len(rows)
+        back = ctx.get("backward", False)
+        mode = ctx.get("mode")
+        if mode in ("gmap", "vip"):
+            # per-parent linkage / (endpoint, typeguid) index
+            # (probed: gmap:LO-HI:l->PARENT/POS/ and
+            # vip:LO-HI:l+TG->SRC/LAST_ID/(fixed:N:ids/P/))
             lk = ctx["lk"]
             pg = rows[-1][lk]
             if pg is None:
                 return None
-            ids = [i for i, g in ctx["pairs"] if g == pg]
+            if "index" in ctx:
+                ids = ctx["index"](pg)
+            else:
+                ids = [i for i, g in ctx["pairs"] if g == pg]
+            if not ids:
+                return None
             try:
-                pos = ids.index(last) + 1
+                idx = ids.index(last)
             except ValueError:
                 return None
+            # producer elements consumed, rejections included — from
+            # the top of the (ascending) set for backward iterators
+            pos = len(ids) - idx if back else idx + 1
             if pos >= len(ids):
-                return None  # exhausted -> null:
+                return None  # producer exhausted -> null:
+            if mode == "vip":
+                st = CursorState(
+                    form="vip", low=ids[0], high=ids[-1] + 1,
+                    lk=("t" if lk == "typeguid" else lk[0]),
+                    tg=ctx["tg"], src=guid_serial(pg), pos=last,
+                    fixed_ids=ids, inner_pos=pos, backward=back,
+                )
+            else:
+                st = CursorState(
+                    form="gmap", low=ids[0], high=ids[-1] + 1,
+                    lk=("t" if lk == "typeguid" else lk[0]),
+                    src=guid_serial(pg), pos=pos, backward=back,
+                )
+        else:
+            if "index" in ctx:
+                pg = rows[-1][ctx["lk"]]
+                if pg is None:
+                    return None
+                ids = ctx["index"](pg)
+            else:
+                ids = ctx["fixed_ids"]
+            if ids is None or not ids:
+                return None  # over the materialization cap -> null:
+            try:
+                idx = ids.index(last)
+            except ValueError:
+                return None
+            pos = len(ids) - idx if back else idx + 1
+            if pos >= len(ids):
+                return None  # producer exhausted -> null:
             st = CursorState(
-                form="gmap", low=ids[0], high=ids[-1] + 1,
-                lk=("t" if lk == "typeguid" else lk[0]),
-                src=guid_serial(pg), pos=pos,
+                form="fixed", fixed_ids=ids, pos=pos, backward=back,
             )
-            return freeze_cursor(
-                ctx["con"], st, ctx["offset"] + len(rows),
-                ctx["horizon"], ctx["resolve"],
-            )
-        ids = ctx["fixed_ids"]
-        try:
-            pos = ids.index(last) + 1
-        except ValueError:
-            return None
-        if pos >= len(ids):
-            return None  # exhausted -> null:
-        st = CursorState(form="fixed", fixed_ids=ids, pos=pos)
-        return freeze_cursor(
-            ctx["con"], st, ctx["offset"] + len(rows),
-            ctx["horizon"], ctx["resolve"],
+        cur = freeze_cursor(
+            ctx["con"], st, delivered, ctx["horizon"], ctx["resolve"],
         )
+        if ctx.get("asof"):
+            cur = strip_cursor_horizon(cur, ctx["con"], ctx["resolve"])
+        return cur
 
     def _eval_set_atom(self, pat, plan, rows, total):
         con = plan.con
@@ -238,7 +282,9 @@ class Assembler:
             if plan.cursor is None and getattr(
                 plan, "cursor_ctx", None
             ):
-                return Str(self._sub_cursor(plan, rows) or "null:")
+                return Str(
+                    self._sub_cursor(plan, rows, total) or "null:"
+                )
             return Str(plan.cursor or "null:")
         if pat.kind == "estimate-count":
             return Num(total)

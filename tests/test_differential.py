@@ -337,6 +337,54 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
             # masqueraded fixed-isa freeze window (>= 6 targets)
             arrow, v = burst
             body = f"({arrow} value={_q(v)})"
+        elif rng.random() < 0.25:
+            # SUB-level cursor chains (round 6; the pagination driver
+            # lands cursor= on the sub because the sub's result=
+            # holds the only cursor pattern): bare linkage → per-
+            # parent gmap over the RAW index, type= → vip combined
+            # index, value/name predicates → pre-evaluated fixed
+            # (graphd-read-set-cursor.c, pdb-vip.c)
+            arrow = rng.choice(["<-left", "<-right"])
+            r2 = rng.random()
+            if r2 < 0.35:
+                pred = ""
+            elif r2 < 0.55:
+                pred = f"type={_q(rng.choice(_TYPES))} "
+            elif r2 < 0.75:
+                pred = "value~=" + _q(
+                    rng.choice(["a*", "b*", "c*"])
+                ) + " "
+            elif r2 < 0.9:
+                pred = f"value={_q(rng.choice(_VALUES))} "
+            else:
+                pred = f"name={_q(rng.choice(_NAMES))} "
+            sps = rng.randrange(1, 4)
+            opt = " count>=0" if rng.random() < 0.3 else ""
+            st = f"start={rng.randrange(1, 3)} " \
+                if rng.random() < 0.2 else ""
+            if rng.random() < 0.3:
+                # perfect-sorted subs: descending keys drive the
+                # backward '~' freezes (gmap:~ / vip:~ / fixed:~)
+                st += "sort=" + rng.choice(
+                    ["timestamp", "(-timestamp)", "guid", "(-guid)"]
+                ) + " "
+            root = rng.choice([
+                f"value={_q(rng.choice(_VALUES))}",
+                "value~=" + _q(rng.choice(["a*", "b*"])),
+                f"name={_q(rng.choice(_NAMES))}",
+            ])
+            asof2 = ""
+            if rng.random() < 0.15:
+                asof2 = "asof=1970-01-01T00:00:00.{:04d} ".format(
+                    rng.randrange(5, 30)
+                )
+            reads.append(
+                f"read {asof2}(pagesize=2 {root} "
+                f"result=((value contents)) "
+                f"({arrow} {pred}{st}pagesize={sps} "
+                f"result=(cursor (guid value)){opt}))"
+            )
+            continue
         ps = rng.randrange(1, 4)
         # round 6: asof'd cursor chains serve through the fast path —
         # pages omit [n:], bounds clamp at the id horizon, and the
@@ -1032,38 +1080,188 @@ def test_differential_replica(spark, seed):
     assert not problems, "\n".join(problems)
 
 
-def test_differential_sub_cursors(spark, ref_bin):
+#: directed sub-cursor scenarios (round-6 probes): each is
+#: (writes, reads); writes may reference {gN} = the first guid of the
+#: N-th write/read reply, so versioning scripts stay id-stable.
+_SUB_CURSOR_SCENARIOS = [
+    # bare gmap freezes, multiple parents, thawed-gmap pinning
+    (
+        [
+            'write (value="p%d" (<-left value="c%d1") '
+            '(<-left value="c%d2") (<-left value="c%d3"))'
+            % (i, i, i, i)
+            for i in range(4)
+        ],
+        [
+            'read (value="p1" result=((value contents)) '
+            "(<-left pagesize=1 result=(cursor (value))))",
+            'read (value="p2" result=((value contents)) '
+            "(<-left pagesize=2 result=(cursor (value))))",
+            "read (pagesize=2 result=((value contents)) "
+            "(<-left pagesize=1 result=(cursor (value))))",
+        ],
+    ),
+    # RAW producer positions: a versioned-away spoke stays in the
+    # frozen gmap span and counts in /POS/; exhaustion drains the
+    # lookahead (null: when only rejected raw elements remain)
+    (
+        [
+            'write (value="p0" (<-left value="c01") '
+            '(<-left value="c02") (<-left value="c03"))',
+            'read (value="c01" result=((guid)))',
+            'write (guid~={g1} value="c01v2" left=null)',
+            'read (value="c03" result=((guid)))',
+            'write (guid~={g3} value="c03v2" left=null)',
+        ],
+        [
+            'read (value="p0" result=((value contents)) '
+            "(<-left pagesize=1 result=(cursor (value))))",
+        ],
+    ),
+    # fixed context = the iterator-level pre-evaluation over RAW
+    # indexes: hmap-prefix members keep versioned-away ids, per
+    # parent; value ranges and nested sub existence participate
+    (
+        [
+            'write (value="p0" (<-left value="k1") (<-left value="x")'
+            ' (<-left value="k2") (<-left value="k3"))',
+            'read (value="k1" result=((guid)))',
+            'write (guid~={g1} value="k1v2" left=null)',
+            'write (value="p1" (<-left value="k4") '
+            '(<-left value="k5"))',
+        ],
+        [
+            'read (value="p0" result=((value contents)) '
+            '(<-left value~="k*" pagesize=1 '
+            "result=(cursor (value))))",
+            'read (pagesize=2 result=((value contents)) value~="p*" '
+            '(<-left value~="k*" pagesize=1 '
+            "result=(cursor (value))))",
+            'read (value="p0" result=((value contents)) '
+            '(<-left value<"k3" pagesize=1 '
+            "result=(cursor (value))))",
+        ],
+    ),
+    # nested sub existence folds into the pre-evaluated fixed set
+    (
+        [
+            'write (value="p0" (<-left value="m1" '
+            '(<-left value="n1")) (<-left value="m2") '
+            '(<-left value="m3" (<-left value="n3")))',
+        ],
+        [
+            'read (value="p0" result=((value contents)) '
+            "(<-left pagesize=1 result=(cursor (value)) (<-left)))",
+        ],
+    ),
+    # typed subs freeze the (endpoint, typeguid) vip iterator with
+    # the pre-evaluated fixed set nested; an extra indexed predicate
+    # collapses it to a plain fixed
+    (
+        [
+            'write (value="p0" (<-left value="t1" type="tt") '
+            '(<-left value="u1" type="uu") '
+            '(<-left value="t2" type="tt") '
+            '(<-left value="t3" type="tt"))',
+            'write (value="p1" (<-left value="t4" type="tt"))',
+        ],
+        [
+            'read (value="p0" result=((value contents)) '
+            '(<-left type="tt" pagesize=1 result=(cursor (value))))',
+            'read (pagesize=2 result=((value contents)) value~="p*" '
+            '(<-left type="tt" pagesize=1 result=(cursor (value))))',
+            'read (value="p0" result=((value contents)) '
+            '(<-left type="tt" value~="t*" pagesize=1 '
+            "result=(cursor (value))))",
+        ],
+    ),
+    # perfect-sorted subs (timestamp/guid first keys): ascending =
+    # the plain iterator freezes, descending = the backward '~'
+    # forms (gmap:~ / vip:~.../(fixed:~...) / fixed:~) with producer
+    # positions counted from the top of the set
+    (
+        [
+            'write (value="p0" (<-left value="cB") '
+            '(<-left value="cA") (<-left value="cD") '
+            '(<-left value="cC"))',
+            'write (value="p1" (<-left value="t1" type="tt") '
+            '(<-left value="t2" type="uu") '
+            '(<-left value="t3" type="tt") '
+            '(<-left value="t4" type="tt"))',
+        ],
+        [
+            'read (value="p0" result=((value contents)) '
+            "(<-left sort=timestamp pagesize=2 "
+            "result=(cursor (value))))",
+            'read (value="p0" result=((value contents)) '
+            "(<-left sort=(-timestamp) pagesize=1 "
+            "result=(cursor (value))))",
+            'read (value="p0" result=((value contents)) '
+            "(<-left sort=(-guid) pagesize=2 "
+            "result=(cursor (value))))",
+            'read (value="p1" result=((value contents)) '
+            '(<-left type="tt" sort=(-timestamp) pagesize=1 '
+            "result=(cursor (value))))",
+            'read (value="p1" result=((value contents)) '
+            '(<-left value~="t*" sort=(-timestamp) pagesize=2 '
+            "result=(cursor (value))))",
+        ],
+    ),
+    # asof'd sub cursors omit [n:] and sign the asof'd signature;
+    # start= feeds [o:]; counts clamp at the implicit countlimit
+    # across resumes; a bare `result=cursor` renders without contents
+    (
+        [
+            'write (value="p0" (<-left value="cB") '
+            '(<-left value="cA") (<-left value="cD") '
+            '(<-left value="cC"))',
+            'write (value="marker")',
+        ],
+        [
+            "read asof={g1} (value=\"p0\" result=((value contents)) "
+            "(<-left pagesize=1 result=(cursor (value))))",
+            'read (value="p0" result=((value contents)) '
+            "(<-left start=1 pagesize=1 result=(cursor (value))))",
+            'read (value="p0" result=((value contents)) '
+            "(<-left pagesize=1 result=(count cursor (value))))",
+            'read (value="p0" result=((value contents)) '
+            "(<-left pagesize=1 result=cursor))",
+        ],
+    ),
+]
+
+
+@pytest.mark.parametrize("scenario", range(len(_SUB_CURSOR_SCENARIOS)))
+def test_differential_sub_cursors(spark, ref_bin, scenario):
     """Sub-level cursor patterns (a `cursor` result inside a
-    subconstraint): bare-linkage subs freeze the PARENT's own gmap
-    iterator — gmap:LO-HI:l->PARENT/POS/ per parent — and a thawed
-    gmap pins the whole sub to that parent's index, dropping other
-    parents whose mandatory sub then yields nothing (round-6 probes;
-    ref graphd-read-set-cursor.c:33-87).  Paged to exhaustion in both
-    engines, byte-compared."""
+    subconstraint), round-6 probes pinned: bare-linkage subs freeze
+    the PARENT's own gmap iterator over the RAW index (versioned-away
+    spokes keep their slots and count in /POS/), typed subs freeze
+    the (endpoint, typeguid) vip combined index, predicate subs
+    pre-evaluate the per-parent iterator-level fixed set, a thawed
+    iterator pins the whole sub to that parent, exhaustion drains the
+    producer lookahead, and asof'd freezes omit [n:] (ref
+    graphd-read-set-cursor.c:33-87, libpdb/pdb-vip.c).  Paged to
+    exhaustion in both engines, byte-compared."""
     import re as _re
     import select
 
-    lines = [
-        'write (value="p%d" (<-left value="c%d1") '
-        '(<-left value="c%d2") (<-left value="c%d3"))' % (i, i, i, i)
-        for i in range(4)
-    ]
-    reads = [
-        'read (value="p1" result=((value contents)) '
-        "(<-left pagesize=1 result=(cursor (value))))",
-        'read (value="p2" result=((value contents)) '
-        "(<-left pagesize=2 result=(cursor (value))))",
-        "read (pagesize=2 result=((value contents)) "
-        "(<-left pagesize=1 result=(cursor (value))))",
-    ]
+    lines, reads = _SUB_CURSOR_SCENARIOS[scenario]
 
-    def paginate(ask):
+    def drive(ask):
+        env: dict = {}
+        for i, ln in enumerate(lines):
+            r = ask(ln.format(**env))
+            m = _re.search(r"\(+([0-9a-f]{32})", r)
+            if m:
+                env[f"g{i}"] = m.group(1)
         out = []
         for read in reads:
+            read = read.format(**env)
             r = ask(read)
             out.append(r)
             hops = 0
-            while hops < 6:
+            while hops < 8:
                 m = _re.search(r'"(cursor:[^"]*|null:)"', r)
                 if not m or m.group(1) == "null:":
                     break
@@ -1088,9 +1286,7 @@ def test_differential_sub_cursors(spark, ref_bin):
             return proc.stdout.readline().rstrip("\n")
 
         try:
-            for ln in lines:
-                ask_ref(ln)
-            ref_pages = paginate(ask_ref)
+            ref_pages = drive(ask_ref)
         finally:
             proc.stdin.close()
             proc.wait(timeout=30)
@@ -1098,9 +1294,7 @@ def test_differential_sub_cursors(spark, ref_bin):
     from graphd_spark.api import GraphSession
 
     gs = GraphSession(spark)
-    for ln in lines:
-        gs.request(ln)
-    got_pages = paginate(gs.request)
+    got_pages = drive(gs.request)
     assert got_pages == ref_pages, "\n".join(
         f"  got: {g}\n  exp: {w}"
         for g, w in zip(got_pages, ref_pages)

@@ -44,6 +44,27 @@ def _paginate(gs: GraphSession, read: str, max_hops: int = 30) -> list[str]:
     return out
 
 
+def _paginate_sub(gs: GraphSession, read: str, opener: str,
+                  max_hops: int = 30) -> list[str]:
+    """Page a SUB-level cursor chain to exhaustion (cursor= goes on
+    the subconstraint, not the root)."""
+    out = [gs.request(read)]
+    hops = 0
+    while hops < max_hops:
+        m = re.search(r'"(cursor:[^"]*|null:)"', out[-1])
+        if not m or m.group(1) == "null:":
+            break
+        out.append(
+            gs.request(
+                read.replace(
+                    opener, f'{opener}cursor="{m.group(1)}" ', 1
+                )
+            )
+        )
+        hops += 1
+    return out
+
+
 def _seed(gs: GraphSession) -> None:
     # two typed clusters sharing endpoints: multi-index (and-iterator)
     # shapes, single- and plural-source linkage expansions, a word
@@ -66,6 +87,16 @@ def _seed(gs: GraphSession) -> None:
             f'write (value="ln{i}" '
             f'right->(name="tgt" start=0 pagesize=1))'
         )
+    # sub-cursor shapes: a typed fan-out (vip freezes) and a
+    # versioned-away spoke (raw producer positions)
+    gs.request(
+        'write (value="vp" (<-left value="w1" type="tt") '
+        '(<-left value="w2" type="uu") (<-left value="w3" type="tt") '
+        '(<-left value="w4" type="tt"))'
+    )
+    r = gs.request('read (value="spoke3" result=((guid)))')
+    g = re.search(r"\(\(([0-9a-f]{32})\)\)", r).group(1)
+    gs.request(f'write (guid~={g} value="spoke3v2" left=null right=null)')
 
 
 CHAINS = [
@@ -91,6 +122,29 @@ CHAINS = [
 ]
 
 
+#: sub-level cursor chains: (read, sub opener the resume lands on)
+SUB_CHAINS = [
+    # bare gmap over a raw index with a versioned-away spoke
+    ('read (value="h0" result=((value contents)) '
+     "(<-left pagesize=3 result=(cursor (guid value))))", "(<-left "),
+    # vip: typed sub freezes the (endpoint, typeguid) combined index
+    ('read (value="vp" result=((value contents)) '
+     '(<-left type="tt" pagesize=1 result=(cursor (guid value))))',
+     "(<-left "),
+    # fixed: hmap-prefix member pre-evaluated per parent
+    ('read (value="vp" result=((value contents)) '
+     '(<-left value~="w*" pagesize=2 result=(cursor (guid value))))',
+     "(<-left "),
+    # fixed over the other endpoint, raw positions past the version
+    ('read (value="h1" result=((value contents)) '
+     '(<-right value~="spoke*" pagesize=2 '
+     "result=(cursor (guid value))))", "(<-right "),
+    # multiple parents, pinned resume
+    ('read (pagesize=2 result=((value contents)) name="hub" '
+     "(<-left pagesize=2 result=(cursor (guid value))))", "(<-left "),
+]
+
+
 def test_cursor_chains_need_no_spark():
     """Every chain pages to exhaustion with NO SparkSession at all."""
     gs = GraphSession()  # no spark: any fallback would raise
@@ -100,6 +154,13 @@ def test_cursor_chains_need_no_spark():
         assert pages, read
         assert not any("error SYSTEM" in p for p in pages), (read, pages)
         # the chain must terminate (exhausted cursor or no cursor)
+        last = pages[-1]
+        m = re.search(r'"((?:cursor|sort|position):[^"]*)"', last)
+        assert m is None or m.group(1) == "null:", (read, last)
+    for read, opener in SUB_CHAINS:
+        pages = _paginate_sub(gs, read, opener)
+        assert pages, read
+        assert not any("error SYSTEM" in p for p in pages), (read, pages)
         last = pages[-1]
         m = re.search(r'"((?:cursor|sort|position):[^"]*)"', last)
         assert m is None or m.group(1) == "null:", (read, last)
@@ -120,3 +181,13 @@ def test_cursor_chain_parity(sessions, q):
     """Pages AND frozen cursor strings byte-identical on both paths."""
     fast, slow = sessions
     assert _paginate(fast, q) == _paginate(slow, q)
+
+
+@pytest.mark.parametrize("qi", range(len(SUB_CHAINS)))
+def test_sub_cursor_chain_parity(sessions, qi):
+    """Sub-level cursor chains: the compiler builds its per-parent
+    producer sets through the same FastReader index helper, so both
+    paths freeze byte-identical gmap/vip/fixed sub cursors."""
+    fast, slow = sessions
+    q, opener = SUB_CHAINS[qi]
+    assert _paginate_sub(fast, q, opener) == _paginate_sub(slow, q, opener)
