@@ -131,13 +131,26 @@ def sub_cursor_mode(sub) -> Optional[str]:
     if sub.live != "true" or sub.archival != "dontcare":
         return None
     if sub.sort:
-        # "perfect" sorts only: a timestamp/guid first key orders by
-        # id, so the iterator itself serves the sort (descending =
-        # the backward '~' forms; probed: (-timestamp) subs freeze
-        # gmap:~ / vip:~ / fixed:~).  Value/name first keys freeze
-        # the reference's per-parent sort: boundary-key cursors —
-        # not modeled (graphd-sort.c per-constraint sort context).
-        if sub.sort[0].pattern.kind not in ("timestamp", "guid"):
+        k0 = sub.sort[0].pattern.kind
+        if k0 in ("value", "name"):
+            # real per-parent sorts freeze the reference's sort:
+            # boundary-key cursors, replayed through the incremental
+            # sorter (sortsim) — modeled for the serializable key
+            # kinds; the Spark compiler keeps its legacy fixed
+            # context for these (fast-path-served family)
+            if all(
+                sk.pattern.kind in (
+                    "value", "name", "timestamp", "guid", "datatype"
+                )
+                for sk in sub.sort
+            ):
+                return "sort"
+            return None
+        # "perfect" sorts: a timestamp/guid first key orders by id,
+        # so the iterator itself serves the sort (descending = the
+        # backward '~' forms; probed: (-timestamp) subs freeze
+        # gmap:~ / vip:~ / fixed:~)
+        if k0 not in ("timestamp", "guid"):
             return None
         if any(
             sc.op in ("<", "<=", ">", ">=")
@@ -3034,7 +3047,7 @@ class Compiler:
             getattr(self.store, "_covers_all", True)
             and self.store.mirror_current()
         )
-        if mode is not None and mirror:
+        if mode is not None and mode != "sort" and mirror:
             from graphd_spark.fastread import FastReader
 
             fr = FastReader(self.store, self.types, asof=self.asof)

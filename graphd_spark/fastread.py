@@ -87,10 +87,11 @@ class _SubSpec:
     """One subconstraint's evaluation plan (mirror of _attach_sub)."""
 
     __slots__ = ("sub", "mode", "sp", "count_min", "outer", "rps", "lo",
-                 "child_spec", "var_imports", "cstate", "cfilter")
+                 "child_spec", "var_imports", "cstate", "cfilter", "ssim")
 
     def __init__(self, sub, mode, sp, count_min, outer, rps, lo,
-                 child_spec, var_imports, cstate=None, cfilter=None):
+                 child_spec, var_imports, cstate=None, cfilter=None,
+                 ssim=None):
         self.sub = sub
         self.mode = mode
         self.sp = sp
@@ -101,7 +102,28 @@ class _SubSpec:
         self.child_spec = child_spec
         self.cstate = cstate
         self.cfilter = cfilter
+        self.ssim = ssim
         self.var_imports = var_imports
+
+
+class _SubSortState:
+    """Per-request state of a value/name-sorted sub's incremental
+    sorter (one instance per sub constraint; see _sub_sort_page)."""
+
+    __slots__ = ("P", "keyfns", "specs", "grid", "offset", "ended",
+                 "consumed", "sim", "evals", "first_key")
+
+    def __init__(self, P, keyfns, specs, grid, offset, ended):
+        self.P = P
+        self.keyfns = keyfns          # [(fn, desc, comp, kind)]
+        self.specs = specs            # [(desc, preable)]
+        self.grid = grid              # thawed boundary key tuple | None
+        self.offset = offset          # thawed [o:]
+        self.ended = ended            # thawed "END" marker
+        self.consumed = False         # grid handed to the 1st parent yet?
+        self.sim = {}                 # id(child_rows) -> (trailing, P)
+        self.evals = []               # grid-mode eval log: accepted bools
+        self.first_key = None         # id(child_rows) of the 1st parent
 
 
 class _NodeSpec:
@@ -115,6 +137,70 @@ class _NodeSpec:
 
 #: gmap/vip cursor linkage letters (mirror of Compiler._GMAP_COLS)
 _GMAP_NAMES = {"t": "typeguid", "l": "left", "r": "right", "s": "scope"}
+
+
+def _deserialize_sort_values(body: str):
+    """Invert compiler.sort_cursor_string's value serialization: a
+    sequence of tagged components ending in the guid tiebreak
+    (graphd-value.c graphd_value_serialize).  Returns
+    ([(tag, raw)], boundary_guid_serial) or (None, None)."""
+    import re as _re
+
+    from graphd_spark.model import guid_serial
+
+    b = body.encode("utf-8", "surrogateescape")
+    vals = []
+    i = 0
+    while i < len(b):
+        t = b[i:i + 1]
+        if t == b"n":
+            vals.append(("null", None))
+            i += 1
+        elif t in (b"s", b"a"):
+            mm = _re.match(rb"[sa](\d+):", b[i:])
+            if not mm:
+                return None, None
+            ln = int(mm.group(1))
+            start = i + mm.end()
+            raw = b[start:start + ln]
+            if len(raw) != ln:
+                return None, None
+            vals.append((
+                t.decode(), raw.decode("utf-8", "surrogateescape")
+            ))
+            i = start + ln
+        elif t == b"g":
+            mm = _re.match(rb"g([0-9a-f]{32})", b[i:])
+            if not mm:
+                return None, None
+            vals.append(("g", mm.group(1).decode()))
+            i += mm.end()
+        elif t == b"t":
+            mm = _re.match(rb"t([0-9TZ:.\-]+)", b[i:])
+            if not mm:
+                return None, None
+            vals.append(("t", mm.group(1).decode()))
+            i += mm.end()
+        elif t == b"d":
+            mm = _re.match(rb"d(\d+)\.", b[i:])
+            if not mm:
+                return None, None
+            vals.append(("d", mm.group(1).decode()))
+            i += mm.end()
+        elif t == b"#":
+            mm = _re.match(rb"#([^.]*)\.", b[i:])
+            if not mm:
+                return None, None
+            vals.append(("#", mm.group(1).decode()))
+            i += mm.end()
+        elif t == b"b":
+            vals.append(("b", b[i + 1:i + 2].decode()))
+            i += 2
+        else:
+            return None, None
+    if not vals or vals[-1][0] != "g":
+        return None, None
+    return vals, guid_serial(vals[-1][1])
 
 #: mirror of Compiler._var_expr's scalar assignment kinds
 _VAR_ATTRS = {
@@ -198,7 +284,7 @@ def check_supported(con: Constraint) -> None:
     """Raise Unsupported unless every feature of the tree is mirrored."""
     from graphd_spark.compiler import sub_cursor_mode
 
-    def _walk(node, in_branch):
+    def _walk(node, in_branch, depth):
         if node is not con:
             wants = (
                 node.cursor is not None
@@ -206,24 +292,31 @@ def check_supported(con: Constraint) -> None:
                     p.kind == "cursor" for p in node.result.walk()
                 ))
             )
-            if wants and (
-                in_branch or sub_cursor_mode(node) is None
-            ):
-                # sub-level cursors are mirrored for the probed
-                # gmap/vip/fixed freeze family on direct subs only
-                raise Unsupported("sub-cursor-shape")
+            if wants:
+                mode = sub_cursor_mode(node)
+                if in_branch or mode is None:
+                    # sub-level cursors are mirrored for the probed
+                    # gmap/vip/fixed/sort freeze family on direct
+                    # subs only
+                    raise Unsupported("sub-cursor-shape")
+                if mode == "sort" and depth > 1:
+                    # the sort-thaw one-shot override is modeled for
+                    # root-level subs only (_eval_set collects root
+                    # ssims; a nested sorted cursor sub's
+                    # multi-grandparent interplay is unprobed)
+                    raise Unsupported("nested-sort-sub-cursor")
         for chain in node.or_chains:
             for b in chain:
                 if b.or_chains:
                     raise Unsupported("nested-or-chain")
-                _walk(b, True)
+                _walk(b, True, depth + 1)
         for _var, pat in node.assignments:
             if any(p.kind == "cursor" for p in pat.walk()):
                 raise Unsupported("cursor-assignment")
         for s in node.subs:
-            _walk(s, in_branch)
+            _walk(s, in_branch, depth + 1)
 
-    _walk(con, False)
+    _walk(con, False, 0)
 
 
 class FastReader:
@@ -635,6 +728,29 @@ class FastReader:
             )
         if not ok:
             raise GraphdError("EMPTY", "not found")
+        # one-shot sort-cursor thaw (sorted cursor subs): when the
+        # reference's root scan evaluates the thawed sub under TWO OR
+        # MORE parents, the first parent's frozen sort: cursor is
+        # overridden to null: while its page CONTENT keeps the full
+        # grid-replayed sort (probed round 6; graphd-read-set-cursor.c
+        # "we'll later override the cursors we're setting right now
+        # with empty ones"; later parents run degraded, see
+        # _sub_sort_page).  The scan window mirrors the reference's
+        # lazy consumption: it stops at the page-filling accept unless
+        # counting forces a full scan.
+        for ssim in getattr(plan, "_root_ssims", ()):
+            if ssim.grid is None or ssim.first_key is None:
+                continue
+            evals = 0
+            accepts = 0
+            for acc in ssim.evals:
+                evals += 1
+                if acc:
+                    accepts += 1
+                    if not need_total and accepts >= limit:
+                        break
+            if evals >= 2:
+                ssim.sim.pop(ssim.first_key, None)
         # cursor emission (mirror of Compiler.run, compiler.py:600-686)
         if wants_cursor and sim_info is not None:
             # the exact cursor-nullness rule of the incremental
@@ -2428,13 +2544,13 @@ class FastReader:
                     plan.var_patterns[var] = (sub_plan, arr, cnt, vpat)
                 for var, entry in sub_plan.var_patterns.items():
                     plan.var_patterns.setdefault(var, entry)
-                sub_cstate, sub_cfilter = self._sub_cursor_setup_f(
-                    sub, sub_plan
+                sub_cstate, sub_cfilter, sub_ssim = (
+                    self._sub_cursor_setup_f(sub, sub_plan)
                 )
                 subs.append(_SubSpec(
                     sub, "agg", sp, count_min, outer, rps, lo,
                     child_spec, imports, cstate=sub_cstate,
-                    cfilter=sub_cfilter,
+                    cfilter=sub_cfilter, ssim=sub_ssim,
                 ))
             plan.sub_plans.append(sp)
         # or-chains with subconstraints / assignments (mirror of
@@ -2597,6 +2713,9 @@ class FastReader:
         (SetPlan, matches) with matches an id-ordered list of
         (prim, rowdict)."""
         plan, spec = self._build_specs(con, exists_only)
+        plan._root_ssims = [
+            ss.ssim for ss in spec.subs if ss.ssim is not None
+        ]
         matches = []
         for p in self._candidates(con):
             if self.horizon is not None and p.id > self.horizon:
@@ -2630,12 +2749,36 @@ class FastReader:
                 raise GraphdError("BADCURSOR", e.message)
         cfilter = self._sub_child_filter(sub, cstate)
         if not wants_cursor:
-            return cstate, cfilter
+            return cstate, cfilter, None
         from graphd_spark.compiler import sub_cursor_mode
 
         mode = sub_cursor_mode(sub)
         if mode is None:
             raise Unsupported("sub-cursor-shape")
+        if mode == "sort":
+            # value/name sorted sub: per-parent incremental sorter
+            # with a raw-value grid thawed from the sort: cursor
+            ssim, thawed_n = self._sub_sort_setup(sub, sub_plan)
+            if self.horizon is not None:
+                horizon = min(self.store.count(), self.horizon + 1)
+            elif thawed_n is not None:
+                horizon = thawed_n
+            else:
+                horizon = self.store.count()
+            sort_cfilter = None
+            if thawed_n is not None:
+                sort_cfilter = lambda c, _n=thawed_n: c.id < _n
+            sub_plan.cursor_ctx = {
+                "con": sub,
+                "mode": "sort",
+                "offset": ssim.offset,
+                "lo": sub.start or 0,
+                "horizon": horizon,
+                "asof": self.horizon is not None,
+                "sim": ssim.sim,
+                "resolve": self.types.resolve,
+            }
+            return None, sort_cfilter, ssim
         if self.horizon is not None:
             horizon = min(self.store.count(), self.horizon + 1)
         else:
@@ -2657,7 +2800,182 @@ class FastReader:
         }
         ctx.update(self.sub_cursor_index(sub, mode, cstate))
         sub_plan.cursor_ctx = ctx
-        return cstate, cfilter
+        return cstate, cfilter, None
+
+    def _sub_sort_setup(self, sub, sub_plan):
+        """Build the per-sub incremental-sorter state (_SubSortState)
+        for a value/name-sorted cursor sub, thawing a ``sort:`` resume
+        into the raw-value boundary grid.
+
+        Probed thaw semantics (round 6): the grid is built from the
+        cursor's SERIALIZED values directly — no candidate lookup, so
+        a boundary foreign to a parent's child set still prefilters it
+        (a parent whose children all compare <= the boundary loses its
+        contents and drops if the sub is mandatory).  Only the FIRST
+        parent evaluated gets the full grid-resumed sorter; later
+        parents in the same resumed read apply the grid prefilter in
+        producer order WITHOUT sorting and freeze ``null:`` (the
+        reference's one-shot sort-cursor thaw; graphd-read-set.c
+        grsc_initialize_sort + graphd-sort.c graphd_sort_cursor_set)."""
+        keyfns = []
+        for i0, sk in enumerate(sub.sort):
+            comp = None
+            if sub.sort_comparators and i0 < len(sub.sort_comparators):
+                comp = sub.sort_comparators[i0]
+            comp = resolve_comparator(
+                comp or sub.comparator or "default"
+            )
+            fn = self._sort_key_fn(sk.pattern, comp, sub_plan)
+            if fn is None:
+                raise Unsupported("sub-sort-key")
+            keyfns.append(
+                (fn, sk.descending, comp, sk.pattern.kind)
+            )
+        P = (sub.start or 0) + (
+            sub.resultpagesize
+            if sub.resultpagesize is not None
+            else (
+                sub.pagesize
+                if sub.pagesize is not None
+                else DEFAULT_PAGESIZE
+            )
+        )
+        if P <= 0:
+            raise Unsupported("sub-sort-pagesize0")
+        specs = [(d, True) for _f, d, _c, _k in keyfns]
+        specs.append((False, True))  # id tiebreak
+        grid = None
+        offset = 0
+        ended = False
+        thawed_n = None
+        cur = sub.cursor
+        if cur is not None:
+            if cur == "null:":
+                ended = True
+            elif cur.lower().startswith("sort:"):
+                body = cur[5:]
+                import re as _re
+
+                while body.startswith("["):
+                    close = body.find("]")
+                    mm = _re.match(
+                        r"\[([onON]):(\d+)\]$", body[: close + 1]
+                    ) if close >= 0 else None
+                    if mm is None:
+                        break
+                    if mm.group(1).lower() == "o":
+                        offset = int(mm.group(2))
+                    else:
+                        thawed_n = int(mm.group(2))
+                    body = body[close + 1:]
+                if body == "END":
+                    ended = True
+                elif body == "START":
+                    pass
+                else:
+                    vals, bguid = _deserialize_sort_values(body)
+                    if vals is None:
+                        raise Unsupported("sub-sort-cursor")
+                    grid = self._sort_grid_keys(keyfns, vals, bguid)
+                    if grid is None:
+                        raise Unsupported("sub-sort-grid")
+            else:
+                # an iterator-form cursor pasted into a sorted sub —
+                # unmodeled interplay
+                raise Unsupported("sub-sort-cursor-form")
+        sims = [(d, pre) for d, pre in specs]
+        ssim = _SubSortState(P, keyfns, sims, grid, offset, ended)
+        return ssim, thawed_n
+
+    def _sort_grid_keys(self, keyfns, vals, bguid):
+        """Map the deserialized boundary VALUES onto the comparator
+        sort keys the simulator compares (the serializer truncates at
+        the first guid key; a trailing guid tiebreak always closes)."""
+        keys = []
+        vi = 0
+        for _fn, _d, comp, kind in keyfns:
+            if vi >= len(vals):
+                return None
+            tag, raw = vals[vi]
+            vi += 1
+            if kind in ("value", "name"):
+                if tag == "null":
+                    keys.append(None)
+                elif tag in ("s", "a"):
+                    keys.append(literal_key(raw, comp))
+                else:
+                    return None
+            elif kind == "timestamp":
+                if tag == "null":
+                    keys.append(None)
+                elif tag == "t":
+                    try:
+                        keys.append(ts_from_string(raw))
+                    except ValueError:
+                        return None
+                else:
+                    return None
+            elif kind == "guid":
+                if tag != "g":
+                    return None
+                from graphd_spark.model import guid_serial
+
+                s = guid_serial(raw)
+                keys.append(s)
+                # the serializer truncates at the first guid key
+                # (decisive order); recompute the remaining grid
+                # components from the boundary element itself
+                if len(keys) < len(keyfns):
+                    bi = s - self.store._base
+                    if not (0 <= bi < len(self.store.rows)):
+                        return None
+                    bp = self.store.rows[bi]
+                    for fn2, _d2, _c2, _k2 in keyfns[len(keys):]:
+                        keys.append(fn2(bp, None))
+                return tuple(keys) + (s,)
+            elif kind == "datatype":
+                if tag == "d":
+                    keys.append(int(raw))
+                else:
+                    return None
+            else:
+                return None
+        if vi != len(vals) - 1 or vals[vi][0] != "g":
+            return None
+        return tuple(keys) + (bguid,)
+
+    def _sub_sort_page(self, ss, kids):
+        """One parent's page of a value/name-sorted cursor sub: the
+        reference's bounded incremental sorter over the ACCEPTED kids
+        in producer order, grid-resumed (sortsim.simulate); later
+        parents of a resumed read get the degraded producer-order
+        grid filter.  Returns (n, page_kids, trailing)."""
+        from graphd_spark.sortsim import _pre_cmp, simulate
+
+        ssim = ss.ssim
+        if ssim.ended:
+            return 0, [], False
+        entries = [
+            (
+                tuple(f(c, r) for f, _d, _c, _k in ssim.keyfns)
+                + (c.id,),
+                (c, r),
+            )
+            for c, r in kids
+        ]
+        if ssim.grid is not None and ssim.consumed:
+            kept = []
+            for keys, payload in entries:
+                r, known = _pre_cmp(keys, ssim.grid, ssim.specs)
+                if known and r <= 0:
+                    continue
+                kept.append(payload)
+            return len(kept), kept, False
+        ssim.consumed = True
+        arr, accepted, trailing = simulate(
+            entries, ssim.P, ssim.specs, grid=ssim.grid
+        )
+        return accepted, [p for _k, p in arr], trailing
 
     def sub_cursor_index(self, sub, mode, cstate):
         """Per-parent producer index for a cursor-rendering sub — the
@@ -2853,10 +3171,37 @@ class FastReader:
                 if crow is _NO_MATCH:
                     continue
                 kids.append((c, crow))
-            n = len(kids)
-            if sub.sort is not None:
-                self._apply_sort(sub, sp.plan, kids)
-            child_rows = [r for _c, r in kids[ss.lo:ss.lo + ss.rps]]
+            if ss.ssim is not None:
+                # value/name sorted cursor sub: the incremental
+                # sorter per parent (see _sub_sort_page); n is the
+                # ACCEPTED count — prefilter-rejected kids are
+                # invisible to count, like root sorted sets
+                first = not ss.ssim.consumed
+                n, page_kids, trailing = self._sub_sort_page(ss, kids)
+                child_rows = [
+                    r for _c, r in page_kids[ss.lo:ss.lo + ss.rps]
+                ]
+                ss.ssim.sim[id(child_rows)] = (trailing, ss.ssim.P)
+                if ss.ssim.grid is not None:
+                    # grid-mode bookkeeping for the one-shot thaw
+                    # override (see _sub_sort_finalize): log this
+                    # parent's sub-level acceptance in scan order
+                    acc = n > 0 or ss.outer
+                    if sub.count_eq is not None:
+                        acc = acc and n == sub.count_eq
+                    else:
+                        if ss.count_min > 0:
+                            acc = acc and n >= ss.count_min
+                        if sub.count_max is not None:
+                            acc = acc and n <= sub.count_max
+                    ss.ssim.evals.append(acc)
+                    if first:
+                        ss.ssim.first_key = id(child_rows)
+            else:
+                n = len(kids)
+                if sub.sort is not None:
+                    self._apply_sort(sub, sp.plan, kids)
+                child_rows = [r for _c, r in kids[ss.lo:ss.lo + ss.rps]]
             if n == 0 and not ss.outer:
                 return _NO_MATCH  # inner join semantics
             passes = True

@@ -205,6 +205,25 @@ class Assembler:
         delivered = ctx["offset"] + lo + len(rows)
         back = ctx.get("backward", False)
         mode = ctx.get("mode")
+        if mode == "sort":
+            # value/name sorted sub: the root sort-cursor rules per
+            # parent (graphd_sort_cursor_get:1478-1481) — null:
+            # unless the page filled the sorter's array AND a
+            # condense truncated (trailing); degraded later parents
+            # of a resumed read (no sim entry) always freeze null:
+            ent = (ctx.get("sim") or {}).get(id(rows))
+            if ent is None:
+                return None
+            trailing, P = ent
+            if not (lo == 0 and lo + len(rows) == P and trailing):
+                return None
+            from graphd_spark.compiler import sort_cursor_string
+
+            return sort_cursor_string(
+                self.store, self.types,
+                ("asof" if ctx.get("asof") else None),
+                ctx["con"], plan, rows, delivered, ctx["horizon"],
+            )
         if mode in ("gmap", "vip"):
             # per-parent linkage / (endpoint, typeguid) index
             # (probed: gmap:LO-HI:l->PARENT/POS/ and

@@ -362,11 +362,16 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
             opt = " count>=0" if rng.random() < 0.3 else ""
             st = f"start={rng.randrange(1, 3)} " \
                 if rng.random() < 0.2 else ""
-            if rng.random() < 0.3:
-                # perfect-sorted subs: descending keys drive the
-                # backward '~' freezes (gmap:~ / vip:~ / fixed:~)
+            if rng.random() < 0.45:
+                # sorted subs: timestamp/guid keys drive the perfect
+                # iterator freezes (descending = the '~' forms);
+                # value/name keys the per-parent sort: boundary
+                # cursors with the incremental-sorter truncation and
+                # the one-shot-thaw multi-parent degradation
                 st += "sort=" + rng.choice(
-                    ["timestamp", "(-timestamp)", "guid", "(-guid)"]
+                    ["timestamp", "(-timestamp)", "guid", "(-guid)",
+                     "value", "(-value)", "name", "(-name)",
+                     "(value -name)", "(name guid)"]
                 ) + " "
             root = rng.choice([
                 f"value={_q(rng.choice(_VALUES))}",
@@ -1204,6 +1209,46 @@ _SUB_CURSOR_SCENARIOS = [
             "result=(cursor (value))))",
             'read (value="p1" result=((value contents)) '
             '(<-left value~="t*" sort=(-timestamp) pagesize=2 '
+            "result=(cursor (value))))",
+        ],
+    ),
+    # value/name-sorted subs freeze per-parent sort: boundary-key
+    # cursors replayed through the bounded incremental sorter (null
+    # first keys truncate); a resumed read evaluating the thawed sub
+    # under 2+ parents overrides the first parent's frozen cursor to
+    # null: and runs later parents degraded (grid prefilter in
+    # producer order, no sort)
+    (
+        [
+            'write (value="p0" (<-left value="cD") '
+            '(<-left value="cB") (<-left value="cA") '
+            '(<-left value="cC"))',
+            'write (value="p1" (<-left value="z2") '
+            '(<-left value="z0") (<-left value="z1"))',
+            'write (value="p2" (<-left name="nB" value="v1") '
+            '(<-left value="v2") (<-left name="nA" value="v3") '
+            '(<-left value="v4") (<-left name="nC" value="v5"))',
+        ],
+        [
+            'read (value="p0" result=((value contents)) '
+            "(<-left sort=value pagesize=1 "
+            "result=(cursor (value))))",
+            'read (value="p2" result=((value contents)) '
+            "(<-left sort=name pagesize=1 "
+            "result=(cursor (name value))))",
+            'read (value="p2" result=((value contents)) '
+            "(<-left sort=(-name) pagesize=1 "
+            "result=(cursor (name value))))",
+            'read (pagesize=2 value~="p*" '
+            "result=((value contents)) "
+            "(<-left sort=value pagesize=1 "
+            "result=(count cursor (value))))",
+            'read (pagesize=1 value~="p*" '
+            "result=((value contents)) "
+            "(<-left sort=value pagesize=1 "
+            "result=(cursor (value))))",
+            'read (value="p0" result=((value contents)) '
+            "(<-left sort=value start=1 pagesize=1 "
             "result=(cursor (value))))",
         ],
     ),
