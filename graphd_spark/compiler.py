@@ -102,7 +102,7 @@ def _iter_expressible(con) -> bool:
     return True
 
 
-def sub_cursor_mode(sub) -> Optional[str]:
+def sub_cursor_mode(sub, ignore_sort: bool = False) -> Optional[str]:
     """Which per-parent iterator a cursor-rendering subconstraint
     freezes (probed round 6; ref graphd-read-set-cursor.c:33-87,
     libpdb/pdb-vip.c):
@@ -117,20 +117,30 @@ def sub_cursor_mode(sub) -> Optional[str]:
     - ``'fixed'`` — linkage + iterator-expressible predicates
       pre-evaluate per parent over the RAW indexes into a plain
       ``fixed:N:ids/POS/`` (no newest/live generational filtering).
+    - ``'sort'``  — value/name first-key sorts freeze per-parent
+      ``sort:`` boundary keys replayed through the bounded
+      incremental sorter (fast path only; see _sub_sort_setup).
+    - ``'iam'``   — an iam-side sub (``left->(...)``) spans at most
+      one element per parent, so a rendered page always exhausts and
+      the cursor freezes ``null:`` (probed).
     - ``None``    — shapes whose reference freeze this engine does
-      not model: sorted subs (per-parent ``sort:`` boundary keys),
-      or-chains (``or:`` trees), next/prev/dateline/generation
-      constraints, counted sub-subs, and iam-side linkage.
+      not model: or-chains (``or:`` trees), next/prev/dateline/
+      generation constraints, counted sub-subs, bidirectional
+      linkage.
     """
-    if sub.linkage is None or sub.linkage[0] != "my":
+    if sub.linkage is None:
         return None
+    if sub.linkage[0] == "iam":
+        if (sub.sort and not ignore_sort) or not _iter_expressible(sub):
+            return None
+        return "iam"
     if sub.linkage[1] == "bi":
         return None
     # explicit liveness/archival flags select bgmap iterators whose
     # interaction with the pre-evaluated freeze is unprobed
     if sub.live != "true" or sub.archival != "dontcare":
         return None
-    if sub.sort:
+    if sub.sort and not ignore_sort:
         k0 = sub.sort[0].pattern.kind
         if k0 in ("value", "name"):
             # real per-parent sorts freeze the reference's sort:
@@ -173,6 +183,43 @@ def sub_cursor_mode(sub) -> Optional[str]:
     ):
         return "vip"
     return "fixed"
+
+
+def effective_sub_cursor_mode(sub) -> Optional[str]:
+    """sub_cursor_mode adjusted for the reference's resultpagesize-0
+    rules: a pagesize-0 sub drops its sort context entirely
+    (grsc_initialize_sort, graphd-read-set.c:848-855) — the count-min
+    probe freezes the ITERATOR form — except that a value/name sort
+    whose result renders per-element values keeps its sort-root
+    producer, which pre-evaluates to a plain fixed set
+    (gva_remove_unused_results; probed round 6)."""
+    mode = sub_cursor_mode(sub)
+    rps = (
+        sub.resultpagesize
+        if sub.resultpagesize is not None
+        else (
+            sub.pagesize
+            if sub.pagesize is not None
+            else DEFAULT_PAGESIZE
+        )
+    )
+    if rps != 0:
+        return mode
+    mode = sub_cursor_mode(sub, ignore_sort=True)
+    if (
+        mode is not None and sub.sort
+        and sub.sort[0].pattern.kind in ("value", "name")
+        and sub.result is not None
+        and any(
+            p.kind not in (
+                "count", "cursor", "estimate", "estimate-count",
+                "iterator", "timeout", "list", "none",
+            )
+            for p in sub.result.walk()
+        )
+    ):
+        return "fixed"
+    return mode
 
 
 def sub_sort_backward(sub) -> bool:
@@ -3042,7 +3089,7 @@ class Compiler:
             "backward": sub_sort_backward(sub),
             "resolve": self.types.resolve,
         }
-        mode = sub_cursor_mode(sub)
+        mode = effective_sub_cursor_mode(sub)
         mirror = (
             getattr(self.store, "_covers_all", True)
             and self.store.mirror_current()

@@ -282,7 +282,7 @@ def _prefix_pattern_f(con: Constraint) -> Optional[str]:
 
 def check_supported(con: Constraint) -> None:
     """Raise Unsupported unless every feature of the tree is mirrored."""
-    from graphd_spark.compiler import sub_cursor_mode
+    from graphd_spark.compiler import effective_sub_cursor_mode
 
     def _walk(node, in_branch, depth):
         if node is not con:
@@ -293,7 +293,7 @@ def check_supported(con: Constraint) -> None:
                 ))
             )
             if wants:
-                mode = sub_cursor_mode(node)
+                mode = effective_sub_cursor_mode(node)
                 if in_branch or mode is None:
                     # sub-level cursors are mirrored for the probed
                     # gmap/vip/fixed/sort freeze family on direct
@@ -738,6 +738,13 @@ class FastReader:
         # _sub_sort_page).  The scan window mirrors the reference's
         # lazy consumption: it stops at the page-filling accept unless
         # counting forces a full scan.
+        for sp in plan.sub_plans:
+            ctx = getattr(sp.plan, "cursor_ctx", None)
+            if ctx is not None:
+                # single-match roots bound an iam sub's [n:] at the
+                # parent id (links point backward in time, so the
+                # optimizer pins the target scan; probed round 6)
+                ctx["root_n"] = len(matches)
         for ssim in getattr(plan, "_root_ssims", ()):
             if ssim.grid is None or ssim.first_key is None:
                 continue
@@ -2750,9 +2757,9 @@ class FastReader:
         cfilter = self._sub_child_filter(sub, cstate)
         if not wants_cursor:
             return cstate, cfilter, None
-        from graphd_spark.compiler import sub_cursor_mode
+        from graphd_spark.compiler import effective_sub_cursor_mode
 
-        mode = sub_cursor_mode(sub)
+        mode = effective_sub_cursor_mode(sub)
         if mode is None:
             raise Unsupported("sub-cursor-shape")
         if mode == "sort":
@@ -2987,6 +2994,11 @@ class FastReader:
         ptr = self.store._ptr_ids
         hz = self.horizon
         lkname = sub.linkage[1]
+        if mode == "iam":
+            # at most one element per parent: a rendered page always
+            # exhausts, so the assembler's delivered>=accepted check
+            # freezes null: before any index is consulted (probed)
+            return {"mode": "iam"}
         if mode == "gmap":
             def index(pg, _ptr=ptr, _lk=lkname, _hz=hz):
                 ids = [
@@ -3199,9 +3211,22 @@ class FastReader:
                         ss.ssim.first_key = id(child_rows)
             else:
                 n = len(kids)
+                probe_first = kids[0][0].id if kids else None
                 if sub.sort is not None:
                     self._apply_sort(sub, sp.plan, kids)
                 child_rows = [r for _c, r in kids[ss.lo:ss.lo + ss.rps]]
+                if (
+                    ss.rps == 0 and probe_first is not None
+                    and getattr(sp.plan, "cursor_ctx", None) is not None
+                ):
+                    # pagesize=0 count-min probe: the freeze records
+                    # the FIRST accepted kid's raw producer position
+                    # (probed: versioned spokes still count; the sort
+                    # context is dropped, so producer order decides),
+                    # keyed by this parent's (empty) page list
+                    sp.plan.cursor_ctx.setdefault("probe", {})[
+                        id(child_rows)
+                    ] = (probe_first, p.guid)
             if n == 0 and not ss.outer:
                 return _NO_MATCH  # inner join semantics
             passes = True

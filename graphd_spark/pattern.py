@@ -196,6 +196,11 @@ class Assembler:
         from graphd_spark.model import guid_serial
 
         ctx = plan.cursor_ctx
+        probe = None
+        if isinstance(rows, list) and not rows:
+            probe = (ctx.get("probe") or {}).get(id(rows))
+        if probe is not None:
+            return self._sub_probe_cursor(ctx, probe)
         if not rows:
             return None
         lo = ctx.get("lo", 0)
@@ -205,6 +210,10 @@ class Assembler:
         delivered = ctx["offset"] + lo + len(rows)
         back = ctx.get("backward", False)
         mode = ctx.get("mode")
+        if mode == "iam":
+            # iam-side subs span at most one element per parent; the
+            # exhaustion checks above always fire first (probed)
+            return None
         if mode == "sort":
             # value/name sorted sub: the root sort-cursor rules per
             # parent (graphd_sort_cursor_get:1478-1481) — null:
@@ -282,6 +291,72 @@ class Assembler:
             )
         cur = freeze_cursor(
             ctx["con"], st, delivered, ctx["horizon"], ctx["resolve"],
+        )
+        if ctx.get("asof"):
+            cur = strip_cursor_horizon(cur, ctx["con"], ctx["resolve"])
+        return cur
+
+    def _sub_probe_cursor(self, ctx, probe):
+        """pagesize=0 sub cursor: the count-min probe consumed one
+        accepted element; freeze the per-parent iterator at its RAW
+        producer position with [o:offset+1] (probed round 6:
+        (<-left pagesize=0 result=(cursor)) pages gmap:.../1/ /2/ ...
+        and errors EMPTY once the probe finds nothing)."""
+        from graphd_spark.cursor import (
+            CursorState,
+            freeze_cursor,
+            strip_cursor_horizon,
+        )
+        from graphd_spark.model import guid_serial
+
+        first_id, pguid = probe
+        mode = ctx.get("mode")
+        delivered = ctx["offset"] + 1
+        if mode in ("gmap", "vip", "fixed"):
+            if "index" in ctx:
+                ids = ctx["index"](pguid)
+            else:
+                ids = [i for i, g in ctx["pairs"] if g == pguid] \
+                    if "pairs" in ctx else ctx.get("fixed_ids")
+            if not ids:
+                return None
+            try:
+                pos = ids.index(first_id) + 1
+            except ValueError:
+                return None
+            if mode == "gmap":
+                lk = ctx["lk"]
+                st = CursorState(
+                    form="gmap", low=ids[0], high=ids[-1] + 1,
+                    lk=("t" if lk == "typeguid" else lk[0]),
+                    src=guid_serial(pguid), pos=pos,
+                )
+            elif mode == "vip":
+                lk = ctx["lk"]
+                st = CursorState(
+                    form="vip", low=ids[0], high=ids[-1] + 1,
+                    lk=("t" if lk == "typeguid" else lk[0]),
+                    tg=ctx["tg"], src=guid_serial(pguid),
+                    pos=first_id, fixed_ids=ids, inner_pos=pos,
+                )
+            else:
+                st = CursorState(
+                    form="fixed", fixed_ids=ids, pos=pos,
+                )
+        elif mode == "iam":
+            # the per-parent set is the single raw target; the fixed
+            # iterator's high bound pins [n:] at target+1 (probed)
+            st = CursorState(form="fixed", fixed_ids=[first_id], pos=1)
+        else:
+            return None
+        horizon = ctx["horizon"]
+        if mode == "iam" and ctx.get("root_n") == 1:
+            # a single-match root pins the iam target scan's high
+            # bound at the parent's own id (links point backward in
+            # time); multi-parent roots keep the store horizon
+            horizon = min(horizon, guid_serial(pguid))
+        cur = freeze_cursor(
+            ctx["con"], st, delivered, horizon, ctx["resolve"],
         )
         if ctx.get("asof"):
             cur = strip_cursor_horizon(cur, ctx["con"], ctx["resolve"])
@@ -382,7 +457,9 @@ class Assembler:
                 if sp is None or sp.arr_col is None:
                     out.append(List([]))
                     continue
-                sub_rows = row[sp.arr_col] or []
+                sub_rows = row[sp.arr_col]
+                if sub_rows is None:
+                    sub_rows = []
                 sub_total = row[sp.cnt_col] or 0
                 v = self.set_value(sp.plan, sub_rows, sub_total)
                 # a sub whose own set value is a splice (its result=

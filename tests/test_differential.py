@@ -344,7 +344,8 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
             # parent gmap over the RAW index, type= → vip combined
             # index, value/name predicates → pre-evaluated fixed
             # (graphd-read-set-cursor.c, pdb-vip.c)
-            arrow = rng.choice(["<-left", "<-right"])
+            arrow = rng.choice(["<-left", "<-right", "<-left",
+                                "<-right", "left->", "right->"])
             r2 = rng.random()
             if r2 < 0.35:
                 pred = ""
@@ -358,7 +359,10 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
                 pred = f"value={_q(rng.choice(_VALUES))} "
             else:
                 pred = f"name={_q(rng.choice(_NAMES))} "
-            sps = rng.randrange(1, 4)
+            # ~12% pagesize=0: the count-min probe freeze (first
+            # accepted element's raw producer position; chains end
+            # in EMPTY once the probe finds nothing)
+            sps = 0 if rng.random() < 0.12 else rng.randrange(1, 4)
             opt = " count>=0" if rng.random() < 0.3 else ""
             st = f"start={rng.randrange(1, 3)} " \
                 if rng.random() < 0.2 else ""
@@ -383,11 +387,22 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
                 asof2 = "asof=1970-01-01T00:00:00.{:04d} ".format(
                     rng.randrange(5, 30)
                 )
+            if arrow.startswith("<-"):
+                body2 = (
+                    f"({arrow} {pred}{st}pagesize={sps} "
+                    f"result=(cursor (guid value)){opt})"
+                )
+            else:
+                # iam-side subs: at most one element per parent
+                # (rendered pages freeze null:, pagesize=0 probes a
+                # fixed:1 with [n:] pinned at target+1)
+                body2 = (
+                    f"{arrow}({pred}{st}pagesize={sps} "
+                    f"result=(cursor (guid value)){opt})"
+                )
             reads.append(
                 f"read {asof2}(pagesize=2 {root} "
-                f"result=((value contents)) "
-                f"({arrow} {pred}{st}pagesize={sps} "
-                f"result=(cursor (guid value)){opt}))"
+                f"result=((value contents)) {body2})"
             )
             continue
         ps = rng.randrange(1, 4)
@@ -1147,16 +1162,33 @@ _SUB_CURSOR_SCENARIOS = [
             "result=(cursor (value))))",
         ],
     ),
-    # nested sub existence folds into the pre-evaluated fixed set
+    # nested sub existence folds into the pre-evaluated fixed set;
+    # iam-side subs span one element per parent and freeze null:
     (
         [
             'write (value="p0" (<-left value="m1" '
             '(<-left value="n1")) (<-left value="m2") '
             '(<-left value="m3" (<-left value="n3")))',
+            'write (value="l1" left->(value="t0"))',
+            'write (value="l2" left->(value="t0"))',
         ],
         [
             'read (value="p0" result=((value contents)) '
             "(<-left pagesize=1 result=(cursor (value)) (<-left)))",
+            'read (value="l1" result=((value contents)) '
+            "left->(pagesize=1 result=(cursor (value))))",
+            'read (pagesize=2 value~="l*" '
+            "result=((value contents)) "
+            "left->(pagesize=1 result=(cursor (value))))",
+            # pagesize=0 count-min probes: the freeze records the
+            # first accepted element's raw producer position and the
+            # chain ends in EMPTY once the probe finds nothing
+            'read (value="p0" result=((value contents)) '
+            "(<-left pagesize=0 result=(count cursor)))",
+            'read (value="p0" result=((value contents)) '
+            "(<-left sort=value pagesize=0 result=(cursor)))",
+            'read (value="l1" result=((value contents)) '
+            "left->(pagesize=0 result=(cursor (value))))",
         ],
     ),
     # typed subs freeze the (endpoint, typeguid) vip iterator with
@@ -1303,6 +1335,9 @@ def test_differential_sub_cursors(spark, ref_bin, scenario):
         out = []
         for read in reads:
             read = read.format(**env)
+            opener = (
+                "left->(" if "left->(" in read else "(<-left "
+            )
             r = ask(read)
             out.append(r)
             hops = 0
@@ -1311,7 +1346,7 @@ def test_differential_sub_cursors(spark, ref_bin, scenario):
                 if not m or m.group(1) == "null:":
                     break
                 r = ask(read.replace(
-                    "(<-left ", f'(<-left cursor="{m.group(1)}" ', 1
+                    opener, f'{opener}cursor="{m.group(1)}" ', 1
                 ))
                 out.append(r)
                 hops += 1
