@@ -294,17 +294,31 @@ def check_supported(con: Constraint) -> None:
             )
             if wants:
                 mode = effective_sub_cursor_mode(node)
-                if in_branch or mode is None:
-                    # sub-level cursors are mirrored for the probed
-                    # gmap/vip/fixed/sort freeze family on direct
-                    # subs only
+                if mode is None:
                     raise Unsupported("sub-cursor-shape")
-                if mode == "sort" and depth > 1:
+                if mode == "sort" and (depth > 1 or in_branch):
                     # the sort-thaw one-shot override is modeled for
                     # root-level subs only (_eval_set collects root
-                    # ssims; a nested sorted cursor sub's
-                    # multi-grandparent interplay is unprobed)
+                    # ssims; a nested/branch sorted cursor sub's
+                    # multi-parent interplay is unprobed)
                     raise Unsupported("nested-sort-sub-cursor")
+                if in_branch:
+                    # or-branch subs: the iterator freezes are
+                    # mirrored (the winning branch freezes its
+                    # per-parent index like a direct sub; probed),
+                    # but pagesize-0 probe stashing only runs in
+                    # _row_for, not the or-chain evaluator
+                    rps = (
+                        node.resultpagesize
+                        if node.resultpagesize is not None
+                        else (
+                            node.pagesize
+                            if node.pagesize is not None
+                            else DEFAULT_PAGESIZE
+                        )
+                    )
+                    if rps == 0:
+                        raise Unsupported("branch-sub-probe")
         for chain in node.or_chains:
             for b in chain:
                 if b.or_chains:
@@ -2612,11 +2626,17 @@ class FastReader:
                     cm = (
                         sub.count_min
                         if sub.count_min is not None
-                        else 1
+                        # implicit minimum follows start=
+                        # (ref graphd-semantic.c:740-743)
+                        else (sub.start or 0) + 1
+                    )
+                    b_cstate, b_cfilter, _bsim = (
+                        self._sub_cursor_setup_f(sub, sub_plan)
                     )
                     bsubs.append(_SubSpec(
                         sub, "agg", sp, cm, True, rps, sub.start or 0,
-                        child_spec, [],
+                        child_spec, [], cstate=b_cstate,
+                        cfilter=b_cfilter,
                     ))
                     for var, vcol in sub_plan.var_cols.items():
                         self._n += 1
@@ -3283,6 +3303,8 @@ class FastReader:
                     ):
                         continue
                     c = self.store.rows[cid - self.store._base]
+                    if ss.cfilter is not None and not ss.cfilter(c):
+                        continue  # thawed sub-cursor restriction
                     crow = self._row_for(
                         c, sub, ss.child_spec, build_row=True
                     )

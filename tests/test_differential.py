@@ -387,7 +387,20 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
                 asof2 = "asof=1970-01-01T00:00:00.{:04d} ".format(
                     rng.randrange(5, 30)
                 )
-            if arrow.startswith("<-"):
+            if (
+                arrow.startswith("<-") and sps > 0
+                and "sort=" not in st and rng.random() < 0.15
+            ):
+                # or-branch sub cursors: the winning branch freezes
+                # its per-parent iterator, losing slots render null
+                other = "<-right" if arrow == "<-left" else "<-left"
+                body2 = (
+                    f"{{ ({arrow} {pred}{st}pagesize={sps} "
+                    f"result=(cursor (guid value)){opt}) | "
+                    f"({other} pagesize=1 "
+                    f"result=(cursor (guid value))) }}"
+                )
+            elif arrow.startswith("<-"):
                 body2 = (
                     f"({arrow} {pred}{st}pagesize={sps} "
                     f"result=(cursor (guid value)){opt})"
@@ -1180,6 +1193,11 @@ _SUB_CURSOR_SCENARIOS = [
             'read (pagesize=2 value~="l*" '
             "result=((value contents)) "
             "left->(pagesize=1 result=(cursor (value))))",
+            # or-branch subs: the winning branch freezes its
+            # per-parent iterator; losing branch slots render null
+            'read (value="p0" result=((value contents)) '
+            "{{ (<-left pagesize=1 result=(cursor (value))) | "
+            "(<-right pagesize=1 result=(cursor (value))) }})",
             # pagesize=0 count-min probes: the freeze records the
             # first accepted element's raw producer position and the
             # chain ends in EMPTY once the probe finds nothing

@@ -142,12 +142,25 @@ SUB_CHAINS = [
     # multiple parents, pinned resume
     ('read (pagesize=2 result=((value contents)) name="hub" '
      "(<-left pagesize=2 result=(cursor (guid value))))", "(<-left "),
+    # or-branch sub cursor: the winning branch freezes its iterator
+    ('read (value="h0" result=((value contents)) '
+     "{ (<-left pagesize=2 result=(cursor (guid value))) | "
+     "(<-right pagesize=2 result=(cursor (guid value))) })",
+     "(<-left "),
 ]
 
 
-def test_cursor_chains_need_no_spark():
+def test_cursor_chains_need_no_spark(monkeypatch):
     """Every chain pages to exhaustion with NO SparkSession at all."""
-    gs = GraphSession()  # no spark: any fallback would raise
+    gs = GraphSession()
+    # GraphSession lazily builds a SparkSession on fallback — forbid
+    # it so any fast-path miss fails loudly instead of silently
+    # compiling through Spark
+
+    def _no_spark(self):
+        raise AssertionError("fast path fell back to Spark")
+
+    monkeypatch.setattr(GraphSession, "_require_spark", _no_spark)
     _seed(gs)
     for read in CHAINS:
         pages = _paginate(gs, read)
