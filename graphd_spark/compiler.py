@@ -3134,9 +3134,12 @@ class Compiler:
         if cstate is not None and cstate.form == "fixed":
             ids = cstate.fixed_ids
         else:
+            # distinct: a bidirectional (<->) sub explodes each child
+            # into one row per matching endpoint, and duplicate ids
+            # would pin the frozen position forever
             ids = [
                 r["id"]
-                for r in child_df.select("id").orderBy("id")
+                for r in child_df.select("id").distinct().orderBy("id")
                 .limit(_FIXED_MATERIALIZE_MAX + 1).collect()
             ]
             if len(ids) > _FIXED_MATERIALIZE_MAX:

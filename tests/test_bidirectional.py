@@ -60,3 +60,43 @@ def test_write_rejected(friends):
     assert friends.request(
         'write (value="x" (<-> value="y"))'
     ).startswith("error SEMANTICS")
+
+
+def test_bi_sub_cursor_pages_to_exhaustion(spark):
+    """A cursor inside a <-> sub pages each endpoint link once and
+    terminates (the bidirectional explode once duplicated ids in the
+    frozen fixed set, pinning the position forever).  Engine
+    extension: the reference binary rejects `<->` outright
+    (gr-model.txt:180 mentions the syntax, the parser never
+    implemented it), so this is engine-only behavior."""
+    import re
+
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    gs.request('write (value="a")')
+    gs.request('write (value="b")')
+    gs.request(
+        'write (value="ab1" left=00000012400034568000000000000000 '
+        "right=00000012400034568000000000000001)"
+    )
+    gs.request(
+        'write (value="ab2" left=00000012400034568000000000000001 '
+        "right=00000012400034568000000000000000)"
+    )
+    gs.request(
+        'write (value="ab3" left=00000012400034568000000000000000)'
+    )
+    q = ('read (value="a" result=((value contents)) '
+         "(<-> pagesize=1 result=(cursor (value))))")
+    seen = []
+    r = gs.request(q)
+    for _ in range(6):
+        seen.append(re.search(r'\("(\w+)"\)', r).group(1))
+        m = re.search(r'"(cursor:[^"]*|null:)"', r)
+        if not m or m.group(1) == "null:":
+            break
+        r = gs.request(
+            q.replace("(<-> ", '(<-> cursor="%s" ' % m.group(1), 1)
+        )
+    assert seen == ["ab1", "ab2", "ab3"]
