@@ -12,9 +12,12 @@ job, mirroring the DataFrame compiler's semantics expression by
 expression (each mirrored site cites the compiler line it mirrors).
 
 Safety model: :class:`FastReader` first WALKS the constraint tree and
-raises :class:`Unsupported` for any feature outside its mirror
-(sub-level cursor patterns, asof+cursor combinations); the caller
-then falls back to the Spark compiler.  Sorts, globs, value ranges
+raises :class:`Unsupported` for any feature outside its mirror (the
+residual forms: nested-or-chains, cursor-valued assignments, sorted
+or pagesize-0 cursor subs inside or-branches, nested sorted cursor
+subs, and sub shapes outside ``sub_cursor_mode``'s probed family);
+the caller then falls back to the Spark compiler.  Sorts, globs,
+value ranges
 (including the reference's value-bin scan order for unsorted range
 reads), variables, or-chains (branch subconstraints, first-match
 bindings, contents slots), number-comparator value sorts
@@ -26,7 +29,11 @@ subconstraints, pre-evaluated small sets, linksto members) /
 sub-gmap collapses / isa masquerades / isa and or-linksto expansion
 freezes, frozen and thawed in the reference's byte format, plus
 sorted-page ``sort:`` cursors (shared serializer with the compiler,
-incl. the ≥1000-primitive suspension stamps) — ARE mirrored.  For
+incl. the ≥1000-primitive suspension stamps), asof'd cursor chains,
+and the FULL sub-level cursor family (per-parent gmap / vip /
+pre-evaluated fixed / iam / per-parent ``sort:`` boundary keys with
+the one-shot thaw, pagesize-0 count-min probes, or-branch subs) —
+ARE mirrored.  For
 the supported subset it produces the exact (plan, rows, total)
 triple ``Compiler.run`` would, feeding the same ``Assembler`` — so
 the golden suite and the differential fuzz campaigns (which replay
