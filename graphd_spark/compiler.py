@@ -207,7 +207,7 @@ def effective_sub_cursor_mode(sub) -> Optional[str]:
         return mode
     mode = sub_cursor_mode(sub, ignore_sort=True)
     if (
-        mode is not None and sub.sort
+        mode is not None and mode != "iam" and sub.sort
         and sub.sort[0].pattern.kind in ("value", "name")
         and sub.result is not None
         and any(
@@ -218,6 +218,10 @@ def effective_sub_cursor_mode(sub) -> Optional[str]:
             for p in sub.result.walk()
         )
     ):
+        # the dropped sort leaves its sort-root producer behind only
+        # for my-side sets; an iam sub's single-target fixed iterator
+        # is the producer either way (probed: iam + value sort at
+        # pagesize=0 freezes the plain fixed:1:<target> probe)
         return "fixed"
     return mode
 

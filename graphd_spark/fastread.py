@@ -762,10 +762,10 @@ class FastReader:
         for sp in plan.sub_plans:
             ctx = getattr(sp.plan, "cursor_ctx", None)
             if ctx is not None:
-                # single-match roots bound an iam sub's [n:] at the
-                # parent id (links point backward in time, so the
-                # optimizer pins the target scan; probed round 6)
-                ctx["root_n"] = len(matches)
+                # single-raw-candidate roots bound an iam sub's [n:]
+                # at the parent id (the optimizer pre-evaluates the
+                # parent; links point backward in time; probed)
+                ctx["root_n"] = getattr(plan, "_root_ncand", None)
         for ssim in getattr(plan, "_root_ssims", ()):
             if ssim.grid is None or ssim.first_key is None:
                 continue
@@ -2751,12 +2751,19 @@ class FastReader:
             ss.ssim for ss in spec.subs if ss.ssim is not None
         ]
         matches = []
+        ncand = 0
         for p in self._candidates(con):
             if self.horizon is not None and p.id > self.horizon:
                 continue
+            ncand += 1
             row = self._row_for(p, con, spec, build_row=not exists_only)
             if row is not _NO_MATCH:
                 matches.append((p, row))
+        # raw candidate count: a single-element root producer lets the
+        # optimizer pre-evaluate the parent and bound an iam sub's
+        # [n:] at the parent id (probed: value= equality roots bound,
+        # value~= glob roots with wider bins do not)
+        plan._root_ncand = ncand
         return plan, matches
 
     def _sub_cursor_setup_f(self, sub, sub_plan):
