@@ -731,9 +731,22 @@ def parse_cursor(text: str, con: Constraint,
         st.tail = mm.group(4)
         return _validated(st)
     if body.lower().startswith(_KNOWN_PREFIXES):
-        # recognized engine form we don't model: resume leniently,
-        # skipping checksum validation (we can't reproduce the exact
-        # frozen body the reference would have produced)
+        # recognized engine form we don't model: resume leniently —
+        # but the reference validates the signed envelope BEFORE
+        # thawing any body (graphd_constraint_cursor_thaw computes
+        # signature ^ checksum16(body) regardless of form), so a
+        # checksum mismatch is BADCURSOR even for unmodeled bodies
+        # (cursor fuzz seed 1210: a corrupted gmap body resumed
+        # leniently where the reference rejected it)
+        if signed is not None:
+            expect = signature_checksum(
+                con, resolve, asof
+            ) ^ checksum16(checksum_body)
+            if signed != expect:
+                raise BadCursor(
+                    f'cursor "{text}" and checksum {expect:x} '
+                    "don't match"
+                )
         return None
     raise _old_style(text)
 
