@@ -204,3 +204,22 @@ def test_sub_cursor_chain_parity(sessions, qi):
     fast, slow = sessions
     q, opener = SUB_CHAINS[qi]
     assert _paginate_sub(fast, q, opener) == _paginate_sub(slow, q, opener)
+
+
+def test_corrupt_unmodeled_cursor_rejected():
+    """The signed envelope validates BEFORE the body form is
+    considered: a corrupted body with a recognized prefix must fail
+    BADCURSOR (ref graphd_constraint_cursor_thaw; cursor fuzz seed
+    1210), while the untouched cursor still resumes."""
+    gs = GraphSession()
+    gs.request('write (value="p" (<-left value="c1") (<-left value="c2"))')
+    q = ('read (value="p" result=((value contents)) '
+         "(<-left pagesize=1 result=(cursor (value))))")
+    r = gs.request(q)
+    cur = re.search(r'"(cursor:[^"]*)"', r).group(1)
+    ok = gs.request(q.replace("(<-left ", f'(<-left cursor="{cur}" ', 1))
+    assert ok.startswith("ok ")
+    bad = gs.request(
+        q.replace("(<-left ", f'(<-left cursor="{cur}x" ', 1)
+    )
+    assert bad.startswith("error BADCURSOR"), bad
