@@ -3245,22 +3245,26 @@ class FastReader:
                         ss.ssim.first_key = id(child_rows)
             else:
                 n = len(kids)
-                probe_first = kids[0][0].id if kids else None
+                # pagesize=0 count-min probe: consumes max(1, start)
+                # accepted kids in PRODUCER order (the sort context is
+                # dropped at resultpagesize 0) — capture the k-th
+                # accepted kid before any sort reorders the list;
+                # start >= n exhausts the skip and freezes null:
+                # (probed: versioned spokes still count in /POS/)
+                probe_entry = None
+                if ss.rps == 0 and kids and ss.lo < n:
+                    k = max(1, ss.lo)
+                    probe_entry = (kids[k - 1][0].id, p.guid, k)
                 if sub.sort is not None:
                     self._apply_sort(sub, sp.plan, kids)
                 child_rows = [r for _c, r in kids[ss.lo:ss.lo + ss.rps]]
                 if (
-                    ss.rps == 0 and probe_first is not None
+                    probe_entry is not None
                     and getattr(sp.plan, "cursor_ctx", None) is not None
                 ):
-                    # pagesize=0 count-min probe: the freeze records
-                    # the FIRST accepted kid's raw producer position
-                    # (probed: versioned spokes still count; the sort
-                    # context is dropped, so producer order decides),
-                    # keyed by this parent's (empty) page list
                     sp.plan.cursor_ctx.setdefault("probe", {})[
                         id(child_rows)
-                    ] = (probe_first, p.guid)
+                    ] = probe_entry
             if n == 0 and not ss.outer:
                 return _NO_MATCH  # inner join semantics
             passes = True

@@ -309,9 +309,9 @@ class Assembler:
         )
         from graphd_spark.model import guid_serial
 
-        first_id, pguid = probe
+        first_id, pguid, k = probe
         mode = ctx.get("mode")
-        delivered = ctx["offset"] + 1
+        delivered = ctx["offset"] + k
         if mode in ("gmap", "vip", "fixed"):
             if "index" in ctx:
                 ids = ctx["index"](pguid)
