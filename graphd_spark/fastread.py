@@ -2839,6 +2839,48 @@ class FastReader:
             "backward": sub_sort_backward(sub),
             "resolve": self.types.resolve,
         }
+        rps0 = (
+            sub.resultpagesize
+            if sub.resultpagesize is not None
+            else (
+                sub.pagesize
+                if sub.pagesize is not None
+                else DEFAULT_PAGESIZE
+            )
+        )
+        if rps0 == 0 and (
+            sub.value_comparator or sub.comparator
+        ) is None:
+            # pagesize-0 probes: a value=/name= equality whose hmap
+            # bin holds exactly ONE raw element pre-evaluates to a
+            # bounded fixed iterator, pinning [n:] at element+1
+            # (probed: single bins bound, wider bins keep the store
+            # horizon; cursor fuzz seed 1885)
+            ph = None
+            for sc in sub.value_strcons:
+                if (
+                    sc.op == "=" and len(sc.values) == 1
+                    and sc.values[0] is not None
+                ):
+                    b = self.store._vnorm_ids.get(
+                        value_norm_key(sc.values[0]), ()
+                    )
+                    if len(b) == 1:
+                        hb = b[0] + 1
+                        ph = hb if ph is None else min(ph, hb)
+            for sc in sub.name_strcons:
+                if (
+                    sc.op == "=" and len(sc.values) == 1
+                    and sc.values[0] is not None
+                ):
+                    b = self.store._name_ids.get(
+                        sc.values[0].lower(), ()
+                    )
+                    if len(b) == 1:
+                        hb = b[0] + 1
+                        ph = hb if ph is None else min(ph, hb)
+            if ph is not None:
+                ctx["probe_high"] = ph
         ctx.update(self.sub_cursor_index(sub, mode, cstate))
         sub_plan.cursor_ctx = ctx
         return cstate, cfilter, None

@@ -355,6 +355,10 @@ class Assembler:
             # bound at the parent's own id (links point backward in
             # time); multi-parent roots keep the store horizon
             horizon = min(horizon, guid_serial(pguid))
+        elif ctx.get("probe_high") is not None:
+            # a single-raw-element equality bin pre-evaluates to a
+            # bounded fixed iterator: [n:] = element + 1 (probed)
+            horizon = min(horizon, ctx["probe_high"])
         cur = freeze_cursor(
             ctx["con"], st, delivered, horizon, ctx["resolve"],
         )
