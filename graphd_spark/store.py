@@ -599,14 +599,47 @@ class ParquetLogStore(PrimitiveStore):
             hi = max(hi, int(m.group(1)) + int(m.group(2)))
         return hi
 
+    #: (dir-stat signature, fs_horizon) — see mirror_current
+    _dir_sig_cache = None
+
     def mirror_current(self) -> bool:
         if not self._covers_all:
             return False
-        fs = self._fs_horizon()
+        # one os.stat of the log directory stands in for the listdir
+        # when nothing changed: adding a commit file bumps the
+        # directory's mtime/ctime, so an identical stat signature
+        # means the same file set.  Kernel file timestamps tick at
+        # jiffy granularity (~1-4 ms), so a signature taken while the
+        # directory is "hot" (mtime within the last second) is never
+        # cached — a foreign append landing in the same jiffy as the
+        # listdir would otherwise alias the signature and hide
+        # forever.  Steady-state serving (no recent appends) drops
+        # from one listdir+regex per request to one stat.
+        import time as _time
+
+        try:
+            st = os.stat(self.path)
+            sig = (st.st_mtime_ns, st.st_ctime_ns, st.st_size, st.st_ino)
+        except OSError:
+            sig = None
+        cached = self._dir_sig_cache
+        if sig is not None and cached is not None and cached[0] == sig:
+            fs = cached[1]
+        else:
+            fs = self._fs_horizon()
+            if (
+                sig is not None
+                and fs is not None
+                and _time.time_ns() - sig[0] > 1_000_000_000
+            ):
+                self._dir_sig_cache = (sig, fs)
+            else:
+                self._dir_sig_cache = None
         if fs is None:
             return False
         if fs <= self.next_id:
             return True
+        self._dir_sig_cache = None  # absorbing changes our own state
         return self._absorb_delta(fs)
 
     def _absorb_delta(self, fs_horizon: int) -> bool:

@@ -215,6 +215,48 @@ def test_hydrated_parquet_store_serves_fast(spark, tmp_path):
     ) == 'ok (("after"))'
 
 
+def test_dir_sig_cache_never_hides_foreign_appends(spark, tmp_path):
+    """mirror_current's stat-signature cache (store.py): steady-state
+    serving skips the per-request listdir, but a foreign append —
+    even one landing immediately after a cached probe — is absorbed
+    on the very next request, because a changed directory signature
+    always forces the listdir and a hot directory (mtime younger
+    than the 1 s guard) is never cached at all."""
+    import os
+
+    log = str(tmp_path / "log")
+    writer = GraphSession(spark, log_path=log)
+    writer.request('write (name="w" value="v0")')
+
+    reader = GraphSession.attach(spark, log)
+    assert reader.store.hydrate()
+    # age the directory mtime past the cache guard so the signature
+    # is cacheable without sleeping
+    st = os.stat(log)
+    os.utime(log, ns=(st.st_atime_ns - 5_000_000_000,
+                      st.st_mtime_ns - 5_000_000_000))
+    assert reader.request(
+        'read (value="v0" result=((value)))'
+    ) == 'ok (("v0"))'
+    assert reader.store._dir_sig_cache is not None  # cache engaged
+    sig0 = reader.store._dir_sig_cache[0]
+    # repeated serving hits the cache (signature unchanged)
+    assert reader.request(
+        'read (value="v0" result=((value)))'
+    ) == 'ok (("v0"))'
+    assert reader.store._dir_sig_cache[0] == sig0
+    # foreign append: the new commit file changes the signature, so
+    # the reader's next request re-listdirs and absorbs the delta
+    writer.request('write (name="w" value="v1")')
+    assert reader.request(
+        'read (value="v1" result=((value)))'
+    ) == 'ok (("v1"))'
+    # the fresh append keeps the directory "hot": no stale signature
+    # may be cached until the mtime ages past the guard again
+    c = reader.store._dir_sig_cache
+    assert c is None or c[0] != sig0
+
+
 def test_versioned_link_target_dangles(spark):
     """Traversal joins on RAW guids (probed against the reference
     binary, roundtrip seeds 47/93/95/103): versioning a link TARGET
