@@ -259,16 +259,20 @@ def _serving_bench(spark, sf_dir: str, seconds: float = 5.0) -> dict:
     out["deep_qps_1hop"] = _deep_serving_qps(spark, seconds=seconds)
     # cold 2-hop: every request line is distinct (100k distinct probe
     # values over a 2-hop-shaped 100k-primitive mirror), so neither
-    # the eval cache nor the AST cache can serve any timed request —
-    # the honest counterpart to the hot protocol_qps_2hop template
-    # cycle.  FINDING (round 6): the cold floor is per-request
-    # tokenize+parse (~140us for the 3-level template; pure-Python
-    # lexing+tree build) plus the per-candidate sub evaluation
-    # (~300us); the hot path amortizes both through the AST + eval
-    # caches (13k q/s), but distinct-line 2-hop sits near ~2.3k q/s.
-    # Closing it needs a compiled-template path (parse once, bind the
-    # literal per request) — structural, deferred.
+    # the eval cache nor the line-keyed AST cache can serve any timed
+    # request — the honest counterpart to the hot protocol_qps_2hop
+    # template cycle.  What CAN amortize across these requests is the
+    # prepared-parse shape cache (gql/prepared.py): the template's
+    # SHAPE repeats, so each request re-binds its literals into the
+    # cached parse instead of re-parsing — that is the serving
+    # architecture, not a benchmark artifact.  deep_qps_2hop_parse_floor
+    # is the same loop with the shape cache disabled (full
+    # tokenize+parse+eval per request): the floor a never-before-seen
+    # template shape pays.
     out["deep_qps_2hop"] = _deep_serving_qps_2hop(spark, seconds=seconds)
+    out["deep_qps_2hop_parse_floor"] = _deep_serving_qps_2hop(
+        spark, seconds=seconds, prepared_shapes=False
+    )
 
     out["baseline_anchor_qps_per_core"] = 3333
     out["baseline_anchor_bytes_per_primitive"] = 100
@@ -318,11 +322,15 @@ def _deep_serving_qps(spark, n: int = 100_000, seconds: float = 5.0):
     return round(done / (time.perf_counter() - t0), 1)
 
 
-def _deep_serving_qps_2hop(spark, n: int = 50_000, seconds: float = 5.0):
+def _deep_serving_qps_2hop(spark, n: int = 50_000, seconds: float = 5.0,
+                           prepared_shapes: bool = True):
     """Cold 2-hop serving: the nation→link→region template shape at
     working-set scale (n nations + n link primitives + 997 regions),
-    probed with n DISTINCT request lines so neither the eval cache nor
-    any per-template state can amortize work across requests."""
+    probed with n DISTINCT request lines so the eval cache and the
+    line-keyed AST cache never serve a timed request.  The
+    prepared-parse shape cache still binds each request's literals
+    into the once-parsed template (that is the design); pass
+    ``prepared_shapes=False`` to measure the full-parse floor."""
     import hashlib
     import os
     import time
@@ -350,6 +358,7 @@ def _deep_serving_qps_2hop(spark, n: int = 50_000, seconds: float = 5.0):
             )
         st.commit()
     gs = GraphSession.attach(spark, cache)
+    gs.prepared_shapes_enabled = prepared_shapes
     assert gs.store.hydrate(limit=2 * n + 1000)
     tmpl = (
         'read (name="nation" value="n{i:06d}" result=((value)) '

@@ -145,20 +145,45 @@ class GraphSession:
                 if all(t.kind == "end" for t in toks):
                     return ""  # comment-only input: no request, no reply
             except LexError:
-                pass  # the parser below reports it
-            try:
-                req = parse_request(line, toks=toks)
-            except (ParseError, LexError) as e:
-                code = getattr(e, "code", "SYNTAX")
-                return self._error(
-                    code, str(e), self._id_of_line(line),
-                    extra=self._dateline_echo_of_line(line),
-                )
-            if req.command == "read" and toks is not None:
-                read_key = self._cursorless_key(toks)
-                ast_cache[line] = (req, read_key)
-                while len(ast_cache) > 64:
-                    ast_cache.pop(next(iter(ast_cache)))
+                toks = None  # the parser below reports it
+            # prepared-parse shape cache: a read whose template SHAPE
+            # repeats with different string literals (point reads,
+            # cursor chains) re-binds the literals into the cached
+            # parse instead of re-parsing — see gql/prepared.py for
+            # the derivation/validation safety model
+            req = shape = None
+            if (
+                self.prepared_shapes_enabled
+                and toks is not None
+                and toks
+                and toks[0].matches("read")
+            ):
+                shape = getattr(self, "_shape_cache", None)
+                if shape is None:
+                    from graphd_spark.gql.prepared import ShapeCache
+
+                    shape = self._shape_cache = ShapeCache(
+                        lambda l, t: parse_request(l, toks=t)
+                    )
+                req = shape.serve(toks)
+                if req is not None:
+                    read_key = self._cursorless_key(toks)
+            if req is None:
+                try:
+                    req = parse_request(line, toks=toks)
+                except (ParseError, LexError) as e:
+                    code = getattr(e, "code", "SYNTAX")
+                    return self._error(
+                        code, str(e), self._id_of_line(line),
+                        extra=self._dateline_echo_of_line(line),
+                    )
+                if req.command == "read" and toks is not None:
+                    read_key = self._cursorless_key(toks)
+                    ast_cache[line] = (req, read_key)
+                    while len(ast_cache) > 64:
+                        ast_cache.pop(next(iter(ast_cache)))
+                    if shape is not None:
+                        shape.observe(line, toks, req)
         rid = req.modifiers.get("id")
         from graphd_spark.model import guid_compose, guid_serial
 
@@ -746,6 +771,12 @@ class GraphSession:
     #: job; anything unsupported falls back to the DataFrame compiler.
     #: Class attribute so tests can force either path.
     fast_read_enabled = True
+
+    #: prepared-parse shape cache (gql/prepared.py): repeated read
+    #: SHAPES re-bind their string literals into the cached parse.
+    #: Class attribute so tests/benchmarks can measure the full-parse
+    #: floor.
+    prepared_shapes_enabled = True
 
     @staticmethod
     def _cursorless_key(toks) -> str:
