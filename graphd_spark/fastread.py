@@ -762,10 +762,12 @@ class FastReader:
         for sp in plan.sub_plans:
             ctx = getattr(sp.plan, "cursor_ctx", None)
             if ctx is not None:
-                # single-raw-candidate roots bound an iam sub's [n:]
-                # at the parent id (the optimizer pre-evaluates the
-                # parent; links point backward in time; probed)
-                ctx["root_n"] = getattr(plan, "_root_ncand", None)
+                # iam-probe [n:] pins — see the probe notes on
+                # _eval_set's plan._root_hmap1 / _root_matches
+                ctx["root_hmap1"] = getattr(plan, "_root_hmap1", False)
+                ctx["root_matches"] = getattr(
+                    plan, "_root_matches", None
+                )
         for ssim in getattr(plan, "_root_ssims", ()):
             if ssim.grid is None or ssim.first_key is None:
                 continue
@@ -2759,12 +2761,56 @@ class FastReader:
             row = self._row_for(p, con, spec, build_row=not exists_only)
             if row is not _NO_MATCH:
                 matches.append((p, row))
-        # raw candidate count: a single-element root producer lets the
-        # optimizer pre-evaluate the parent and bound an iam sub's
-        # [n:] at the parent id (probed: value= equality roots bound,
-        # value~= glob roots with wider bins do not)
-        plan._root_ncand = ncand
+        # iam pagesize=0 probe [n:] pins (probed round 6, 11 probe
+        # shapes vs the binary; cursor fuzz seed 2120):
+        # - a single-element value/name hmap (or word-prefix) bin
+        #   root pins [n:] at the PARENT id;
+        # - any other root whose total accepted match count is 1
+        #   (single-candidate gmap/guid roots, wide bins with one
+        #   survivor, sub-join rejections included) pins [n:] at the
+        #   TARGET id + 1 — the per-parent pre-evaluated fixed set's
+        #   natural high bound;
+        # - 2+ accepted matches keep the store horizon even when
+        #   only one parent renders (pagesize=1 probed).
+        plan._root_hmap1 = ncand == 1 and self._root_is_hmap_bin(con)
+        plan._root_matches = len(matches)
         return plan, matches
+
+    def _root_is_hmap_bin(self, con: Constraint) -> bool:
+        """Would _candidates pick a value/name hmap (or word-prefix)
+        bin for this root?  Mirrors the producer-contest order in
+        _candidates exactly (guid include and value=/name= equality
+        outrank the prefix bins; type= and linkage gmaps are NOT the
+        hmap family)."""
+        if self._guid_include_ids(con) is not None:
+            return False
+        comp = resolve_comparator(con.value_comparator or con.comparator)
+        eqs = [sc for sc in con.value_strcons if sc.op == "="]
+        if eqs and comp in ("default", "case", "octet"):
+            lits = [v for v in eqs[0].values if v is not None]
+            if lits and "" not in lits and not any(
+                v is None for v in eqs[0].values
+            ):
+                return True
+        neqs = [sc for sc in con.name_strcons if sc.op == "="]
+        if neqs:
+            lits = [v for v in neqs[0].values if v is not None]
+            if lits and not any(v is None for v in neqs[0].values):
+                return True
+        teqs = [sc for sc in con.type_strcons if sc.op == "="]
+        if teqs and not any(v is None for v in teqs[0].values):
+            return False
+        for sc in con.value_strcons:
+            if sc.op != "~=" or len(sc.values) != 1 or not sc.values[0]:
+                continue
+            body = sc.values[0]
+            body = body[1:] if body.startswith("^") else body
+            if not body.endswith("*"):
+                continue
+            pfx = body[:-1]
+            if pfx and pfx.isalnum() and pfx.isascii():
+                return True
+        return False
 
     def _sub_cursor_setup_f(self, sub, sub_plan):
         """Subconstraint cursors, driver mirror of
@@ -2879,6 +2925,16 @@ class FastReader:
                     if len(b) == 1:
                         hb = b[0] + 1
                         ph = hb if ph is None else min(ph, hb)
+            # single-element word-PREFIX bins bound the same way
+            # (probed: my-subs and iam subs both pin element+1; the
+            # prefix-bin bound outranks the iam parent-id pin —
+            # cursor fuzz seed 2120's root shape)
+            pfx = _prefix_pattern_f(sub)
+            if pfx is not None:
+                b = self._prefix_bin_ids_f(pfx)
+                if len(b) == 1:
+                    hb = b[0] + 1
+                    ph = hb if ph is None else min(ph, hb)
             if ph is not None:
                 ctx["probe_high"] = ph
         ctx.update(self.sub_cursor_index(sub, mode, cstate))

@@ -350,15 +350,24 @@ class Assembler:
         else:
             return None
         horizon = ctx["horizon"]
-        if mode == "iam" and ctx.get("root_n") == 1:
-            # a single-match root pins the iam target scan's high
-            # bound at the parent's own id (links point backward in
-            # time); multi-parent roots keep the store horizon
-            horizon = min(horizon, guid_serial(pguid))
-        elif ctx.get("probe_high") is not None:
-            # a single-raw-element equality bin pre-evaluates to a
-            # bounded fixed iterator: [n:] = element + 1 (probed)
+        # [n:] bound precedence (probed round 6, 14 shapes vs the
+        # binary; cursor fuzz seed 2120):
+        # 1. a single-element value/name/prefix bin among the SUB's
+        #    own predicates: element + 1 (all sub modes);
+        # 2. iam sub under a single-element value/name/prefix-bin
+        #    ROOT: the parent's own id (links point backward);
+        # 3. iam sub under any other root with exactly ONE accepted
+        #    match (wide bins with one survivor, gmap/guid roots,
+        #    sub-join rejections): target + 1 — the per-parent fixed
+        #    set's natural high;
+        # 4. otherwise the store horizon, even when pagesize renders
+        #    only one of several matched parents.
+        if ctx.get("probe_high") is not None:
             horizon = min(horizon, ctx["probe_high"])
+        elif mode == "iam" and ctx.get("root_hmap1"):
+            horizon = min(horizon, guid_serial(pguid))
+        elif mode == "iam" and ctx.get("root_matches") == 1:
+            horizon = min(horizon, first_id + 1)
         cur = freeze_cursor(
             ctx["con"], st, delivered, horizon, ctx["resolve"],
         )

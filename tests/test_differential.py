@@ -1467,3 +1467,61 @@ def test_differential_and_cursors(spark, ref_bin, n):
         gs.request(ln)
     got = [drive(gs.request, r, p) for r, p in chains]
     assert got == want
+
+
+def test_iam_probe_n_pins(spark, ref_bin):
+    """Directed parity for the iam pagesize=0 probe's [n:] family
+    (cursor fuzz seed 2120; 11 probe shapes vs the binary):
+    single-element value/name/prefix-bin roots pin the parent id,
+    any other single-MATCH root pins target+1 (wide bins with one
+    survivor, versioned-away bin entries, gmap/guid roots, sub-join
+    rejections), and 2+ matches keep the store horizon even when
+    pagesize renders only one parent."""
+    G = "000000124000345680000000%08x".__mod__
+    scripts = [
+        # single-element value bin -> parent id; target far below
+        (['write (value="a0")', 'write (value="f1")',
+          'write (value="f2")',
+          'write (value="b-two" left=%s)' % G(0)],
+         ['read (value="b-two" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" pagesize=0 result=(cursor (guid value))))']),
+        # bare iam + word-prefix single bin -> parent id
+        (['write (value="a0")',
+          'write (value="b-one" left=%s)' % G(0)],
+         ['read (value~="b-o*" pagesize=2 result=((value contents)) '
+          'left->(pagesize=0 result=(cursor (guid value))))']),
+        # two-element bin, one survivor via versioning -> target+1
+        (['write (value="a0")', 'write (value="b-one")',
+          'write (guid~=%s value="b-one" left=%s)' % (G(1), G(0)),
+          'write (value="f")'],
+         ['read (value="b-one" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" pagesize=0 result=(cursor (guid value))))']),
+        # two-element prefix bin, one survivor via sub join -> target+1
+        (['write (value="a0")',
+          'write (value="b-one" left=%s)' % G(0),
+          'write (value="b-two")'],
+         ['read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(pagesize=0 result=(cursor (guid value))))']),
+        # gmap / guid-equality roots -> target+1 (NOT parent id)
+        (['write (value="a0")', 'write (value="f")',
+          'write (value="b-one" left=%s)' % G(0)],
+         ['read (left=%s pagesize=2 result=((value contents)) '
+          'left->(value~="a*" pagesize=0 result=(cursor (guid value))))'
+          % G(0),
+          'read (guid=%s pagesize=2 result=((value contents)) '
+          'left->(value~="a*" pagesize=0 result=(cursor (guid value))))'
+          % G(2)]),
+        # two matches at pagesize=1: store horizon, not target+1
+        (['write (value="a0")', 'write (value="a1")',
+          'write (value="b-one" left=%s)' % G(0),
+          'write (value="b-two" left=%s)' % G(1),
+          'write (value="f")'],
+         ['read (value~="b*" pagesize=1 result=((value contents)) '
+          'left->(value~="a*" pagesize=0 result=(cursor (guid value))))',
+          'read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(pagesize=0 result=(cursor (guid value))))']),
+    ]
+    for writes, reads in scripts:
+        want = run_reference(writes + reads)
+        got = run_engine(spark, writes + reads)
+        assert got == want, (writes, reads)
