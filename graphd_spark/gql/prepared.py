@@ -201,8 +201,14 @@ class ShapeCache:
     def serve(self, toks: list[Token]):
         """Patched Request for this token stream, or None (miss /
         unpatchable / not derived yet)."""
-        e = self._entries.get(shape_key(toks))
-        if e is None or e.state != "ready":
+        key = shape_key(toks)
+        e = self._entries.get(key)
+        if e is None:
+            return None
+        # LRU refresh: hot shapes survive the _MAX_SHAPES eviction
+        self._entries.pop(key)
+        self._entries[key] = e
+        if e.state != "ready":
             return None
         for si, paths in zip(e.slots, e.recipe):
             text = toks[si].text
