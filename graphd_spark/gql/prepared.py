@@ -180,13 +180,14 @@ def _apply(root, path: tuple, value):
 
 
 class _Entry:
-    __slots__ = ("state", "target", "recipe", "slots")
+    __slots__ = ("state", "target", "recipe", "slots", "compiled")
 
     def __init__(self):
         self.state = "seen"  # seen -> ready | nope
         self.target = None  # the shared patch-target Request
         self.recipe = None  # list[ list[path] ] per literal slot
         self.slots = None  # token indices of the str literals
+        self.compiled = None  # per-slot resolved (kind, container, key)
 
 
 class ShapeCache:
@@ -210,11 +211,44 @@ class ShapeCache:
         self._entries[key] = e
         if e.state != "ready":
             return None
-        for si, paths in zip(e.slots, e.recipe):
+        for si, sets in zip(e.slots, e.compiled):
             text = toks[si].text
-            for path in paths:
-                _apply(e.target, path, text)
+            for kind, container, last in sets:
+                if kind == "a":
+                    setattr(container, last, text)
+                elif kind == "i":
+                    container[last] = text
+                else:  # tuple somewhere on the path: interpreted
+                    _apply(e.target, last, text)
         return e.target
+
+    @staticmethod
+    def _compile_paths(target, recipe):
+        """Resolve each recipe path to its final (container, key) in
+        the fixed patch target — patching becomes one setattr/setitem
+        per leaf.  Paths crossing a tuple stay interpreted (the
+        rebuild replaces containers)."""
+        compiled = []
+        for paths in recipe:
+            sets = []
+            for path in paths:
+                obj = target
+                tupled = False
+                for step, name in path[:-1]:
+                    nxt = (
+                        getattr(obj, name) if step == "a" else obj[name]
+                    )
+                    if isinstance(nxt, tuple):
+                        tupled = True
+                        break
+                    obj = nxt
+                if tupled:
+                    sets.append(("t", None, path))
+                else:
+                    step, name = path[-1]
+                    sets.append((step, obj, name))
+            compiled.append(sets)
+        return compiled
 
     def observe(self, line: str, toks: list[Token], req) -> None:
         """Record a full parse of ``line``; derive the recipe on the
@@ -275,6 +309,6 @@ class ShapeCache:
                 _apply(target, path, toks[si].text)
         if not _deep_eq(target, req):
             return
-        e.slots, e.recipe, e.target, e.state = (
-            slots, recipe, target, "ready",
-        )
+        e.slots, e.recipe, e.target = slots, recipe, target
+        e.compiled = self._compile_paths(target, recipe)
+        e.state = "ready"
