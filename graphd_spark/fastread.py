@@ -309,23 +309,6 @@ def check_supported(con: Constraint) -> None:
                     # ssims; a nested/branch sorted cursor sub's
                     # multi-parent interplay is unprobed)
                     raise Unsupported("nested-sort-sub-cursor")
-                if in_branch:
-                    # or-branch subs: the iterator freezes are
-                    # mirrored (the winning branch freezes its
-                    # per-parent index like a direct sub; probed),
-                    # but pagesize-0 probe stashing only runs in
-                    # _row_for, not the or-chain evaluator
-                    rps = (
-                        node.resultpagesize
-                        if node.resultpagesize is not None
-                        else (
-                            node.pagesize
-                            if node.pagesize is not None
-                            else DEFAULT_PAGESIZE
-                        )
-                    )
-                    if rps == 0:
-                        raise Unsupported("branch-sub-probe")
         for chain in node.or_chains:
             for b in chain:
                 if b.or_chains:
@@ -3428,13 +3411,44 @@ class FastReader:
                         continue
                     kids.append((c, crow))
                 n = len(kids)
+                probe_entry = None
+                probe_my = False
+                if ss.rps == 0:
+                    # pagesize=0 probe subs inside or-branches
+                    # (probed round 6): a MY-form branch sub never
+                    # consumes — the implied countlimit caps the
+                    # branch count at 0 (explicit countlimit does not
+                    # rescue), the slot renders the empty set with
+                    # cursor null:, and count renders 0; an IAM-form
+                    # branch sub contracts to the parent intrinsic
+                    # like at root level and stashes its probe freeze
+                    if sub.linkage is not None and \
+                            sub.linkage[0] == "iam":
+                        if kids and ss.lo < n:
+                            k = max(1, ss.lo)
+                            probe_entry = (
+                                kids[k - 1][0].id, p.guid, k,
+                            )
+                    else:
+                        probe_my = True
+                        n = 0
                 if sub.sort is not None:
                     self._apply_sort(sub, sp.plan, kids)
                 child_rows = [
                     r for _c, r in kids[ss.lo:ss.lo + ss.rps]
                 ]
+                if (
+                    probe_entry is not None
+                    and getattr(sp.plan, "cursor_ctx", None) is not None
+                ):
+                    sp.plan.cursor_ctx.setdefault("probe", {})[
+                        id(child_rows)
+                    ] = probe_entry
                 if row is not None:
-                    if n == 0:
+                    if probe_my:
+                        row[sp.cnt_col] = 0
+                        row[sp.arr_col] = child_rows  # ("null:")
+                    elif n == 0:
                         row[sp.cnt_col] = None  # left-join miss
                         row[sp.arr_col] = None
                     else:
@@ -3480,6 +3494,18 @@ class FastReader:
                 if eff:
                     vals, bvars, bpats = branch_var_vals[bi]
                     ecol = branch_specs[bi][4]
+                    for wss in branch_specs[bi][1]:
+                        # winning-branch tally: an iam probe's [n:]
+                        # pins the parent id when exactly one parent
+                        # won this branch, the store horizon for 2+
+                        # (probed; see _sub_probe_cursor)
+                        wctx = getattr(
+                            wss.sp.plan, "cursor_ctx", None
+                        )
+                        if wctx is not None:
+                            wctx["branch_winners"] = (
+                                wctx.get("branch_winners", 0) + 1
+                            )
                     if ecol is not None:
                         row[ecol] = True
                     for var, _k, newcol, _arr, _src in bvars:

@@ -364,6 +364,12 @@ class Assembler:
         #    only one of several matched parents.
         if ctx.get("probe_high") is not None:
             horizon = min(horizon, ctx["probe_high"])
+        elif mode == "iam" and "branch_winners" in ctx:
+            # or-branch iam probes: parent id when exactly one parent
+            # won this branch, store horizon for 2+ (probed — the
+            # root-level target+1 tier does not apply in branches)
+            if ctx["branch_winners"] == 1:
+                horizon = min(horizon, guid_serial(pguid))
         elif mode == "iam" and ctx.get("root_hmap1"):
             horizon = min(horizon, guid_serial(pguid))
         elif mode == "iam" and ctx.get("root_matches") == 1:

@@ -387,17 +387,23 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
                 asof2 = "asof=1970-01-01T00:00:00.{:04d} ".format(
                     rng.randrange(5, 30)
                 )
-            if (
-                arrow.startswith("<-") and sps > 0
-                and "sort=" not in st and rng.random() < 0.15
-            ):
+            if "sort=" not in st and rng.random() < 0.15:
                 # or-branch sub cursors: the winning branch freezes
-                # its per-parent iterator, losing slots render null
-                other = "<-right" if arrow == "<-left" else "<-left"
+                # its per-parent iterator, losing slots render null.
+                # pagesize=0 probes in branches (round 6): MY-form
+                # branch subs count 0 and freeze null:, IAM-form
+                # subs stash the probe freeze with the
+                # branch-winner [n:] pins
+                other = "<-right" if arrow != "<-right" else "<-left"
+                me = (
+                    f"({arrow} {pred}{st}pagesize={sps} "
+                    f"result=(cursor (guid value)){opt})"
+                    if arrow.startswith("<-")
+                    else f"{arrow}({pred}{st}pagesize={sps} "
+                    f"result=(cursor (guid value)){opt})"
+                )
                 body2 = (
-                    f"{{ ({arrow} {pred}{st}pagesize={sps} "
-                    f"result=(cursor (guid value)){opt}) | "
-                    f"({other} pagesize=1 "
+                    f"{{ {me} | ({other} pagesize=1 "
                     f"result=(cursor (guid value))) }}"
                 )
             elif arrow.startswith("<-"):
@@ -1525,3 +1531,52 @@ def test_iam_probe_n_pins(spark, ref_bin):
         want = run_reference(writes + reads)
         got = run_engine(spark, writes + reads)
         assert got == want, (writes, reads)
+
+
+def test_branch_probe_subs(spark, ref_bin):
+    """pagesize=0 probe subs inside or-branches (round 6): MY-form
+    branch subs count 0 under the implied countlimit (explicit
+    countlimit does not rescue; optional/count=0 pass and render the
+    empty set with cursor null:, count renders 0); IAM-form branch
+    subs contract to the parent intrinsic, stash their probe freeze,
+    and pin [n:] at the parent id when exactly one parent won the
+    branch (store horizon for 2+; the root-level target+1 tier does
+    not apply in branches)."""
+    G = "000000124000345680000000%08x".__mod__
+    w1 = [
+        'write (value="a0")', 'write (value="a1")',
+        'write (value="b-one" left=%s right=%s)' % (G(0), G(1)),
+        'write (value="b-two" left=%s)' % G(1),
+        'write (value="filler")',
+    ]
+    w2 = w1[:3] + ['write (value="b-two")', 'write (value="filler")']
+    P = 'read (value~="b*" pagesize=2 result=((value contents)) %s)'
+    shapes = [
+        P % '{(<-left value~="a*" pagesize=0 result=(cursor (guid '
+            'value)))} | {name="zz"}',
+        P % '{name="zz"} | {(<-left pagesize=0 result=(cursor (guid '
+            'value)))}',
+        'read (value="b-two" pagesize=2 result=((value contents)) '
+        '{left->(value~="a*" pagesize=0 result=(cursor (guid '
+        'value)))} | {name="zz"})',
+        P % '{(<-left optional pagesize=0 result=(cursor (guid '
+            'value)))} | {name="zz"}',
+        P % '{(<-left count=0 pagesize=0 result=(cursor (guid '
+            'value)))} | {name="zz"}',
+        P % '{(<-left countlimit=2 pagesize=0 result=(cursor (guid '
+            'value)))} | {name="zz"}',
+        P % '{(<-left start=1 pagesize=0 result=(cursor (guid '
+            'value)))} | {name="zz"}',
+        P % '{(<-left pagesize=0 result=(cursor (guid value)))} | '
+            '{value~="b*"}',
+        P % '{name="zz"} | {left->(pagesize=0 result=(cursor (guid '
+            'value)))}',
+        P % '{left->(start=1 pagesize=0 result=(cursor (guid '
+            'value)))} | {name="zz"}',
+        P % '{(<-left optional pagesize=0 result=(count cursor))} | '
+            '{name="zz"}',
+    ]
+    for writes in (w1, w2):
+        want = run_reference(writes + shapes)
+        got = run_engine(spark, writes + shapes)
+        assert got == want
