@@ -334,31 +334,38 @@ def _unescape(s: str) -> str:
     return _ESC.sub(lambda m: _ESC_MAP.get(m.group(1), m.group(1)), s)
 
 
-def parse_tuple_batch(lines, db_id: int):
+def parse_tuple_batch(lines, db_id: int, derived: bool = True):
     """Parse version-6 dump tuple lines into primitive dicts (worker-
     side; no store access).  Linkage canonicalization and version
     chains are resolved afterwards with joins — see bulk_restore.
 
-    The derived comparator columns (value_norm/value_num/value_fkey)
-    and timestamps are computed once per *unique* value through a
-    memo — dump values and timestamps repeat heavily, so this drops
-    the per-row Python cost from ~100us to the ~25us tokenize."""
-    from graphd_spark.comparators import (
-        decode_number,
-        fuzzy_key,
-        render_sci,
-        value_norm_key,
-    )
-
-    def _derived(val):
-        if val is None:
-            return None, None, None
-        d = decode_number(val, scientific=True)
-        return (
-            value_norm_key(val),
-            None if d is None else render_sci(d),
-            fuzzy_key(val),
+    With ``derived`` the comparator columns (value_norm/value_num/
+    value_fkey) and timestamps are computed once per *unique* value
+    through a memo — dump values and timestamps repeat heavily, so
+    this drops the per-row Python cost from ~100us to the ~25us
+    tokenize.  ``derived=False`` emits only the tokenize output (raw
+    ``ts_text`` in place of the parsed ``timestamp``): bulk_restore
+    attaches the derived columns as separate Arrow-vectorized
+    projections AFTER the chain joins, so a consumer that never reads
+    them (e.g. an aggregate over guid/value) has Catalyst prune the
+    whole derivation away."""
+    if derived:
+        from graphd_spark.comparators import (
+            decode_number,
+            fuzzy_key,
+            render_sci,
+            value_norm_key,
         )
+
+        def _derived(val):
+            if val is None:
+                return None, None, None
+            d = decode_number(val, scientific=True)
+            return (
+                value_norm_key(val),
+                None if d is None else render_sci(d),
+                fuzzy_key(val),
+            )
 
     derived_memo: dict = {}
     ts_memo: dict = {}
@@ -383,34 +390,82 @@ def parse_tuple_batch(lines, db_id: int):
             dt = DATATYPE_CODES.get(dtt, int(dtt) if dtt.isdigit() else 1)
         val = value[1] if value[0] else None
         gtxt = guid[1].lower()
-        dv = derived_memo.get(val)
-        if dv is None:
-            dv = derived_memo[val] = _derived(val)
-        tst = ts_memo.get(ts[1])
-        if tst is None:
-            tst = ts_memo[ts[1]] = ts_from_string(ts[1])
-        out.append(
-            dict(
-                id=guid_serial(gtxt),
-                guid=gtxt,
-                typeguid=_atom_guid(typeguid[1]),
-                left=_atom_guid(left[1]),
-                right=_atom_guid(right[1]),
-                scope=_atom_guid(scope[1]),
-                prev=_atom_guid(prev[1]),
-                name=name[1] if name[0] else None,
-                datatype=dt,
-                value=val,
-                value_norm=dv[0],
-                value_num=dv[1],
-                value_fkey=dv[2],
-                live=live[1].lower() != "false",
-                archival=archival[1].lower() != "false",
-                txstart=txstart[1].lower() == "true",
+        row = dict(
+            id=guid_serial(gtxt),
+            guid=gtxt,
+            typeguid=_atom_guid(typeguid[1]),
+            left=_atom_guid(left[1]),
+            right=_atom_guid(right[1]),
+            scope=_atom_guid(scope[1]),
+            prev=_atom_guid(prev[1]),
+            name=name[1] if name[0] else None,
+            datatype=dt,
+            value=val,
+            live=live[1].lower() != "false",
+            archival=archival[1].lower() != "false",
+            txstart=txstart[1].lower() == "true",
+        )
+        if derived:
+            dv = derived_memo.get(val)
+            if dv is None:
+                dv = derived_memo[val] = _derived(val)
+            tst = ts_memo.get(ts[1])
+            if tst is None:
+                tst = ts_memo[ts[1]] = ts_from_string(ts[1])
+            row.update(
+                value_norm=dv[0], value_num=dv[1], value_fkey=dv[2],
                 timestamp=tst,
             )
-        )
+        else:
+            row["ts_text"] = ts[1]
+        out.append(row)
     return out
+
+
+def _derived_columns():
+    """(timestamp, value_norm, value_num, value_fkey) as Arrow-
+    vectorized column factories over (ts_text, value).  Memoized per
+    batch on unique inputs — dump values/timestamps repeat heavily.
+    Deterministic pandas_udfs, so Catalyst prunes any the consumer
+    never selects (the point of splitting them out of the parse)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType, LongType, StringType
+
+    def _memo_map(s, fn):
+        uniq = {v: fn(v) for v in s.dropna().unique()}
+        return s.map(lambda v: None if v is None else uniq[v])
+
+    def _ts(s):
+        return _memo_map(s, ts_from_string)
+
+    def _norm(s):
+        from graphd_spark.comparators import value_norm_key
+
+        return _memo_map(s, value_norm_key)
+
+    def _num(s):
+        from graphd_spark.comparators import decode_number, render_sci
+
+        def one(v):
+            d = decode_number(v, scientific=True)
+            return None if d is None else render_sci(d)
+
+        return _memo_map(s, one)
+
+    def _fkey(s):
+        from graphd_spark.comparators import fuzzy_key
+
+        return _memo_map(s, fuzzy_key)
+
+    # the positional (fn, returnType) form: the decorator form infers
+    # the eval type from pd.Series annotations, which would force a
+    # module-level pandas import onto every dump.py consumer
+    return (
+        F.pandas_udf(_ts, LongType()),
+        F.pandas_udf(_norm, StringType()),
+        F.pandas_udf(_num, StringType()),
+        F.pandas_udf(_fkey, BinaryType()),
+    )
 
 
 def bulk_restore(spark, lines_df, db_id: int, chains: bool | None = None):
@@ -438,21 +493,50 @@ def bulk_restore(spark, lines_df, db_id: int, chains: bool | None = None):
 
     _ship_package(spark)  # workers unpickle the tuple parser
 
-    parse_fields = [
+    # the executor parse is tokenize-only: timestamps and the derived
+    # comparator columns attach AFTER the chain joins as separate
+    # Arrow projections (_derived_columns), so (a) the chain-walk
+    # checkpoints materialize raw columns only and (b) a consumer
+    # that never reads them (restore_bulk's checksum aggregate) has
+    # Catalyst prune the whole derivation out of the plan
+    raw_fields = [
         f for f in PRIMITIVES_SCHEMA.fields
         if not f.name.endswith("_lin")
-        and f.name not in ("lineage", "generation")
+        and f.name not in (
+            "lineage", "generation",
+            "timestamp", "value_norm", "value_num", "value_fkey",
+        )
     ]
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StringType, StructField, StructType
 
-    parsed_schema = StructType(parse_fields)
+    parsed_schema = StructType(
+        raw_fields + [StructField("ts_text", StringType(), False)]
+    )
 
     def _parse(batches):
         for pdf in batches:
-            rows = parse_tuple_batch(pdf["value"].tolist(), db_id)
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in parse_fields]
+            rows = parse_tuple_batch(
+                pdf["value"].tolist(), db_id, derived=False
             )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in parsed_schema.fields]
+            )
+
+    _ts_udf, _norm_udf, _num_udf, _fkey_udf = _derived_columns()
+
+    def _finish(df):
+        return df.select(
+            *[
+                c.name for c in PRIMITIVES_SCHEMA.fields
+                if c.name not in (
+                    "timestamp", "value_norm", "value_num", "value_fkey",
+                )
+            ],
+            _ts_udf(F.col("ts_text")).alias("timestamp"),
+            _norm_udf(F.col("value")).alias("value_norm"),
+            _num_udf(F.col("value")).alias("value_num"),
+            _fkey_udf(F.col("value")).alias("value_fkey"),
+        ).select(*[f.name for f in PRIMITIVES_SCHEMA.fields])
 
     # spread the Python parse across the cluster even when the input
     # arrives in few partitions (e.g. downstream of a global window)
@@ -493,9 +577,7 @@ def bulk_restore(spark, lines_df, db_id: int, chains: bool | None = None):
         )
         for lk in ("typeguid", "left", "right", "scope"):
             df = df.withColumn(f"{lk}_lin", F.col(lk))
-        return df.select(
-            *[f.name for f in PRIMITIVES_SCHEMA.fields]
-        )
+        return _finish(df)
     parsed = parsed.localCheckpoint()  # parse once; the joins reuse
 
     base = parsed.select("guid", "prev")
@@ -549,4 +631,4 @@ def bulk_restore(spark, lines_df, db_id: int, chains: bool | None = None):
             *[c for c in df.columns if c not in ("c_guid", "c_lin")],
             F.coalesce("c_lin", lk).alias(f"{lk}_lin"),
         )
-    return df.select(*[f.name for f in PRIMITIVES_SCHEMA.fields])
+    return _finish(df)
