@@ -138,22 +138,48 @@ class GraphSession:
             req, read_key = cached
         else:
             read_key = None
-            try:
-                from graphd_spark.gql.lexer import tokenize
+            # raw-line shape serving: a known read template is patched
+            # straight from the raw line — no tokenize at all (the
+            # dominant cold-template cost).  Lines mentioning "cursor"
+            # anywhere take the token path so cursor-chain pages keep
+            # sharing one cursorless eval-cache key.  The ("raw", line)
+            # key is exact (the line IS the query) and, being a tuple,
+            # can never collide with the token path's string keys.
+            req = None
+            if (
+                self.prepared_shapes_enabled
+                and line[:4].lower() == "read"
+                and (
+                    len(line) == 4
+                    or not (line[4].isalnum() or line[4] in "_-")
+                )
+                and "cursor" not in line
+            ):
+                shape = getattr(self, "_shape_cache", None)
+                if shape is not None:
+                    req = shape.serve_raw(line)
+                    if req is not None:
+                        read_key = ("raw", line)
+            if req is not None:
+                pass  # raw-served; skip tokenize/parse entirely
+            else:
+                try:
+                    from graphd_spark.gql.lexer import tokenize
 
-                toks = tokenize(line)
-                if all(t.kind == "end" for t in toks):
-                    return ""  # comment-only input: no request, no reply
-            except LexError:
-                toks = None  # the parser below reports it
+                    toks = tokenize(line)
+                    if all(t.kind == "end" for t in toks):
+                        return ""  # comment-only input: no reply
+                except LexError:
+                    toks = None  # the parser below reports it
             # prepared-parse shape cache: a read whose template SHAPE
             # repeats with different string literals (point reads,
             # cursor chains) re-binds the literals into the cached
             # parse instead of re-parsing — see gql/prepared.py for
             # the derivation/validation safety model
-            req = shape = None
+            shape = None
             if (
-                self.prepared_shapes_enabled
+                req is None
+                and self.prepared_shapes_enabled
                 and toks is not None
                 and toks
                 and toks[0].matches("read")
@@ -165,7 +191,7 @@ class GraphSession:
                     shape = self._shape_cache = ShapeCache(
                         lambda l, t: parse_request(l, toks=t)
                     )
-                req = shape.serve(toks)
+                req = shape.serve(toks, line=line)
                 if req is not None:
                     read_key = self._cursorless_key(toks)
             if req is None:

@@ -42,6 +42,7 @@ the reference binary, exercising the patching on every seed.
 
 from __future__ import annotations
 
+import re
 from dataclasses import fields, is_dataclass
 from typing import Callable, Optional
 
@@ -49,6 +50,42 @@ from graphd_spark.gql.lexer import STR, LexError, Token, tokenize
 
 #: max cached shapes per session (each holds one parsed request)
 _MAX_SHAPES = 128
+
+# raw-line templating: one C-regex pass replaces each quoted literal
+# with a raw-content-length marker.  Two lines with equal raw keys have
+# byte-identical text outside the matched literals and equal raw
+# literal lengths, so they tokenize to identical streams (kinds,
+# positions, texts) except the STR contents — the raw key is a
+# strictly-finer proxy for shape_key that costs no tokenize.  The
+# literal regex mirrors the lexer's string scan (backslash escapes, no
+# raw newlines); any divergence (quotes inside '(: :)' comments,
+# escaped newlines) is caught by the registration-time alignment check
+# in ShapeCache.serve, which refuses the raw mapping unless the regex
+# matches sit exactly on the STR token positions.
+_RAW_STR = re.compile(r'"(?:[^"\\\n]|\\[^\n])*"')
+_RAW_UNESC = re.compile(r"\\(.)")
+_RAW_ESC_MAP = {"\\": "\\", '"': '"', "n": "\n"}
+
+
+def raw_template(line: str) -> tuple[str, list[str], list[int]]:
+    """(raw_key, unescaped literal contents, literal start offsets)."""
+    lits: list[str] = []
+    poss: list[int] = []
+
+    def repl(m: re.Match) -> str:
+        s = m.group(0)
+        poss.append(m.start())
+        seg = s[1:-1]
+        if "\\" in seg:
+            seg = _RAW_UNESC.sub(
+                lambda mm: _RAW_ESC_MAP.get(mm.group(1), mm.group(1)),
+                seg,
+            )
+        lits.append(seg)
+        return '"\x00%d"' % (len(s) - 2)
+
+    key = _RAW_STR.sub(repl, line)
+    return key, lits, poss
 
 #: walker skip-list: backrefs that would cycle (Constraint.parent)
 _SKIP_ATTRS = {"parent"}
@@ -180,7 +217,9 @@ def _apply(root, path: tuple, value):
 
 
 class _Entry:
-    __slots__ = ("state", "target", "recipe", "slots", "compiled")
+    __slots__ = (
+        "state", "target", "recipe", "slots", "compiled", "raw_tried",
+    )
 
     def __init__(self):
         self.state = "seen"  # seen -> ready | nope
@@ -188,6 +227,7 @@ class _Entry:
         self.recipe = None  # list[ list[path] ] per literal slot
         self.slots = None  # token indices of the str literals
         self.compiled = None  # per-slot resolved (kind, container, key)
+        self.raw_tried = False  # raw-key registration attempted
 
 
 class ShapeCache:
@@ -196,12 +236,15 @@ class ShapeCache:
     def __init__(self, parse: Callable[[str, list], object]):
         self._parse = parse  # (line, toks) -> Request
         self._entries: dict[tuple, _Entry] = {}
+        self._raw: dict[str, _Entry] = {}  # raw_template key -> entry
 
     # -- serving -----------------------------------------------------------
 
-    def serve(self, toks: list[Token]):
+    def serve(self, toks: list[Token], line: Optional[str] = None):
         """Patched Request for this token stream, or None (miss /
-        unpatchable / not derived yet)."""
+        unpatchable / not derived yet).  With ``line``, a ready hit
+        registers the line's raw template so later same-shape lines
+        can be served by :meth:`serve_raw` without tokenizing."""
         key = shape_key(toks)
         e = self._entries.get(key)
         if e is None:
@@ -211,6 +254,8 @@ class ShapeCache:
         self._entries[key] = e
         if e.state != "ready":
             return None
+        if line is not None and not e.raw_tried:
+            self._register_raw(line, toks, e)
         for si, sets in zip(e.slots, e.compiled):
             text = toks[si].text
             for kind, container, last in sets:
@@ -221,6 +266,41 @@ class ShapeCache:
                 else:  # tuple somewhere on the path: interpreted
                     _apply(e.target, last, text)
         return e.target
+
+    def serve_raw(self, line: str):
+        """Patched Request straight from the raw line — no tokenize.
+        None on miss; the caller then takes the token path (whose
+        ready hit registers the raw mapping for next time)."""
+        key, lits, _poss = raw_template(line)
+        e = self._raw.get(key)
+        if e is None or e.state != "ready" or len(lits) != len(e.slots):
+            return None
+        for text, sets in zip(lits, e.compiled):
+            for kind, container, last in sets:
+                if kind == "a":
+                    setattr(container, last, text)
+                elif kind == "i":
+                    container[last] = text
+                else:
+                    _apply(e.target, last, text)
+        return e.target
+
+    def _register_raw(self, line: str, toks: list[Token], e: _Entry):
+        """Map the line's raw template to ``e`` iff the regex literals
+        align 1:1 with the STR tokens (same positions, same unescaped
+        contents) — the invariant that makes serve_raw's in-order
+        patch equivalent to the token path for every line sharing the
+        raw key."""
+        e.raw_tried = True
+        key, lits, poss = raw_template(line)
+        if len(lits) != len(e.slots):
+            return
+        for si, text, pos in zip(e.slots, lits, poss):
+            if toks[si].pos != pos or toks[si].text != text:
+                return
+        if len(self._raw) >= _MAX_SHAPES:
+            self._raw.pop(next(iter(self._raw)))
+        self._raw[key] = e
 
     @staticmethod
     def _compile_paths(target, recipe):
