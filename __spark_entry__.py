@@ -49,6 +49,16 @@ _DEMOTED_B = (  # demoted in r6: ranges/semi/anti/contents families keep
     "gql_linkage_semi",     # semi_join_exists, anti_join_count0, and
     "gql_anti_count0",      # collect_contents respectively
     "gql_contents_count",
+    # r6 added quality_repetition / boilerplate_ngrams /
+    # pack_token_budget (57 registered, 50-slot window): three more
+    # family-redundant demotions so the NEW ops get driver rows in
+    # their first round.  simhash keeps dedup_simhash; ANN keeps
+    # ann_cosine_topk + ann_ivf_topk; windowed aggs keep
+    # timestamp_range_agg + events_sessionize (+ the streaming
+    # analog's oracle-checked convergence tests).
+    "dedup_simhash_pairs",
+    "ann_lsh_topk",
+    "events_window_agg",
 )
 _DEMOTED = _DEMOTED_B  # r6: restore glob + asof driver rows (VERDICT r5 #1)
 

@@ -59,6 +59,9 @@ HEADLINE = [
     "events_sessionize",
     "media_features",
     "text_quality_score",
+    "quality_repetition",
+    "boilerplate_ngrams",
+    "pack_token_budget",
     "restore_bulk",
     # parsed graphd queries through the constraint-tree compiler
     "gql_linkage_semi",

@@ -1320,3 +1320,228 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.coalesce(F.col("rate"), F.lit(_SAMPLE_DEFAULT)))
         .select("doc_id", "lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 6: repetition quality, boilerplate removal, sequence packing
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "quality_repetition",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents),
+    g AS (
+      SELECT doc_id, words,
+             CAST(len(words) AS DOUBLE) AS n_tokens,
+             CAST(len(list_distinct(words)) AS DOUBLE) AS n_distinct,
+             CAST(list_max(list_transform(list_distinct(words),
+                  w -> len(list_filter(words, t -> t = w)))) AS DOUBLE)
+               AS top_cnt,
+             list_transform(generate_series(1, len(words) - 1),
+                  i -> words[i] || ' ' || words[i + 1]) AS grams
+      FROM w)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1 - n_distinct / n_tokens, 4) AS dup_word_frac,
+           round(top_cnt / n_tokens, 4) AS top_word_frac,
+           CASE WHEN len(grams) > 0
+                THEN round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                           / len(grams), 4)
+                ELSE 0.0 END AS dup_2gram_frac,
+           (top_cnt / n_tokens <= 0.3
+            AND (len(grams) = 0
+                 OR 1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                        / len(grams) <= 0.75)) AS keep
+    FROM g
+    """,
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (Gopher-style filters):
+    duplicate-word fraction, most-frequent-word fraction, and
+    duplicate-2-gram fraction per document, plus the keep decision.
+
+    100 TB scale: everything is per-row array math on built-in
+    higher-order functions (transform/filter/array_distinct) — a
+    narrow scan with zero shuffles and whole-stage codegen; the
+    top-word count is O(distinct x tokens) per document, bounded by
+    document length, never a groupBy."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("words"),
+        F.size(toks).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("double").alias("n_distinct"),
+    )
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("words")),
+            lambda w: F.size(
+                F.filter(F.col("words"), lambda t: t == w)
+            ),
+        )
+    ).cast("double")
+    n = F.size(F.col("words"))
+    grams = F.zip_with(
+        F.slice(F.col("words"), 1, n - 1),
+        F.slice(F.col("words"), 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g = base.select(
+        "doc_id", "n_tokens", "n_distinct",
+        top_cnt.alias("top_cnt"), grams.alias("grams"),
+    )
+    ng = F.size(F.col("grams")).cast("double")
+    dup2 = F.lit(1.0) - F.size(F.array_distinct(F.col("grams"))).cast(
+        "double"
+    ) / ng
+    return g.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
+        ).alias("dup_word_frac"),
+        F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias(
+            "top_word_frac"
+        ),
+        F.when(ng > 0, F.round(dup2, 4)).otherwise(F.lit(0.0)).alias(
+            "dup_2gram_frac"
+        ),
+        (
+            (F.col("top_cnt") / F.col("n_tokens") <= 0.3)
+            & ((ng == 0) | (dup2 <= 0.75))
+        ).alias("keep"),
+    )
+
+
+@q(
+    "boilerplate_ngrams",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(text), '\\s+') AS words
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(words) - 2),
+                 i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2]))
+               AS sh
+      FROM w),
+    df AS (
+      SELECT sh, count(DISTINCT doc_id) AS ndocs FROM s GROUP BY sh)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(*) FILTER (WHERE df.ndocs >= 5) AS BIGINT)
+             AS n_boiler,
+           round(CAST(count(*) FILTER (WHERE df.ndocs >= 5) AS DOUBLE)
+                 / count(*), 4) AS boiler_frac
+    FROM s JOIN df USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (C4/CCNet-style): a word
+    3-gram occurring in >= 5 distinct documents is boilerplate; each
+    document reports its shingle count and boilerplate fraction — the
+    signal used to strip headers/footers/navigation from web corpora.
+
+    100 TB scale: the classic inverted-index shape — explode to
+    (shingle, doc) pairs (spread first so toy-scale single-file scans
+    parallelize), one shuffle to build the document-frequency table,
+    one shuffle-join back on the shingle key, one aggregation by
+    doc_id.  No all-pairs anything; skew on ultra-common shingles is
+    bounded because the DF table carries one row per shingle."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n = F.size(F.col("words"))
+    sh = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("words"), i),
+            F.element_at(F.col("words"), i + 1),
+            F.element_at(F.col("words"), i + 2),
+        ),
+    )
+    inst = (
+        _spread(docs.select("doc_id", toks.alias("words")))
+        .select("doc_id", F.explode(sh).alias("sh"))
+    )
+    dfreq = inst.groupBy("sh").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    joined = inst.join(dfreq, "sh")
+    boiler = F.sum(F.when(F.col("ndocs") >= 5, 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        boiler.cast("bigint").alias("n_boiler"),
+        F.round(
+            boiler.cast("double") / F.count("*"), 4
+        ).alias("boiler_frac"),
+    )
+
+
+_PACK_BUDGET = 2048
+
+
+@q(
+    "pack_token_budget",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM t)
+    SELECT source,
+           CAST(floor(cum_before / {_PACK_BUDGET}) AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           round(CAST(sum(n_tokens) AS DOUBLE) / {_PACK_BUDGET}, 4)
+             AS fill_ratio
+    FROM c
+    GROUP BY source, floor(cum_before / {_PACK_BUDGET})
+    """,
+)
+def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget packs ({_PACK_BUDGET} tokens) by running token count
+    in stable doc_id order — how a pretraining pipeline concatenates
+    short documents into full context windows without a random shuffle
+    (reproducible across reruns and engines).
+
+    100 TB scale: the running sum is windowed PER SOURCE (the shard
+    key a real corpus already has), so the cumulative-sum window
+    parallelizes across sources instead of serializing on one global
+    ordering — one shuffle on source, then map-side bucketing and one
+    partial-aggregable rollup."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", "doc_id",
+        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+    )
+    win = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    )
+    pack = F.floor(F.col("cum_before") / _PACK_BUDGET)
+    return c.groupBy("source", pack.alias("pack_id")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / _PACK_BUDGET, 4
+        ).alias("fill_ratio"),
+    )
