@@ -118,7 +118,7 @@ class _SubSortState:
     sorter (one instance per sub constraint; see _sub_sort_page)."""
 
     __slots__ = ("P", "keyfns", "specs", "grid", "offset", "ended",
-                 "consumed", "sim", "evals", "first_key")
+                 "consumed", "sim", "evals", "first_key", "thaw")
 
     def __init__(self, P, keyfns, specs, grid, offset, ended):
         self.P = P
@@ -131,6 +131,191 @@ class _SubSortState:
         self.sim = {}                 # id(child_rows) -> (trailing, P)
         self.evals = []               # grid-mode eval log: accepted bools
         self.first_key = None         # id(child_rows) of the 1st parent
+        self.thaw = None              # _ThawScan (exact thaw model)
+
+
+class _BadRing:
+    """graphd's per-constraint bad-id cache: a FIFO ring of 5 ids
+    that failed graphd_match or a sub-tree check (ref
+    graphd-bad-cache.c GRAPHD_BAD_CACHE_N=5; consulted in grsc_next
+    graphd-read-set.c:1576, fed at :1629 and :2096)."""
+
+    __slots__ = ("ids", "n")
+
+    def __init__(self):
+        self.ids = [None] * 5
+        self.n = 0
+
+    def member(self, i):
+        return i in self.ids
+
+    def add(self, i):
+        self.ids[self.n] = i
+        self.n = (self.n + 1) % 5
+
+
+class _ThawScan:
+    """Thawed value/name-sorted cursor sub: exact simulation of the
+    reference's evaluation, derived from spew traces of the binary
+    (grsc_next / graphd_sort_accept / grsc_are_we_done) and pinned by
+    the directed probes in tests/test_fastread_cursors.py plus the
+    differential cursor campaigns:
+
+    - the producer flips from the per-parent pre-evaluated fixed set
+      to a GLOBAL scan: the value hmap in (bin, id) order for value
+      first keys (the vrange iterator), the all-scan in id order for
+      name first keys (no name-ordered index exists — observed
+      ``all[0...n]`` in the trace);
+    - parent linkage becomes a graphd_match CHECK, and every match or
+      sub-tree rejection feeds the constraint's shared 5-slot bad-id
+      ring, consulted BEFORE matching — one parent's rejections make
+      the other parents skip those ids, so exact page contents depend
+      on ring evictions;
+    - each parent's set evaluates in two phases: a VERIFY scan from
+      the producer start that defers as soon as the count minimum is
+      provably met (grsc_are_we_done "defer results": one accepted
+      element when count-min permits), and a RESUME to exhaustion
+      that runs only for parents actually RENDERED, in render order
+      (graphd-read-set-defer.c grsc_deferred_push) — which is why a
+      resumed chain's intermediate parents render a single element
+      with cursor ``null:`` while ring-eviction survivors replay
+      full pages;
+    - the grid (boundary key) prefilters candidates <= the boundary
+      silently — grid rejections never enter the ring."""
+
+    __slots__ = ("reader", "sub", "keyfns", "specs", "grid", "P",
+                 "offset", "thawed_n", "count_min", "ring", "order",
+                 "state", "binfn")
+
+    def __init__(self, reader, sub, keyfns, specs, grid, P, offset,
+                 thawed_n, count_min, order, binfn=None):
+        self.reader = reader
+        self.sub = sub
+        self.keyfns = keyfns
+        self.specs = specs
+        self.grid = grid
+        self.P = P
+        self.offset = offset
+        self.thawed_n = thawed_n
+        self.count_min = count_min
+        self.ring = _BadRing()
+        self.order = order            # producer-ordered Primitives
+        self.state = {}               # parent id -> [pos, entries]
+        #: producer walk-position of a primitive's first-key bin, or
+        #: None (the all-scan for name keys is NOT ordered).  An
+        #: ordered producer lets the sorter END the scan once a
+        #: match-passing candidate's bin lies beyond the current
+        #: array cutoff's bin (graphd_sort_accept_prefilter's
+        #: sort_root_value_beyond + gsc_ended) — later ids are then
+        #: never consumed, so they never feed the bad-id ring.
+        self.binfn = binfn
+
+    def _scan(self, p, ss, st, stop_early: bool):
+        reader = self.reader
+        sub = self.sub
+        lk = sub.linkage[1]
+        horizon = reader.horizon
+        n_bound = self.thawed_n
+        ring = self.ring
+        order = self.order
+        pos, entries = st[0], st[1]
+        from graphd_spark.sortsim import _pre_cmp
+
+        while pos < len(order):
+            c = order[pos]
+            pos += 1
+            if horizon is not None and c.id > horizon:
+                continue  # asof bound: producer-level, no ring
+            if n_bound is not None and c.id >= n_bound:
+                continue  # thawed [n:] bound: producer-level
+            if ring.member(c.id):
+                continue  # known-bad: skipped before any match
+            crow = _NO_MATCH
+            if getattr(c, lk) == p.guid:
+                crow = reader._row_for(
+                    c, sub, ss.child_spec,
+                    build_row=ss.sp.arr_col is not None,
+                )
+            if crow is _NO_MATCH:
+                ring.add(c.id)
+                continue
+            keys = tuple(
+                f(c, crow) for f, _d, _c2, _k in self.keyfns
+            ) + (c.id,)
+            if self.grid is not None:
+                r, known = _pre_cmp(keys, self.grid, self.specs)
+                if known and r <= 0:
+                    continue  # cursor cut-off: silent, never ringed
+            if self.binfn is not None and len(entries) >= 2 * self.P:
+                # ordered-producer sort-window exit: once the sorter
+                # has a MEDIAN (first condense at 2P accepted), a
+                # match-passing candidate that sorts beyond the
+                # cutoff AND whose producer bin is past the cutoff's
+                # bin ends the set's scan (graphd_sort_accept's
+                # else-branch: gsc_have_median + which==0 +
+                # sort_root_value_beyond; too-large rejections
+                # themselves stay silent — prefilter-side)
+                from graphd_spark.sortsim import simulate
+
+                arr, _a, _t = simulate(
+                    list(entries), self.P, self.specs, grid=self.grid
+                )
+                if len(arr) == self.P:
+                    r2, known2 = _pre_cmp(
+                        keys, arr[-1][0], self.specs
+                    )
+                    if known2 and r2 > 0:
+                        wb = self.binfn(c)
+                        cb = self.binfn(arr[-1][1][0])
+                        if wb is not None and cb is not None \
+                                and wb > cb:
+                            # the exit candidate was "too large to
+                            # store": have_trailing is set even
+                            # though it is never appended
+                            st[2] = True
+                            pos = len(order)  # ended: stop consuming
+                            break
+            entries.append((keys, (c, crow)))
+            if (
+                stop_early
+                and len(entries) + self.offset >= self.count_min
+            ):
+                break  # verify defer (grsc_are_we_done)
+        st[0] = pos
+
+    def _page(self, ss, st):
+        from graphd_spark.sortsim import simulate
+
+        arr, accepted, trailing = simulate(
+            list(st[1]), self.P, self.specs, grid=self.grid
+        )
+        page = [pl for _k, pl in arr]
+        rows = [r for _c, r in page[ss.lo:ss.lo + ss.rps]]
+        return accepted, rows, trailing or st[2]
+
+    def verify(self, p, ss):
+        """Verify-phase scan for one parent; returns (n, child_rows).
+        child_rows is finalized in :meth:`resume` (mutated in place)
+        for parents that actually render."""
+        st = self.state.get(p.id)
+        if st is None:
+            st = self.state[p.id] = [0, [], False]
+            self._scan(p, ss, st, stop_early=True)
+        n, rows, trailing = self._page(ss, st)
+        ss.ssim.sim[id(rows)] = (trailing, self.P)
+        return n, rows
+
+    def resume(self, p, ss, rows_list):
+        """Deferred-value resume: continue this parent's scan to
+        exhaustion and finalize its rendered page + cursor state."""
+        st = self.state.get(p.id)
+        if st is None:
+            return
+        self._scan(p, ss, st, stop_early=False)
+        n, rows, trailing = self._page(ss, st)
+        rows_list[:] = rows
+        ss.ssim.sim[id(rows_list)] = (trailing, self.P)
+        return n
 
 
 class _NodeSpec:
@@ -304,10 +489,14 @@ def check_supported(con: Constraint) -> None:
                 if mode is None:
                     raise Unsupported("sub-cursor-shape")
                 if mode == "sort" and (depth > 1 or in_branch):
-                    # the sort-thaw one-shot override is modeled for
-                    # root-level subs only (_eval_set collects root
-                    # ssims; a nested/branch sorted cursor sub's
-                    # multi-parent interplay is unprobed)
+                    # depth-1 sorted cursor subs run the EXACT thaw
+                    # model (_ThawScan: global producer + bad-id ring
+                    # + verify/defer/resume, probed vs the binary).
+                    # Nested sets add the reference's deferred
+                    # mid-set continuation order (the set's verify
+                    # stops at count-min and the REMAINING candidates
+                    # evaluate at render-resume, interleaved with the
+                    # leaf resumes) — unmodeled, so they fall back.
                     raise Unsupported("nested-sort-sub-cursor")
         for chain in node.or_chains:
             for b in chain:
@@ -334,6 +523,12 @@ class FastReader:
         self.types = types
         self.asof = asof
         self._n = 0
+        #: thawed sorted-cursor-sub simulation (see _ThawScan): set
+        #: during _build_specs; _eval_set then consumes candidates
+        #: lazily and resumes rendered parents in render order
+        self._thaw_active = False
+        self._thaw_pending: list = []
+        self._spec_depth = 0
         #: per-request cache of timestamp-range id bounds, keyed by
         #: constraint identity (the reference compiles them once per
         #: constraint; graphd_read_compile_timestamps)
@@ -2487,6 +2682,13 @@ class FastReader:
         _compile's per-node structure including the variable
         bookkeeping (var_cols / var_kinds / var_patterns /
         pending_pattern_vars and sub-var imports)."""
+        self._spec_depth = getattr(self, "_spec_depth", 0) + 1
+        try:
+            return self._build_specs_inner(con, exists_only)
+        finally:
+            self._spec_depth -= 1
+
+    def _build_specs_inner(self, con: Constraint, exists_only: bool):
         plan = SetPlan(con=con)
         subs = []
         parent_pat = (
@@ -2732,9 +2934,55 @@ class FastReader:
         (SetPlan, matches) with matches an id-ordered list of
         (prim, rowdict)."""
         plan, spec = self._build_specs(con, exists_only)
-        plan._root_ssims = [
-            ss.ssim for ss in spec.subs if ss.ssim is not None
-        ]
+
+        def _collect_ssims(sp):
+            out = []
+            for ss in sp.subs:
+                if ss.ssim is not None:
+                    out.append(ss.ssim)
+                if ss.child_spec is not None:
+                    out.extend(_collect_ssims(ss.child_spec))
+            return out
+
+        plan._root_ssims = _collect_ssims(spec)
+        # thawed sorted cursor sub: the shared bad-id ring makes
+        # evaluation ORDER-DEPENDENT, so the root scan must consume
+        # candidates exactly as far as the reference's lazy traversal
+        # (start + pagesize accepted parents; the reference's +1
+        # lookahead only applies when the ROOT wants a cursor, which
+        # is gated out here), and the deferred sub evaluations resume
+        # only for parents actually rendered, in render order.
+        stop_at = None
+        if self._thaw_active:
+            if (
+                exists_only
+                or con.sort is not None
+                or con.cursor is not None
+                # (the IMPLICIT countlimit start+pagesize is always
+                # set on paged reads; with no count pattern rendered
+                # it never changes scan behavior, so it is allowed)
+                or con.count_eq is not None
+                or con.count_max is not None
+                or (con.count_min or 0) > 1
+                or con.or_chains
+                or (con.result is not None and any(
+                    pat.kind in (
+                        "count", "estimate", "estimate-count", "cursor",
+                    )
+                    for pat in con.result.walk()
+                ))
+            ):
+                raise Unsupported("thaw-sort-root-shape")
+            rps = (
+                con.resultpagesize
+                if con.resultpagesize is not None
+                else (
+                    con.pagesize
+                    if con.pagesize is not None
+                    else DEFAULT_PAGESIZE
+                )
+            )
+            stop_at = (con.start or 0) + rps
         matches = []
         ncand = 0
         for p in self._candidates(con):
@@ -2744,6 +2992,21 @@ class FastReader:
             row = self._row_for(p, con, spec, build_row=not exists_only)
             if row is not _NO_MATCH:
                 matches.append((p, row))
+                if stop_at is not None and len(matches) >= stop_at:
+                    break
+        if self._thaw_active and self._thaw_pending:
+            lo = con.start or 0
+            pend: dict = {}
+            for pid, ss, rows_list, prow in self._thaw_pending:
+                pend.setdefault(pid, []).append((ss, rows_list, prow))
+            for pr, _row in matches[lo:]:
+                for ss, rows_list, prow in pend.get(pr.id, ()):
+                    n = ss.ssim.thaw.resume(pr, ss, rows_list)
+                    if n and prow is not None and prow.get(ss.sp.cnt_col):
+                        # final accepted count: the render-side
+                        # exhaustion check (delivered >= accepted ->
+                        # null:) must see the completed evaluation
+                        prow[ss.sp.cnt_col] = n
         # iam pagesize=0 probe [n:] pins (probed round 6, 11 probe
         # shapes vs the binary; cursor fuzz seed 2120):
         # - a single-element value/name hmap (or word-prefix) bin
@@ -3007,7 +3270,91 @@ class FastReader:
                 raise Unsupported("sub-sort-cursor-form")
         sims = [(d, pre) for d, pre in specs]
         ssim = _SubSortState(P, keyfns, sims, grid, offset, ended)
+        if grid is not None and not ended:
+            ssim.thaw = self._make_thaw_scan(
+                sub, keyfns, sims, grid, P, offset, thawed_n
+            )
+            if ssim.thaw is not None:
+                self._thaw_active = True
         return ssim, thawed_n
+
+    def _make_thaw_scan(self, sub, keyfns, specs, grid, P, offset,
+                        thawed_n):
+        """Build the exact thaw simulation (_ThawScan) when the shape
+        is inside the probed family; None falls back to the legacy
+        one-shot grid model (descending first keys, non-bin
+        comparators, nested depth — unprobed)."""
+        if getattr(self, "_spec_depth", 0) != 1:
+            return None  # nested thaws fall back (check_supported)
+        sk0 = sub.sort[0]
+        if sub.subs or sub.or_chains:
+            return None  # nested checks inside the scan: unprobed
+        if sub.count_eq is not None or sub.count_max is not None:
+            return None  # exact-count demands disable the verify defer
+        if sub.result is not None and any(
+            pat.kind in ("count", "estimate", "estimate-count")
+            for pat in sub.result.walk()
+        ):
+            return None  # rendered counts force full scans
+        kind = sk0.pattern.kind
+        comp = keyfns[0][2]
+        rows = self.store.rows
+        binfn = None
+        if kind == "name":
+            # no name-ordered index: the reference runs the all-scan
+            # in id order (observed: ``all[0...n]`` producer) — an
+            # UNORDERED producer, so no sort-window exit
+            if sk0.descending:
+                return None  # backward name thaw: unprobed
+            order = list(rows)
+        elif kind == "value":
+            if comp == "default":
+                ofn = string_bin_order
+            elif comp == "number" and not sk0.descending:
+                ofn = number_scan_order
+            elif comp == "datetime" and not sk0.descending:
+                ofn = datetime_scan_order
+            else:
+                # octet/case bins, and the backward NUMBERS/datetime
+                # bin walks, are unprobed
+                return None
+            order = [p for p in rows if p.value is not None]
+            # vrange order: bins in comparator order, ids ASCENDING
+            # within each bin; a backward vrange reverses the BIN
+            # walk but keeps within-bin id order (probed: a thawed
+            # (-value) chain over multi-bin values scans high bins
+            # first, each in ascending id order)
+            desc = sk0.descending
+
+            def _bin_key(p):
+                k = ofn(p.value)
+                if k is None:
+                    return (1, 0, p.id)
+                return (0, -k if desc else k, p.id)
+
+            try:
+                order.sort(key=_bin_key)
+            except TypeError:
+                return None  # unorderable bin keys: fall back
+
+            def binfn(p, _ofn=ofn, _desc=desc):
+                if p.value is None:
+                    return None
+                k = _ofn(p.value)
+                if k is None:
+                    return None
+                return -k if _desc else k
+        else:
+            return None
+        count_min = (
+            sub.count_min
+            if sub.count_min is not None
+            else (sub.start or 0) + 1
+        )
+        return _ThawScan(
+            self, sub, keyfns, specs, grid, P, offset, thawed_n,
+            count_min, order, binfn=binfn,
+        )
 
     def _sort_grid_keys(self, keyfns, vals, bguid):
         """Map the deserialized boundary VALUES onto the comparator
@@ -3284,7 +3631,75 @@ class FastReader:
                     return _NO_MATCH
                 continue
             # agg: per-parent exact count + ordered page array
+            thaw = ss.ssim.thaw if ss.ssim is not None else None
+            if thaw is not None:
+                # thawed sorted cursor sub: exact reference model —
+                # verify phase here, resume (for rendered parents, in
+                # render order) in _eval_set.  Bypasses the per-parent
+                # kids loop entirely: the producer is global and the
+                # shared bad-id ring makes evaluation order-dependent
+                # (see _ThawScan).
+                if ss.var_imports:
+                    raise Unsupported("thaw-sort-vars")
+                n, child_rows = thaw.verify(p, ss)
+                self._thaw_pending.append((p.id, ss, child_rows, row))
+                if not ss.outer and (
+                    n == 0 or n + thaw.offset < thaw.count_min
+                ):
+                    return _NO_MATCH  # absolute count below minimum
+                # count bounds: the verify defer guarantees the
+                # minimum via the absolute count (offset included);
+                # count_eq/count_max shapes never build a _ThawScan
+                if row is not None:
+                    if n == 0 and ss.outer:
+                        row[sp.cnt_col] = None
+                        row[sp.arr_col] = None
+                    else:
+                        row[sp.cnt_col] = n
+                        row[sp.arr_col] = child_rows
+                    first = child_rows[0] if child_rows else None
+                    for newcol, src in ss.var_imports:
+                        row[newcol] = (
+                            None if first is None else first.get(src)
+                        )
+                continue
             kids = []
+            stop_kids = None
+            if self._thaw_active and ss.rps != 0:
+                # thawed sorted cursor sub somewhere in the request:
+                # every OTHER set must consume candidates exactly as
+                # far as the reference's lazy traversal, because the
+                # subtree below may run thaw verifies whose shared
+                # bad-id ring is order-dependent.  The reference
+                # stops a set at start+pagesize accepted elements
+                # (+1 lookahead when it wants a cursor), or at the
+                # count minimum if that is larger; exact-count
+                # demands (count=, count<=) scan in full there too,
+                # so those keep the full loop.
+                if sub.result is not None and any(
+                    pat.kind in ("count", "estimate", "estimate-count")
+                    for pat in sub.result.walk()
+                ):
+                    raise Unsupported("thaw-sort-sibling-count")
+                wants_cur = (
+                    getattr(sp.plan, "cursor_ctx", None) is not None
+                )
+                if wants_cur and ss.ssim is not None:
+                    # a second, legacy-model sorted cursor sub mixed
+                    # with the exact thaw model: incoherent
+                    raise Unsupported("thaw-sort-mixed-cursor")
+                if (
+                    sub.count_eq is None
+                    and sub.count_max is None
+                    # a (legacy) sorted sub needs its full candidate
+                    # set — its own sorter window applies, not ours
+                    and ss.ssim is None
+                    and sub.sort is None
+                ):
+                    stop_kids = max(
+                        ss.lo + ss.rps + (1 if wants_cur else 0),
+                        ss.count_min,
+                    )
             for cid in self._child_ids(p, sub):
                 if self.horizon is not None and cid > self.horizon:
                     continue
@@ -3298,6 +3713,8 @@ class FastReader:
                 if crow is _NO_MATCH:
                     continue
                 kids.append((c, crow))
+                if stop_kids is not None and len(kids) >= stop_kids:
+                    break
             if ss.ssim is not None:
                 # value/name sorted cursor sub: the incremental
                 # sorter per parent (see _sub_sort_page); n is the

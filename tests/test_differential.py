@@ -1580,3 +1580,197 @@ def test_branch_probe_subs(spark, ref_bin):
         want = run_reference(writes + shapes)
         got = run_engine(spark, writes + shapes)
         assert got == want
+
+
+# -- thawed sorted-cursor subs: the exact sort-root model -----------------
+#
+# A thawed value/name-sorted cursor sub flips the reference's producer
+# to a GLOBAL scan (value hmap in bin order / the all-scan for name
+# keys), checks the linkage via graphd_match, and feeds every match
+# rejection into the constraint's shared 5-slot bad-id ring
+# (graphd-bad-cache.c) — so page contents depend on ring evictions and
+# on the verify/defer/resume evaluation order (graphd-read-set.c
+# grsc_are_we_done "defer results", graphd-read-set-defer.c).
+# fastread._ThawScan simulates this exactly; these chains page dense
+# multi-parent configurations (several parents, each with more
+# children than the page) to exhaustion through both engines.
+
+def _thaw_config(n_par, kids, P, key="value"):
+    ws = []
+    for m in range(n_par):
+        ws.append(f'write (value="mid{m:02d}" name="m")')
+    for s in range(n_par):
+        for l in range(kids):
+            if key == "value":
+                ws.append(
+                    f'write (value="leaf{s:02d}x{l}" '
+                    f'left={"%032x" % (0x00000012400034568000000000000000 + s)})'
+                )
+            else:
+                ws.append(
+                    f'write (name="nm{s:02d}x{l}" value="v" '
+                    f'left={"%032x" % (0x00000012400034568000000000000000 + s)})'
+                )
+    srt = "sort=value" if key == "value" else "sort=name"
+    out = "(guid value)" if key == "value" else "(guid name)"
+    read = (
+        f'read (pagesize=2 name="m" result=((value contents)) '
+        f'(<-left {srt} pagesize={P} result=(cursor {out})))'
+    )
+    return ws, read
+
+
+def _thaw_config_shuffled(seed, srt):
+    """Multi-BIN kid values in shuffled id order: distinguishes the
+    vrange (bin, id) producer order from the all-scan, exercises the
+    backward bin walk and the median-gated sort-window exit."""
+    rng = random.Random(seed)
+    n_par = rng.randrange(2, 5)
+    kids = rng.randrange(2, 6)
+    ws = [f'write (value="mid{m:02d}" name="m")' for m in range(n_par)]
+    slots = [(s, l) for s in range(n_par) for l in range(kids)]
+    rng.shuffle(slots)
+    for s, _l in slots:
+        v = f"{rng.choice('abcdefkmz')}{rng.randrange(4)}"
+        ws.append(
+            f'write (value="{v}" '
+            f'left={"%032x" % (0x00000012400034568000000000000000 + s)})'
+        )
+    read = (
+        f'read (pagesize=2 name="m" result=((value contents)) '
+        f'(<-left {srt} pagesize={rng.randrange(1, 4)} '
+        f'result=(cursor (guid value))))'
+    )
+    return ws, read
+
+
+@pytest.mark.parametrize(
+    "n_par,kids,P,key",
+    [
+        (2, 4, 2, "value"),   # ring keeps both resumes at one element
+        (3, 4, 2, "value"),   # ring eviction lets the 2nd parent fill
+        (3, 3, 2, "value"),
+        (4, 5, 3, "value"),
+        (6, 4, 2, "value"),   # the long chain incl. exhaustion tail
+        (3, 4, 2, "name"),    # name first key: the all-scan producer
+        (3, 5, 1, "value"),   # tight pages
+    ],
+)
+def test_differential_thawed_sort_subs(spark, ref_bin, n_par, kids, P,
+                                       key):
+    import re as _re
+    import select
+
+    ws, read = _thaw_config(n_par, kids, P, key)
+
+    def drive(ask):
+        out = []
+        reply = ask(read)
+        out.append(reply)
+        hops = 0
+        while hops < 12:
+            m = _re.search(r'"((?:cursor|sort|position):[^"]*)"', reply)
+            if not m or m.group(1) == "null:":
+                break
+            esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+            reply = ask(read.replace(
+                "result=(cursor", f'cursor="{esc}" result=(cursor', 1
+            ))
+            out.append(reply)
+            hops += 1
+        return out
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+
+        def ask_ref(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            ready, _, _ = select.select([proc.stdout], [], [], 60)
+            if not ready:
+                raise TimeoutError(req)
+            return proc.stdout.readline().rstrip("\n")
+
+        for w in ws:
+            ask_ref(w)
+        ref_pages = drive(ask_ref)
+        proc.stdin.close()
+        proc.terminate()
+
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    for w in ws:
+        gs.request(w)
+    eng_pages = drive(gs.request)
+
+    assert len(ref_pages) == len(eng_pages)
+    for i, (a, b) in enumerate(zip(ref_pages, eng_pages)):
+        assert a == b, f"page {i}: ref={a!r} eng={b!r}"
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4, 5])
+@pytest.mark.parametrize(
+    "srt", ["sort=value", "sort=(-value)", "sort=(value -name)"]
+)
+def test_differential_thawed_sort_multibin(spark, ref_bin, seed, srt):
+    """Shuffled multi-bin stores: pins the (bin, id) vrange producer
+    order (forward and backward) and the median-gated sort-window
+    exit of the thawed sorted-sub model."""
+    import re as _re
+    import select
+
+    ws, read = _thaw_config_shuffled(seed, srt)
+
+    def drive(ask):
+        out = []
+        reply = ask(read)
+        out.append(reply)
+        hops = 0
+        while hops < 12:
+            m = _re.search(r'"((?:cursor|sort|position):[^"]*)"', reply)
+            if not m or m.group(1) == "null:":
+                break
+            esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+            reply = ask(read.replace(
+                "result=(cursor", f'cursor="{esc}" result=(cursor', 1
+            ))
+            out.append(reply)
+            hops += 1
+        return out
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+
+        def ask_ref(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            ready, _, _ = select.select([proc.stdout], [], [], 60)
+            if not ready:
+                raise TimeoutError(req)
+            return proc.stdout.readline().rstrip("\n")
+
+        for w in ws:
+            ask_ref(w)
+        ref_pages = drive(ask_ref)
+        proc.stdin.close()
+        proc.terminate()
+
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    for w in ws:
+        gs.request(w)
+    eng_pages = drive(gs.request)
+
+    assert len(ref_pages) == len(eng_pages)
+    for i, (a, b) in enumerate(zip(ref_pages, eng_pages)):
+        assert a == b, f"page {i}: ref={a!r} eng={b!r}"
