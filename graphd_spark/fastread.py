@@ -14,9 +14,16 @@ expression (each mirrored site cites the compiler line it mirrors).
 Safety model: :class:`FastReader` first WALKS the constraint tree and
 raises :class:`Unsupported` for any feature outside its mirror (the
 residual forms: nested-or-chains, cursor-valued assignments, sorted
-or pagesize-0 cursor subs inside or-branches, nested sorted cursor
-subs, and sub shapes outside ``sub_cursor_mode``'s probed family);
-the caller then falls back to the Spark compiler.  Sorts, globs,
+or pagesize-0 cursor subs inside or-branches, nested (depth >= 2)
+sorted cursor subs, and sub shapes outside ``sub_cursor_mode``'s
+probed family); the caller then falls back to the Spark compiler.
+Root-level THAWED sorted cursor subs run the exact reference model
+(:class:`_ThawScan`): the global sort-root producer (value bins +
+null tail, forward or backward; the all-scan for name keys), the
+per-constraint 5-slot bad-id ring shared across parents, the
+verify/defer/resume evaluation order, and the median-gated
+sort-window exit — pinned by directed differential tests and the
+dense-cluster shapes of the cursor fuzz generator.  Sorts, globs,
 value ranges
 (including the reference's value-bin scan order for unsorted range
 reads), variables, or-chains (branch subconstraints, first-match
@@ -3336,6 +3343,13 @@ class FastReader:
                 order.sort(key=_bin_key)
             except TypeError:
                 return None  # unorderable bin keys: fall back
+            # the vrange null tail: null-VALUED primitives ride at
+            # the END of the bin walk in id order — which for the
+            # BACKWARD walk means they come FIRST (observed: the
+            # forward scan yields them ascending after the last bin;
+            # the backward scan visits the same end first)
+            nulls = [p for p in rows if p.value is None]
+            order = nulls + order if desc else order + nulls
 
             def binfn(p, _ofn=ofn, _desc=desc):
                 if p.value is None:

@@ -323,20 +323,62 @@ def gen_cursor_writes(rng: random.Random):
                 f"({arrow} value={_q(v)}))"
             )
         burst = (arrow, v)
+    if rng.random() < 0.5:
+        # DENSE sorted-thaw cluster: several parents sharing a name,
+        # each with more children than a page — the configuration
+        # whose thawed sort: chains exercise the shared bad-id ring,
+        # the global producer orders and the sort-window exit
+        # (fastread._ThawScan); children are written nested so the
+        # linkage needs no guid bookkeeping
+        pname = "srt" + str(rng.randrange(3))
+        for _ in range(rng.randrange(2, 5)):
+            kids = "".join(
+                f" (<-left value={_q(rng.choice(_VALUES))})"
+                for _ in range(rng.randrange(2, 6))
+            )
+            lines.append(
+                f"write (name={_q(pname)} "
+                f"value={_q(rng.choice(_VALUES))}{kids})"
+            )
+        burst = (burst, pname)
+    else:
+        burst = (burst, None)
     return lines, burst
 
 
 def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
     """Cursored reads (shared by the pytest campaign and
     tools/diff_campaign.py --cursors)."""
+    link_burst, thaw_name = burst, None
+    if burst is not None and (
+        burst[0] is None or isinstance(burst[0], tuple)
+    ):
+        link_burst, thaw_name = burst
     reads = []
     for i in range(rng.randrange(2, 5)):
         body = _gen_cursor_constraint(rng)
-        if i == 0 and burst is not None:
+        if i == 0 and link_burst is not None:
             # aim the first read at the burst's expansion: the
             # masqueraded fixed-isa freeze window (>= 6 targets)
-            arrow, v = burst
+            arrow, v = link_burst
             body = f"({arrow} value={_q(v)})"
+        elif thaw_name is not None and rng.random() < 0.35:
+            # dense sorted-thaw chain over the cluster parents: the
+            # thawed sort: pages run the exact sort-root model
+            # (_ThawScan: shared bad-id ring, global producer order,
+            # verify/defer/resume, median-gated window exit)
+            srt = rng.choice([
+                "sort=value", "sort=(-value)", "sort=name",
+                "sort=(value -name)", "sort=(value guid)",
+            ])
+            ps = rng.randrange(1, 4)
+            reads.append(
+                f'read (pagesize=2 name={_q(thaw_name)} '
+                f'result=((value contents)) '
+                f'(<-left {srt} pagesize={ps} '
+                f'result=(cursor (guid value))))'
+            )
+            continue
         elif rng.random() < 0.25:
             # SUB-level cursor chains (round 6; the pagination driver
             # lands cursor= on the sub because the sub's result=
@@ -469,6 +511,10 @@ def gen_sortcursor_reads(rng: random.Random, burst=None) -> list[str]:
     ranges stay out of these shapes: the reference binary asserts out
     on descending-direction and-iterators over vrange members
     (graphd-iterator-and.c:1558)."""
+    if burst is not None and (
+        burst[0] is None or isinstance(burst[0], tuple)
+    ):
+        burst = burst[0]  # (link_burst, thaw_name) envelope
     reads = []
     for i in range(rng.randrange(2, 5)):
         body = _gen_cursor_constraint(rng)
