@@ -277,20 +277,34 @@ def _signature(con: Constraint, parts: list[str], resolve=None,
         # the semantic layer appends the decisive guid tiebreak to
         # every sort, so sort=() signs as "sort=(guid)" (calibrated
         # against test/unit/sort3.out.exp checksums)
-        items = []
-        for sk in con.sort:
-            s = pattern_to_string(sk.pattern)
-            if sk.descending and not s.startswith("-"):
-                s = "-" + s
-            items.append(s)
-            if s in ("guid", "-guid"):
-                # guid is a total order: keys after it are
-                # unreachable and the semantic layer drops them
-                # (probed: sort=(-guid value) signs "sort=(-guid)")
-                break
-        if not items or items[-1] not in ("guid", "-guid"):
-            items.append("guid")
-        _sep(parts, "sort=(" + ", ".join(items) + ")")
+        bare = None
+        if getattr(con, "sort_bare", False) and len(con.sort) == 1:
+            s0 = pattern_to_string(con.sort[0].pattern)
+            if con.sort[0].descending and not s0.startswith("-"):
+                s0 = "-" + s0
+            if s0 in ("guid", "-guid"):
+                # a bare guid/-guid key needs no tiebreak append, so
+                # it never listifies and signs unparenthesized
+                # (probed: cursor fuzz seed 335's pagesize=0
+                # sort=guid probe checksums over "sort=guid")
+                bare = s0
+        if bare is not None:
+            _sep(parts, f"sort={bare}")
+        else:
+            items = []
+            for sk in con.sort:
+                s = pattern_to_string(sk.pattern)
+                if sk.descending and not s.startswith("-"):
+                    s = "-" + s
+                items.append(s)
+                if s in ("guid", "-guid"):
+                    # guid is a total order: keys after it are
+                    # unreachable and the semantic layer drops them
+                    # (probed: sort=(-guid value) signs "sort=(-guid)")
+                    break
+            if not items or items[-1] not in ("guid", "-guid"):
+                items.append("guid")
+            _sep(parts, "sort=(" + ", ".join(items) + ")")
 
     is_iam = con.linkage is not None and con.linkage[0] == "iam"
     if con.countlimit is not None and con.countlimit != (

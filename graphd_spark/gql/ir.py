@@ -144,6 +144,12 @@ class Constraint:
     value_comparator: Optional[str] = None
     sort_comparators: list[str] = field(default_factory=list)
     sort: Optional[list[SortKey]] = None
+    #: the sort= pattern was a single BARE (unparenthesized) key.
+    #: Signature-relevant: a bare guid/-guid key signs unlisted
+    #: ("sort=guid"), because the semantic guid-tiebreak append only
+    #: listifies keys that need one (probed: pagesize=0 sort=guid
+    #: probe cursors checksum over "sort=guid", cursor fuzz seed 335)
+    sort_bare: bool = False
     #: source position of this constraint's closing ')' (error replies)
     src_close: Optional[int] = None
 

@@ -284,6 +284,8 @@ class Parser:
                         "SEMANTICS",
                     )
                 setattr(con, f, v)
+                if f == "sort":
+                    con.sort_bare = item.sort_bare
         if item.start:
             if getattr(con, "_start_seen", False):
                 raise ParseError("more than one start", "SEMANTICS")
@@ -834,6 +836,7 @@ def _make_handlers():
         pat = self.parse_pattern(in_sort=True)
         keys = pat.children if pat.kind == "list" else [pat]
         self._item.sort = [SortKey(k, k.negated) for k in keys]
+        self._item.sort_bare = pat.kind != "list"
 
     @handler("comparator")
     def _con_comparator(self):
