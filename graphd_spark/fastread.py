@@ -3845,24 +3845,19 @@ class FastReader:
                 probe_entry = None
                 probe_my = False
                 if ss.rps == 0:
-                    # pagesize=0 probe subs inside or-branches
-                    # (probed round 6): a MY-form branch sub never
-                    # consumes — the implied countlimit caps the
-                    # branch count at 0 (explicit countlimit does not
-                    # rescue), the slot renders the empty set with
-                    # cursor null:, and count renders 0; an IAM-form
-                    # branch sub contracts to the parent intrinsic
-                    # like at root level and stashes its probe freeze
-                    if sub.linkage is not None and \
-                            sub.linkage[0] == "iam":
-                        if kids and ss.lo < n:
-                            k = max(1, ss.lo)
-                            probe_entry = (
-                                kids[k - 1][0].id, p.guid, k,
-                            )
-                    else:
-                        probe_my = True
-                        n = 0
+                    # pagesize=0 probe subs inside or-branches probe
+                    # EXACTLY like root-level ones — MY-form included
+                    # (probed: a my-form branch over a non-empty kid
+                    # set freezes the advancing gmap/vip/fixed probe
+                    # and wins the branch; the round-6 "my-form
+                    # counts 0" reading came from stores whose branch
+                    # subs had no candidates at all — cursor fuzz
+                    # seed 612)
+                    if kids and ss.lo < n:
+                        k = max(1, ss.lo)
+                        probe_entry = (
+                            kids[k - 1][0].id, p.guid, k,
+                        )
                 if sub.sort is not None:
                     self._apply_sort(sub, sp.plan, kids)
                 child_rows = [

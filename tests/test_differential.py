@@ -1580,14 +1580,15 @@ def test_iam_probe_n_pins(spark, ref_bin):
 
 
 def test_branch_probe_subs(spark, ref_bin):
-    """pagesize=0 probe subs inside or-branches (round 6): MY-form
-    branch subs count 0 under the implied countlimit (explicit
-    countlimit does not rescue; optional/count=0 pass and render the
-    empty set with cursor null:, count renders 0); IAM-form branch
-    subs contract to the parent intrinsic, stash their probe freeze,
-    and pin [n:] at the parent id when exactly one parent won the
-    branch (store horizon for 2+; the root-level target+1 tier does
-    not apply in branches)."""
+    """pagesize=0 probe subs inside or-branches probe exactly like
+    root-level ones, MY-form included (cursor fuzz seed 612 corrected
+    the earlier count-0 reading, which had been fit to stores whose
+    branch subs had no candidates at all).  These stores pin the
+    EMPTY-producer outcomes — optional/count=0 branches over kid-less
+    parents, explicit countlimit, start= minima — and the IAM-form
+    [n:] pin at the parent id when exactly one parent won the branch
+    (store horizon for 2+; the root-level target+1 tier does not
+    apply in branches)."""
     G = "000000124000345680000000%08x".__mod__
     w1 = [
         'write (value="a0")', 'write (value="a1")',
