@@ -4564,3 +4564,25 @@ class FastReader:
                     return True
             return False
         raise GraphdError("SEMANTICS", f"unsupported operator {sc.op!r}")
+
+
+# -- depth-2 thaw notes (round-6 investigation, for the next round) -------
+#
+# Extending _ThawScan to NESTED (depth >= 2) sorted cursor subs was
+# prototyped and converges on clean cluster stores with: (a) ancestor
+# sets evaluating in the reference's deferred two-phase structure
+# (verify stops at count-min; the remaining candidates evaluate at
+# render-resume, so their leaf thaw verifies interleave with the leaf
+# resumes in render order — the prototype used a _SubSpec.defer flag
+# plus a recursive render-order walk over live pending registries),
+# and (b) the leaf producer id-BOUNDED per the linksto lifting.  The
+# remaining blocker is that (b)'s bounds are OPTIMIZER-DEPENDENT: when
+# the mid set pre-evaluates to a fixed set (tiny clusters) the leaf
+# vrange gets exact [min_child, max_child+1) bounds (observed
+# ``vrange:2d..35``), but when the mid set keeps an index producer the
+# low bound stays 0 and only the high bound tightens to the left-gmap
+# family maximum (observed ``vrange:0..20`` / ``0..25`` on stores
+# differing only in id layout) — and which case applies follows the
+# reference's and-iterator statistics contest.  Until that contest is
+# modeled, nested thaws stay on the Spark fallback
+# (check_supported's nested-sort-sub-cursor).
