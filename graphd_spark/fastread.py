@@ -307,7 +307,15 @@ class _ThawScan:
         st = self.state.get(p.id)
         if st is None:
             st = self.state[p.id] = [0, [], False]
-            self._scan(p, ss, st, stop_early=True)
+            if not self.reader._child_ids(p, self.sub):
+                # a parent with NO linkage children gets a NULL
+                # iterator from the and-contest — no scan happens at
+                # all, so its rejection never feeds the bad-id ring
+                # (probed: cursor fuzz seed 920, where kid-less roots
+                # must not churn ids out of the ring)
+                st[0] = len(self.order)
+            else:
+                self._scan(p, ss, st, stop_early=True)
         n, rows, trailing = self._page(ss, st)
         ss.ssim.sim[id(rows)] = (trailing, self.P)
         return n, rows
