@@ -60,7 +60,19 @@ _DEMOTED_B = (  # demoted in r6: ranges/semi/anti/contents families keep
     "ann_lsh_topk",
     "events_window_agg",
 )
-_DEMOTED = _DEMOTED_B  # r6: restore glob + asof driver rows (VERDICT r5 #1)
+_DEMOTED_C = (  # demoted in r7 (three family-redundant picks to fill the
+    "dedup_exact_prefix",   # 57-vs-50 gap): exact-dedup family keeps
+    "events_sessionize",    # dedup_exact; events family keeps
+    "media_frame_sample",   # events_asof_join + the restored
+)                           # events_window_agg (and the streaming analog's
+                            # oracle-checked convergence tests); media keeps
+                            # media_metadata + media_features.
+
+# r7: restore the 7 r6-demoted B-set rows (VERDICT r6 item 2); demote set A
+# (restored r6, family-redundant: version family keeps newest_version_dedup,
+# glob keeps comparator_datetime_filter's hmap path + goldens, sort keeps
+# sort_multikey_topk, asof keeps timestamp_range_agg) + the C picks above.
+_DEMOTED = _DEMOTED_A + _DEMOTED_C
 
 
 def _reordered(d: dict) -> dict:

@@ -1624,11 +1624,17 @@ class Compiler:
         # iterators); only a single surviving gmap collapses
         from graphd_spark.model import guid_compose, guid_serial as _gs
 
+        # ``n <= 50`` above already bounds the value-matched set; the
+        # limit(51) is defense in depth so this driver-side collect stays
+        # bounded even if the hmap gate moves (51 > 50 ids would only mean
+        # hmap stats undercounted — treat as "not a single survivor").
         cand = [
             r["id"]
             for r in self.store.to_df(self.spark)
-            .filter(flt).select("id").collect()
+            .filter(flt).select("id").limit(51).collect()
         ]
+        if len(cand) > 50:
+            return None
         guids = {guid_compose(self.store.db_id, i): i for i in cand}
         col = self._GMAP_COLS[lk[0]]
         live = [

@@ -1365,10 +1365,11 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-2-gram fraction per document, plus the keep decision.
 
     100 TB scale: everything is per-row array math on built-in
-    higher-order functions (transform/filter/array_distinct) — a
-    narrow scan with zero shuffles and whole-stage codegen; the
-    top-word count is O(distinct x tokens) per document, bounded by
-    document length, never a groupBy."""
+    higher-order functions (transform/aggregate/array_distinct) — a
+    narrow scan with zero shuffles; the top-word count is a sorted
+    run-length scan (O(tokens log tokens) per document, vs the naive
+    O(distinct x tokens) transform+filter, which is a per-row
+    quadratic at 100k-token documents), never a groupBy."""
     (docs,) = _t(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     base = docs.select(
@@ -1377,13 +1378,28 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("double").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("double").alias("n_distinct"),
     )
-    top_cnt = F.array_max(
-        F.transform(
-            F.array_distinct(F.col("words")),
-            lambda w: F.size(
-                F.filter(F.col("words"), lambda t: t == w)
-            ),
+
+    # Most-frequent-word count = longest equal-run in the sorted token
+    # array: one array_sort + a single linear aggregate() pass carrying
+    # (current run, best run, previous word).  ``w == prev`` is NULL on
+    # the first element, so when() falls through to run=1.
+    def _run(acc, w):
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            w.alias("prev"),
         )
+
+    top_cnt = F.aggregate(
+        F.array_sort(F.col("words")),
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        _run,
+        lambda acc: acc["best"],
     ).cast("double")
     n = F.size(F.col("words"))
     grams = F.zip_with(
@@ -1416,6 +1432,12 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((ng == 0) | (dup2 <= 0.75))
         ).alias("keep"),
     )
+
+
+#: shingles appearing in >= this many distinct documents take the
+#: broadcast heavy-hitter path in boilerplate_ngrams (tests lower it
+#: to exercise the split on toy fixtures).
+HH_NDOCS = 100_000
 
 
 @q(
@@ -1453,8 +1475,18 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shingle, doc) pairs (spread first so toy-scale single-file scans
     parallelize), one shuffle to build the document-frequency table,
     one shuffle-join back on the shingle key, one aggregation by
-    doc_id.  No all-pairs anything; skew on ultra-common shingles is
-    bounded because the DF table carries one row per shingle."""
+    doc_id.  No all-pairs anything.  Ultra-hot shingles ("copyright
+    all rights" in a billion pages) are handled by a deterministic
+    heavy-hitter split, NOT by trusting AQE: the skew-join rule
+    cannot fire on this shape (its pattern needs a bare shuffle stage
+    under both sort children, and the document-frequency side has its
+    final aggregation fused above the same-key shuffle — verified
+    empirically, ``tests/test_plans.py::test_boilerplate_heavy_hitter_split``).
+    Shingles in >= HH_NDOCS documents join via BROADCAST (no shuffle
+    of the fat instance side, so no hot partition can exist), a
+    broadcast anti-join removes those instances map-side, and the
+    remaining shuffle join has per-key frequency < HH_NDOCS by
+    construction."""
     (docs,) = _t(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     n = F.size(F.col("words"))
@@ -1474,7 +1506,17 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = inst.groupBy("sh").agg(
         F.countDistinct("doc_id").alias("ndocs")
     )
-    joined = inst.join(dfreq, "sh")
+    # heavy-hitter split: the hot dictionary is tiny by definition
+    # (at most total_instances / HH_NDOCS rows), so it broadcasts.
+    hot = dfreq.filter(F.col("ndocs") >= HH_NDOCS)
+    cold = dfreq.filter(F.col("ndocs") < HH_NDOCS)
+    joined = (
+        inst.join(F.broadcast(hot), "sh")
+        .unionByName(
+            inst.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
+            .join(cold, "sh")
+        )
+    )
     boiler = F.sum(F.when(F.col("ndocs") >= 5, 1).otherwise(0))
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shingles"),

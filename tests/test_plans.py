@@ -151,3 +151,52 @@ def test_stratified_sample_broadcasts_rates(spark):
     plan = plan_of(inventory.QUERIES["sample_stratified"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert not re.findall(r"\(\d+\) Exchange\b", plan), plan
+
+
+def test_boilerplate_heavy_hitter_split(spark, tmp_path, monkeypatch):
+    """Hot-shingle skew is handled deterministically, not by AQE.
+
+    AQE's OptimizeSkewedJoin cannot fire on the inverted-index shape:
+    its pattern needs a bare shuffle stage under BOTH sort children of
+    the SMJ, and the document-frequency side has its final aggregation
+    fused above the same-key shuffle (verified empirically — forcing
+    spark.sql.adaptive.forceOptimizeSkewedJoin never yields skew=true
+    here).  boilerplate_ngrams therefore splits heavy hitters itself:
+    shingles in >= HH_NDOCS docs join by BROADCAST (their instances
+    never enter a shuffle keyed on the shingle, so no hot partition
+    can exist), a broadcast anti-join strips them map-side, and the
+    residual shuffle join has per-key frequency < HH_NDOCS by
+    construction.  This test pins that plan on a skewed fixture (one
+    3-gram in every document) and checks the answer exactly."""
+    from collections import Counter
+
+    rows = []
+    for i in range(400):
+        text = ("hot hot hot " * 6) + f"u{i}a u{i}b u{i}c u{i}d"
+        rows.append((i, "src0", text, len(text)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, text string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(inventory_pipeline, "HH_NDOCS", 100)
+
+    out = inventory_pipeline.boilerplate_ngrams(spark, str(tmp_path))
+    plan = plan_of(out)
+    # hot branch + anti strip are broadcast joins; the residual join
+    # is the only shingle-keyed exchange the hot rows never reach
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+    got = {r["doc_id"]: (r["n_shingles"], r["n_boiler"]) for r in out.collect()}
+    dfreq: Counter = Counter()
+    shingles = {}
+    for i, (_, _, text, _) in enumerate(rows):
+        w = text.split()
+        s = [" ".join(w[j : j + 3]) for j in range(len(w) - 2)]
+        shingles[i] = s
+        for t in set(s):
+            dfreq[t] += 1
+    for i, s in shingles.items():
+        want = (len(s), sum(1 for t in s if dfreq[t] >= 5))
+        assert got[i] == want, (i, got[i], want)
