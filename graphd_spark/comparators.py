@@ -851,3 +851,138 @@ def sort_key_column(col, comparator: str = "default"):
         return _fuzzy(col)
 
     raise NotImplementedError(f"comparator {comparator!r}")
+
+
+# --- vrange "beyond" (the sorter's window exit) ---------------------------
+
+
+def _dt_prev_bin_string(order: int) -> Optional[str]:
+    """Boundary string of the datetime walk position PRECEDING the
+    encoded ``order`` (datetime_dec, graphd-comparator-datetime.c:
+    125-190): neg-year bins walk in reverse bin order, then pos-year
+    bins (skipping the skip set), then time bins; None = no previous
+    enumerable position (the walk's very first bin, where the
+    reference's datetime_dec hits dts_lo and reports done=false)."""
+    t = _dt_tables()
+    neg, pos, tim = t["neg"], t["pos"], t["tim"]
+    if 1_000_000 - len(neg) < order <= 1_000_000:
+        i = 1_000_000 - order
+        return neg[i + 1] if i + 1 < len(neg) else None
+    if 2_000_000 <= order < 3_000_000:
+        i = order - 2_000_000
+        j = i - 1
+        while j >= 0 and j in t["skipped"]:
+            j -= 1
+        if j >= 0:
+            return pos[j]
+        return neg[0] if neg else None
+    if order >= 3_000_000:
+        i = order - 3_000_000
+        if i > 0:
+            return tim[i - 1]
+        j = t["pos_max"]
+        while j >= 0 and j in t["skipped"]:
+            j -= 1
+        if j >= 0:
+            return pos[j]
+        return neg[0] if neg else None
+    return None
+
+
+def vrange_value_beyond(val: Optional[str], order: Optional[int],
+                        comp: str, backward: bool = False) -> bool:
+    """The vrange iterator's ``beyond`` verdict consulted by the
+    sorter's window exit (sort_root_value_beyond, graphd-sort.c:686;
+    graphd_iterator_vrange_beyond): True = the producer's current scan
+    position can never again yield a value sorting <= (>= backward)
+    the cutoff ``val``, so the set's scan ends (gsc_ended).
+
+    ``order`` is the producer scan-order of the candidate CURRENTLY
+    being offered (the comparator's bin the scan is draining);
+    the verdict compares the cutoff against the PREVIOUS bin's
+    boundary — "the last bin we completely evaluated".  Exact port of
+    the observable rules of default_value_in_range
+    (graphd-comparator-default.c:2031-2196: alpha-prefix test string
+    with the non-alpha increment trick, the numeric-cutoff /
+    non-alnum-cutoff first-byte hacks vs 'A'), number_value_in_range
+    (graphd-comparator-number.c:424-485: numeric compare against the
+    previous NUMBER_BINS boundary) and datetime_value_in_range
+    (graphd-comparator-datetime.c:745-805: datetime_sort_compare
+    against the previous datetime position's string bin).  A NULL
+    cutoff never reaches here (sort_root_value_beyond bails on
+    non-string values)."""
+    if val is None or order is None:
+        return False
+    if comp == "number":
+        t = _num_tables()
+        b = order // 2
+        if not backward:
+            if b <= 0:
+                return False
+            b -= 1
+        else:
+            b += 1
+            if b >= len(t["keys"]):
+                return False
+        test = number_sort_key(val)
+        if test is None or test >= b"\x02":
+            return False  # non-number cutoff: ERR_LEXICAL, no verdict
+        bk = t["keys"][b]
+        rel = -1 if test < bk else (1 if test > bk else 0)
+        if backward:
+            rel = -rel
+        return rel < 0
+    if comp == "datetime":
+        if backward:
+            return False  # backward datetime thaws are never built
+        bs = _dt_prev_bin_string(order)
+        if bs is None:
+            return False
+        tk, bk = datetime_sort_key(val), datetime_sort_key(bs)
+        if tk is None or bk is None:
+            return False
+        return tk < bk
+    # default comparator: STRING_BINS walk
+    from graphd_spark.binset import STRING_BINS
+
+    b = order
+    if not backward:
+        if b <= 0 or b >= len(STRING_BINS):
+            return False
+        b -= 1
+    else:
+        b += 1
+        if b >= len(STRING_BINS):
+            return False
+    bs = STRING_BINS[b]
+    s = val.lstrip(" \t\n\r\v\f")
+    test: list = []
+    if not backward:
+        # first string known to sort >= the cutoff: the alpha prefix,
+        # incrementing its last byte at a non-alpha boundary
+        # ("foo0" -> "fop"); dvs_test_len is 32 for sort-root ranges
+        for ch in s[:32]:
+            if not ("a" <= ch <= "z" or "A" <= ch <= "Z"):
+                if test:
+                    test[-1] = chr(ord(test[-1]) + 1)
+                break
+            test.append(ch)
+        if not test:
+            if not bs:
+                return False
+            bfirst = bs[0]
+            if not s:
+                return bfirst > " "
+            tf = s[0]
+            if "0" <= tf <= "9" and bfirst >= "A":
+                return True  # numeric cutoff, scan past all numbers
+            if bfirst >= "A":
+                return tf <= bfirst
+            return False
+        return fuzzy_cmp("".join(test), bs) < 0
+    # backward: the alpha prefix truncated ("foo0" -> "foo")
+    for ch in s[:32]:
+        if not ("a" <= ch <= "z" or "A" <= ch <= "Z"):
+            break
+        test.append(ch)
+    return fuzzy_cmp("".join(test), bs) >= 0

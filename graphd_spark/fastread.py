@@ -14,16 +14,22 @@ expression (each mirrored site cites the compiler line it mirrors).
 Safety model: :class:`FastReader` first WALKS the constraint tree and
 raises :class:`Unsupported` for any feature outside its mirror (the
 residual forms: nested-or-chains, cursor-valued assignments, sorted
-or pagesize-0 cursor subs inside or-branches, nested (depth >= 2)
-sorted cursor subs, and sub shapes outside ``sub_cursor_mode``'s
-probed family); the caller then falls back to the Spark compiler.
-Root-level THAWED sorted cursor subs run the exact reference model
-(:class:`_ThawScan`): the global sort-root producer (value bins +
-null tail, forward or backward; the all-scan for name keys), the
-per-constraint 5-slot bad-id ring shared across parents, the
-verify/defer/resume evaluation order, and the median-gated
-sort-window exit — pinned by directed differential tests and the
-dense-cluster shapes of the cursor fuzz generator.  Sorts, globs,
+or pagesize-0 cursor subs inside or-branches, and sub shapes outside
+``sub_cursor_mode``'s probed family); the caller then falls back to
+the Spark compiler.  THAWED sorted cursor subs at ANY depth run the
+exact reference model (:class:`_ThawScan`): the global sort-root
+producer (value bins + null tail, forward or backward; the all-scan
+for name keys), the per-constraint 5-slot bad-id ring shared across
+parents, the verify/defer/resume evaluation order, and the
+median-gated sort-window exit whose verdict is the comparator's
+value_in_range port (``comparators.vrange_value_beyond``).  NESTED
+(depth >= 2) sorted cursor subs (round 7, spew-trace-derived) add
+the reference's deferred-set structure: every ancestor set defers at
+its count minimum during verify, the remaining candidates evaluate
+at render-resume (``_resume_deferred_set``), and rendered parents'
+leaf thaws resume recursively in render order — pinned by directed
+differential tests and the nested dense-cluster shapes of the cursor
+fuzz generator.  Sorts, globs,
 value ranges
 (including the reference's value-bin scan order for unsorted range
 reads), variables, or-chains (branch subconstraints, first-match
@@ -101,7 +107,8 @@ class _SubSpec:
     """One subconstraint's evaluation plan (mirror of _attach_sub)."""
 
     __slots__ = ("sub", "mode", "sp", "count_min", "outer", "rps", "lo",
-                 "child_spec", "var_imports", "cstate", "cfilter", "ssim")
+                 "child_spec", "var_imports", "cstate", "cfilter", "ssim",
+                 "has_thaw")
 
     def __init__(self, sub, mode, sp, count_min, outer, rps, lo,
                  child_spec, var_imports, cstate=None, cfilter=None,
@@ -118,6 +125,11 @@ class _SubSpec:
         self.cfilter = cfilter
         self.ssim = ssim
         self.var_imports = var_imports
+        #: a live _ThawScan somewhere strictly BELOW this sub: its
+        #: set evaluation defers at count-min during verify and the
+        #: remaining candidates evaluate at render-resume (spew-
+        #: trace-derived, ref graphd-read-set-defer.c)
+        self.has_thaw = False
 
 
 class _SubSortState:
@@ -192,10 +204,11 @@ class _ThawScan:
 
     __slots__ = ("reader", "sub", "keyfns", "specs", "grid", "P",
                  "offset", "thawed_n", "count_min", "ring", "order",
-                 "state", "binfn")
+                 "state", "binfn", "comp0", "desc0")
 
     def __init__(self, reader, sub, keyfns, specs, grid, P, offset,
-                 thawed_n, count_min, order, binfn=None):
+                 thawed_n, count_min, order, binfn=None,
+                 comp0="default", desc0=False):
         self.reader = reader
         self.sub = sub
         self.keyfns = keyfns
@@ -211,11 +224,15 @@ class _ThawScan:
         #: producer walk-position of a primitive's first-key bin, or
         #: None (the all-scan for name keys is NOT ordered).  An
         #: ordered producer lets the sorter END the scan once a
-        #: match-passing candidate's bin lies beyond the current
-        #: array cutoff's bin (graphd_sort_accept_prefilter's
-        #: sort_root_value_beyond + gsc_ended) — later ids are then
+        #: too-large candidate arrives AND the comparator's
+        #: value_in_range verdict says the scan position is beyond
+        #: the cutoff's value (graphd_sort_accept_prefilter's
+        #: sort_root_value_beyond + gsc_ended;
+        #: comparators.vrange_value_beyond) — later ids are then
         #: never consumed, so they never feed the bad-id ring.
         self.binfn = binfn
+        self.comp0 = comp0
+        self.desc0 = desc0
 
     def _scan(self, p, ss, st, stop_early: bool):
         reader = self.reader
@@ -256,12 +273,17 @@ class _ThawScan:
             if self.binfn is not None and len(entries) >= 2 * self.P:
                 # ordered-producer sort-window exit: once the sorter
                 # has a MEDIAN (first condense at 2P accepted), a
-                # match-passing candidate that sorts beyond the
-                # cutoff AND whose producer bin is past the cutoff's
-                # bin ends the set's scan (graphd_sort_accept's
-                # else-branch: gsc_have_median + which==0 +
-                # sort_root_value_beyond; too-large rejections
-                # themselves stay silent — prefilter-side)
+                # too-large candidate whose FIRST key decides
+                # (which==0) triggers the comparator's value_in_range
+                # verdict on the cutoff value vs the producer's
+                # previous bin boundary; a True verdict ends the
+                # set's scan (graphd_sort_accept_prefilter:
+                # gsc_have_median + sort_root_value_beyond +
+                # gsc_ended; too-large rejections themselves stay
+                # silent — prefilter-side)
+                from graphd_spark.comparators import (
+                    vrange_value_beyond,
+                )
                 from graphd_spark.sortsim import simulate
 
                 arr, _a, _t = simulate(
@@ -271,11 +293,16 @@ class _ThawScan:
                     r2, known2 = _pre_cmp(
                         keys, arr[-1][0], self.specs
                     )
-                    if known2 and r2 > 0:
-                        wb = self.binfn(c)
-                        cb = self.binfn(arr[-1][1][0])
-                        if wb is not None and cb is not None \
-                                and wb > cb:
+                    r0, known0 = _pre_cmp(
+                        keys[:1], arr[-1][0][:1], self.specs[:1]
+                    )
+                    if known2 and r2 > 0 and known0 and r0 > 0:
+                        cand_order = self.binfn(c)
+                        cutoff_val = arr[-1][1][0].value
+                        if vrange_value_beyond(
+                            cutoff_val, cand_order,
+                            self.comp0, self.desc0,
+                        ):
                             # the exit candidate was "too large to
                             # store": have_trailing is set even
                             # though it is never appended
@@ -503,16 +530,20 @@ def check_supported(con: Constraint) -> None:
                 mode = effective_sub_cursor_mode(node)
                 if mode is None:
                     raise Unsupported("sub-cursor-shape")
-                if mode == "sort" and (depth > 1 or in_branch):
-                    # depth-1 sorted cursor subs run the EXACT thaw
-                    # model (_ThawScan: global producer + bad-id ring
-                    # + verify/defer/resume, probed vs the binary).
-                    # Nested sets add the reference's deferred
-                    # mid-set continuation order (the set's verify
-                    # stops at count-min and the REMAINING candidates
-                    # evaluate at render-resume, interleaved with the
-                    # leaf resumes) — unmodeled, so they fall back.
-                    raise Unsupported("nested-sort-sub-cursor")
+                if mode == "sort" and in_branch:
+                    # or-branch sorted cursor subs: the winning
+                    # branch's sorter interplay is unprobed
+                    raise Unsupported("branch-sort-sub-cursor")
+                # nested (depth >= 2) sorted cursor subs are allowed:
+                # the reference applies the SAME per-parent machinery
+                # at every depth (probed: a depth-2 chain over a
+                # 3-mid cluster store is byte-identical to the
+                # depth-1 chain over the mids as root parents), with
+                # resumes walking rendered parents recursively in
+                # render order (_eval_set).  Thawed nested grids that
+                # fall outside the exact _ThawScan family raise in
+                # _sub_sort_setup instead of riding the legacy
+                # one-shot model unprobed.
         for chain in node.or_chains:
             for b in chain:
                 if b.or_chains:
@@ -542,7 +573,8 @@ class FastReader:
         #: during _build_specs; _eval_set then consumes candidates
         #: lazily and resumes rendered parents in render order
         self._thaw_active = False
-        self._thaw_pending: list = []
+        self._thaw_by_row: dict = {}   # id(parent row) -> thaw resumes
+        self._defer_by_row: dict = {}  # id(parent row) -> set resumes
         self._spec_depth = 0
         #: per-request cache of timestamp-range id bounds, keyed by
         #: constraint identity (the reference compiles them once per
@@ -2783,6 +2815,15 @@ class FastReader:
                     cfilter=sub_cfilter, ssim=sub_ssim,
                 ))
             plan.sub_plans.append(sp)
+        for ss in subs:
+            # child _SubSpecs are complete (bottom-up recursion), so
+            # a live thaw STRICTLY below this sub is visible here
+            # (the sub's own thaw rides the dedicated verify branch)
+            ss.has_thaw = ss.child_spec is not None and any(
+                c.has_thaw
+                or (c.ssim is not None and c.ssim.thaw is not None)
+                for c in ss.child_spec.subs
+            )
         # or-chains with subconstraints / assignments (mirror of
         # _apply_or_chain's flag + first-match-binding machinery);
         # pure-intrinsic chains carry no branch specs
@@ -2944,6 +2985,41 @@ class FastReader:
         up through the arrays."""
         return any(bool(node.assignments) for node in con.walk())
 
+    def _resume_deferred_set(self, entry):
+        """Continue a count-min-deferred ancestor set to its page
+        bound (lo + rps accepted, or candidate exhaustion) at render-
+        resume time.  Each newly accepted candidate's subtree runs its
+        own nested thaw verify here, which is exactly when the
+        reference runs it (graphd-read-set-defer.c); the parent row's
+        count/array columns are finalized in place."""
+        p, ss, kids, cand_ids, ci, row = entry
+        sub, sp = ss.sub, ss.sp
+        stop = ss.lo + ss.rps
+        while ci < len(cand_ids) and len(kids) < stop:
+            cid = cand_ids[ci]
+            ci += 1
+            c = self.store.rows[cid - self.store._base]
+            if ss.cfilter is not None and not ss.cfilter(c):
+                continue
+            crow = self._row_for(
+                c, sub, ss.child_spec,
+                build_row=sp.arr_col is not None,
+            )
+            if crow is _NO_MATCH:
+                continue
+            kids.append((c, crow))
+        n = len(kids)
+        child_rows = [r for _c, r in kids[ss.lo:ss.lo + ss.rps]]
+        if n == 0 and ss.outer:
+            row[sp.cnt_col] = None
+            row[sp.arr_col] = None
+        else:
+            row[sp.cnt_col] = n
+            row[sp.arr_col] = child_rows
+        first = child_rows[0] if child_rows else None
+        for newcol, src in ss.var_imports:
+            row[newcol] = None if first is None else first.get(src)
+
     def _eval_set(self, con: Constraint, exists_only: bool):
         """Mirror of Compiler._compile + evaluation: returns
         (SetPlan, matches) with matches an id-ordered list of
@@ -3009,19 +3085,44 @@ class FastReader:
                 matches.append((p, row))
                 if stop_at is not None and len(matches) >= stop_at:
                     break
-        if self._thaw_active and self._thaw_pending:
+        if self._thaw_active and (self._thaw_by_row or self._defer_by_row):
             lo = con.start or 0
-            pend: dict = {}
-            for pid, ss, rows_list, prow in self._thaw_pending:
-                pend.setdefault(pid, []).append((ss, rows_list, prow))
-            for pr, _row in matches[lo:]:
-                for ss, rows_list, prow in pend.get(pr.id, ()):
-                    n = ss.ssim.thaw.resume(pr, ss, rows_list)
-                    if n and prow is not None and prow.get(ss.sp.cnt_col):
-                        # final accepted count: the render-side
-                        # exhaustion check (delivered >= accepted ->
-                        # null:) must see the completed evaluation
-                        prow[ss.sp.cnt_col] = n
+
+            def _resume_walk(row, node_spec):
+                # render order (spew-trace-derived): subs in parse
+                # order; a sub's deferred SET continuation completes
+                # first (evaluating remaining candidates, each
+                # running its nested thaw verify), then the sub's own
+                # deferred thaw resumes, then its rendered page
+                # recurses — registries are consulted LIVE because a
+                # set resume registers fresh entries for the rows it
+                # creates
+                rid = id(row)
+                for ss in node_spec.subs:
+                    if ss.sp.arr_col is None:
+                        continue
+                    for entry in list(self._defer_by_row.get(rid, ())):
+                        if entry[1] is ss:
+                            self._resume_deferred_set(entry)
+                    for entry in self._thaw_by_row.get(rid, ()):
+                        p2, ss2, rows_list, prow = entry
+                        if ss2 is not ss:
+                            continue
+                        n = ss2.ssim.thaw.resume(p2, ss2, rows_list)
+                        if n and prow.get(ss2.sp.cnt_col):
+                            # final accepted count: the render-side
+                            # exhaustion check (delivered >=
+                            # accepted -> null:) must see the
+                            # completed evaluation
+                            prow[ss2.sp.cnt_col] = n
+                    kids = row.get(ss.sp.arr_col) or ()
+                    for krow in list(kids):
+                        if isinstance(krow, dict):
+                            _resume_walk(krow, ss.child_spec)
+
+            for _pr, row in matches[lo:]:
+                if row is not None:
+                    _resume_walk(row, spec)
         # iam pagesize=0 probe [n:] pins (probed round 6, 11 probe
         # shapes vs the binary; cursor fuzz seed 2120):
         # - a single-element value/name hmap (or word-prefix) bin
@@ -3291,6 +3392,11 @@ class FastReader:
             )
             if ssim.thaw is not None:
                 self._thaw_active = True
+            elif getattr(self, "_spec_depth", 0) > 1:
+                # a NESTED thawed grid outside the exact _ThawScan
+                # family would ride the legacy one-shot model, which
+                # is only probed at depth 1 — fall back to Spark
+                raise Unsupported("nested-sort-legacy-thaw")
         return ssim, thawed_n
 
     def _make_thaw_scan(self, sub, keyfns, specs, grid, P, offset,
@@ -3298,9 +3404,11 @@ class FastReader:
         """Build the exact thaw simulation (_ThawScan) when the shape
         is inside the probed family; None falls back to the legacy
         one-shot grid model (descending first keys, non-bin
-        comparators, nested depth — unprobed)."""
-        if getattr(self, "_spec_depth", 0) != 1:
-            return None  # nested thaws fall back (check_supported)
+        comparators — unprobed).  Depth is NOT a gate: the reference
+        runs the identical global-producer scan for nested sorted
+        subs (probed depth-2 chains match depth-1 byte-for-byte);
+        nested shapes that would fall to the LEGACY model raise
+        Unsupported in _sub_sort_setup instead."""
         sk0 = sub.sort[0]
         if sub.subs or sub.or_chains:
             return None  # nested checks inside the scan: unprobed
@@ -3359,13 +3467,12 @@ class FastReader:
             nulls = [p for p in rows if p.value is None]
             order = nulls + order if desc else order + nulls
 
-            def binfn(p, _ofn=ofn, _desc=desc):
+            def binfn(p, _ofn=ofn):
+                # RAW producer scan order (vrange_value_beyond
+                # decodes per comparator; direction rides desc0)
                 if p.value is None:
                     return None
-                k = _ofn(p.value)
-                if k is None:
-                    return None
-                return -k if _desc else k
+                return _ofn(p.value)
         else:
             return None
         count_min = (
@@ -3376,6 +3483,7 @@ class FastReader:
         return _ThawScan(
             self, sub, keyfns, specs, grid, P, offset, thawed_n,
             count_min, order, binfn=binfn,
+            comp0=comp, desc0=sk0.descending,
         )
 
     def _sort_grid_keys(self, keyfns, vals, bguid):
@@ -3664,7 +3772,14 @@ class FastReader:
                 if ss.var_imports:
                     raise Unsupported("thaw-sort-vars")
                 n, child_rows = thaw.verify(p, ss)
-                self._thaw_pending.append((p.id, ss, child_rows, row))
+                if row is not None:
+                    # registered for render-resume; a parent whose
+                    # row is never built cannot render, so its scan
+                    # stays deferred forever (reference: resume runs
+                    # only for parents actually rendered)
+                    self._thaw_by_row.setdefault(
+                        id(row), []
+                    ).append((p, ss, child_rows, row))
                 if not ss.outer and (
                     n == 0 or n + thaw.offset < thaw.count_min
                 ):
@@ -3722,9 +3837,38 @@ class FastReader:
                         ss.lo + ss.rps + (1 if wants_cur else 0),
                         ss.count_min,
                     )
-            for cid in self._child_ids(p, sub):
-                if self.horizon is not None and cid > self.horizon:
-                    continue
+            defer_set = False
+            if self._thaw_active and ss.has_thaw:
+                # ancestor set of a live thaw: the reference's verify
+                # defers this set at its COUNT MINIMUM and evaluates
+                # the remaining candidates at render-resume, so the
+                # nested thaw verifies interleave with the leaf
+                # resumes in render order (spew-trace-derived; the
+                # shared bad-id ring makes the order observable)
+                if (
+                    sub.count_eq is not None
+                    or sub.count_max is not None
+                    or sub.sort is not None
+                    or ss.ssim is not None
+                    or ss.rps == 0
+                ):
+                    # exact counts force full scans, sorted ancestor
+                    # sets suspend through the sorter, pagesize-0
+                    # probes drop sort context — all unprobed above
+                    # a live thaw
+                    raise Unsupported("thaw-ancestor-shape")
+                defer_set = True
+                stop_kids = ss.count_min
+            cand_ids = [
+                cid for cid in self._child_ids(p, sub)
+                if self.horizon is None or cid <= self.horizon
+            ]
+            ci = 0
+            while ci < len(cand_ids):
+                if stop_kids is not None and len(kids) >= stop_kids:
+                    break  # count_min 0: defer before any candidate
+                cid = cand_ids[ci]
+                ci += 1
                 c = self.store.rows[cid - self.store._base]
                 if ss.cfilter is not None and not ss.cfilter(c):
                     continue  # thawed sub-cursor restriction
@@ -3785,6 +3929,14 @@ class FastReader:
                     sp.plan.cursor_ctx.setdefault("probe", {})[
                         id(child_rows)
                     ] = probe_entry
+                if defer_set and row is not None:
+                    # deferred-set continuation: the remaining
+                    # candidates evaluate at render-resume (only if
+                    # this parent actually renders), each running its
+                    # own nested thaw verify at that point
+                    self._defer_by_row.setdefault(
+                        id(row), []
+                    ).append((p, ss, kids, cand_ids, ci, row))
             if n == 0 and not ss.outer:
                 return _NO_MATCH  # inner join semantics
             passes = True
@@ -4574,23 +4726,25 @@ class FastReader:
         raise GraphdError("SEMANTICS", f"unsupported operator {sc.op!r}")
 
 
-# -- depth-2 thaw notes (round-6 investigation, for the next round) -------
+# -- depth-2+ thaw model (round 7, closing the round-6 investigation) -----
 #
-# Extending _ThawScan to NESTED (depth >= 2) sorted cursor subs was
-# prototyped and converges on clean cluster stores with: (a) ancestor
-# sets evaluating in the reference's deferred two-phase structure
-# (verify stops at count-min; the remaining candidates evaluate at
-# render-resume, so their leaf thaw verifies interleave with the leaf
-# resumes in render order — the prototype used a _SubSpec.defer flag
-# plus a recursive render-order walk over live pending registries),
-# and (b) the leaf producer id-BOUNDED per the linksto lifting.  The
-# remaining blocker is that (b)'s bounds are OPTIMIZER-DEPENDENT: when
-# the mid set pre-evaluates to a fixed set (tiny clusters) the leaf
-# vrange gets exact [min_child, max_child+1) bounds (observed
-# ``vrange:2d..35``), but when the mid set keeps an index producer the
-# low bound stays 0 and only the high bound tightens to the left-gmap
-# family maximum (observed ``vrange:0..20`` / ``0..25`` on stores
-# differing only in id layout) — and which case applies follows the
-# reference's and-iterator statistics contest.  Until that contest is
-# modeled, nested thaws stay on the Spark fallback
-# (check_supported's nested-sort-sub-cursor).
+# NESTED (depth >= 2) sorted cursor subs now run the exact model:
+# the round-6 note's item (a) — ancestor sets evaluating in the
+# reference's deferred two-phase structure — is implemented by
+# _SubSpec.has_thaw + the count-min verify defer in _row_for +
+# _resume_deferred_set + _eval_set's recursive render-order resume
+# walk over live registries, matching the RXN spew traces exactly
+# (verify defers EVERY set at one accepted element; render completes
+# each rendered parent's sub SET first, then each rendered kid's
+# leaf thaw, recursively).  Item (b)'s feared optimizer-dependent
+# vrange bounds turned out not to arise in these chains: the resumed
+# leaf producer is always the GLOBAL sort-root vrange over the full
+# store ([n:] = store horizon), same as depth 1 — the bound regimes
+# the round-6 prototype observed came from its own id-bounding
+# experiment, not from the reference.  The round-7 campaigns also
+# exposed (and fixed) the sort-window exit verdict: it is NOT a
+# producer-bin comparison but the comparator's value_in_range port
+# (comparators.vrange_value_beyond — the alpha-prefix test string vs
+# the previous bin's boundary, with the numeric-cutoff first-byte
+# hacks; graphd-comparator-default.c:2031-2196), gated on the FIRST
+# sort key deciding (which==0, graphd-sort.c:686-857).

@@ -352,6 +352,14 @@ class Assembler:
         horizon = ctx["horizon"]
         # [n:] bound precedence (probed round 6, 14 shapes vs the
         # binary; cursor fuzz seed 2120):
+        # 0. a VALUE-first sort whose result renders per-element
+        #    values keeps its sort-root VRANGE producer, which spans
+        #    the whole store: [n:] stays the store horizon,
+        #    overriding EVERY tighter pin below (probed round 7 —
+        #    cursor fuzz seed 991 + 10 directed shapes: asc/desc,
+        #    eq-bin subs, hmap1 roots, octet/case/datetime
+        #    comparators, (value guid) keys; name/timestamp first
+        #    keys have no vrange and keep the tight pins);
         # 1. a single-element value/name/prefix bin among the SUB's
         #    own predicates: element + 1 (all sub modes);
         # 2. iam sub under a single-element value/name/prefix-bin
@@ -362,7 +370,22 @@ class Assembler:
         #    set's natural high;
         # 4. otherwise the store horizon, even when pagesize renders
         #    only one of several matched parents.
-        if ctx.get("probe_high") is not None:
+        sub_con = ctx["con"]
+        value_sort_root = bool(
+            sub_con.sort
+            and sub_con.sort[0].pattern.kind == "value"
+            and sub_con.result is not None
+            and any(
+                p.kind not in (
+                    "count", "cursor", "estimate", "estimate-count",
+                    "iterator", "timeout", "list", "none",
+                )
+                for p in sub_con.result.walk()
+            )
+        )
+        if value_sort_root:
+            pass
+        elif ctx.get("probe_high") is not None:
             horizon = min(horizon, ctx["probe_high"])
         elif mode == "iam" and "branch_winners" in ctx:
             # or-branch iam probes: parent id when exactly one parent

@@ -343,17 +343,43 @@ def gen_cursor_writes(rng: random.Random):
         burst = (burst, pname)
     else:
         burst = (burst, None)
-    return lines, burst
+    nest = None
+    if rng.random() < 0.45:
+        # NESTED (depth-2) dense cluster: grandparents -> mids
+        # sharing a name -> leaf kids from the shared value pool.
+        # Thawed sorted chains on the LEAF sub exercise the nested
+        # render-resume walk (verify defers per mid; resumes run for
+        # rendered mids in render order) over the same global
+        # producer + shared bad-id ring as the root-level thaws.
+        nest = "nst" + str(rng.randrange(3))
+        for g in range(rng.randrange(1, 3)):
+            mids = []
+            for _ in range(rng.randrange(2, 4)):
+                kids = "".join(
+                    f" (<-left value={_q(rng.choice(_VALUES))})"
+                    for _ in range(rng.randrange(2, 6))
+                )
+                mids.append(
+                    f"(<-left name={_q(nest)} "
+                    f"value={_q(rng.choice(_VALUES))}{kids})"
+                )
+            lines.append(
+                f'write (value="{nest}gp{g}" ' + " ".join(mids) + ")"
+            )
+    return lines, burst + (nest,)
 
 
 def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
     """Cursored reads (shared by the pytest campaign and
     tools/diff_campaign.py --cursors)."""
-    link_burst, thaw_name = burst, None
+    link_burst, thaw_name, nest_name = burst, None, None
     if burst is not None and (
         burst[0] is None or isinstance(burst[0], tuple)
     ):
-        link_burst, thaw_name = burst
+        if len(burst) == 3:
+            link_burst, thaw_name, nest_name = burst
+        else:
+            link_burst, thaw_name = burst
     reads = []
     for i in range(rng.randrange(2, 5)):
         body = _gen_cursor_constraint(rng)
@@ -362,6 +388,30 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
             # masqueraded fixed-isa freeze window (>= 6 targets)
             arrow, v = link_burst
             body = f"({arrow} value={_q(v)})"
+        elif nest_name is not None and rng.random() < 0.4:
+            # DEPTH-2 nested sorted cursor chain: root grandparent ->
+            # mid (shared name) -> sorted leaf cursor.  The thawed
+            # pages run _ThawScan per MID parent with resumes walking
+            # rendered mids recursively in render order.
+            srt = rng.choice([
+                "sort=value", "sort=(-value)", "sort=name",
+                "sort=(value -name)", "sort=(value guid)",
+            ])
+            ps = rng.randrange(1, 4)
+            mid_ps = rng.choice(["", "", "pagesize=1 ", "pagesize=2 "])
+            root = (
+                f'value="{nest_name}gp{rng.randrange(2)}"'
+                if rng.random() < 0.7
+                else f'value~="{nest_name}gp*" pagesize=2'
+            )
+            reads.append(
+                f"read ({root} result=((value contents)) "
+                f"(<-left name={_q(nest_name)} {mid_ps}"
+                f"result=((value contents)) "
+                f"(<-left {srt} pagesize={ps} "
+                f"result=(cursor (guid value)))))"
+            )
+            continue
         elif thaw_name is not None and rng.random() < 0.35:
             # dense sorted-thaw chain over the cluster parents: the
             # thawed sort: pages run the exact sort-root model
@@ -1572,6 +1622,48 @@ def test_iam_probe_n_pins(spark, ref_bin):
           'left->(value~="a*" pagesize=0 result=(cursor (guid value))))',
           'read (value~="b*" pagesize=2 result=((value contents)) '
           'left->(pagesize=0 result=(cursor (guid value))))']),
+        # a VALUE-first sort whose result renders per-element values
+        # keeps its sort-root VRANGE producer -> [n:] stays the store
+        # horizon, overriding the tighter pins (round 7, cursor fuzz
+        # seed 991 + directed probes: asc/desc value keys, eq-bin
+        # subs, hmap1 roots, my-form, octet comparator, (value guid)
+        # keys; name/timestamp first keys have no vrange -> tight)
+        (['write (value="a0")', 'write (value="f1")',
+          'write (value="b-one" left=%s)' % G(0),
+          'write (value="f2")'],
+         ['read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" sort=(-value) pagesize=0 '
+          'result=(cursor (guid value))))',
+          'read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" sort=value pagesize=0 '
+          'result=(cursor (guid value))))',
+          'read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(value="a0" sort=(-value) pagesize=0 '
+          'result=(cursor (guid value))))',
+          'read (value="b-one" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" sort=(-value) pagesize=0 '
+          'result=(cursor (guid value))))',
+          'read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" sort=(value guid) pagesize=0 '
+          'result=(cursor (guid value))))',
+          'read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" sort-comparator="octet" sort=(-value) '
+          'pagesize=0 result=(cursor (guid value))))',
+          # cursor-only result: the sort context drops -> tight pin
+          'read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" sort=(-value) pagesize=0 '
+          'result=(cursor)))',
+          # name/timestamp first keys: no vrange -> tight pins keep
+          'read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" sort=name pagesize=0 '
+          'result=(cursor (guid value))))',
+          'read (value~="b*" pagesize=2 result=((value contents)) '
+          'left->(value~="a*" sort=timestamp pagesize=0 '
+          'result=(cursor (guid value))))',
+          # my-form value-sorted probe under a single-match root
+          'read (value="b-one" pagesize=2 result=((value contents)) '
+          '(<-left value~="f*" sort=(-value) pagesize=0 '
+          'result=(cursor (guid value))))']),
     ]
     for writes, reads in scripts:
         want = run_reference(writes + reads)
