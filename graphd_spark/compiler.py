@@ -76,6 +76,16 @@ DEFAULT_PAGESIZE = 1024  # ref graphd/graphd-sort.c:21-22
 _FIXED_MATERIALIZE_MAX = 100
 
 
+def _iter_branch_ok(b) -> bool:
+    """An or-branch whose match folds into the iterator-level
+    pre-evaluation: intrinsic only, recursively."""
+    return (
+        not b.subs and not b.assignments and not b.next and not b.prev
+        and b.dateline is None and not b.gens
+        and all(_iter_branch_ok(x) for ch in b.or_chains for x in ch)
+    )
+
+
 def _iter_expressible(con) -> bool:
     """True when every predicate of ``con`` lives at the reference's
     ITERATOR level — the tree graphd compiles into gmap/hmap/vip/
@@ -85,9 +95,17 @@ def _iter_expressible(con) -> bool:
     ranges and sub-sub existence are applied, the generational
     newest test is not; ref graphd-read-set-cursor.c,
     graphd-iterator-and.c pre-evaluation)."""
-    if (con.or_chains or con.next
-            or con.prev or con.dateline is not None or con.gens):
+    if con.next or con.prev or con.dateline is not None or con.gens:
         return False
+    # intrinsic or-chains participate in the iterator tree and the
+    # pre-evaluation collapses them into the fixed set like any other
+    # predicate (probed round 7: `(<-left { timestamp>.. | value=.. }
+    # ...)` freezes the per-parent fixed of chain-passing children);
+    # sub- or assignment-bearing chains stay out
+    for ch in con.or_chains:
+        for b in ch:
+            if not _iter_branch_ok(b):
+                return False
     for s in con.subs:
         if s.linkage is None:
             return False
@@ -172,7 +190,7 @@ def sub_cursor_mode(sub, ignore_sort: bool = False) -> Optional[str]:
     has_preds = (
         sub.value_strcons or sub.name_strcons or sub.guid
         or any(sub.links.values()) or sub.subs or sub.timestamps
-        or sub.valuetype is not None or sub.false
+        or sub.valuetype is not None or sub.false or sub.or_chains
     )
     tcs = sub.type_strcons
     if not tcs and not has_preds:
@@ -250,34 +268,89 @@ class SubPlan:
     eff_col: Optional[str] = None
 
 
-def timestamp_bounds(con) -> tuple:
-    """clause_merge_timestamp fold (graphd-constraint-clause.c:100-160)
-    of con.timestamps into a (min, max) pair of 48-bit stamps; None =
-    unbounded.  Partial-precision literals take their rounded
-    endpoints, matching the row predicate; '!=' doesn't move the
-    bounds (the reference nudges exactly-equal ends, which the row
-    check enforces anyway)."""
-    tmin = None
-    tmax = None
+TS_MIN = 0
+TS_MAX = 0xFFFFFFFFFFFF  # GRAPH_TIMESTAMP_MAX (libgraph/graph.h:399)
+
+
+def timestamp_envelope(con) -> tuple:
+    """EXACT clause_merge_timestamp fold
+    (graphd-constraint-clause.c:100-160): every op compiles against
+    the literal's single expanded instant (a partial stamp expands to
+    its LOWER instant, gdp_token_totime — probed round 7: ts>1970
+    matches .0001 stamps, ts=1970/<=1970 match only the instant,
+    ts!=1970 matches everything away from the envelope edges) into one
+    inclusive [min, max] envelope, folded in PARSE order:
+
+    - '<'  sets max = ts-1 UNCONDITIONALLY (can loosen a prior max —
+      reference quirk), false when ts == MIN;
+    - '<=' lowers max to ts;
+    - '='  narrows both edges to ts;
+    - '!=' nudges only an exactly-equal EDGE inward (order-dependent:
+      a '!=' before the bound that would create the edge is a no-op);
+    - '>=' raises min to ts;
+    - '>'  raises min to ts+1 when min <= ts, false when ts >= MAX.
+
+    Returns (tmin, tmax, false) with tmin/tmax None when unbounded
+    (still at the type extremes).  Raises ValueError on unparseable
+    literals (callers report SYNTAX)."""
+    if not con.timestamps:
+        return None, None, False
+    tmin, tmax = TS_MIN, TS_MAX
+    false = False
     for tc in con.timestamps:
         try:
-            lo = ts_from_string(tc.text)
-            hi = ts_from_string(tc.text, round_up=True)
+            ts = ts_from_string(tc.text)
         except ValueError:
-            continue  # the row-predicate builder reports the error
-        if tc.op == "=":
-            tmin = lo if tmin is None else max(tmin, lo)
-            tmax = hi if tmax is None else min(tmax, hi)
-        elif tc.op == "<":
-            v = lo - 1
-            tmax = v if tmax is None else min(tmax, v)
+            raise ValueError(tc.text)
+        if tc.op == "<":
+            if ts == TS_MIN:
+                false = True
+            else:
+                tmax = ts - 1
         elif tc.op == "<=":
-            tmax = hi if tmax is None else min(tmax, hi)
-        elif tc.op == ">":
-            v = hi + 1
-            tmin = v if tmin is None else max(tmin, v)
+            if tmax > ts:
+                tmax = ts
+        elif tc.op == "=":
+            if tmin < ts:
+                tmin = ts
+            if tmax > ts:
+                tmax = ts
+        elif tc.op == "!=":
+            if tmin == ts:
+                tmin += 1
+            if tmax == ts:
+                tmax -= 1
         elif tc.op == ">=":
-            tmin = lo if tmin is None else max(tmin, lo)
+            if tmin < ts:
+                tmin = ts
+        elif tc.op == ">":
+            if ts >= TS_MAX:
+                false = True
+            elif tmin <= ts:
+                tmin = ts + 1
+        else:
+            raise GraphdError(
+                "SYNTAX",
+                f"cannot use {tc.op} with timestamps",
+            )
+    if tmax < tmin:
+        false = True
+    return (
+        tmin if tmin > TS_MIN else None,
+        tmax if tmax < TS_MAX else None,
+        false,
+    )
+
+
+def timestamp_bounds(con) -> tuple:
+    """(min, max) view of timestamp_envelope for the id-bsearch
+    compile; a false envelope returns an impossible pair."""
+    try:
+        tmin, tmax, false = timestamp_envelope(con)
+    except ValueError:
+        return None, None  # the row-predicate builder reports it
+    if false:
+        return 1, 0
     return tmin, tmax
 
 
@@ -3179,7 +3252,7 @@ class Compiler:
             plan.or_chain_subs.append([])
             pred = None
             for b in chain:
-                p = self._intrinsic_pred(b)
+                p = self._branch_pred(b)
                 if p is None:
                     return df  # empty branch: chain always true
                 pred = p if pred is None else (pred | p)
@@ -3188,7 +3261,7 @@ class Compiler:
         flags = []
         chain_sps: list = []  # this chain's branch SubPlans, branch order
         for b in chain:
-            pred = self._intrinsic_pred(b)
+            pred = self._branch_pred(b)
             flag = pred if pred is not None else F.lit(True)
             bvars: dict = {}
             bkinds: dict = {}
@@ -3288,7 +3361,53 @@ class Compiler:
         return df.filter(pred)
 
     def _branch_is_intrinsic(self, b: Constraint) -> bool:
-        return not b.subs and not b.or_chains and not b.assignments
+        # nested or-chains stay intrinsic as long as every branch
+        # below is — their match folds into a recursive disjunction
+        # (_branch_pred); probed: the reference answers
+        # `{ { A | B } | C }` as A|B|C row-wise
+        return (
+            not b.subs
+            and not b.assignments
+            and all(
+                self._branch_is_intrinsic(x)
+                for ch in b.or_chains
+                for x in ch
+            )
+        )
+
+    def _branch_pred(self, b: Constraint):
+        """An or-BRANCH's intrinsic match predicate including its
+        NESTED or-chains, folded recursively (None = always true).
+        A nested chain carrying subconstraints or assignments cannot
+        fold — refuse loudly rather than matching everything (the
+        pre-round-7 behavior silently ignored nested chains)."""
+        conds = []
+        p = self._intrinsic_pred(b)
+        if p is not None:
+            conds.append(p)
+        for chain in b.or_chains:
+            if not all(self._branch_is_intrinsic(x) for x in chain):
+                raise GraphdError(
+                    "SYSTEM",
+                    "nested or-chains with subconstraints or "
+                    "assignments are not supported",
+                )
+            cpred = None
+            always = False
+            for x in chain:
+                xp = self._branch_pred(x)
+                if xp is None:
+                    always = True  # empty branch: chain always true
+                    break
+                cpred = xp if cpred is None else (cpred | xp)
+            if not always and cpred is not None:
+                conds.append(cpred)
+        if not conds:
+            return None
+        pred = conds[0]
+        for c in conds[1:]:
+            pred = pred & c
+        return pred
 
     # -- element structs ---------------------------------------------------
 
@@ -3514,25 +3633,25 @@ class Compiler:
         if con.valuetype is not None:
             conds.append(F.col("datatype") == con.valuetype)
 
-        for tc in con.timestamps:
+        if con.timestamps:
+            # one inclusive [min, max] envelope, NOT per-op row
+            # predicates — ops fold in parse order with the
+            # reference's quirks (timestamp_envelope)
             try:
-                lo = ts_from_string(tc.text)
-                hi = ts_from_string(tc.text, round_up=True)
-            except ValueError:
+                tmin_e, tmax_e, ts_false = timestamp_envelope(con)
+            except ValueError as e:
                 raise GraphdError(
-                    "SYNTAX", f"cannot parse timestamp {tc.text!r}"
+                    "SYNTAX",
+                    f"cannot parse timestamp {e.args[0]!r}",
                 )
             c = F.col("timestamp")
-            conds.append(
-                {
-                    "=": (c >= lo) & (c <= hi),
-                    "!=": (c < lo) | (c > hi),
-                    "<": c < lo,
-                    "<=": c <= hi,
-                    ">": c > hi,
-                    ">=": c >= lo,
-                }[tc.op]
-            )
+            if ts_false:
+                conds.append(F.lit(False))
+            else:
+                if tmin_e is not None:
+                    conds.append(c >= tmin_e)
+                if tmax_e is not None:
+                    conds.append(c <= tmax_e)
         if con.timestamps:
             # timestamp bounds ALSO compile to id-range datelines via
             # a bsearch that assumes timestamp order

@@ -234,8 +234,21 @@ def constraint_signature(con: Constraint, resolve=None,
     return "".join(parts)
 
 
+def _var_used_in(node, v: str) -> bool:
+    pats = [q for _, q in node.assignments]
+    if node.result is not None:
+        pats.append(node.result)
+    if node.sort:
+        pats.extend(sk.pattern for sk in node.sort)
+    return any(
+        p.kind == "variable" and p.var == v
+        for q in pats
+        for p in q.walk()
+    )
+
+
 def _signature(con: Constraint, parts: list[str], resolve=None,
-               asof: bool = False) -> None:
+               asof: bool = False, ancestors=()) -> None:
     if con.parent is not None and con.linkage is not None:
         kind, lk = con.linkage
         lk = _LINKAGE_NAMES.get(lk, lk)
@@ -389,13 +402,45 @@ def _signature(con: Constraint, parts: list[str], resolve=None,
         _sep(parts, "dateline<=#...")
 
     for var, pat in con.assignments:
-        _sep(parts, f"{var}={pattern_to_string(pat)}")
+        # same-level aliases are fully inlined by the variable pass
+        # and their assignments ERASED before signing — only a
+        # variable an ANCESTOR still references keeps its assignment
+        # in the signature (probed: `$c=cursor result=($c (value))`
+        # checksums identically to `result=(cursor (value))`; a sub
+        # `$v=value` used by the root signs and shifts the checksum).
+        # The REAL parent chain is walked (not the signature walk's
+        # path) because sub-level cursors sign the SUB subtree alone;
+        # every surviving assignment is used same-level or above
+        # (validation), so "not used above" == "inlined alias".
+        anc_node = con.parent
+        used = False
+        while anc_node is not None and not used:
+            used = _var_used_in(anc_node, var)
+            anc_node = anc_node.parent
+        if used:
+            _sep(parts, f"{var}={pattern_to_string(pat)}")
 
+    anc = (con,) + tuple(ancestors)
     for sub in con.subs:
-        _signature(sub, parts, resolve, asof)
+        _signature(sub, parts, resolve, asof, anc)
     for chain in con.or_chains:
         for b in chain:
-            _signature(b, parts, resolve, asof)
+            # or-branch INTRINSICS never sign: the reference's
+            # signature walk only covers con_head, and branch
+            # constraints live on the or-prototype lists — but a
+            # branch's SUBCONSTRAINTS are reparented onto the
+            # chain owner's parent chain (graphd-constraint-or.c:86
+            # sub->con_parent = prototype->con_parent) and sign as
+            # ordinary subs (calibrated: `(<-left { value="k1" |
+            # value="k2" } ...)` checksums identically to the
+            # chain-free sub; or-branch sub-cursor fuzz pins the
+            # sub-bearing case)
+            for sub in b.subs:
+                _signature(sub, parts, resolve, asof, anc)
+            for ch2 in b.or_chains:
+                for b2 in ch2:
+                    for sub in b2.subs:
+                        _signature(sub, parts, resolve, asof, anc)
 
     if con.parent is not None:
         parts.append(")")

@@ -514,6 +514,16 @@ def _prefix_pattern_f(con: Constraint) -> Optional[str]:
     return p.lower()
 
 
+def _nested_intrinsic(b) -> bool:
+    """Every branch below is intrinsic (recursively): the nested
+    chain folds into a disjunction (_match_branch)."""
+    return all(
+        not x.subs and not x.assignments and _nested_intrinsic(x)
+        for ch in b.or_chains
+        for x in ch
+    )
+
+
 def check_supported(con: Constraint) -> None:
     """Raise Unsupported unless every feature of the tree is mirrored."""
     from graphd_spark.compiler import effective_sub_cursor_mode
@@ -546,8 +556,12 @@ def check_supported(con: Constraint) -> None:
                 # one-shot model unprobed.
         for chain in node.or_chains:
             for b in chain:
-                if b.or_chains:
-                    raise Unsupported("nested-or-chain")
+                if b.or_chains and not _nested_intrinsic(b):
+                    # nested chains fold only when every branch
+                    # below is intrinsic (no subs/assignments);
+                    # sub-bearing nested chains are refused by the
+                    # compiler too (_branch_pred)
+                    raise Unsupported("nested-or-chain-subs")
                 _walk(b, True, depth + 1)
         for _var, pat in node.assignments:
             if any(p.kind == "cursor" for p in pat.walk()):
@@ -580,6 +594,7 @@ class FastReader:
         #: constraint identity (the reference compiles them once per
         #: constraint; graphd_read_compile_timestamps)
         self._ts_id_bounds: dict = {}
+        self._ts_envelopes: dict = {}
         #: session-level (plan, matches) cache for repeated template
         #: shapes — the serving analog of the reference's iterator
         #: resource cache (graphd-iterator-resource.c): a cursor chain
@@ -3743,7 +3758,7 @@ class FastReader:
             if cspec is None:
                 # pure-intrinsic chain: disjunctive filter fold
                 if not any(
-                    self._match_intrinsic(p, b) for b in chain
+                    self._match_branch(p, b) for b in chain
                 ):
                     return _NO_MATCH
                 continue
@@ -3918,7 +3933,14 @@ class FastReader:
                 probe_entry = None
                 if ss.rps == 0 and kids and ss.lo < n:
                     k = max(1, ss.lo)
-                    probe_entry = (kids[k - 1][0].id, p.guid, k)
+                    # a descending timestamp/guid sort runs the
+                    # BACKWARD producer, so the probe consumes from
+                    # the top (the frozen '~' forms; probed round 7)
+                    from graphd_spark.compiler import (
+                        sub_sort_backward as _ssb,
+                    )
+                    ki = n - k if _ssb(sub) else k - 1
+                    probe_entry = (kids[ki][0].id, p.guid, k)
                 if sub.sort is not None:
                     self._apply_sort(sub, sp.plan, kids)
                 child_rows = [r for _c, r in kids[ss.lo:ss.lo + ss.rps]]
@@ -3981,7 +4003,7 @@ class FastReader:
         flags = []
         branch_var_vals = []  # per branch: {newcol: value}
         for b, bsubs, bvars, bpats, _ecol in branch_specs:
-            flag = self._match_intrinsic(p, b)
+            flag = self._match_branch(p, b)
             vals = {}
             for ss in bsubs:
                 sub, sp = ss.sub, ss.sp
@@ -4015,8 +4037,12 @@ class FastReader:
                     # seed 612)
                     if kids and ss.lo < n:
                         k = max(1, ss.lo)
+                        from graphd_spark.compiler import (
+                            sub_sort_backward as _ssb,
+                        )
+                        ki = n - k if _ssb(sub) else k - 1
                         probe_entry = (
-                            kids[k - 1][0].id, p.guid, k,
+                            kids[ki][0].id, p.guid, k,
                         )
                 if sub.sort is not None:
                     self._apply_sort(sub, sp.plan, kids)
@@ -4320,6 +4346,18 @@ class FastReader:
 
     # -- intrinsic matcher (mirror of _intrinsic_pred) ---------------------
 
+    def _match_branch(self, p: Primitive, b: Constraint) -> bool:
+        """An or-BRANCH's match including its recursively-intrinsic
+        NESTED chains (mirror of Compiler._branch_pred; probed:
+        `{ { A | B } | C }` matches A|B|C row-wise).  An empty branch
+        matches everything, so a chain with one folds to true."""
+        if not self._match_intrinsic(p, b):
+            return False
+        for chain in b.or_chains:
+            if not any(self._match_branch(p, x) for x in chain):
+                return False
+        return True
+
     def _match_intrinsic(self, p: Primitive, con: Constraint) -> bool:
         if not self._iter_intrinsic(p, con):
             return False
@@ -4401,24 +4439,29 @@ class FastReader:
                 return False
         if con.valuetype is not None and p.datatype != con.valuetype:
             return False
-        for tc in con.timestamps:
-            try:
-                lo = ts_from_string(tc.text)
-                hi = ts_from_string(tc.text, round_up=True)
-            except ValueError:
-                raise GraphdError(
-                    "SYNTAX", f"cannot parse timestamp {tc.text!r}"
-                )
+        if con.timestamps:
+            # one inclusive [min, max] envelope per constraint,
+            # mirror of Compiler (timestamp_envelope — ops fold in
+            # parse order with the reference's quirks)
+            from graphd_spark.compiler import timestamp_envelope
+
+            env = self._ts_envelopes.get(id(con))
+            if env is None:
+                try:
+                    env = timestamp_envelope(con)
+                except ValueError as e:
+                    raise GraphdError(
+                        "SYNTAX",
+                        f"cannot parse timestamp {e.args[0]!r}",
+                    )
+                self._ts_envelopes[id(con)] = env
+            tmin_e, tmax_e, ts_false = env
             t = p.timestamp
-            ok = {
-                "=": lo <= t <= hi,
-                "!=": t < lo or t > hi,
-                "<": t < lo,
-                "<=": t <= hi,
-                ">": t > hi,
-                ">=": t >= lo,
-            }[tc.op]
-            if not ok:
+            if ts_false:
+                return False
+            if tmin_e is not None and t < tmin_e:
+                return False
+            if tmax_e is not None and t > tmax_e:
                 return False
         if con.timestamps:
             # timestamp bounds also compile to id-range datelines via
@@ -4445,6 +4488,11 @@ class FastReader:
             if lo_id is not None and p.id < lo_id:
                 return False
             if hi_id is not None and p.id > hi_id:
+                return False
+        for chain in con.or_chains:
+            # intrinsic chains fold into the iterator pre-evaluation
+            # (gated by _iter_expressible; probed round 7)
+            if not any(self._iter_intrinsic(p, b) for b in chain):
                 return False
         return True
 

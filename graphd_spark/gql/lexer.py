@@ -59,7 +59,54 @@ _ATOM_RE = re.compile(r"[\w-]*", re.ASCII)
 _NUM_RE = re.compile(r"[\w.:-]*", re.ASCII)
 
 
+# single-pass master scanner (serving fast path): one compiled-regex
+# walk over plain-ASCII lines with no comments, escapes, or invalid
+# characters — any gap or non-ASCII input falls back to the exact
+# per-char tokenizer below, so unicode continuations, '(: :)' comment
+# spans, string escapes, ERRTOK positions and variable dash-putback
+# keep their reference semantics bit for bit.
+_MASTER_RE = re.compile(
+    r"""(?P<ws>\s+)
+       |(?P<atom>[A-Za-z_][A-Za-z0-9_]*(?:-+[A-Za-z0-9_]+)*)
+       |(?P<num>[0-9][A-Za-z0-9_.:-]*)
+       |(?P<str>"[^"\\\n]*")
+       |(?P<var>\$[A-Za-z_][A-Za-z0-9_]*(?:-+[A-Za-z0-9_]+)*)
+       |(?P<sym><->|->|<-|<=|>=|!=|~=|\|\||[(){}=<>|+-])
+    """,
+    re.VERBOSE | re.ASCII,
+)
+
+
 def tokenize(s: str) -> list[Token]:
+    if not s.isascii() or "(:" in s:
+        return _tokenize_slow(s)
+    toks: list[Token] = []
+    ap = toks.append
+    pos = 0
+    for m in _MASTER_RE.finditer(s):
+        start = m.start()
+        if start != pos:
+            return _tokenize_slow(s)  # gap: errtok/escape/comment
+        pos = m.end()
+        k = m.lastgroup
+        if k == "ws":
+            continue
+        if k == "atom" or k == "num":
+            ap(Token(ATOM, m.group(), start))
+        elif k == "sym":
+            t = m.group()
+            ap(Token(t, t, start))
+        elif k == "str":
+            ap(Token(STR, s[start + 1:pos - 1], start))
+        else:
+            ap(Token(VAR, m.group(), start))
+    if pos != len(s):
+        return _tokenize_slow(s)
+    ap(Token(END, "", len(s)))
+    return toks
+
+
+def _tokenize_slow(s: str) -> list[Token]:
     toks: list[Token] = []
     i, n = 0, len(s)
     while i < n:

@@ -30,6 +30,21 @@ from graphd_spark.gql.ir import (
 )
 from graphd_spark.model import DATATYPE_CODES, guid_normalize
 
+from operator import attrgetter
+
+# _merge_item's batched field reads (hot on the full-parse path)
+_MERGE_LIST_FIELDS = (
+    "guid", "prev", "next", "type_strcons", "name_strcons",
+    "value_strcons", "timestamps", "gens", "assignments", "subs",
+)
+_MERGE_LISTS = attrgetter(*_MERGE_LIST_FIELDS)
+_MERGE_OPT_FIELDS = (
+    "valuetype", "count_min", "count_max", "count_eq", "pagesize",
+    "resultpagesize", "countlimit", "cursor", "dateline", "comparator",
+    "value_comparator", "sort", "result", "unique", "key", "linkage",
+)
+_MERGE_OPTS = attrgetter(*_MERGE_OPT_FIELDS)
+
 
 class ParseError(Exception):
     """Maps to an ``error SYNTAX``/``error SEMANTICS`` reply."""
@@ -112,8 +127,12 @@ class Parser:
     # -- token plumbing ---------------------------------------------------
 
     def peek(self, ahead: int = 0) -> L.Token:
-        j = min(self.i + ahead, len(self.toks) - 1)
-        return self.toks[j]
+        if ahead:
+            j = min(self.i + ahead, len(self.toks) - 1)
+            return self.toks[j]
+        # hot path: the token list always ends with an END sentinel
+        # and next() never advances past it, so i is always in range
+        return self.toks[self.i]
 
     def next(self) -> L.Token:
         t = self.toks[self.i]
@@ -218,19 +237,10 @@ class Parser:
                 (k, i + (sub_off if k == "sub" else chain_off))
                 for k, i in item.clause_order
             )
-        for f in (
-            "guid",
-            "prev",
-            "next",
-            "type_strcons",
-            "name_strcons",
-            "value_strcons",
-            "timestamps",
-            "gens",
-            "assignments",
-            "subs",
-        ):
-            v = getattr(item, f)
+        # batched field reads (one C attrgetter call instead of ~26
+        # dynamic getattr calls — this merge runs per clause item on
+        # the full-parse serving path)
+        for f, v in zip(_MERGE_LIST_FIELDS, _MERGE_LISTS(item)):
             if v:
                 getattr(con, f).extend(v)
         for s in item.subs:
@@ -238,25 +248,7 @@ class Parser:
         if item.links:
             for k, v in item.links.items():
                 con.links.setdefault(k, []).extend(v)
-        for f in (
-            "valuetype",
-            "count_min",
-            "count_max",
-            "count_eq",
-            "pagesize",
-            "resultpagesize",
-            "countlimit",
-            "cursor",
-            "dateline",
-            "comparator",
-            "value_comparator",
-            "sort",
-            "result",
-            "unique",
-            "key",
-            "linkage",
-        ):
-            v = getattr(item, f)
+        for f, v in zip(_MERGE_OPT_FIELDS, _MERGE_OPTS(item)):
             if v is not None:
                 if getattr(con, f) is not None and f not in ("linkage",):
                     if f == "cursor":
@@ -1280,6 +1272,18 @@ def analyze_variables(con) -> None:
         _check_result_depth(con.result, 0)
 
 
+def _check_result_depths(con) -> None:
+    """analyze_variables' step 5 alone, for variable-free requests
+    (post-order over subs and or-branches like the full pass)."""
+    for sub in con.subs:
+        _check_result_depths(sub)
+    for chain in con.or_chains:
+        for b in chain:
+            _check_result_depths(b)
+    if con.result is not None:
+        _check_result_depth(con.result, 0)
+
+
 def _check_result_depth(pat, depth: int) -> None:
     if pat.kind == "list":
         if depth >= 2:
@@ -1470,19 +1474,29 @@ def parse_request(line: str, toks=None) -> Request:
             )
         if cmd == "read":
             _check_contents_usage(req.constraint)
-            # collect assigned-but-never-returned violations BEFORE
-            # alias substitution erases same-level references, but
-            # report them only after analyze_variables had its chance
-            # to raise (the reference orders returned-but-not-set and
-            # assigned-twice first; test/unit/sort7.sh)
-            unreturned = _assignments_not_returned(req.constraint)
-            analyze_variables(req.constraint)
-            if unreturned:
-                raise ParseError(
-                    f"variable {unreturned[0]} is assigned, but not "
-                    "returned in this or any containing constraint"
-                )
-            _check_nested_assignments(req.constraint)
+            # the variable passes walk every pattern in the tree; a
+            # request with no '$var' token anywhere (the common
+            # serving shape) has nothing for them to find or raise —
+            # except analyze_variables' step 5 (result-list nesting
+            # depth), which runs standalone below
+            if not any(t.kind == L.VAR for t in p.toks):
+                _check_result_depths(req.constraint)
+            else:
+                # collect assigned-but-never-returned violations
+                # BEFORE alias substitution erases same-level
+                # references, but report them only after
+                # analyze_variables had its chance to raise (the
+                # reference orders returned-but-not-set and
+                # assigned-twice first; test/unit/sort7.sh)
+                unreturned = _assignments_not_returned(req.constraint)
+                analyze_variables(req.constraint)
+                if unreturned:
+                    raise ParseError(
+                        f"variable {unreturned[0]} is assigned, but "
+                        "not returned in this or any containing "
+                        "constraint"
+                    )
+                _check_nested_assignments(req.constraint)
     else:
         # leave remaining tokens raw for the command dispatcher
         while p.peek().kind != L.END:

@@ -311,6 +311,7 @@ class Assembler:
 
         first_id, pguid, k = probe
         mode = ctx.get("mode")
+        back = ctx.get("backward", False)
         delivered = ctx["offset"] + k
         if mode in ("gmap", "vip", "fixed"):
             if "index" in ctx:
@@ -321,7 +322,15 @@ class Assembler:
             if not ids:
                 return None
             try:
-                pos = ids.index(first_id) + 1
+                # backward ('~') probes count raw positions from the
+                # TOP of the set (descending perfect sorts keep the
+                # backward producer through the ps0 sort drop;
+                # probed round 7, cursor fuzz seed 1332)
+                pos = (
+                    len(ids) - ids.index(first_id)
+                    if back
+                    else ids.index(first_id) + 1
+                )
             except ValueError:
                 return None
             if mode == "gmap":
@@ -330,6 +339,7 @@ class Assembler:
                     form="gmap", low=ids[0], high=ids[-1] + 1,
                     lk=("t" if lk == "typeguid" else lk[0]),
                     src=guid_serial(pguid), pos=pos,
+                    backward=back,
                 )
             elif mode == "vip":
                 lk = ctx["lk"]
@@ -338,15 +348,21 @@ class Assembler:
                     lk=("t" if lk == "typeguid" else lk[0]),
                     tg=ctx["tg"], src=guid_serial(pguid),
                     pos=first_id, fixed_ids=ids, inner_pos=pos,
+                    backward=back,
                 )
             else:
                 st = CursorState(
                     form="fixed", fixed_ids=ids, pos=pos,
+                    backward=back,
                 )
         elif mode == "iam":
             # the per-parent set is the single raw target; the fixed
-            # iterator's high bound pins [n:] at target+1 (probed)
-            st = CursorState(form="fixed", fixed_ids=[first_id], pos=1)
+            # iterator's high bound pins [n:] at target+1 (probed);
+            # a descending perfect sort keeps the backward '~' form
+            st = CursorState(
+                form="fixed", fixed_ids=[first_id], pos=1,
+                backward=ctx.get("backward", False),
+            )
         else:
             return None
         horizon = ctx["horizon"]

@@ -893,6 +893,20 @@ def _gen_or_read(rng: random.Random) -> str:
             bp.append(f"name={_q(rng.choice(_NAMES))}")
         elif r2 < 0.8:
             bp.append("value~=" + _q(rng.choice(["a*", "b*", "1*"])))
+        elif r2 < 0.88:
+            # NESTED intrinsic chain inside the branch (round 7:
+            # folds as a recursive disjunction in both paths)
+            bp.append(
+                f"{{ value={_q(rng.choice(_VALUES))} | "
+                f"name={_q(rng.choice(_NAMES))} }}"
+            )
+        elif r2 < 0.94:
+            # partial-precision timestamp predicates exercise the
+            # exact envelope fold (round 7: clause_merge_timestamp)
+            bp.append("timestamp" + rng.choice(
+                [">1970", ">=1970", "<1971", "!=1970",
+                 "<=1970-01-01T00:00:00.0005"]
+            ))
         if rng.random() < 0.55:
             sub = rng.choice(
                 [
@@ -1913,3 +1927,98 @@ def test_differential_thawed_sort_multibin(spark, ref_bin, seed, srt):
     assert len(ref_pages) == len(eng_pages)
     for i, (a, b) in enumerate(zip(ref_pages, eng_pages)):
         assert a == b, f"page {i}: ref={a!r} eng={b!r}"
+
+
+def test_residual_forms(spark, ref_bin):
+    """Round-7 closure of the residual fallback forms (VERDICT r6
+    item 3): cursor-valued assignments ($c=cursor inlines as an
+    alias and the assignment never signs), nested intrinsic
+    or-chains (fold as recursive disjunctions — the pre-round-7
+    Spark path silently ignored them and matched everything), and
+    or-chains on a cursor-freezing sub (branch intrinsics never
+    sign; branch subs reparent onto the owner's parent and sign as
+    ordinary subs — graphd-constraint-or.c:86).  Paged to
+    exhaustion in both engines."""
+    import re as _re
+
+    writes = [
+        'write (value="p0" (<-left value="k1") (<-left value="k2") '
+        '(<-left value="k3"))',
+        'write (value="p1" (<-left value="z1"))',
+    ]
+    reads = [
+        'read (value="p0" $c=cursor result=($c))',
+        'read (value="p0" result=((value contents)) '
+        '(<-left pagesize=1 $c=cursor result=($c (value))))',
+        'read (value="p0" { value="p0" | { name="x" | value="k1" } } '
+        "result=((value)))",
+        'read ({ { value="p0" | value="k1" } | name="x" } '
+        "result=((value)))",
+        'read (value="p0" (<-left { value="k1" | value="k2" } '
+        "pagesize=1 result=(cursor (value))))",
+        'read (value="p0" (<-left { timestamp>1970 | value="k2" } '
+        "pagesize=1 result=(cursor (value))))",
+        'read (value="p0" (<-left { value="k1" | } '
+        "pagesize=1 result=(cursor (value))))",
+        'read (value="p0" result=($v (contents)) '
+        '(<-left $v=value pagesize=1 result=(cursor (value))))',
+        'read (value="p0" (<-left $v=value pagesize=1 '
+        "result=(cursor $v)))",
+    ]
+
+    def paginate(ask):
+        out = []
+        for read in reads:
+            reply = ask(read)
+            out.append(reply)
+            hops = 0
+            while hops < 5 and "result=(cursor" in read:
+                m = _re.search(r'"((?:cursor|sort):[^"]*)"', reply)
+                if not m or m.group(1) == "null:":
+                    break
+                esc = m.group(1).replace("\\", "\\\\").replace(
+                    '"', '\\"'
+                )
+                reply = ask(read.replace(
+                    "result=(cursor",
+                    f'cursor="{esc}" result=(cursor', 1,
+                ))
+                out.append(reply)
+                hops += 1
+        return out
+
+    import select
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1,
+        )
+
+        def ask_ref(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            ready, _, _ = select.select([proc.stdout], [], [], 30)
+            if not ready:
+                raise TimeoutError(req)
+            return proc.stdout.readline().rstrip("\n")
+
+        try:
+            ref_writes = [ask_ref(ln) for ln in writes]
+            ref_pages = paginate(ask_ref)
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=30)
+
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    got_writes = [gs.request(ln) for ln in writes]
+    got_pages = paginate(gs.request)
+    assert got_writes == ref_writes
+    assert got_pages == ref_pages, "\n".join(
+        f"  got: {g}\n  exp: {w}"
+        for g, w in zip(got_pages, ref_pages)
+        if g != w
+    )
