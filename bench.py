@@ -272,6 +272,19 @@ def _serving_bench(spark, sf_dir: str, seconds: float = 5.0) -> dict:
     # is the same loop with the shape cache disabled (full
     # tokenize+parse+eval per request): the floor a never-before-seen
     # template shape pays.
+    #
+    # FINDING (round 7): the floor sits below the reference's ~3,333
+    # q/s/core anchor and stays there after a round of parser work
+    # (single-regex tokenizer fast path, batched clause merging,
+    # skipped variable passes for $-free requests, END-sentinel
+    # peek).  The profile after those changes splits ~45% parse /
+    # ~40% evaluate / ~15% plumbing with no dominant hotspot left —
+    # closing the remaining ~1.7x would take a compiled extension or
+    # a full parser rewrite, which the architecture does not need:
+    # the floor is paid ONCE per template shape (the adversary would
+    # have to ship a NEW shape every request), after which the
+    # prepared cache serves distinct-literal requests at
+    # deep_qps_2hop, above the anchor.
     out["deep_qps_2hop"] = _deep_serving_qps_2hop(spark, seconds=seconds)
     out["deep_qps_2hop_parse_floor"] = _deep_serving_qps_2hop(
         spark, seconds=seconds, prepared_shapes=False

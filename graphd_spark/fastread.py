@@ -12,11 +12,14 @@ job, mirroring the DataFrame compiler's semantics expression by
 expression (each mirrored site cites the compiler line it mirrors).
 
 Safety model: :class:`FastReader` first WALKS the constraint tree and
-raises :class:`Unsupported` for any feature outside its mirror (the
-residual forms: nested-or-chains, cursor-valued assignments, sorted
-or pagesize-0 cursor subs inside or-branches, and sub shapes outside
-``sub_cursor_mode``'s probed family); the caller then falls back to
-the Spark compiler.  THAWED sorted cursor subs at ANY depth run the
+raises :class:`Unsupported` for any feature outside its mirror
+(round 7 closed the round-6 residual list — nested intrinsic
+or-chains fold as recursive disjunctions, cursor-valued assignments
+inline as aliases, sorted and pagesize-0 cursor subs inside
+or-branches run the same sorter/thaw model as root-level subs; what
+remains Unsupported: sub-bearing nested or-chains and sub shapes
+outside ``sub_cursor_mode``'s probed family); the caller then falls
+back to the Spark compiler.  THAWED sorted cursor subs at ANY depth run the
 exact reference model (:class:`_ThawScan`): the global sort-root
 producer (value bins + null tail, forward or backward; the all-scan
 for name keys), the per-constraint 5-slot bad-id ring shared across
@@ -540,10 +543,6 @@ def check_supported(con: Constraint) -> None:
                 mode = effective_sub_cursor_mode(node)
                 if mode is None:
                     raise Unsupported("sub-cursor-shape")
-                if mode == "sort" and in_branch:
-                    # or-branch sorted cursor subs: the winning
-                    # branch's sorter interplay is unprobed
-                    raise Unsupported("branch-sort-sub-cursor")
                 # nested (depth >= 2) sorted cursor subs are allowed:
                 # the reference applies the SAME per-parent machinery
                 # at every depth (probed: a depth-2 chain over a
@@ -2895,13 +2894,13 @@ class FastReader:
                         # (ref graphd-semantic.c:740-743)
                         else (sub.start or 0) + 1
                     )
-                    b_cstate, b_cfilter, _bsim = (
+                    b_cstate, b_cfilter, b_ssim = (
                         self._sub_cursor_setup_f(sub, sub_plan)
                     )
                     bsubs.append(_SubSpec(
                         sub, "agg", sp, cm, True, rps, sub.start or 0,
                         child_spec, [], cstate=b_cstate,
-                        cfilter=b_cfilter,
+                        cfilter=b_cfilter, ssim=b_ssim,
                     ))
                     for var, vcol in sub_plan.var_cols.items():
                         self._n += 1
@@ -3048,6 +3047,15 @@ class FastReader:
                     out.append(ss.ssim)
                 if ss.child_spec is not None:
                     out.extend(_collect_ssims(ss.child_spec))
+            for _chain, cspec in sp.chains:
+                if cspec is None:
+                    continue
+                for _b, bsubs, _bv, _bp, _e in cspec[0]:
+                    for ss in bsubs:
+                        if ss.ssim is not None:
+                            out.append(ss.ssim)
+                        if ss.child_spec is not None:
+                            out.extend(_collect_ssims(ss.child_spec))
             return out
 
         plan._root_ssims = _collect_ssims(spec)
@@ -3070,7 +3078,6 @@ class FastReader:
                 or con.count_eq is not None
                 or con.count_max is not None
                 or (con.count_min or 0) > 1
-                or con.or_chains
                 or (con.result is not None and any(
                     pat.kind in (
                         "count", "estimate", "estimate-count", "cursor",
@@ -3134,6 +3141,30 @@ class FastReader:
                     for krow in list(kids):
                         if isinstance(krow, dict):
                             _resume_walk(krow, ss.child_spec)
+                for _chain, cspec in node_spec.chains:
+                    if cspec is None:
+                        continue
+                    for _b, bsubs, _bv, _bp, _e in cspec[0]:
+                        for ss in bsubs:
+                            if ss.sp.arr_col is None:
+                                continue
+                            for entry in self._thaw_by_row.get(
+                                rid, ()
+                            ):
+                                p2, ss2, rows_list, prow = entry
+                                if ss2 is not ss:
+                                    continue
+                                n = ss2.ssim.thaw.resume(
+                                    p2, ss2, rows_list
+                                )
+                                if n and prow.get(ss2.sp.cnt_col):
+                                    prow[ss2.sp.cnt_col] = n
+                            kids = row.get(ss.sp.arr_col) or ()
+                            for krow in list(kids):
+                                if isinstance(krow, dict):
+                                    _resume_walk(
+                                        krow, ss.child_spec
+                                    )
 
             for _pr, row in matches[lo:]:
                 if row is not None:
@@ -4007,6 +4038,33 @@ class FastReader:
             vals = {}
             for ss in bsubs:
                 sub, sp = ss.sub, ss.sp
+                bthaw = ss.ssim.thaw if ss.ssim is not None else None
+                if bthaw is not None:
+                    # thawed sorted cursor sub inside an or-branch:
+                    # the same exact model as root-level subs
+                    # (_ThawScan verify here, resume for rendered
+                    # parents in render order via _resume_walk's
+                    # chain traversal)
+                    n, child_rows = bthaw.verify(p, ss)
+                    if row is not None:
+                        self._thaw_by_row.setdefault(
+                            id(row), []
+                        ).append((p, ss, child_rows, row))
+                        if n == 0:
+                            row[sp.cnt_col] = None
+                            row[sp.arr_col] = None
+                        else:
+                            row[sp.cnt_col] = n
+                            row[sp.arr_col] = child_rows
+                    flag = flag and n >= ss.count_min
+                    first = child_rows[0] if child_rows else None
+                    for var, _k, newcol, arr, src in bvars:
+                        if arr == sp.arr_col:
+                            vals[newcol] = (
+                                None if first is None else
+                                first.get(src)
+                            )
+                    continue
                 kids = []
                 for cid in self._child_ids(p, sub):
                     if (
@@ -4023,6 +4081,49 @@ class FastReader:
                     if crow is _NO_MATCH:
                         continue
                     kids.append((c, crow))
+                if ss.ssim is not None:
+                    # fresh / grid-legacy sorted branch sub: the
+                    # bounded incremental sorter per parent, same as
+                    # root-level agg subs
+                    sfirst = not ss.ssim.consumed
+                    n, page_kids, trailing = self._sub_sort_page(
+                        ss, kids
+                    )
+                    child_rows = [
+                        r for _c, r in page_kids[ss.lo:ss.lo + ss.rps]
+                    ]
+                    ss.ssim.sim[id(child_rows)] = (
+                        trailing, ss.ssim.P
+                    )
+                    if ss.ssim.grid is not None:
+                        acc = n >= ss.count_min
+                        ss.ssim.evals.append(acc)
+                        if sfirst:
+                            ss.ssim.first_key = id(child_rows)
+                    if row is not None:
+                        if n == 0:
+                            row[sp.cnt_col] = None
+                            row[sp.arr_col] = None
+                        else:
+                            row[sp.cnt_col] = n
+                            row[sp.arr_col] = child_rows
+                    passes = True
+                    if sub.count_eq is not None:
+                        passes = n == sub.count_eq
+                    else:
+                        if ss.count_min > 0:
+                            passes = passes and n >= ss.count_min
+                        if sub.count_max is not None:
+                            passes = passes and n <= sub.count_max
+                    flag = flag and passes
+                    first = child_rows[0] if child_rows else None
+                    for var, _k, newcol, arr, src in bvars:
+                        if arr == sp.arr_col:
+                            vals[newcol] = (
+                                None if first is None else
+                                first.get(src)
+                            )
+                    continue
                 n = len(kids)
                 probe_entry = None
                 probe_my = False

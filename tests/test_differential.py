@@ -479,13 +479,15 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
                 asof2 = "asof=1970-01-01T00:00:00.{:04d} ".format(
                     rng.randrange(5, 30)
                 )
-            if "sort=" not in st and rng.random() < 0.15:
+            if rng.random() < 0.15:
                 # or-branch sub cursors: the winning branch freezes
                 # its per-parent iterator, losing slots render null.
                 # pagesize=0 probes in branches (round 6): MY-form
                 # branch subs count 0 and freeze null:, IAM-form
                 # subs stash the probe freeze with the
-                # branch-winner [n:] pins
+                # branch-winner [n:] pins.  Round 7: SORTED branch
+                # subs run the same sorter/thaw model as root-level
+                # subs, so sorts stay in
                 other = "<-right" if arrow != "<-right" else "<-left"
                 me = (
                     f"({arrow} {pred}{st}pagesize={sps} "
