@@ -76,6 +76,41 @@ DEFAULT_PAGESIZE = 1024  # ref graphd/graphd-sort.c:21-22
 _FIXED_MATERIALIZE_MAX = 100
 
 
+def number_sort_root_keep(con, store) -> bool:
+    """True when the NUMBERS sort-root never produces: a 1-element
+    raw NAME bin anywhere in the constraint's mandatory MY-form
+    closure (the node itself or any transitively mandatory my-linkage
+    sub) collapses to a fixed-1/gmap member whose cost pre-evaluates
+    the whole and-iterator before the number vrange spins
+    (and_become_small_set), so non-number values survive a
+    number-comparator value sort.  Probed round 7 (12 directed
+    shapes + sortcursor fuzz seed 866): value=/type= bins, iam-form
+    and optional/count=0 subs, and 2-element bins (raw count,
+    versioned-away members included) do NOT short-circuit; extra
+    predicates, root or-chains, timestamps, and nesting depth don't
+    interfere."""
+    from itertools import islice
+
+    def walk(c):
+        for sc in c.name_strcons:
+            if sc.op == "=" and len(sc.values) == 1 and sc.values[0]:
+                n = len(list(islice(
+                    store.find_by_name(sc.values[0]), 2
+                )))
+                if n == 1:
+                    return True
+        for s in c.subs:
+            if s.is_optional or s.count_eq == 0:
+                continue
+            if s.linkage is None or s.linkage[0] != "my":
+                continue
+            if walk(s):
+                return True
+        return False
+
+    return walk(con)
+
+
 def _iter_branch_ok(b) -> bool:
     """An or-branch whose match folds into the iterator-level
     pre-evaluation: intrinsic only, recursively."""
@@ -779,41 +814,10 @@ class Compiler:
             # analysis); a default-comparator value range keeps the
             # string vrange as producer (seeds 139/147).
             _fixed_producer = bool(con.guid)
-            _one_name_bin = False
-            if (
+            _one_name_bin = (
                 not _fixed_producer
-                and con.name_strcons
-                and not con.value_strcons
-                and not con.type_strcons
-                and not any(con.links.values())
-                # optional / count=0 subs produce nothing, so they
-                # don't join the producer contest — the 1-element
-                # name bin still short-circuits (differential seed
-                # 852: name= + optional left-> + number sort)
-                and not any(
-                    not s.is_optional and s.count_eq != 0
-                    for s in con.subs
-                )
-                and not con.or_chains
-            ):
-                from dataclasses import replace as _dc_replace
-
-                # timestamps are check-only (no index) — they don't
-                # join the producer contest, so the 1-element name
-                # bin still short-circuits (version-fuzz seed 32:
-                # name= + timestamp<= + number sort surfaces the
-                # non-number value)
-                _probe = _dc_replace(
-                    con,
-                    subs=[
-                        s for s in con.subs
-                        if not s.is_optional and s.count_eq != 0
-                    ],
-                    timestamps=[],
-                )
-                _hm = self._hmap_source(_probe)
-                if _hm is not None and _hm[0] == "name" and _hm[4] == 1:
-                    _one_name_bin = True
+                and number_sort_root_keep(con, self.store)
+            )
             if (
                 first.pattern.kind == "value"
                 and comp0 == "number"
@@ -1556,6 +1560,10 @@ class Compiler:
                 con, cstate, rows, prior, count
             ) or self._or_linksto_cursor(con, cstate, rows, prior, count)
         masq = self._isa_masquerade(con, ids) if len(ids) > 5 else None
+        if masq is None and len(ids) > 7:
+            # iam-expansion fixed sets keep linksto provenance past
+            # 7 elements (cursor fuzz seed 2354)
+            masq = self._linksto_masquerade(con, ids)
         if masq is not None:
             # isa-produced fixed sets remember their provenance
             # instead of the raw ids (isa_set_fixed_masquerade,
@@ -1587,6 +1595,45 @@ class Compiler:
         return freeze_cursor(
                 con, st, delivered, count, self.types.resolve
             )
+
+    def _linksto_masquerade(self, con, ids) -> Optional[str]:
+        """fixed-linksto provenance for an IAM-expansion root whose
+        pre-evaluated fixed set has MORE THAN 7 elements
+        (graphd_iterator_linksto_set_fixed_masquerade,
+        graphd-iterator-linksto.c:3573-3609 — "don\'t bother if it\'s
+        small", n <= 7 keeps the raw fixed; probed round 7, cursor
+        fuzz seed 2354): ``fixed-linksto:+LOW:L->(SUBSET)`` with the
+        high bound omitted at HIGH_ANY and \'+\' the forward
+        direction marker (linksto_freeze_set)."""
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+            or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        kind, lk = sub.linkage or (None, None)
+        if kind != "iam" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        if (
+            sub.subs or sub.or_chains or sub.type_strcons
+            or any(sub.links.values()) or sub.guid or sub.next
+            or sub.prev or sub.timestamps
+        ):
+            return None
+        hm = self._hmap_source(sub)
+        if hm is None:
+            return None
+        from graphd_spark.freeze import hmap_set_str
+
+        tname, key, slo, shi, _n, _flt = hm
+        return "fixed-linksto:+{}:{}->({})".format(
+            ids[0], lk[0], hmap_set_str(tname, key, slo, shi),
+        )
 
     def _and_members(self, con) -> Optional[list]:
         """The root's AND-iterator members as (linkage letter, source
@@ -3382,7 +3429,7 @@ class Compiler:
         fold — refuse loudly rather than matching everything (the
         pre-round-7 behavior silently ignored nested chains)."""
         conds = []
-        p = self._intrinsic_pred(b)
+        p = self._intrinsic_pred(b, in_branch=True)
         if p is not None:
             conds.append(p)
         for chain in b.or_chains:
@@ -3582,7 +3629,7 @@ class Compiler:
 
     # -- intrinsic predicates ----------------------------------------------
 
-    def _intrinsic_pred(self, con: Constraint):
+    def _intrinsic_pred(self, con: Constraint, in_branch: bool = False):
         conds = []
         if con.false:
             return F.lit(False)
@@ -3652,14 +3699,18 @@ class Compiler:
                     conds.append(c >= tmin_e)
                 if tmax_e is not None:
                     conds.append(c <= tmax_e)
-        if con.timestamps:
+        if con.timestamps and not in_branch:
             # timestamp bounds ALSO compile to id-range datelines via
             # a bsearch that assumes timestamp order
             # (graphd_read_compile_timestamps, graphd-read.c:300-420;
             # graphd-timestamp.c:46).  Explicit timestamp= writes
             # break monotonicity, so the id bound can exclude rows the
             # row predicate matches — probed: ts>0 skips an
-            # out-of-order stamp below the boundary id
+            # out-of-order stamp below the boundary id.  Or-BRANCH
+            # timestamps are CHECK-only (no iterator compiles for a
+            # branch), so no id bound applies there (or-chain fuzz
+            # seed 1151: an out-of-order stamp survives a branch's
+            # ts>1970)
             tmin, tmax = timestamp_bounds(con)
             if tmin is not None and tmin > 0:
                 b = self.store.timestamp_to_id(tmin, "ge")

@@ -1003,7 +1003,7 @@ class FastReader:
             if ctx is not None:
                 # iam-probe [n:] pins — see the probe notes on
                 # _eval_set's plan._root_hmap1 / _root_matches
-                ctx["root_hmap1"] = getattr(plan, "_root_hmap1", False)
+                ctx["root_vfam"] = getattr(plan, "_root_vfam", None)
                 ctx["root_matches"] = getattr(
                     plan, "_root_matches", None
                 )
@@ -2026,6 +2026,40 @@ class FastReader:
             t, ids[0], ids[-1] + 1, lk[0], sub_freeze
         )
 
+    def _linksto_masquerade_f(self, con, ids) -> Optional[str]:
+        """Driver mirror of Compiler._linksto_masquerade (fixed sets
+        from iam expansions keep linksto provenance past 7 elements;
+        graphd-iterator-linksto.c:3573-3609, cursor fuzz seed 2354)."""
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or any(con.links.values()) or con.next
+            or con.prev or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        kind, lk = sub.linkage or (None, None)
+        if kind != "iam" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        if (
+            sub.subs or sub.or_chains or sub.type_strcons
+            or any(sub.links.values()) or sub.guid or sub.next
+            or sub.prev or sub.timestamps
+        ):
+            return None
+        hm = self._hmap_cursor_source_f(sub)
+        if hm is None:
+            return None
+        from graphd_spark.freeze import hmap_set_str
+
+        tname, key, hlo, hhi, _src = hm
+        return "fixed-linksto:+{}:{}->({})".format(
+            ids[0], lk[0], hmap_set_str(tname, key, hlo, hhi),
+        )
+
     def _isa_prefix_cursor_f(
         self, con, cstate, page_prims, prior, count
     ) -> Optional[str]:
@@ -2453,6 +2487,10 @@ class FastReader:
                 con, cstate, page_prims, prior, count
             )
         masq = self._isa_masquerade_f(con, ids) if len(ids) > 5 else None
+        if masq is None and len(ids) > 7:
+            # iam-expansion fixed sets keep linksto provenance past
+            # 7 elements (cursor fuzz seed 2354)
+            masq = self._linksto_masquerade_f(con, ids)
         if masq is not None:
             from graphd_spark.freeze import masq_resource
 
@@ -2520,32 +2558,13 @@ class FastReader:
             for p in pat.walk()
         ):
             return matches  # count-only result drops the unused sort
-        # 1-element name-hmap bin short-circuit (timestamps are
-        # check-only and don't join the producer contest)
-        if (
-            not con.value_strcons
-            and not con.type_strcons
-            and not any(con.links.values())
-            and not con.or_chains
-            and not con.next
-            and not con.prev
-            and not any(
-                not s.is_optional and s.count_eq != 0 for s in con.subs
-            )
-            and len(con.name_strcons) == 1
-        ):
-            sc = con.name_strcons[0]
-            if (
-                sc.op == "="
-                and len(sc.values) == 1
-                and sc.values[0]
-            ):
-                from itertools import islice
-                n_bin = len(list(islice(
-                    self.store.find_by_name(sc.values[0]), 2
-                )))
-                if n_bin == 1:
-                    return matches
+        # 1-element raw NAME bin anywhere in the mandatory my-form
+        # closure: the and pre-evaluates before the number vrange
+        # spins (shared rule, probed round 7 incl. sortcursor fuzz
+        # seed 866 — a my-sub with a 1-element label bin)
+        from graphd_spark.compiler import number_sort_root_keep
+        if number_sort_root_keep(con, self.store):
+            return matches
         from graphd_spark.comparators import number_sort_key
         return [
             (p, row) for p, row in matches
@@ -3180,18 +3199,30 @@ class FastReader:
         #   natural high bound;
         # - 2+ accepted matches keep the store horizon even when
         #   only one parent renders (pagesize=1 probed).
-        plan._root_hmap1 = ncand == 1 and self._root_is_hmap_bin(con)
+        plan._root_vfam = self._root_value_family(con)
         plan._root_matches = len(matches)
         return plan, matches
 
-    def _root_is_hmap_bin(self, con: Constraint) -> bool:
-        """Would _candidates pick a value/name hmap (or word-prefix)
-        bin for this root?  Mirrors the producer-contest order in
-        _candidates exactly (guid include and value=/name= equality
-        outrank the prefix bins; type= and linkage gmaps are NOT the
-        hmap family)."""
+    def _root_value_family(self, con: Constraint):
+        """Which VALUE-side producer the contest gives this root —
+        decides an iam ps0 probe's [n:] pin (probed round 7; cursor
+        fuzz seed 2218 + 9 directed shapes):
+
+        - "hmap":  value= equality buckets and value~= globs (any
+          wildcard position) pin the PARENT's own id when exactly
+          one root match is accepted;
+        - "vrange": value range predicates keep the string vrange,
+          which spans the store — [n:] stays the horizon even for a
+          single accepted match;
+        - None: guid includes, name=/type= producers, and everything
+          else — the target+1 / horizon tiers apply.
+
+        Mirrors the contest order in _candidates: guid include, then
+        value= buckets, then name=, then type=, then globs/ranges.
+        Every round-6 probe of the name/value families had parent id
+        == target+1, so the old single-tier reading fit either."""
         if self._guid_include_ids(con) is not None:
-            return False
+            return None
         comp = resolve_comparator(con.value_comparator or con.comparator)
         eqs = [sc for sc in con.value_strcons if sc.op == "="]
         if eqs and comp in ("default", "case", "octet"):
@@ -3199,26 +3230,23 @@ class FastReader:
             if lits and "" not in lits and not any(
                 v is None for v in eqs[0].values
             ):
-                return True
-        neqs = [sc for sc in con.name_strcons if sc.op == "="]
-        if neqs:
-            lits = [v for v in neqs[0].values if v is not None]
-            if lits and not any(v is None for v in neqs[0].values):
-                return True
+                return "hmap"
+        if any(sc.op == "=" for sc in con.name_strcons):
+            return None
         teqs = [sc for sc in con.type_strcons if sc.op == "="]
         if teqs and not any(v is None for v in teqs[0].values):
-            return False
-        for sc in con.value_strcons:
-            if sc.op != "~=" or len(sc.values) != 1 or not sc.values[0]:
-                continue
-            body = sc.values[0]
-            body = body[1:] if body.startswith("^") else body
-            if not body.endswith("*"):
-                continue
-            pfx = body[:-1]
-            if pfx and pfx.isalnum() and pfx.isascii():
-                return True
-        return False
+            return None
+        if any(
+            sc.op == "~=" and len(sc.values) == 1 and sc.values[0]
+            for sc in con.value_strcons
+        ):
+            return "hmap"
+        if comp in ("default", "case", "octet") and any(
+            sc.op in ("<", "<=", ">", ">=")
+            for sc in con.value_strcons
+        ):
+            return "vrange"
+        return None
 
     def _sub_cursor_setup_f(self, sub, sub_plan):
         """Subconstraint cursors, driver mirror of
@@ -4452,15 +4480,16 @@ class FastReader:
         NESTED chains (mirror of Compiler._branch_pred; probed:
         `{ { A | B } | C }` matches A|B|C row-wise).  An empty branch
         matches everything, so a chain with one folds to true."""
-        if not self._match_intrinsic(p, b):
+        if not self._match_intrinsic(p, b, in_branch=True):
             return False
         for chain in b.or_chains:
             if not any(self._match_branch(p, x) for x in chain):
                 return False
         return True
 
-    def _match_intrinsic(self, p: Primitive, con: Constraint) -> bool:
-        if not self._iter_intrinsic(p, con):
+    def _match_intrinsic(self, p: Primitive, con: Constraint,
+                         in_branch: bool = False) -> bool:
+        if not self._iter_intrinsic(p, con, in_branch=in_branch):
             return False
         # generation: default newest=0 (compiler.py:2340-2352)
         dist = self._maxgen(p) - p.generation
@@ -4503,7 +4532,8 @@ class FastReader:
                 return False
         return True
 
-    def _iter_intrinsic(self, p: Primitive, con: Constraint) -> bool:
+    def _iter_intrinsic(self, p: Primitive, con: Constraint,
+                        in_branch: bool = False) -> bool:
         if con.false:
             return False
         if con.live == TRUE and not p.live:
@@ -4564,10 +4594,11 @@ class FastReader:
                 return False
             if tmax_e is not None and t > tmax_e:
                 return False
-        if con.timestamps:
+        if con.timestamps and not in_branch:
             # timestamp bounds also compile to id-range datelines via
             # the reference's timestamp->id bsearch (mirror of
-            # _intrinsic_pred; graphd-read.c:300-420)
+            # _intrinsic_pred; graphd-read.c:300-420); or-BRANCH
+            # timestamps are CHECK-only — no id bound (seed 1151)
             b = self._ts_id_bounds.get(id(con))
             if b is None:
                 from graphd_spark.compiler import timestamp_bounds
@@ -4592,8 +4623,12 @@ class FastReader:
                 return False
         for chain in con.or_chains:
             # intrinsic chains fold into the iterator pre-evaluation
-            # (gated by _iter_expressible; probed round 7)
-            if not any(self._iter_intrinsic(p, b) for b in chain):
+            # (gated by _iter_expressible; probed round 7); branch
+            # timestamps are CHECK-only — no id bound (seed 1151)
+            if not any(
+                self._iter_intrinsic(p, b, in_branch=True)
+                for b in chain
+            ):
                 return False
         return True
 

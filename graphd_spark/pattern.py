@@ -409,7 +409,18 @@ class Assembler:
             # root-level target+1 tier does not apply in branches)
             if ctx["branch_winners"] == 1:
                 horizon = min(horizon, guid_serial(pguid))
-        elif mode == "iam" and ctx.get("root_hmap1"):
+        elif mode == "iam" and ctx.get("root_vfam") == "vrange":
+            # a value-RANGE root keeps the string vrange producer,
+            # which spans the store: horizon even for one match
+            pass
+        elif (
+            mode == "iam"
+            and ctx.get("root_vfam") == "hmap"
+            and ctx.get("root_matches") == 1
+        ):
+            # VALUE-family hmap/glob root with one accepted match:
+            # the parent's own id, whatever the bin size (seed 2218:
+            # 3-candidate prefix bin, 1 survivor)
             horizon = min(horizon, guid_serial(pguid))
         elif mode == "iam" and ctx.get("root_matches") == 1:
             horizon = min(horizon, first_id + 1)

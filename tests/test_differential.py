@@ -352,6 +352,7 @@ def gen_cursor_writes(rng: random.Random):
         # rendered mids in render order) over the same global
         # producer + shared bad-id ring as the root-level thaws.
         nest = "nst" + str(rng.randrange(3))
+        deep = rng.random() < 0.3  # 4-level cluster: depth-3 chains
         for g in range(rng.randrange(1, 3)):
             mids = []
             for _ in range(rng.randrange(2, 4)):
@@ -359,6 +360,12 @@ def gen_cursor_writes(rng: random.Random):
                     f" (<-left value={_q(rng.choice(_VALUES))})"
                     for _ in range(rng.randrange(2, 6))
                 )
+                if deep:
+                    kids = "".join(
+                        f' (<-left name="{nest}q" '
+                        f"value={_q(rng.choice(_VALUES))}{kids})"
+                        for _ in range(rng.randrange(1, 3))
+                    )
                 mids.append(
                     f"(<-left name={_q(nest)} "
                     f"value={_q(rng.choice(_VALUES))}{kids})"
@@ -366,6 +373,7 @@ def gen_cursor_writes(rng: random.Random):
             lines.append(
                 f'write (value="{nest}gp{g}" ' + " ".join(mids) + ")"
             )
+        nest = (nest, deep)
     return lines, burst + (nest,)
 
 
@@ -389,10 +397,13 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
             arrow, v = link_burst
             body = f"({arrow} value={_q(v)})"
         elif nest_name is not None and rng.random() < 0.4:
-            # DEPTH-2 nested sorted cursor chain: root grandparent ->
-            # mid (shared name) -> sorted leaf cursor.  The thawed
-            # pages run _ThawScan per MID parent with resumes walking
-            # rendered mids recursively in render order.
+            # DEPTH-2 (or DEPTH-3, when the cluster is 4 levels)
+            # nested sorted cursor chain: root grandparent -> mid
+            # (shared name) [-> sub-mid] -> sorted leaf cursor.  The
+            # thawed pages run _ThawScan per parent with the
+            # deferred-set verify and resumes walking rendered
+            # parents recursively in render order.
+            nname, ndeep = nest_name
             srt = rng.choice([
                 "sort=value", "sort=(-value)", "sort=name",
                 "sort=(value -name)", "sort=(value guid)",
@@ -400,16 +411,19 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
             ps = rng.randrange(1, 4)
             mid_ps = rng.choice(["", "", "pagesize=1 ", "pagesize=2 "])
             root = (
-                f'value="{nest_name}gp{rng.randrange(2)}"'
+                f'value="{nname}gp{rng.randrange(2)}"'
                 if rng.random() < 0.7
-                else f'value~="{nest_name}gp*" pagesize=2'
+                else f'value~="{nname}gp*" pagesize=2'
             )
+            leaf = (f"(<-left {srt} pagesize={ps} "
+                    f"result=(cursor (guid value)))")
+            if ndeep:
+                leaf = (f'(<-left name="{nname}q" '
+                        f"result=((value contents)) {leaf})")
             reads.append(
                 f"read ({root} result=((value contents)) "
-                f"(<-left name={_q(nest_name)} {mid_ps}"
-                f"result=((value contents)) "
-                f"(<-left {srt} pagesize={ps} "
-                f"result=(cursor (guid value)))))"
+                f"(<-left name={_q(nname)} {mid_ps}"
+                f"result=((value contents)) {leaf}))"
             )
             continue
         elif thaw_name is not None and rng.random() < 0.35:
@@ -2024,3 +2038,86 @@ def test_residual_forms(spark, ref_bin):
         for g, w in zip(got_pages, ref_pages)
         if g != w
     )
+
+
+def test_number_sort_root_keep(spark, ref_bin):
+    """Directed parity for the NUMBERS sort-root drop's short-circuit
+    family (sortcursor fuzz seed 866 + 12 probes): a 1-element raw
+    NAME bin anywhere in the mandatory my-form closure pre-evaluates
+    the and-iterator before the number vrange spins, so non-number
+    values survive the number-comparator sort; value=/type= bins,
+    iam-form and optional subs, and 2-element bins do not."""
+    shapes = [
+        (['write (value="2006-01-02" (<-right name="label" value="L1"))',
+          'write (value="apple")'],
+         ['read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'result=((guid value)) (<-right name="label"))',
+          'read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'value~="2*" result=((guid value)) (<-right name="label"))',
+          'read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'timestamp>=1970 result=((guid value)) '
+          '(<-right name="label"))',
+          'read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'result=((guid value)) (<-right optional name="label"))']),
+        (['write (value="2006-01-02" name="only")',
+          'write (value="apple")'],
+         ['read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'name="only" value~="2*" result=((guid value)))',
+          'read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'name="only" value="2006-01-02" result=((guid value)))']),
+        (['write (value="2006-01-02" (<-right value="m" '
+          '(<-right name="label" value="L1")))',
+          'write (value="apple")'],
+         ['read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'result=((guid value)) (<-right value="m" '
+          '(<-right name="label")))']),
+        (['write (value="2006-01-02" (<-right value="uniq1"))',
+          'write (value="apple")'],
+         ['read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'result=((guid value)) (<-right value="uniq1"))']),
+        (['write (value="2006-01-02" (<-right name="two" value="A"))',
+          'write (value="x" (<-right name="two" value="B"))'],
+         ['read (pagesize=5 sort=(-value) sort-comparator="number" '
+          'result=((guid value)) (<-right name="two"))']),
+    ]
+    for writes, reads in shapes:
+        want = run_reference(writes + reads)
+        got = run_engine(spark, writes + reads)
+        assert got == want, (writes, reads)
+
+
+def test_iam_probe_value_family_pins(spark, ref_bin):
+    """Round-7 disambiguation of the iam ps0 [n:] tiers (cursor fuzz
+    seed 2218): a VALUE-family root (value= bucket or value~= glob,
+    any wildcard position) with exactly one accepted match pins the
+    PARENT's own id whatever the bin size; a value-RANGE root keeps
+    the store horizon (string vrange producer); name=/guid=/gmap
+    roots pin target+1.  Every round-6 probe of these tiers had
+    parent id == target+1, so the old reading fit either."""
+    G = "000000124000345680000000%08x".__mod__
+    P = ('pagesize=2 result=((value contents)) '
+         'left->(pagesize=0 result=(cursor (guid value)))')
+    w1 = ['write (value="a0")', 'write (value="f1")',
+          'write (value="f2")',
+          'write (value="b-one" left=%s)' % G(0),
+          'write (value="b-two")', 'write (value="f3")']
+    w2 = ['write (value="t0")', 'write (value="f1")',
+          'write (value="f2")',
+          'write (value="vx" name="nm1" left=%s)' % G(0),
+          'write (value="f3")']
+    w3 = ['write (value="t0")', 'write (value="f1")',
+          'write (value="f2")',
+          'write (value="vx" left=%s)' % G(0), 'write (value="f3")']
+    shapes = [
+        (w1, [f'read (value="b-one" {P})', f'read (value~="b-*" {P})',
+              'read (guid=%s %s)' % (G(3), P),
+              'read (left=%s %s)' % (G(0), P)]),
+        (w2, [f'read (name="nm1" {P})']),
+        (w3, [f'read (value~="*x" {P})', f'read (value~="v*x" {P})',
+              f'read (value>"v" {P})',
+              f'read (value<="vx" value>"v" {P})']),
+    ]
+    for writes, reads in shapes:
+        want = run_reference(writes + reads)
+        got = run_engine(spark, writes + reads)
+        assert got == want, (writes, reads)

@@ -295,3 +295,23 @@ def test_xx_decode_strict_hex():
 
         with _pytest.raises(BadCursor):
             _xx_decode(bad)
+
+
+def test_nested_chain_subs_refused(spark):
+    """Sub- or assignment-bearing NESTED or-chains are refused with a
+    clear SYSTEM error (round 7).  The reference supports them; this
+    engine folds intrinsic nested chains exactly but the two-level
+    first-match binding/slot machinery for sub-bearing ones is
+    unimplemented — before round 7 the Spark path silently ignored
+    the nested chain and matched everything, which is strictly worse
+    than refusing.  If a future round implements them, this test
+    flips to a differential one."""
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    gs.request('write (value="p0" (<-left value="k1"))')
+    r = gs.request(
+        'read (value="p0" { value="x" | { (<-left value="k1") | '
+        'name="y" } } result=((value)))'
+    )
+    assert r.startswith('error SYSTEM "nested or-chains'), r
