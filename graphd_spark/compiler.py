@@ -1542,8 +1542,18 @@ class Compiler:
         # tests cursor3/cursor4); larger sets keep their and/gmap shape,
         # which we don't freeze
         cap = self._isa_materialize_cap(con)
+        lto_ids = None
+        if getattr(self.store, "mirror_current", None) and (
+            self.store.mirror_current()
+        ):
+            from graphd_spark.fastread import FastReader
+
+            lto_ids = FastReader(
+                self.store, self.types, asof=self.asof
+            )._linksto_expansion_ids_f(con)
         ids = (
             self._isa_expansion_ids(con)
+            or lto_ids
             or [
                 r["id"]
                 for r in df.select("id").orderBy("id")

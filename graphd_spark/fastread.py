@@ -2060,6 +2060,45 @@ class FastReader:
             ids[0], lk[0], hmap_set_str(tname, key, hlo, hhi),
         )
 
+    def _linksto_expansion_ids_f(self, con) -> Optional[list]:
+        """RAW candidate set of an IAM-form value/name-bin expansion:
+        every pointer whose linkage hits the sub's NORM-HASH bucket —
+        hash-collision false positives included, exactly the set the
+        reference's linksto pre-evaluation materializes (probed:
+        sortcursor fuzz seed 1402, where three bucket collisions the
+        checks later reject still occupy frozen positions)."""
+        if len(con.subs) != 1 or con.or_chains:
+            return None
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or any(con.links.values()) or con.next
+            or con.prev or con.timestamps or con.dateline is not None
+        ):
+            return None
+        sub = con.subs[0]
+        kind, lk = sub.linkage or (None, None)
+        if kind != "iam" or lk not in (
+            "left", "right", "typeguid", "scope"
+        ):
+            return None
+        if (
+            sub.subs or sub.or_chains or sub.type_strcons
+            or any(sub.links.values()) or sub.guid or sub.next
+            or sub.prev or sub.timestamps
+        ):
+            return None
+        hm = self._hmap_cursor_source_f(sub)
+        if hm is None:
+            return None
+        st = self.store
+        out: set = set()
+        for i in hm[4]:
+            g = st.rows[i - st._base].guid
+            out.update(st._ptr_ids.get((lk, g), ()))
+        if self.horizon is not None:
+            out = {i for i in out if i <= self.horizon}
+        return sorted(out) or None
+
     def _isa_prefix_cursor_f(
         self, con, cstate, page_prims, prior, count
     ) -> Optional[str]:
@@ -2476,6 +2515,7 @@ class FastReader:
         cap = self._isa_materialize_cap_f(con)
         ids = (
             self._isa_expansion_ids_f(con)
+            or self._linksto_expansion_ids_f(con)
             or sorted(p.id for p, _r in matches)[: cap + 1]
             if cap
             else []

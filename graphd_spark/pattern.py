@@ -424,6 +424,21 @@ class Assembler:
             horizon = min(horizon, guid_serial(pguid))
         elif mode == "iam" and ctx.get("root_matches") == 1:
             horizon = min(horizon, first_id + 1)
+        elif (
+            mode == "fixed"
+            and ctx.get("root_vfam") is None
+            and ctx.get("root_matches") == 1
+        ):
+            # MY-form probes whose sub PRE-EVALUATES to a fixed set
+            # (predicate subs), under non-value-family roots (name=,
+            # guid=, gmap, all-scan) with one accepted match, pin the
+            # probed ELEMENT + 1 — the fixed's natural high; bare
+            # gmap/vip probes keep the raw iterator and its horizon,
+            # as do value-family roots and 2+ accepted matches
+            # (probed round 7, cursor fuzz seed 3092 + 7 directed
+            # shapes; the bare-gmap horizon is the round-6 model,
+            # re-pinned by differential seed 16)
+            horizon = min(horizon, first_id + 1)
         cur = freeze_cursor(
             ctx["con"], st, delivered, horizon, ctx["resolve"],
         )

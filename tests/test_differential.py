@@ -2121,3 +2121,35 @@ def test_iam_probe_value_family_pins(spark, ref_bin):
         want = run_reference(writes + reads)
         got = run_engine(spark, writes + reads)
         assert got == want, (writes, reads)
+
+
+def test_my_probe_fixed_pins(spark, ref_bin):
+    """Round-7 my-form ps0 pins (cursor fuzz seed 3092, fixed by the
+    mode gate differential seed 16 re-pinned): a my-form probe whose
+    sub pre-evaluates to a FIXED set (predicate subs), under a
+    non-value-family root with one accepted match, pins the probed
+    element + 1; bare gmap probes keep the raw iterator's horizon,
+    value-family roots keep the horizon, 2+ accepted matches keep
+    the horizon."""
+    P0 = ('(<-left pagesize=0 result=(cursor (guid value)))')
+    PF = ('(<-left value~="b*" pagesize=0 result=(cursor (guid value)))')
+    shapes = [
+        (['write (value="pad")',
+          'write (value="under_score" name="size" (<-left value="B"))',
+          'write (value="x" name="size")', 'write (value="pad2")'],
+         [f'read (pagesize=2 name="size" result=((value contents)) {P0})',
+          f'read (pagesize=2 name="size" result=((value contents)) {PF})']),
+        (['write (value="pad0")',
+          'write (value="aav" (<-left value="+12") (<-left value="B"))',
+          'write (value="b-other")', 'write (value="pad1")'],
+         [f'read (pagesize=2 value="aav" result=((value contents)) {PF})']),
+        (['write (value="pad0")',
+          'write (value="aa" name="rank" (<-left value="B"))',
+          'write (value="zz" name="rank" (<-left value="b2"))',
+          'write (value="pad1")'],
+         [f'read (pagesize=3 name="rank" result=((value contents)) {PF})']),
+    ]
+    for writes, reads in shapes:
+        want = run_reference(writes + reads)
+        got = run_engine(spark, writes + reads)
+        assert got == want, (writes, reads)

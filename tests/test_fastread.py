@@ -374,3 +374,43 @@ def test_two_path_generator_sweep(spark, seed):
     for ln in lines:
         a, b = fast.request(ln), slow.request(ln)
         assert a == b, f"{ln}\n fast: {a}\n slow: {b}"
+
+
+def test_vrange_value_beyond_rules():
+    """Unit pins for the comparator value_in_range port that drives
+    the sorter's window exit (graphd-comparator-default.c:2031-2196,
+    graphd-comparator-number.c:424-485; round-7 catch at sortcursor
+    fuzz seed 111).  True = the producer's scan position is past
+    every value that could still sort <= the cutoff."""
+    from graphd_spark.binset import STRING_BINS
+    from graphd_spark.comparators import (
+        string_bin_order,
+        number_scan_order,
+        vrange_value_beyond,
+    )
+
+    b = string_bin_order
+    # numeric cutoff: done only when the previous bin's start string
+    # is alphabetic ('bfirst >= A') — "1e2"'s previous bin starts
+    # with a digit, "yes no"'s with a letter (the seed-111 pair)
+    assert not vrange_value_beyond("12.0", b("1e2"), "default")
+    assert vrange_value_beyond("12.0", b("yes no"), "default")
+    # alpha cutoff: the alpha-prefix test string (non-alpha boundary
+    # increments the last char) against the previous bin's start
+    assert vrange_value_beyond("apple", b("zebra"), "default")
+    assert not vrange_value_beyond("zebra", b("apple"), "default")
+    # bin 0 / past-the-end: never done
+    assert not vrange_value_beyond("a", 0, "default")
+    assert not vrange_value_beyond("a", len(STRING_BINS), "default")
+    # null cutoff never reaches the verdict
+    assert not vrange_value_beyond(None, b("x"), "default")
+    # number comparator: numeric compare against the previous
+    # NUMBER_BINS boundary
+    assert vrange_value_beyond("5", number_scan_order("1e6"), "number")
+    assert not vrange_value_beyond(
+        "1e6", number_scan_order("5"), "number"
+    )
+    # backward default walk: done when the truncated alpha prefix
+    # still sorts >= the NEXT bin's start
+    assert vrange_value_beyond("zebra", b("apple"), "default", True)
+    assert not vrange_value_beyond("apple", b("zebra"), "default", True)
