@@ -72,7 +72,11 @@ _DEMOTED_C = (  # demoted in r7 (three family-redundant picks to fill the
 # (restored r6, family-redundant: version family keeps newest_version_dedup,
 # glob keeps comparator_datetime_filter's hmap path + goldens, sort keeps
 # sort_multikey_topk, asof keeps timestamp_range_agg) + the C picks above.
-_DEMOTED = _DEMOTED_A + _DEMOTED_C
+# r8 (VERDICT r7 item 4): restore all 7 r7-demoted rows (A + C); demote
+# set B again — every B query carries a fresh r7-green driver row, and
+# the A/B(/C) alternation keeps each query driver-verified at least
+# every other round.
+_DEMOTED = _DEMOTED_B
 
 
 def _reordered(d: dict) -> dict:

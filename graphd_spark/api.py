@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Optional
 
 from graphd_spark.compiler import Compiler
+from graphd_spark.fastread import FastReader, Unsupported
 from graphd_spark.gql.lexer import LexError
 from graphd_spark.gql.parser import ParseError, parse_request
 from graphd_spark.pattern import (
@@ -845,8 +846,6 @@ class GraphSession:
             and getattr(self.store, "_covers_all", True)
             and self.store.mirror_current()
         ):
-            from graphd_spark.fastread import FastReader, Unsupported
-
             # session-level eval cache: a cursor chain replays the
             # same template with only cursor= changing — key on the
             # tokenized request with cursor= elided (+ asof), so every

@@ -423,6 +423,14 @@ class SetPlan:
     #: effective count cap (implicit caps shift with the cursor offset)
     countlimit: Optional[int] = None
 
+    def __copy__(self):
+        """Field-shallow copy without copy-module dispatch — the
+        serving eval cache clones its cached plan once per request
+        (fastread.run), so this sits on the hot path."""
+        new = object.__new__(SetPlan)
+        new.__dict__.update(self.__dict__)
+        return new
+
 
 #: isa small-set window for hmap-driven subs: GRAPHD_ISA_INLINE_BUDGET
 #: (15000) / (PDB_COST_PRIMITIVE 12 + hmap next cost 4) — see
@@ -1151,13 +1159,21 @@ class Compiler:
                 probe_order = (
                     [F.col("id").asc()] if sort_skipped else order
                 )
+                # only the LAST probed element positions the cursor
+                # ([o:] carries the consumed count separately), so
+                # fetch one row at offset total-1 instead of
+                # collecting `total` rows — total can be the full
+                # match count when the result renders it
                 probe = (
-                    df.orderBy(*probe_order).limit(max(total, 1))
+                    df.orderBy(*probe_order).offset(total - 1).limit(1)
                     .select("guid", "id")
                     .collect()
                 )
                 plan.cursor = (
-                    self._iterator_cursor(con, cstate, probe, df, resume)
+                    self._iterator_cursor(
+                        con, cstate, probe, df, resume,
+                        delivered=resume + total,
+                    )
                     if probe
                     else None
                 ) or "null:"
@@ -1281,15 +1297,27 @@ class Compiler:
                     except ValueError:
                         return None
                 elif cstate.form == "gmap":
-                    idx = [
-                        r["id"]
-                        for r in self._gmap_index_df(
-                            cstate.lk, cstate.src
-                        ).select("id").orderBy("id").collect()
-                    ]
-                    if last_id not in idx:
+                    # pos = distance of last_id from the TOP of the
+                    # index = #elements with id >= last_id (ids are
+                    # unique).  Two scalar aggregates in one job — a
+                    # VIP-scale endpoint's index holds millions of
+                    # elements, so collecting it to rank one id is a
+                    # driver OOM hazard at scale
+                    row = self._gmap_index_df(
+                        cstate.lk, cstate.src
+                    ).agg(
+                        F.sum(
+                            F.when(F.col("id") >= last_id, 1)
+                            .otherwise(0)
+                        ).alias("tail"),
+                        F.max(
+                            F.when(F.col("id") == last_id, 1)
+                            .otherwise(0)
+                        ).alias("hit"),
+                    ).head()
+                    if row is None or not row["hit"]:
                         return None
-                    cstate.pos = len(idx) - idx.index(last_id)
+                    cstate.pos = int(row["tail"])
                 else:  # all / without: dense id span
                     cstate.pos = (
                         cstate.high
@@ -2230,10 +2258,9 @@ class Compiler:
             best_total += best_n * cc
         if best_total >= COST_MAX:
             return None
-        id_sets = self._member_id_sets(members)
-        if id_sets is None:
+        ids = self._member_intersection(members, bi)
+        if ids is None:
             return None
-        ids = sorted(set.intersection(*id_sets))
         last_id = guid_serial(rows[-1]["guid"])
         if len(ids) > _FIXED_MATERIALIZE_MAX or last_id not in ids:
             return None
@@ -2250,34 +2277,64 @@ class Compiler:
             con, st, delivered, count, self.types.resolve
         )
 
-    def _member_id_sets(self, members) -> Optional[list]:
-        """Candidate id set of each and-member (the ITERATOR sets —
-        prefix bins keep their hash false positives)."""
-        out = []
-        for m in members:
-            if m["kind"] == "gmap":
-                out.append({
-                    r["id"]
-                    for r in self._gmap_index_df(
-                        m["letter"], m["src"]
-                    ).select("id").collect()
-                })
-            elif m["kind"] == "prefix":
-                out.append(set(self._prefix_bin_ids(m["prefix"])))
-            elif m["kind"] == "linksto":
-                raw = self.store.to_df(self.spark)
-                srcs = raw.filter(m["src_flt"]).select(
-                    F.col("guid").alias("__src")
-                )
-                out.append({
-                    r["id"]
-                    for r in raw.join(
-                        srcs, raw[m["lk"]] == F.col("__src")
-                    ).select("id").collect()
-                })
-            else:
+    #: producer-set defense bound for the and-freeze materialization:
+    #: the cost gate above admits producers of at most
+    #: COST_MAX/2 / next_cost ≈ 1k candidates, so 5000 can only fire
+    #: if the gate math drifts (same pattern as the limit(51) guard)
+    _AND_PRODUCER_MAX = 5000
+
+    def _member_intersection(self, members, bi) -> Optional[list]:
+        """Sorted id intersection of the and-members (the ITERATOR
+        sets — prefix bins keep their hash false positives),
+        evaluated iterator-style: only the cost-model-elected
+        producer ``bi`` materializes its set (the cost gate above
+        bounds it); every other member CHECKS the producer's
+        candidates through an isin-filtered fetch bounded by the
+        producer size.  The reference never materializes the checked
+        members either (graphd-iterator-and.c check phase), and a
+        hot-key gmap member would otherwise be a multi-million-row
+        driver collect."""
+        prod = self._member_fetch(members[bi], None)
+        if prod is None or len(prod) > self._AND_PRODUCER_MAX:
+            return None
+        ids = sorted(prod)
+        for i, m in enumerate(members):
+            if i == bi or not ids:
+                continue
+            keep = self._member_fetch(m, ids)
+            if keep is None:
                 return None
-        return out
+            ids = [x for x in ids if x in keep]
+        return ids
+
+    def _member_fetch(self, m, within) -> Optional[set]:
+        """Candidate ids of one and-member, restricted to the
+        ``within`` candidate list when given (bounded check fetch);
+        an unrestricted fetch stops past _AND_PRODUCER_MAX."""
+        if m["kind"] == "gmap":
+            df = self._gmap_index_df(m["letter"], m["src"])
+            df = (
+                df.filter(F.col("id").isin(within))
+                if within is not None
+                else df.limit(self._AND_PRODUCER_MAX + 1)
+            )
+            return {r["id"] for r in df.select("id").collect()}
+        if m["kind"] == "prefix":
+            # prefix bins live in the driver mirror — no Spark job
+            return set(self._prefix_bin_ids(m["prefix"]))
+        if m["kind"] == "linksto":
+            raw = self.store.to_df(self.spark)
+            srcs = raw.filter(m["src_flt"]).select(
+                F.col("guid").alias("__src")
+            )
+            df = raw.join(srcs, raw[m["lk"]] == F.col("__src"))
+            df = (
+                df.filter(F.col("id").isin(within))
+                if within is not None
+                else df.limit(self._AND_PRODUCER_MAX + 1)
+            )
+            return {r["id"] for r in df.select("id").collect()}
+        return None
 
     def _isa_prefix_cursor(
         self, con, cstate, rows, prior, count
@@ -2496,6 +2553,15 @@ class Compiler:
         if sh is None:
             return None
         sub, hm = sh
+        if hm[4] > _ISA_SMALL_SET_MAX:
+            # the bin count is known driver-side before any job; a
+            # set past the isa small-set budget never materializes
+            # (every freeze caller gates on _isa_materialize_cap == 0
+            # for this shape), so never collect it — this also guards
+            # the ungated fixed_masq THAW path against a store that
+            # grew past the cap since the cursor froze
+            # (tests/test_plans.py::test_isa_expansion_gate_no_job)
+            return None
         lk = sub.linkage[1]
         flt = hm[5]
         raw = self.store.to_df(self.spark)

@@ -497,6 +497,43 @@ def _wants_cursor(con: Constraint) -> bool:
     return any(p.kind == "cursor" for p in pat.walk())
 
 
+def shape_flags(con: Constraint) -> dict:
+    """Shape-constant serving-prologue verdicts, memoized on the
+    constraint tree itself.  The prepared-shape cache
+    (gql/prepared.py) rebinds STRING LITERAL VALUES into one shared
+    patch-target tree per shape; structure, pattern kinds, and
+    numeric fields (pagesize/count/start) are all part of the shape
+    key, and every verdict below depends only on those — so a memo
+    computed on the first request of a shape stays valid for every
+    rebound request after it.  None of the verdicts read the store:
+    a template's store context (mirror growth, asof horizon) cannot
+    stale them.  An Unsupported verdict memoizes too (the Spark
+    fallback re-raises without re-walking)."""
+    memo = con.fr_memo
+    if memo is None:
+        memo = {}
+        try:
+            check_supported(con)
+        except Unsupported as e:
+            memo["unsupported"] = e.args[0] if e.args else ""
+        pat = (
+            con.result if con.result is not None
+            else default_read_pattern()
+        )
+        kinds = {p.kind for p in pat.walk()}
+        memo["wants_cursor"] = "cursor" in kinds
+        memo["count_kind"] = bool(
+            kinds & {"count", "estimate", "estimate-count"}
+        )
+        memo["wants_estimate"] = bool(
+            kinds & {"estimate", "estimate-count"}
+        )
+        con.fr_memo = memo
+    if "unsupported" in memo:
+        raise Unsupported(memo["unsupported"])
+    return memo
+
+
 def _prefix_pattern_f(con: Constraint) -> Optional[str]:
     """The pure word-prefix P when the constraint's only value
     predicate is ``value~="P*"`` — mirror of Compiler._prefix_pattern
@@ -634,8 +671,8 @@ class FastReader:
     # -- public ----------------------------------------------------------
 
     def run(self, con: Constraint):
-        check_supported(con)
-        wants_cursor = _wants_cursor(con)
+        flags = shape_flags(con)  # raises Unsupported; memoized
+        wants_cursor = flags["wants_cursor"]
         # cursor= resume (mirror of Compiler.run, compiler.py:192-345)
         resume = 0
         horizon = None
@@ -719,17 +756,13 @@ class FastReader:
             # shallow-copy the cached plan: cursor/cursor_ctx/countlimit
             # are (re)assigned per request below, and the cached object
             # must stay pristine for the next hit
-            import copy as _copy
-
-            plan, matches = _copy.copy(hit[0]), list(hit[1])
+            plan, matches = hit[0].__copy__(), list(hit[1])
         else:
             plan, matches = self._eval_set(con, exists_only=False)
             if ck is not None:
                 # store a pristine copy — `plan` itself is mutated
                 # below (cursor/countlimit) while serving this request
-                import copy as _copy
-
-                self._eval_cache[ck] = (_copy.copy(plan), list(matches))
+                self._eval_cache[ck] = (plan.__copy__(), list(matches))
                 while len(self._eval_cache) > 32:
                     self._eval_cache.pop(next(iter(self._eval_cache)))
         if horizon is not None:
@@ -924,10 +957,7 @@ class FastReader:
         pat = con.result if con.result is not None else default_read_pattern()
         need_total = (
             wants_cursor
-            or any(
-                p.kind in ("count", "estimate", "estimate-count")
-                for p in pat.walk()
-            )
+            or flags["count_kind"]
             or con.count_eq is not None
             or con.count_max is not None
             or (con.count_min or 0) > 1
@@ -960,9 +990,7 @@ class FastReader:
         ):
             countlimit += sort_o if sim_info is not None else resume
         plan.countlimit = countlimit
-        wants_estimate = any(
-            p.kind in ("estimate", "estimate-count") for p in pat.walk()
-        )
+        wants_estimate = flags["wants_estimate"]
         verify_need = max(count_min_chk - o_base, 0)
         if con.count_eq is not None:
             verify_need = max(verify_need, con.count_eq + 1 - o_base)

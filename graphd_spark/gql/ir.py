@@ -184,6 +184,14 @@ class Constraint:
     #: source token of a meta arrow (error positions)
     _start_seen: bool = False
     _meta_tok: Optional[tuple] = None
+    #: serving-prologue verdict memo (fastread.shape_flags): every
+    #: entry depends only on tree structure, pattern kinds, and
+    #: numeric fields — all part of the prepared-shape key — so a
+    #: patch-target tree whose string literals are rebound per
+    #: request keeps its verdicts.  Excluded from compare/diff.
+    fr_memo: Optional[dict] = field(
+        default=None, repr=False, compare=False
+    )
 
     def ordered_clauses(self):
         """("sub", Constraint) / ("chain", list[Constraint]) in parse

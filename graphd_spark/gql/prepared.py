@@ -88,7 +88,8 @@ def raw_template(line: str) -> tuple[str, list[str], list[int]]:
     return key, lits, poss
 
 #: walker skip-list: backrefs that would cycle (Constraint.parent)
-_SKIP_ATTRS = {"parent"}
+#: and the serving verdict memo (shape-constant, never literal-bound)
+_SKIP_ATTRS = {"parent", "fr_memo"}
 
 
 def shape_key(toks: list[Token]) -> tuple:

@@ -471,6 +471,7 @@ class PrimitiveStore:
             spark.createDataFrame(rows, PRIMITIVES_SCHEMA).coalesce(
                 1
             ).write.mode("append").parquet(path)
+            ParquetLogStore._write_epoch += 1
         return self.next_id
 
     @classmethod
@@ -602,9 +603,34 @@ class ParquetLogStore(PrimitiveStore):
     #: (dir-stat signature, fs_horizon) — see mirror_current
     _dir_sig_cache = None
 
+    #: class-level write epoch: bumped by EVERY in-process commit-file
+    #: write (any ParquetLogStore instance), so a same-process foreign
+    #: append invalidates every session's TTL cache immediately
+    _write_epoch = 0
+
+    #: (monotonic_ns of last verified-current check, epoch) — see
+    #: mirror_current's TTL fast path
+    _mc_cache = None
+
+    #: TTL of a verified-current verdict.  Only extends a COLD
+    #: directory signature (mtime > 1s old — the same-jiffy rule
+    #: already refuses to cache hot directories), so the only thing
+    #: the TTL can hide is a cross-process append landing within the
+    #: window; in-process appends bump _write_epoch and re-check.
+    _MC_TTL_NS = 2_000_000  # 2 ms
+
     def mirror_current(self) -> bool:
         if not self._covers_all:
             return False
+        import time as _mtime
+
+        mc = self._mc_cache
+        if (
+            mc is not None
+            and mc[1] == ParquetLogStore._write_epoch
+            and _mtime.monotonic_ns() - mc[0] < self._MC_TTL_NS
+        ):
+            return True
         # one os.stat of the log directory stands in for the listdir
         # when nothing changed: adding a commit file bumps the
         # directory's mtime/ctime, so an identical stat signature
@@ -636,10 +662,19 @@ class ParquetLogStore(PrimitiveStore):
             else:
                 self._dir_sig_cache = None
         if fs is None:
+            self._mc_cache = None
             return False
         if fs <= self.next_id:
+            # TTL-cache the verdict only when the signature itself was
+            # cacheable (cold directory, same-jiffy rule above)
+            self._mc_cache = (
+                (_mtime.monotonic_ns(), ParquetLogStore._write_epoch)
+                if self._dir_sig_cache is not None
+                else None
+            )
             return True
         self._dir_sig_cache = None  # absorbing changes our own state
+        self._mc_cache = None
         return self._absorb_delta(fs)
 
     def _absorb_delta(self, fs_horizon: int) -> bool:
@@ -795,6 +830,9 @@ class ParquetLogStore(PrimitiveStore):
         )
         pq.write_table(table, fname)
         self._flushed = self.next_id
+        # any in-process commit write invalidates every session's
+        # mirror_current TTL cache (see _write_epoch)
+        ParquetLogStore._write_epoch += 1
 
     def _trim_cache(self) -> None:
         if self.cache_rows is None or len(self.rows) <= self.cache_rows:

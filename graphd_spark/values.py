@@ -10,6 +10,8 @@ space-separated parenthesized groups.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 from graphd_spark.model import ts_to_string
@@ -86,7 +88,15 @@ class Splice:
     items: list = field(default_factory=list)
 
 
+#: anything escape_string must touch: protocol escapes plus the
+#: su_encode marker () — absent all four, the string renders
+#: verbatim (hot-path fast exit)
+_ESC_NEEDED = re.compile('[\\\\"\n]')
+
+
 def escape_string(s: str) -> str:
+    if _ESC_NEEDED.search(s) is None:
+        return s
     from graphd_spark.model import su_decode
 
     # restore raw non-UTF-8 bytes that were escaped to cross the

@@ -200,3 +200,63 @@ def test_boilerplate_heavy_hitter_split(spark, tmp_path, monkeypatch):
     for i, s in shingles.items():
         want = (len(s), sum(1 for t in s if dfreq[t] >= 5))
         assert got[i] == want, (i, got[i], want)
+
+
+# -- driver-side collect bounds (cursor/freeze paths) ---------------------
+# Every driver collect in the cursor/freeze machinery must be provably
+# bounded: a hot endpoint's linkage index holds millions of elements at
+# cluster scale, and an unbounded rank/materialize collect there is a
+# driver OOM.  These pin the round-8 fixes the way the limit(51)
+# collapse guard pinned the round-6 one.
+
+
+def test_isa_expansion_gate_no_job(monkeypatch):
+    """An over-budget hmap bin never collects: the bin count is known
+    driver-side (hm[4]) and the gate fires before any Spark access —
+    store.to_df raising proves no job was even planned."""
+    from graphd_spark.compiler import Compiler, _ISA_SMALL_SET_MAX
+
+    c = object.__new__(Compiler)
+
+    class Boom:
+        def to_df(self, spark):
+            raise AssertionError("collected an over-budget bin")
+
+    c.store = Boom()
+    c.spark = None
+    c.asof = None
+    hm = ("value", "k", 0, 10, _ISA_SMALL_SET_MAX + 1, None)
+    monkeypatch.setattr(
+        Compiler, "_isa_sub_hmap", lambda self, con: (object(), hm)
+    )
+    assert c._isa_expansion_ids(object()) is None
+
+
+def test_and_member_checks_are_bounded(monkeypatch):
+    """The and-freeze intersection materializes ONLY the cost-model-
+    elected producer; every other member is probed within the
+    producer's candidate list (a hot-key gmap member must never be
+    collected in full)."""
+    from graphd_spark.compiler import Compiler
+
+    c = object.__new__(Compiler)
+    calls = []
+
+    def fake_fetch(self, m, within):
+        calls.append((m["tag"], within is None))
+        if within is None:
+            return set(m["ids"])
+        return {x for x in m["ids"] if x in within}
+
+    monkeypatch.setattr(Compiler, "_member_fetch", fake_fetch)
+    members = [
+        {"tag": "big", "ids": range(1000)},  # checked, never drained
+        {"tag": "producer", "ids": [5, 7, 9]},
+    ]
+    assert c._member_intersection(members, 1) == [5, 7, 9]
+    assert calls == [("producer", True), ("big", False)]
+
+    # a producer past the defense bound refuses to materialize
+    calls.clear()
+    too_big = [{"tag": "huge", "ids": range(Compiler._AND_PRODUCER_MAX + 1)}]
+    assert c._member_intersection(too_big, 0) is None
