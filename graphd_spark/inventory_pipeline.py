@@ -1439,6 +1439,11 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: to exercise the split on toy fixtures).
 HH_NDOCS = 100_000
 
+#: shuffle-spread factor for heavy-hitter shingle instances (see
+#: boilerplate_ngrams): a hot key's rows split across this many
+#: (sh, salt) shuffle keys instead of landing on one partition
+_HH_SALT = 64
+
 
 @q(
     "boilerplate_ngrams",
@@ -1482,11 +1487,14 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     under both sort children, and the document-frequency side has its
     final aggregation fused above the same-key shuffle — verified
     empirically, ``tests/test_plans.py::test_boilerplate_heavy_hitter_split``).
-    Shingles in >= HH_NDOCS documents join via BROADCAST (no shuffle
-    of the fat instance side, so no hot partition can exist), a
-    broadcast anti-join removes those instances map-side, and the
-    remaining shuffle join has per-key frequency < HH_NDOCS by
-    construction."""
+    Shingles in >= HH_NDOCS documents resolve their frequency from a
+    BROADCAST dictionary and enter the one shuffle join under a
+    doc-hash salt that spreads each hot key across _HH_SALT
+    partitions; the residual (sh, salt=0) keys have per-key frequency
+    < HH_NDOCS by construction, and the exploded instance relation
+    feeds the join exactly once (it is still computed separately for
+    the document-frequency aggregate — the unavoidable second pass of
+    the inverted-index shape)."""
     (docs,) = _t(spark, sf_dir, "documents")
     toks = _tokens(F.col("text"))
     n = F.size(F.col("words"))
@@ -1506,17 +1514,31 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = inst.groupBy("sh").agg(
         F.countDistinct("doc_id").alias("ndocs")
     )
-    # heavy-hitter split: the hot dictionary is tiny by definition
-    # (at most total_instances / HH_NDOCS rows), so it broadcasts.
+    # heavy-hitter split, SINGLE instance scan: the hot dictionary is
+    # tiny by definition (at most total_instances / HH_NDOCS rows), so
+    # it broadcasts.  Every instance row picks up its hot ndocs
+    # map-side; hot rows also get a doc-hash salt that spreads them
+    # across _HH_SALT shuffle partitions, cold rows keep salt 0.  The
+    # cold dictionary then LEFT-joins on (sh, salt): hot rows can't
+    # match (their sh isn't in the cold dict) and keep their broadcast
+    # ndocs, cold rows always match — one shuffle join with no hot
+    # partition possible, and `inst` (the exploded 100 TB text scan)
+    # feeds the join exactly once instead of once per hot/cold branch.
     hot = dfreq.filter(F.col("ndocs") >= HH_NDOCS)
     cold = dfreq.filter(F.col("ndocs") < HH_NDOCS)
-    joined = (
-        inst.join(F.broadcast(hot), "sh")
-        .unionByName(
-            inst.join(F.broadcast(hot.select("sh")), "sh", "left_anti")
-            .join(cold, "sh")
-        )
+    tagged = inst.join(
+        F.broadcast(hot.withColumnRenamed("ndocs", "hot_ndocs")),
+        "sh", "left",
+    ).withColumn(
+        "salt",
+        F.when(
+            F.col("hot_ndocs").isNotNull(),
+            F.pmod(F.hash("doc_id"), F.lit(_HH_SALT)),
+        ).otherwise(F.lit(0)),
     )
+    joined = tagged.join(
+        cold.withColumn("salt", F.lit(0)), ["sh", "salt"], "left"
+    ).withColumn("ndocs", F.coalesce("hot_ndocs", "ndocs"))
     boiler = F.sum(F.when(F.col("ndocs") >= 5, 1).otherwise(0))
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shingles"),

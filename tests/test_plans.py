@@ -162,12 +162,15 @@ def test_boilerplate_heavy_hitter_split(spark, tmp_path, monkeypatch):
     fused above the same-key shuffle (verified empirically — forcing
     spark.sql.adaptive.forceOptimizeSkewedJoin never yields skew=true
     here).  boilerplate_ngrams therefore splits heavy hitters itself:
-    shingles in >= HH_NDOCS docs join by BROADCAST (their instances
-    never enter a shuffle keyed on the shingle, so no hot partition
-    can exist), a broadcast anti-join strips them map-side, and the
-    residual shuffle join has per-key frequency < HH_NDOCS by
-    construction.  This test pins that plan on a skewed fixture (one
-    3-gram in every document) and checks the answer exactly."""
+    shingles in >= HH_NDOCS docs pick up their frequency from a
+    BROADCAST dictionary map-side and enter the one shuffle join
+    under a doc-hash salt spread across _HH_SALT keys (no hot
+    partition possible); residual (sh, salt=0) keys have per-key
+    frequency < HH_NDOCS by construction.  The exploded instance
+    relation feeds the join exactly ONCE (one more pass computes the
+    frequency aggregate — the inverted-index minimum).  This test
+    pins that plan on a skewed fixture (one 3-gram in every document)
+    and checks the answer exactly."""
     from collections import Counter
 
     rows = []
@@ -182,13 +185,22 @@ def test_boilerplate_heavy_hitter_split(spark, tmp_path, monkeypatch):
 
     out = inventory_pipeline.boilerplate_ngrams(spark, str(tmp_path))
     plan = plan_of(out)
-    # hot branch + anti strip are broadcast joins; the residual join
-    # is the only shingle-keyed exchange the hot rows never reach
-    assert plan.count("BroadcastHashJoin") >= 2, plan
-    assert "LeftAnti" in plan, plan
+    # the hot tag is a broadcast join; no anti-join branch remains
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "LeftAnti" not in plan, plan
     assert "CartesianProduct" not in plan
+    # static plan: one Generate feeds the join, two more under the
+    # hot/cold consumers of the SAME dfreq aggregate...
+    assert len(set(re.findall(r"\((\d+)\) Generate", plan))) == 3, plan
 
     got = {r["doc_id"]: (r["n_shingles"], r["n_boiler"]) for r in out.collect()}
+    # ...which AQE collapses at runtime: the dfreq shuffle is built
+    # once and REUSED, so the instance relation (the 100 TB text
+    # explode) is computed exactly twice — once for dfreq, once for
+    # the join side, the inverted-index minimum (pre-r8: three)
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed, executed
+
     dfreq: Counter = Counter()
     shingles = {}
     for i, (_, _, text, _) in enumerate(rows):
