@@ -155,6 +155,50 @@ def _iter_expressible(con) -> bool:
     return True
 
 
+def _strcon_is_bin(sc) -> bool:
+    """Does this string constraint contribute an ITERATOR (hmap /
+    prefix-bin / vrange) to the reference's and-tree — pre-evaluating
+    into frozen sub-cursor fixed sets — or only a constraint-level
+    check (graphd_match)?  Probed round 8: ``value!=`` and
+    prefix-less globs leave the BARE gmap freeze (checks don't
+    pre-evaluate); equalities, ranges, word-prefix globs, and
+    wildcard-free ``~=`` patterns pre-evaluate."""
+    if sc.op in ("=", "<", "<=", ">", ">="):
+        return True
+    if sc.op != "~=":
+        return False  # '!=': check-only (probed: bare gmap freeze)
+    if len(sc.values) != 1 or not sc.values[0]:
+        return False
+    pat = sc.values[0]
+    body = pat[1:] if pat.startswith("^") else pat
+    if "*" not in body and "?" not in body:
+        return True  # exact word pattern: hmap bins
+    if body.endswith("*") and "?" not in body:
+        p0 = body[:-1]
+        if p0 and "*" not in p0 and p0.isalnum() and p0.isascii():
+            return True  # word-prefix bins
+    return False
+
+
+def _sub_iter_shape_ok(sub) -> bool:
+    """Clause families the round-8 sub-cursor model covers: or-chain
+    branches may carry SUBS but not assignments (branch $vars in
+    cursor subs are unprobed), and every (grand-)sub must be a plain
+    'my' linkage shape so the existence pre-evaluation recurses."""
+    for ch in sub.or_chains:
+        for b in ch:
+            if b.assignments:
+                return False
+            if not _sub_iter_shape_ok(b):
+                return False
+    for s in sub.subs:
+        if s.linkage is None or s.linkage[1] == "bi":
+            return False
+        if not _sub_iter_shape_ok(s):
+            return False
+    return True
+
+
 def sub_cursor_mode(sub, ignore_sort: bool = False) -> Optional[str]:
     """Which per-parent iterator a cursor-rendering subconstraint
     freezes (probed round 6; ref graphd-read-set-cursor.c:33-87,
@@ -220,21 +264,42 @@ def sub_cursor_mode(sub, ignore_sort: bool = False) -> Optional[str]:
             for sc in sub.name_strcons
         ):
             return None
-    if not _iter_expressible(sub):
+    if not _sub_iter_shape_ok(sub):
         return None
+    # ROUND 8 (probed): NON-iterator clauses are invisible to the
+    # frozen shape — next/prev/generation constraints, counted
+    # sub-subs (count=0 / count= / count<=), and check-only string
+    # constraints (_strcon_is_bin False) ride as acceptance checks
+    # over the bare form, so a `(<-left value!="x" (<-left count=0))`
+    # sub still freezes the parent's raw gmap, a typed one the vip,
+    # and any BIN predicate set pre-evaluates into fixed: exactly as
+    # before.  Or-chains (branch subs included, via existence)
+    # collapse into the pre-evaluated set.
+    mandatory_subs = [
+        s for s in sub.subs
+        if s.count_eq != 0 and not s.is_optional
+        # counted sub-subs keep their existence iterator (count>=1
+        # is implied); only the extra bound is an acceptance check
+    ]
     has_preds = (
-        sub.value_strcons or sub.name_strcons or sub.guid
-        or any(sub.links.values()) or sub.subs or sub.timestamps
+        any(_strcon_is_bin(sc) for sc in sub.value_strcons)
+        or any(_strcon_is_bin(sc) for sc in sub.name_strcons)
+        or sub.guid
+        or any(sub.links.values()) or mandatory_subs or sub.timestamps
         or sub.valuetype is not None or sub.false or sub.or_chains
     )
-    tcs = sub.type_strcons
-    if not tcs and not has_preds:
+    tcs = [sc for sc in sub.type_strcons if _strcon_is_bin(sc)]
+    check_types = len(tcs) != len(sub.type_strcons)
+    if not tcs and not has_preds and not check_types:
         return "gmap"
     if (
         len(tcs) == 1 and tcs[0].op == "=" and len(tcs[0].values) == 1
         and tcs[0].values[0] is not None and not has_preds
+        and not check_types and len(sub.type_strcons) == 1
     ):
         return "vip"
+    if not tcs and not has_preds:
+        return "gmap"  # only check-level types: bare raw index
     return "fixed"
 
 
@@ -261,7 +326,7 @@ def effective_sub_cursor_mode(sub) -> Optional[str]:
     mode = sub_cursor_mode(sub, ignore_sort=True)
     if (
         mode is not None and mode != "iam" and sub.sort
-        and sub.sort[0].pattern.kind in ("value", "name")
+        and sub.sort[0].pattern.kind == "value"
         and sub.result is not None
         and any(
             p.kind not in (
@@ -274,7 +339,11 @@ def effective_sub_cursor_mode(sub) -> Optional[str]:
         # the dropped sort leaves its sort-root producer behind only
         # for my-side sets; an iam sub's single-target fixed iterator
         # is the producer either way (probed: iam + value sort at
-        # pagesize=0 freezes the plain fixed:1:<target> probe)
+        # pagesize=0 freezes the plain fixed:1:<target> probe).
+        # VALUE sorts only: the name sort-root is the id-order
+        # all-scan, which degenerates to the parent's own bare form
+        # at pagesize 0 (probed round 8, cursor fuzz seed 10017:
+        # `sort=(name guid) pagesize=0` freezes gmap, not fixed)
         return "fixed"
     return mode
 
@@ -461,14 +530,28 @@ class Compiler:
         self.store = store
         self.types = types
         self.asof = asof
-        df = store.to_df(spark)
-        if asof is not None:
-            df = df.filter(F.col("id") <= self._asof_horizon(asof))
+        #: thawed-chain horizon ([n:H] of the incoming cursor): a
+        #: running chain evaluates at the store horizon it froze at —
+        #: candidates, expansions, provenance bounds, and re-frozen
+        #: [n:] all clamp here (round 8, write-interleaved chains;
+        #: mirror of fastread.run's self.horizon narrowing)
+        self._chain_h = None
+        self.base = self._build_base()
+        self._n = 0
+
+    def _build_base(self):
+        df = self.store.to_df(self.spark)
+        if self.asof is not None:
+            df = df.filter(
+                F.col("id") <= self._asof_horizon(self.asof)
+            )
+        if self._chain_h is not None:
+            df = df.filter(F.col("id") < self._chain_h)
         # the generation index as a column: one lineage window shared by
         # every constraint node (ref libpdb/pdb-generation; this is the
         # precomputable `current` view at scale)
         w_lin = Window.partitionBy("lineage")
-        self.base = df.withColumn(
+        return df.withColumn(
             "__maxgen", F.max("generation").over(w_lin)
         ).withColumn(
             # the successor guid (next= patterns/sorts); Catalyst
@@ -476,7 +559,20 @@ class Compiler:
             "__next",
             F.lead("guid", 1).over(w_lin.orderBy("generation")),
         )
-        self._n = 0
+
+    def _raw_df(self):
+        """The raw primitive log clamped at the evaluation horizon:
+        asof= binds an id bound, and a thawed cursor's [n:H] pins a
+        running chain at the store horizon it froze at (writes
+        landing between pages never enter the chain)."""
+        df = self.store.to_df(self.spark)
+        if self.asof is not None:
+            df = df.filter(
+                F.col("id") <= self._asof_horizon(self.asof)
+            )
+        if self._chain_h is not None:
+            df = df.filter(F.col("id") < self._chain_h)
+        return df
 
     # -- asof -------------------------------------------------------------
 
@@ -510,6 +606,19 @@ class Compiler:
         paginated; total is exact when the pattern needs it, else the
         collected length (sufficient for the EMPTY check).
         """
+        import re as _re0
+
+        chain_h = None
+        if con.cursor is not None and con.cursor != "null:":
+            # [n:H] rides every reference-format cursor prefix; the
+            # chain lives at that frozen horizon (the generational
+            # newest view included), so bind it BEFORE compiling
+            m0 = _re0.search(r"\[[nN]:(\d+)\]", con.cursor)
+            if m0:
+                chain_h = int(m0.group(1))
+        if chain_h != self._chain_h:
+            self._chain_h = chain_h
+            self.base = self._build_base()
         plan, df = self._compile(con)
         # cursor= resumes a previous page: the token carries the
         # position in the query's deterministic total order (sort keys
@@ -604,12 +713,7 @@ class Compiler:
                             F.lower(F.col("name"))
                             == cstate.masq.lower()
                         )
-                    pool = self.store.to_df(self.spark).filter(flt)
-                    if self.asof is not None:
-                        pool = pool.filter(
-                            F.col("id")
-                            <= self._asof_horizon(self.asof)
-                        )
+                    pool = self._raw_df().filter(flt)
                     if cstate.backward:
                         b = (
                             pool.orderBy(F.col("id").desc())
@@ -1279,6 +1383,10 @@ class Compiler:
             # asof pages clamp every frozen bound at the id horizon
             # and omit [n:] (probed; mirror fastread._iterator_cursor)
             count = min(count, self._asof_horizon(self.asof) + 1)
+        if self._chain_h is not None:
+            # a resumed chain re-freezes [n:] and every bound at ITS
+            # frozen horizon, not the grown store count (round 8)
+            count = min(count, self._chain_h)
         if cstate is not None and cstate.form in (
             "all", "without", "fixed", "gmap"
         ):
@@ -1576,9 +1684,18 @@ class Compiler:
         ):
             from graphd_spark.fastread import FastReader
 
-            lto_ids = FastReader(
+            fr0 = FastReader(
                 self.store, self.types, asof=self.asof
-            )._linksto_expansion_ids_f(con)
+            )
+            if self._chain_h is not None:
+                # the thawed-chain horizon clamps the mirror's index
+                # expansions exactly like asof (fastread.run)
+                fr0.horizon = (
+                    self._chain_h - 1
+                    if fr0.horizon is None
+                    else min(fr0.horizon, self._chain_h - 1)
+                )
+            lto_ids = fr0._linksto_expansion_ids_f(con)
         ids = (
             self._isa_expansion_ids(con)
             or lto_ids
@@ -1669,8 +1786,10 @@ class Compiler:
         from graphd_spark.freeze import hmap_set_str
 
         tname, key, slo, shi, _n, _flt = hm
+        # LOW = sub bin low + 1 (graphd-iterator-linksto.c:3343;
+        # cursor fuzz seed 3343 — mirror of fastread)
         return "fixed-linksto:+{}:{}->({})".format(
-            ids[0], lk[0], hmap_set_str(tname, key, slo, shi),
+            slo + 1, lk[0], hmap_set_str(tname, key, slo, shi),
         )
 
     def _and_members(self, con) -> Optional[list]:
@@ -1788,7 +1907,7 @@ class Compiler:
         # hmap stats undercounted — treat as "not a single survivor").
         cand = [
             r["id"]
-            for r in self.store.to_df(self.spark)
+            for r in self._raw_df()
             .filter(flt).select("id").limit(51).collect()
         ]
         if len(cand) > 50:
@@ -1797,7 +1916,7 @@ class Compiler:
         col = self._GMAP_COLS[lk[0]]
         live = [
             guids[r[col]]
-            for r in self.store.to_df(self.spark)
+            for r in self._raw_df()
             .filter(F.col(col).isin(*guids))
             .select(col).distinct().collect()
         ]
@@ -1842,11 +1961,7 @@ class Compiler:
                 and prefix_match_codes(su_decode(v), prefix)
             )
 
-        raw = self.store.to_df(self.spark)
-        if self.asof is not None:
-            raw = raw.filter(
-                F.col("id") <= self._asof_horizon(self.asof)
-            )
+        raw = self._raw_df()
         return [
             r["id"]
             for r in raw
@@ -1866,7 +1981,7 @@ class Compiler:
         if hm is None:
             return None
         tname, key, lo, hi, _n, flt = hm
-        pos_df = self.store.to_df(self.spark).filter(flt).select("id")
+        pos_df = self._raw_df().filter(flt).select("id")
         return tname, key, lo, hi, pos_df
 
     def _hmap_source(self, sub) -> Optional[tuple]:
@@ -1891,11 +2006,7 @@ class Compiler:
             return None
         tname, key = cands[0]
         key, flt = self._hmap_bin_filter(tname, key)
-        raw = self.store.to_df(self.spark)
-        if self.asof is not None:
-            raw = raw.filter(
-                F.col("id") <= self._asof_horizon(self.asof)
-            )
+        raw = self._raw_df()
         row = (
             raw
             .filter(flt)
@@ -1946,7 +2057,7 @@ class Compiler:
         tname, key, hlo, hhi, n_src, src_flt = hm
         if n_src < 2:
             return None
-        raw = self.store.to_df(self.spark)
+        raw = self._raw_df()
         srcs = raw.filter(src_flt).select(F.col("guid").alias("__src"))
         span = (
             raw.join(srcs, raw[lk] == F.col("__src"))
@@ -2323,7 +2434,7 @@ class Compiler:
             # prefix bins live in the driver mirror — no Spark job
             return set(self._prefix_bin_ids(m["prefix"]))
         if m["kind"] == "linksto":
-            raw = self.store.to_df(self.spark)
+            raw = self._raw_df()
             srcs = raw.filter(m["src_flt"]).select(
                 F.col("guid").alias("__src")
             )
@@ -2564,11 +2675,7 @@ class Compiler:
             return None
         lk = sub.linkage[1]
         flt = hm[5]
-        raw = self.store.to_df(self.spark)
-        if self.asof is not None:
-            raw = raw.filter(
-                F.col("id") <= self._asof_horizon(self.asof)
-            )
+        raw = self._raw_df()
         tg = [
             r[lk] for r in raw.filter(flt).select(lk).collect()
         ]
@@ -2674,7 +2781,7 @@ class Compiler:
             if len(gids) != 1:
                 return None
             endpoint = (glk, gids[0])
-        raw = self.store.to_df(self.spark)
+        raw = self._raw_df()
         if typeguid is not None and endpoint is not None:
             elk, src = endpoint
             span = raw.filter(
@@ -2762,13 +2869,9 @@ class Compiler:
         from graphd_spark.model import guid_compose
 
         g = guid_compose(self.store.db_id, src)
-        df = self.store.to_df(self.spark).filter(
+        df = self._raw_df().filter(
             F.col(self._GMAP_COLS[lk]) == g
         )
-        if self.asof is not None:
-            df = df.filter(
-                F.col("id") <= self._asof_horizon(self.asof)
-            )
         return df
 
     def _gmap_stats(self, lk: str, src: int, last_id: int):
@@ -3304,6 +3407,14 @@ class Compiler:
             from graphd_spark.fastread import FastReader
 
             fr = FastReader(self.store, self.types, asof=self.asof)
+            if self._chain_h is not None:
+                # the thawed-chain horizon clamps the per-parent
+                # producer indexes exactly like asof (fastread.run)
+                fr.horizon = (
+                    self._chain_h - 1
+                    if fr.horizon is None
+                    else min(fr.horizon, self._chain_h - 1)
+                )
             ctx.update(fr.sub_cursor_index(sub, mode, cstate))
             sub_plan.cursor_ctx = ctx
             return child_df
@@ -3733,10 +3844,15 @@ class Compiler:
         for lk, gcs in con.links.items():
             if gcs:
                 conds.append(self._guid_col_pred(F.col(lk), gcs))
-        if con.prev:
-            conds.append(self._guid_col_pred(F.col("prev"), con.prev))
+        # empty-set cons are the consumed prev=null/next=null rewrite
+        # markers (parser._normalize_version_pointers): they sign
+        # "=()" in cursor envelopes but carry no match semantics
+        live_prev = [gc for gc in con.prev if gc.guids]
+        if live_prev:
+            conds.append(self._guid_col_pred(F.col("prev"), live_prev))
         for gc in con.next:
-            conds.append(self._next_cond(gc))
+            if gc.guids:
+                conds.append(self._next_cond(gc))
 
         # value-comparator overrides matching only (david_8.sh)
         match_comp = con.value_comparator or con.comparator

@@ -337,14 +337,26 @@ def _signature(con: Constraint, parts: list[str], resolve=None,
 
     # generational constraints; the engine default is newest=0, which
     # signs as "newest<=0" (gencon_min == 0 prints <=max)
+    # generational constraints sign as the reference's folded
+    # (min, max) gencon structs (graphd-constraint-signature.c:462-
+    # 468 emits a field only while gencon_valid): the newest=0
+    # default applies only when NEITHER field is assigned, a bound
+    # spanning the whole range (>=0) is invalidated and signs
+    # nothing (graphd-guid-constraint.c:507-511), and multiple
+    # bounds fold into one struct
     newest = [g for g in con.gens if g.field == "newest"]
     oldest = [g for g in con.gens if g.field == "oldest"]
-    if not newest:
-        newest = [GenCon("newest", "=", 0)]
-    for g in newest:
-        _sep(parts, _gencon_sig(g))
-    for g in oldest:
-        _sep(parts, _gencon_sig(g))
+    if not newest and not oldest:
+        _sep(parts, "newest<=0")  # the default
+    else:
+        if newest:
+            mn, mx = _gencon_fold(newest)
+            if not (mn == 0 and mx == _GEN_MAX):
+                _sep(parts, _gen_sig("newest", mn, mx))
+        if oldest:
+            mn, mx = _gencon_fold(oldest)
+            if not (mn == 0 and mx == _GEN_MAX):
+                _sep(parts, _gen_sig("oldest", mn, mx))
 
     for gc in con.guid:
         _sep(parts, "guid" + _guidcon_sig(gc))
@@ -446,16 +458,36 @@ def _signature(con: Constraint, parts: list[str], resolve=None,
         parts.append(")")
 
 
-def _gencon_sig(g: GenCon) -> str:
-    if g.op in ("=",):
-        if g.n == 0:
-            return f"{g.field}<=0"
-        return f"{g.field}={g.n}"
-    if g.op == "<=":
-        return f"{g.field}<={g.n}"
-    if g.op == ">=":
-        return f"{g.field}>={g.n}"
-    return f"{g.field}{g.op}{g.n}"
+_GEN_MAX = (1 << 64) - 1  # ULONG_MAX
+
+
+def _gencon_fold(gcs) -> tuple:
+    """Fold our per-op GenCon list into the reference's single
+    (gencon_min, gencon_max) struct."""
+    mn, mx = 0, _GEN_MAX
+    for g in gcs:
+        if g.op == "=":
+            mn = mx = g.n
+        elif g.op == ">=":
+            mn = g.n
+        elif g.op == "<=":
+            mx = g.n
+        elif g.op == ">":
+            mn = g.n + 1
+        elif g.op == "<":
+            mx = g.n - 1
+    return mn, mx
+
+
+def _gen_sig(field: str, mn: int, mx: int) -> str:
+    """signature_gencon's valid-branch forms."""
+    if mn == 0:
+        return f"{field}<={mx}"
+    if mx == _GEN_MAX:
+        return f"{field}>={mn}"
+    if mn == mx:
+        return f"{field}={mn}"
+    return f"{field}~={mn}..{mx}"
 
 
 def _guidcon_sig(gc) -> str:

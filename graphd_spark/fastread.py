@@ -16,10 +16,23 @@ raises :class:`Unsupported` for any feature outside its mirror
 (round 7 closed the round-6 residual list — nested intrinsic
 or-chains fold as recursive disjunctions, cursor-valued assignments
 inline as aliases, sorted and pagesize-0 cursor subs inside
-or-branches run the same sorter/thaw model as root-level subs; what
-remains Unsupported: sub-bearing nested or-chains and sub shapes
-outside ``sub_cursor_mode``'s probed family); the caller then falls
-back to the Spark compiler.  THAWED sorted cursor subs at ANY depth run the
+or-branches run the same sorter/thaw model as root-level subs; round
+8 closed sub-bearing BARE nested chains: ``{ {A | B} | C }`` with
+branch subs splices into the enclosing chain at parse
+(gql/parser.py parse_con), probed byte-identical against the
+reference — replies, winner slots, $vars, and cursor checksums —
+so the only refused or-family left is a branch CONJOINING a nested
+chain with its own subs/assignments, whose reference semantics the
+round-8 probes could not pin down; and ``sub_cursor_mode``'s family
+widened to the probed iterator/check split — NON-iterator clauses
+(counted sub-subs, newest/oldest, the prev=null -> oldest=0
+conversion, value!=, prefix-less globs) ride as acceptance checks
+over the bare gmap/vip/fixed freezes, while BIN predicates
+(equalities, word prefixes, ranges at bin-span granularity,
+or-chains including branch-sub existence) pre-evaluate — pinned by
+``test_sub_cursor_clause_families``'s 78-page byte-exact matrix and
+the round-8 cursor generator); the caller then falls back to the
+Spark compiler.  THAWED sorted cursor subs at ANY depth run the
 exact reference model (:class:`_ThawScan`): the global sort-root
 producer (value bins + null tail, forward or backward; the all-scan
 for name keys), the per-constraint 5-slot bad-id ring shared across
@@ -642,7 +655,11 @@ class FastReader:
         self._cache_key = cache_key
         # asof= binds to an id horizon (mirror of _asof_horizon,
         # compiler.py:146-167): candidates, traversal children, and
-        # newest-ness all evaluate within it
+        # newest-ness all evaluate within it.  A thawed cursor's [n:H]
+        # later NARROWS self.horizon the same way (run: the chain
+        # lives at the store horizon it froze at), but only asof_mode
+        # switches the asof FORMATS ([n:]-omission, dateline maxima)
+        self.asof_mode: bool = asof is not None
         self.horizon: Optional[int] = (
             None if asof is None else self._asof_horizon(asof)
         )
@@ -690,7 +707,7 @@ class FastReader:
             try:
                 cstate = parse_cursor(
                     cur, con, self.types.resolve,
-                    asof=self.horizon is not None,
+                    asof=self.asof_mode,
                 )
             except BadCursor as e:
                 raise GraphdError("BADCURSOR", e.message)
@@ -748,9 +765,26 @@ class FastReader:
                     m = _re.search(r"/(\d+)/$", cur)
                     if m:
                         resume = int(m.group(1))
+        if horizon is not None:
+            # a thawed chain lives at the store horizon it froze at
+            # ([n:H]): candidates, index expansions, regenerated
+            # provenance bounds, and re-frozen [n:] all clamp at H —
+            # writes landing between pages never enter a running
+            # chain (probed round 8: write-interleaved chains
+            # re-freeze [n:H] and the original fixed-isa provenance
+            # verbatim, and end at the frozen set's exhaustion)
+            self.horizon = (
+                horizon - 1
+                if self.horizon is None
+                else min(self.horizon, horizon - 1)
+            )
         ck = None
         if self._eval_cache is not None and self._cache_key is not None:
-            ck = (self._cache_key, self.store._version, self.store.count())
+            # the chain horizon narrows evaluation, so it keys the
+            # eval cache too (a fresh chain at the same store count
+            # must not inherit a clamped candidate set)
+            ck = (self._cache_key, self.store._version,
+                  self.store.count(), self.horizon)
         hit = self._eval_cache.get(ck) if ck is not None else None
         if hit is not None:
             # shallow-copy the cached plan: cursor/cursor_ctx/countlimit
@@ -1038,15 +1072,19 @@ class FastReader:
         for ssim in getattr(plan, "_root_ssims", ()):
             if ssim.grid is None or ssim.first_key is None:
                 continue
-            evals = 0
             accepts = 0
             for acc in ssim.evals:
-                evals += 1
                 if acc:
                     accepts += 1
                     if not need_total and accepts >= limit:
                         break
-            if evals >= 2:
+            # the one-shot override counts ACCEPTED parents: a parent
+            # the thawed grid rejects (its remaining kids fall at or
+            # before the boundary, count-min fails) renders no sub
+            # slot and leaves the first parent's cursor intact
+            # (cursor fuzz seed 3134; the r6 probes that established
+            # the override had every parent accepted)
+            if accepts >= 2:
                 ssim.sim.pop(ssim.first_key, None)
         # cursor emission (mirror of Compiler.run, compiler.py:600-686)
         if wants_cursor and sim_info is not None:
@@ -1156,7 +1194,7 @@ class FastReader:
                     ) + con.start + len(rows),
                 ) or f"position:{consumed}/{total}"
         if (
-            self.horizon is not None
+            self.asof_mode
             and plan.cursor
             and plan.cursor != "null:"
         ):
@@ -2084,8 +2122,13 @@ class FastReader:
         from graphd_spark.freeze import hmap_set_str
 
         tname, key, hlo, hhi, _src = hm
+        # LOW is the linksto iterator's low = the sub bin's low + 1
+        # (a pointer's id always exceeds its target's in the
+        # append-only log; graphd-iterator-linksto.c:3343) — NOT the
+        # expansion's first id, which merely coincided in the round-7
+        # probes (cursor fuzz seed 3343)
         return "fixed-linksto:+{}:{}->({})".format(
-            ids[0], lk[0], hmap_set_str(tname, key, hlo, hhi),
+            hlo + 1, lk[0], hmap_set_str(tname, key, hlo, hhi),
         )
 
     def _linksto_expansion_ids_f(self, con) -> Optional[list]:
@@ -3334,7 +3377,7 @@ class FastReader:
             try:
                 cstate = parse_cursor(
                     sub.cursor, sub, self.types.resolve,
-                    asof=self.horizon is not None,
+                    asof=self.asof_mode,
                 )
             except BadCursor as e:
                 raise GraphdError("BADCURSOR", e.message)
@@ -3365,7 +3408,7 @@ class FastReader:
                 "offset": ssim.offset,
                 "lo": sub.start or 0,
                 "horizon": horizon,
-                "asof": self.horizon is not None,
+                "asof": self.asof_mode,
                 "sim": ssim.sim,
                 "resolve": self.types.resolve,
             }
@@ -3385,7 +3428,7 @@ class FastReader:
             "offset": cstate.offset if cstate is not None else 0,
             "lo": sub.start or 0,
             "horizon": horizon,
-            "asof": self.horizon is not None,
+            "asof": self.asof_mode,
             "backward": sub_sort_backward(sub),
             "resolve": self.types.resolve,
         }
@@ -3716,6 +3759,14 @@ class FastReader:
         arr, accepted, trailing = simulate(
             entries, ssim.P, ssim.specs, grid=ssim.grid
         )
+        if ssim.grid is not None and accepted == 0:
+            # a parent the thawed grid REJECTS (every remaining kid at
+            # or before the boundary) never consumes the one-shot: the
+            # exact replay stays live for the next parent in scan
+            # order, and the rejected parent renders nothing (probed:
+            # cursor fuzz seed 3134 — the cursor's own parent keeps
+            # the full grid semantics behind a rejected sibling)
+            ssim.consumed = False
         return accepted, [p for _k, p in arr], trailing
 
     def sub_cursor_index(self, sub, mode, cstate):
@@ -4029,26 +4080,44 @@ class FastReader:
                 # ACCEPTED count — prefilter-rejected kids are
                 # invisible to count, like root sorted sets
                 first = not ss.ssim.consumed
-                n, page_kids, trailing = self._sub_sort_page(ss, kids)
-                child_rows = [
-                    r for _c, r in page_kids[ss.lo:ss.lo + ss.rps]
-                ]
-                ss.ssim.sim[id(child_rows)] = (trailing, ss.ssim.P)
-                if ss.ssim.grid is not None:
-                    # grid-mode bookkeeping for the one-shot thaw
-                    # override (see _sub_sort_finalize): log this
-                    # parent's sub-level acceptance in scan order
-                    acc = n > 0 or ss.outer
-                    if sub.count_eq is not None:
-                        acc = acc and n == sub.count_eq
-                    else:
-                        if ss.count_min > 0:
-                            acc = acc and n >= ss.count_min
-                        if sub.count_max is not None:
-                            acc = acc and n <= sub.count_max
-                    ss.ssim.evals.append(acc)
-                    if first:
-                        ss.ssim.first_key = id(child_rows)
+                if ss.ssim.grid is not None and not cand_ids:
+                    # a parent with NO linkage children gets a NULL
+                    # iterator — the thawed one-shot is never
+                    # consumed and the parent logs no eval (mirror
+                    # of _ThawScan.verify's kid-less rule; cursor
+                    # fuzz seed 3134: a kid-less sibling must not
+                    # trip the multi-parent cursor override)
+                    n, page_kids, trailing = 0, [], False
+                    child_rows = []
+                    ss.ssim.sim[id(child_rows)] = (
+                        trailing, ss.ssim.P
+                    )
+                else:
+                    n, page_kids, trailing = self._sub_sort_page(
+                        ss, kids
+                    )
+                    child_rows = [
+                        r for _c, r in page_kids[ss.lo:ss.lo + ss.rps]
+                    ]
+                    ss.ssim.sim[id(child_rows)] = (
+                        trailing, ss.ssim.P
+                    )
+                    if ss.ssim.grid is not None:
+                        # grid-mode bookkeeping for the one-shot
+                        # thaw override (see _sub_sort_finalize):
+                        # log this parent's sub-level acceptance in
+                        # scan order
+                        acc = n > 0 or ss.outer
+                        if sub.count_eq is not None:
+                            acc = acc and n == sub.count_eq
+                        else:
+                            if ss.count_min > 0:
+                                acc = acc and n >= ss.count_min
+                            if sub.count_max is not None:
+                                acc = acc and n <= sub.count_max
+                        ss.ssim.evals.append(acc)
+                        if first:
+                            ss.ssim.first_key = id(child_rows)
             else:
                 n = len(kids)
                 # pagesize=0 count-min probe: consumes max(1, start)
@@ -4162,12 +4231,14 @@ class FastReader:
                             )
                     continue
                 kids = []
+                has_cands = False
                 for cid in self._child_ids(p, sub):
                     if (
                         self.horizon is not None
                         and cid > self.horizon
                     ):
                         continue
+                    has_cands = True
                     c = self.store.rows[cid - self.store._base]
                     if ss.cfilter is not None and not ss.cfilter(c):
                         continue  # thawed sub-cursor restriction
@@ -4182,20 +4253,30 @@ class FastReader:
                     # bounded incremental sorter per parent, same as
                     # root-level agg subs
                     sfirst = not ss.ssim.consumed
-                    n, page_kids, trailing = self._sub_sort_page(
-                        ss, kids
-                    )
-                    child_rows = [
-                        r for _c, r in page_kids[ss.lo:ss.lo + ss.rps]
-                    ]
-                    ss.ssim.sim[id(child_rows)] = (
-                        trailing, ss.ssim.P
-                    )
-                    if ss.ssim.grid is not None:
-                        acc = n >= ss.count_min
-                        ss.ssim.evals.append(acc)
-                        if sfirst:
-                            ss.ssim.first_key = id(child_rows)
+                    if ss.ssim.grid is not None and not has_cands:
+                        # kid-less parent: null iterator, one-shot
+                        # untouched, no eval logged (seed 3134 rule)
+                        n, page_kids, trailing = 0, [], False
+                        child_rows = []
+                        ss.ssim.sim[id(child_rows)] = (
+                            trailing, ss.ssim.P
+                        )
+                    else:
+                        n, page_kids, trailing = self._sub_sort_page(
+                            ss, kids
+                        )
+                        child_rows = [
+                            r for _c, r
+                            in page_kids[ss.lo:ss.lo + ss.rps]
+                        ]
+                        ss.ssim.sim[id(child_rows)] = (
+                            trailing, ss.ssim.P
+                        )
+                        if ss.ssim.grid is not None:
+                            acc = n >= ss.count_min
+                            ss.ssim.evals.append(acc)
+                            if sfirst:
+                                ss.ssim.first_key = id(child_rows)
                     if row is not None:
                         if n == 0:
                             row[sp.cnt_col] = None
@@ -4577,14 +4658,23 @@ class FastReader:
         """Iterator-level match: the predicates the reference compiles
         into a constraint's iterator tree — everything in
         _match_intrinsic EXCEPT the generational newest test (which
-        runs above the iterator), plus raw existence for mandatory
-        subconstraints (their linkage joins are linksto/isa
-        iterators).  Used to pre-evaluate frozen sub-cursor sets
-        (probed: a versioned-away child stays in the frozen fixed set
-        and still counts in /POS/; sub-sub existence and value-range
-        checks are applied; graphd-read-set-cursor.c)."""
-        if not self._iter_intrinsic(p, con):
+        runs above the iterator), prev/next lineage pointers, and
+        check-only string constraints (value!=, prefix-less globs —
+        all acceptance-level, probed round 8), plus raw existence for
+        mandatory subconstraints (their linkage joins are linksto/isa
+        iterators) and for or-chain BRANCH subs.  Used to
+        pre-evaluate frozen sub-cursor sets (probed: a versioned-away
+        child stays in the frozen fixed set and still counts in
+        /POS/; sub-sub existence and value-range checks are applied;
+        graphd-read-set-cursor.c)."""
+        if not self._iter_intrinsic(p, con, iter_level=True):
             return False
+        return self._iter_subs_exist(p, con)
+
+    def _iter_subs_exist(self, p: Primitive, con: Constraint) -> bool:
+        """Existence of every mandatory subconstraint at the iterator
+        level (counted sub-subs keep their existence iterator — only
+        the extra count bound is an acceptance check)."""
         for sub in con.subs:
             if sub.count_eq == 0 or sub.is_optional:
                 continue
@@ -4601,7 +4691,8 @@ class FastReader:
         return True
 
     def _iter_intrinsic(self, p: Primitive, con: Constraint,
-                        in_branch: bool = False) -> bool:
+                        in_branch: bool = False,
+                        iter_level: bool = False) -> bool:
         if con.false:
             return False
         if con.live == TRUE and not p.live:
@@ -4619,22 +4710,42 @@ class FastReader:
         for lk, gcs in con.links.items():
             if gcs and not self._guid_pred(getattr(p, lk), gcs):
                 return False
-        if con.prev and not self._guid_pred(p.prev, con.prev):
-            return False
-        for gc in con.next:
-            if not self._next_pred(p, gc):
+        if not iter_level:
+            # prev/next are lineage-generational: acceptance-level
+            # only — they never pre-evaluate (probed round 8).
+            # Empty-set cons are the consumed prev=null/next=null
+            # rewrite markers (parser._normalize_version_pointers):
+            # they sign "=()" but match nothing-in-particular
+            live_prev = [gc for gc in con.prev if gc.guids]
+            if live_prev and not self._guid_pred(p.prev, live_prev):
                 return False
+            for gc in con.next:
+                if gc.guids and not self._next_pred(p, gc):
+                    return False
         match_comp = con.value_comparator or con.comparator
-        for sc in self._merged_strcons(con.type_strcons, match_comp):
+        tscs, nscs, vscs = (
+            con.type_strcons, con.name_strcons, con.value_strcons
+        )
+        if iter_level:
+            # check-only string constraints (no hmap/prefix/vrange
+            # bins) never enter the pre-evaluated set
+            from graphd_spark.compiler import _strcon_is_bin
+
+            tscs = [sc for sc in tscs if _strcon_is_bin(sc)]
+            nscs = [sc for sc in nscs if _strcon_is_bin(sc)]
+            vscs = [sc for sc in vscs if _strcon_is_bin(sc)]
+        for sc in self._merged_strcons(tscs, match_comp):
             if not self._type_pred(p, sc):
                 return False
-        for sc in self._merged_strcons(con.name_strcons, match_comp):
+        for sc in self._merged_strcons(nscs, match_comp):
             if not self._string_pred(p, p.name, sc, match_comp,
-                                     is_value=False):
+                                     is_value=False,
+                                     iter_level=iter_level):
                 return False
-        for sc in self._merged_strcons(con.value_strcons, match_comp):
+        for sc in self._merged_strcons(vscs, match_comp):
             if not self._string_pred(p, p.value, sc, match_comp,
-                                     is_value=True):
+                                     is_value=True,
+                                     iter_level=iter_level):
                 return False
         if con.valuetype is not None and p.datatype != con.valuetype:
             return False
@@ -4691,10 +4802,18 @@ class FastReader:
                 return False
         for chain in con.or_chains:
             # intrinsic chains fold into the iterator pre-evaluation
-            # (gated by _iter_expressible; probed round 7); branch
-            # timestamps are CHECK-only — no id bound (seed 1151)
+            # (probed round 7); at iterator level, branch SUBS apply
+            # as raw existence too (probed round 8: a chain branch
+            # `(<-left value="k")` pre-evaluates kids that have such
+            # a child); branch timestamps are CHECK-only — no id
+            # bound (seed 1151)
             if not any(
-                self._iter_intrinsic(p, b, in_branch=True)
+                self._iter_intrinsic(
+                    p, b, in_branch=True, iter_level=iter_level
+                )
+                and (
+                    not iter_level or self._iter_subs_exist(p, b)
+                )
                 for b in chain
             ):
                 return False
@@ -4876,7 +4995,8 @@ class FastReader:
         return ok
 
     def _string_pred(self, p: Primitive, val: Optional[str], sc,
-                     comparator, is_value: bool) -> bool:
+                     comparator, is_value: bool,
+                     iter_level: bool = False) -> bool:
         """Mirror of _string_cond for =, !=, ~= (ranges bail)."""
         comp = resolve_comparator(comparator)
         nonnull = [v for v in sc.values if v is not None]
@@ -4935,6 +5055,31 @@ class FastReader:
             lit = nonnull[0] if nonnull else None
             if lit is None:
                 return False
+            if iter_level and is_value and comp == "default":
+                # ITERATOR-level vrange membership is the BIN SPAN:
+                # the producer scans whole string bins up to (from)
+                # the bound's bin and the exact comparison is an
+                # acceptance-level refinement (probed round 8:
+                # `value<"b"` pre-evaluates "b" — same bin — but
+                # not "ban" — the next bin)
+                if val is None:
+                    return sc.op in (">", ">=")  # the null tail
+                bo = string_bin_order(val)
+                lo = string_bin_order(lit)
+                if bo is None or lo is None:
+                    return False
+                return bo <= lo if sc.op in ("<", "<=") else bo >= lo
+            if iter_level and is_value and comp == "number":
+                lo_bin = number_bin_lookup(lit)
+                if lo_bin is not None:
+                    so = number_scan_order(val)
+                    if so is None:
+                        return False
+                    return (
+                        so >= 2 * lo_bin
+                        if sc.op in (">", ">=")
+                        else so <= 2 * lo_bin + 1
+                    )
             if is_value and comp == "default":
                 key = p.value_fkey
             else:

@@ -226,8 +226,63 @@ class Parser:
             # one chain, so the flag lives on the joined branch.
             b.or_short_circuit = lor
             branches.append(b)
+        # NESTED chain normalization: a branch that is a BARE brace
+        # group holding one chain ({ {A|B} | C }) splices its inner
+        # branches into the enclosing chain, depth-first.  Probed
+        # byte-identical against the reference — replies, winner
+        # slots, $var bindings, AND cursor checksums are equal for
+        # the nested and flat spellings (the reference's own
+        # normalization), for intrinsic and sub-bearing branches
+        # alike; branches mixing predicates with a nested chain are
+        # parse errors in both engines and never reach here.
+        if any(self._is_bare_chain(b) for b in branches):
+            flat = []
+            for b in branches:
+                if self._is_bare_chain(b):
+                    inner = b.or_chains[0]
+                    if inner:
+                        # the outer joining flag rides the first
+                        # spliced branch; later ones keep their own
+                        inner[0].or_short_circuit = b.or_short_circuit
+                    flat.extend(inner)
+                else:
+                    flat.append(b)
+            branches = flat
         con.clause_order.append(("chain", len(con.or_chains)))
         con.or_chains.append(branches)
+
+    @staticmethod
+    def _is_bare_chain(b: Constraint) -> bool:
+        """True when branch ``b`` is nothing but one or-chain (the
+        parse of a bare ``{...|...}`` branch)."""
+        return (
+            len(b.or_chains) == 1
+            and not (
+                b.guid or b.prev or b.next or b.links
+                or b.type_strcons or b.name_strcons or b.value_strcons
+                or b.timestamps or b.gens or b.subs or b.assignments
+                or b.sort or b.sort_comparators or b.false or b.anchor
+            )
+            and b.valuetype is None
+            and b.live == UNSPECIFIED
+            and b.archival == UNSPECIFIED
+            and b.meta == UNSPECIFIED
+            and b.linkage is None
+            and b.count_min is None
+            and b.count_max is None
+            and b.count_eq is None
+            and b.pagesize is None
+            and b.resultpagesize is None
+            and b.countlimit is None
+            and b.start == 0
+            and b.cursor is None
+            and b.dateline is None
+            and b.comparator is None
+            and b.value_comparator is None
+            and b.result is None
+            and b.unique is None
+            and b.key is None
+        )
 
     def _merge_item(self, con: Constraint, item: Constraint) -> None:
         """Fold a single parsed clause item into the enclosing node."""
@@ -1326,6 +1381,75 @@ def _check_nested_assignments(con) -> None:
             anc = anc.parent
 
 
+def _gencon_min(g: GenCon) -> int:
+    """gencon_min of one of our GenCon entries (ref
+    graphd_generational_constraint)."""
+    if g.op in ("=", ">="):
+        return g.n
+    if g.op == ">":
+        return g.n + 1
+    return 0  # <, <=
+
+
+def _normalize_version_pointers(con) -> None:
+    """``prev=null``/``prev~=null`` rewrite to ``oldest=0`` and
+    ``next=null``/``next~=null`` to ``newest=0`` — the pointer
+    constraint is CONSUMED and the generational one takes its place
+    (graphd_guid_constraint_convert,
+    graphd-guid-constraint.c:334-347 previous / :63-67,138-141
+    next).  With a generational constraint now assigned, the
+    newest=0 default no longer applies, which both match semantics
+    and the signed cursor envelope observe (the envelope signs
+    ``newest=*`` for an unconstrained newest).  A conflicting
+    pre-existing bound (min > 0) makes the constraint false; bounds
+    with min == 0 are REPLACED.  Only the all-null forms rewrite —
+    sets carrying real guids keep pointer semantics."""
+    def one(node, field, cons):
+        kept, changed = [], False
+        for gc in cons:
+            if gc.op in ("=", "~=") and all(
+                g is None for g in gc.guids
+            ):
+                changed = True
+                prior = [
+                    g for g in node.gens if g.field == field
+                ]
+                if all(_gencon_min(g) == 0 for g in prior):
+                    node.gens = [
+                        g for g in node.gens if g.field != field
+                    ] + [GenCon(field, "=", 0)]
+                else:
+                    node.false = True
+                # the consumed pointer stays on the constraint as an
+                # EMPTY include set — it no longer matches anything
+                # (acceptance ignores empty sets) but still signs as
+                # "previous=()" / "next=()" in the cursor envelope
+                # (guidcon_convert_previous returns without clearing
+                # guidcon_include_valid; signature_guid_set's
+                # gs_n == 0 branch)
+                kept.append(GuidCon("=", []))
+            else:
+                kept.append(gc)
+        return kept, changed
+
+    for node in con.walk():
+        had_gens = bool(node.gens)
+        changed = False
+        if node.prev:
+            node.prev, c = one(node, "oldest", node.prev)
+            changed = changed or c
+        if node.next:
+            node.next, c = one(node, "newest", node.next)
+            changed = changed or c
+        # NOTE deliberately NO newest=0 default here: the conversion
+        # runs BEFORE the generational default
+        # (graphd_guid_constraint_convert: convert at :429, default
+        # at :493), so a converted oldest/newest suppresses the
+        # default exactly like an explicit one — prev=null implies
+        # oldest=0 with newest UNCONSTRAINED
+        _ = (had_gens, changed)
+
+
 def _check_contents_usage(con) -> None:
     """An explicit ``contents`` pattern needs subconstraints (ref
     test/unit/nick1.sh).  Subconstraints inside or-branches count:
@@ -1497,6 +1621,7 @@ def parse_request(line: str, toks=None) -> Request:
                         "constraint"
                     )
                 _check_nested_assignments(req.constraint)
+            _normalize_version_pointers(req.constraint)
     else:
         # leave remaining tokens raw for the command dispatcher
         while p.peek().kind != L.END:

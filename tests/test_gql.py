@@ -297,15 +297,15 @@ def test_xx_decode_strict_hex():
             _xx_decode(bad)
 
 
-def test_nested_chain_subs_refused(spark):
-    """Sub- or assignment-bearing NESTED or-chains are refused with a
-    clear SYSTEM error (round 7).  The reference supports them; this
-    engine folds intrinsic nested chains exactly but the two-level
-    first-match binding/slot machinery for sub-bearing ones is
-    unimplemented — before round 7 the Spark path silently ignored
-    the nested chain and matched everything, which is strictly worse
-    than refusing.  If a future round implements them, this test
-    flips to a differential one."""
+def test_nested_chain_subs_served(spark):
+    """Sub-bearing BARE nested or-chains serve since round 8: the
+    parse-level flatten splices a bare ``{...}`` chain branch into
+    the enclosing chain (the reference's own normalization, probed
+    byte-identical incl. cursor checksums —
+    test_differential.test_nested_chain_flatten pins the full
+    matrix).  This flipped from the round-7 refusal test; the one
+    or-family still refused loudly is a branch CONJOINING a nested
+    chain with its own subs/assignments."""
     from graphd_spark.api import GraphSession
 
     gs = GraphSession(spark)
@@ -314,4 +314,12 @@ def test_nested_chain_subs_refused(spark):
         'read (value="p0" { value="x" | { (<-left value="k1") | '
         'name="y" } } result=((value)))'
     )
-    assert r.startswith('error SYSTEM "nested or-chains'), r
+    assert r == 'ok (("p0"))', r
+    # the refused family: a branch conjoining a SUB-BEARING chain
+    # with its own clauses (intrinsic inner chains in mixed branches
+    # still fold, round 7)
+    r2 = gs.request(
+        'read ({ { (<-left value="k1") | name="y" } value="p0" } '
+        '| { value="zz" } result=((value)))'
+    )
+    assert r2.startswith("error"), r2

@@ -33,6 +33,7 @@ from tests.test_differential import (  # noqa: E402
     gen_cursor_writes,
     check_replica_seed,
     check_roundtrip_seed,
+    check_writepaged_seed,
     gen_or_script,
     gen_roundtrip,
     gen_script,
@@ -120,6 +121,7 @@ def main() -> int:
     versions = "--versions" in sys.argv
     roundtrip = "--roundtrip" in sys.argv
     replica = "--replica" in sys.argv
+    writepaged = "--writepaged" in sys.argv
     orchains = "--orchains" in sys.argv
     writes = "--writes" in sys.argv
     sortcursors = "--sortcursors" in sys.argv
@@ -135,10 +137,12 @@ def main() -> int:
     spark = get_spark("diff_campaign")
     bad = []
     for seed in range(start, end):
-        if roundtrip or replica:
+        if roundtrip or replica or writepaged:
             problems = (
                 check_roundtrip_seed(spark, seed)
                 if roundtrip
+                else check_writepaged_seed(spark, seed)
+                if writepaged
                 else check_replica_seed(spark, seed)
             )
             if problems:
