@@ -3612,9 +3612,16 @@ class Compiler:
     def _branch_pred(self, b: Constraint):
         """An or-BRANCH's intrinsic match predicate including its
         NESTED or-chains, folded recursively (None = always true).
-        A nested chain carrying subconstraints or assignments cannot
-        fold — refuse loudly rather than matching everything (the
-        pre-round-7 behavior silently ignored nested chains)."""
+        Post-round-8, bare nested chains splice at parse
+        (parser._is_bare_chain), so a chain surviving INSIDE a branch
+        is always conjoined with other clauses of that branch; its
+        branches fold when intrinsic, but INNER branches carrying
+        subs or assignments would need the full recursive slot/
+        winner machinery (the reference gives each inner branch sub
+        its own contents slot and $var binding — probed round 8,
+        test_mixed_branch_conjunction's read-9 family) — refuse
+        loudly rather than matching everything (the pre-round-7
+        behavior silently ignored nested chains)."""
         conds = []
         p = self._intrinsic_pred(b, in_branch=True)
         if p is not None:

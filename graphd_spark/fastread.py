@@ -21,9 +21,12 @@ or-branches run the same sorter/thaw model as root-level subs; round
 branch subs splices into the enclosing chain at parse
 (gql/parser.py parse_con), probed byte-identical against the
 reference — replies, winner slots, $vars, and cursor checksums —
-so the only refused or-family left is a branch CONJOINING a nested
-chain with its own subs/assignments, whose reference semantics the
-round-8 probes could not pin down; and ``sub_cursor_mode``'s family
+so the only refused or-family left is a branch conjoining a nested
+chain whose INNER branches carry subs or assignments — mixed
+branches themselves (intrinsics AND chain AND subs with slots and
+$vars) serve as the plain conjunction they are, pinned by
+``test_mixed_branch_conjunction``; the residual needs the recursive
+inner-slot machinery; and ``sub_cursor_mode``'s family
 widened to the probed iterator/check split — NON-iterator clauses
 (counted sub-subs, newest/oldest, the prev=null -> oldest=0
 conversion, value!=, prefix-less globs) ride as acceptance checks

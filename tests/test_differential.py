@@ -2560,3 +2560,53 @@ def test_sub_cursor_clause_families(spark, ref_bin):
         f"  got: {g}\n  exp: {w}"
         for g, w in zip(got, want) if g != w
     ) + f"\n(pages: got {len(got)}, exp {len(want)})"
+
+
+# -- mixed or-branches (round 8) -------------------------------------------
+#
+# A branch CONJOINING clauses is a plain conjunction: intrinsics AND
+# nested-chain disjunction AND subs (my- and iam-form both constrain,
+# render slots, and bind $vars).  Everything here serves; the ONE
+# refused residual is a branch conjoining a nested chain whose INNER
+# branches carry subs with other clauses (read 9-style shapes), whose
+# inner slot machinery this engine does not model.
+
+_MIXED_BRANCH_WRITES = [
+    'write (value="A" (<-left value="k"))',
+    'write (value="B" right->(value="t1"))',
+    'write (value="C" (<-left value="m"))',
+    'write (value="D")',
+]
+
+_MIXED_BRANCH_READS = [
+    'read (pagesize=8 result=((guid value)) '
+    '{ { value="A" | value="B" } (<-left value="k") | value="C" })',
+    'read (pagesize=8 result=((guid value)) '
+    '{{ { value="A" | value="B" } (<-left value="k") }} | {{ value="C" }})',
+    'read (pagesize=8 result=((guid value)) '
+    '{{ value="A" | value="B" } (<-left value="k")} | {value="C"})',
+    'read (pagesize=8 result=((guid value contents)) '
+    '{{ value="A" | value="B" } (<-left value="k" result=((value)))} '
+    '| {value="C"})',
+    'read (pagesize=8 result=((guid value)) '
+    '{{ value="A" | value="B" } (<-left value="zz")} | {value="C"})',
+    'read (pagesize=8 result=((guid value)) '
+    '{{ value="A" | value="B" } timestamp>1970} | {value="C"})',
+    'read (pagesize=8 result=((guid value)) '
+    '{value="A" right->(value="zz")} | {value="C"})',
+    'read (pagesize=8 result=((guid value $t)) '
+    '{value="B" right->(value="t1" $t=value)} | {value="C"})',
+    'read (pagesize=8 result=((guid value $t)) '
+    '{{ value="A" | value="B" } (<-left value="k" $t=value) $t=name} '
+    '| {value="C"})',
+]
+
+
+def test_mixed_branch_conjunction(spark, ref_bin):
+    lines = _MIXED_BRANCH_WRITES + _MIXED_BRANCH_READS
+    want = run_reference(lines)
+    got = run_engine(spark, lines)
+    assert got == want, "\n".join(
+        f"  got: {g}\n  exp: {w}"
+        for g, w in zip(got, want) if g != w
+    )
