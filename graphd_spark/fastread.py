@@ -1072,6 +1072,9 @@ class FastReader:
                 ctx["root_matches"] = getattr(
                     plan, "_root_matches", None
                 )
+                ctx["root_cands"] = getattr(
+                    plan, "_root_cands", None
+                )
         for ssim in getattr(plan, "_root_ssims", ()):
             if ssim.grid is None or ssim.first_key is None:
                 continue
@@ -3315,6 +3318,7 @@ class FastReader:
         #   only one parent renders (pagesize=1 probed).
         plan._root_vfam = self._root_value_family(con)
         plan._root_matches = len(matches)
+        plan._root_cands = ncand
         return plan, matches
 
     def _root_value_family(self, con: Constraint):
@@ -4158,16 +4162,22 @@ class FastReader:
                     self._defer_by_row.setdefault(
                         id(row), []
                     ).append((p, ss, kids, cand_ids, ci, row))
-            if n == 0 and not ss.outer:
+            # a THAWED sub chain verifies its count bounds in the
+            # ABSOLUTE frame: the cursor's [o:] offset counts already-
+            # consumed elements, so a drained remainder still passes
+            # (probed round 8, writepaged seed 211: a start=1 chain's
+            # exhausted page renders the parent with a null: sub)
+            thaw_o = self._sub_thaw_offset(p, ss)
+            if n + thaw_o == 0 and not ss.outer:
                 return _NO_MATCH  # inner join semantics
             passes = True
             if sub.count_eq is not None:
-                passes = n == sub.count_eq
+                passes = (n + thaw_o) == sub.count_eq
             else:
                 if ss.count_min > 0:
-                    passes = passes and n >= ss.count_min
+                    passes = passes and (n + thaw_o) >= ss.count_min
                 if sub.count_max is not None:
-                    passes = passes and n <= sub.count_max
+                    passes = passes and (n + thaw_o) <= sub.count_max
             bounds_checked = (
                 ss.outer
                 or sub.count_eq is not None
@@ -4192,6 +4202,36 @@ class FastReader:
             for vcol, fn in spec.assigns:
                 row[vcol] = fn(p)
         return row
+
+    def _sub_thaw_offset(self, p: Primitive, ss) -> int:
+        """The thawed sub cursor's consumed [o:] offset, attributed
+        ONLY to the parent the cursor was frozen for (a thawed
+        iterator pins the whole sub to its parent; other parents'
+        counts stay in the local frame).  Used by the count-bound
+        checks: a thawed chain verifies count minima in the ABSOLUTE
+        frame, so a drained remainder still passes (probed round 8,
+        writepaged seed 211)."""
+        cst = ss.cstate
+        if cst is None or not cst.offset:
+            return 0
+        if ss.rps == 0:
+            # pagesize-0 probes re-consume on every page: an
+            # exhausted probe fails the count minimum and the chain
+            # ends in EMPTY (round-6 rule) — no absolute frame
+            return 0
+        from graphd_spark.model import guid_serial
+
+        if cst.form in ("gmap", "vip") and cst.src is not None:
+            return (
+                cst.offset
+                if guid_serial(p.guid) == cst.src
+                else 0
+            )
+        if cst.form == "fixed" and cst.fixed_ids:
+            if set(self._child_ids(p, ss.sub)) & set(cst.fixed_ids):
+                return cst.offset
+            return 0
+        return 0
 
     def _eval_or_chain(self, p: Primitive, cspec, row) -> bool:
         """Mirror of _apply_or_chain's non-intrinsic path: every
@@ -4224,7 +4264,8 @@ class FastReader:
                         else:
                             row[sp.cnt_col] = n
                             row[sp.arr_col] = child_rows
-                    flag = flag and n >= ss.count_min
+                    bthaw_o = self._sub_thaw_offset(p, ss)
+                    flag = flag and (n + bthaw_o) >= ss.count_min
                     first = child_rows[0] if child_rows else None
                     for var, _k, newcol, arr, src in bvars:
                         if arr == sp.arr_col:
@@ -4287,14 +4328,19 @@ class FastReader:
                         else:
                             row[sp.cnt_col] = n
                             row[sp.arr_col] = child_rows
+                    bthaw_o = self._sub_thaw_offset(p, ss)
                     passes = True
                     if sub.count_eq is not None:
-                        passes = n == sub.count_eq
+                        passes = (n + bthaw_o) == sub.count_eq
                     else:
                         if ss.count_min > 0:
-                            passes = passes and n >= ss.count_min
+                            passes = passes and (
+                                n + bthaw_o >= ss.count_min
+                            )
                         if sub.count_max is not None:
-                            passes = passes and n <= sub.count_max
+                            passes = passes and (
+                                n + bthaw_o <= sub.count_max
+                            )
                     flag = flag and passes
                     first = child_rows[0] if child_rows else None
                     for var, _k, newcol, arr, src in bvars:
@@ -4745,10 +4791,18 @@ class FastReader:
                                      is_value=False,
                                      iter_level=iter_level):
                 return False
+        # is a value RANGE the producer?  Only when no other bin
+        # predicate (type/name/value equality or prefix) can produce
+        vrange_prod = iter_level and not any(
+            sc.op not in _RANGE_OPS
+            for scs in (tscs, nscs, vscs)
+            for sc in scs
+        )
         for sc in self._merged_strcons(vscs, match_comp):
             if not self._string_pred(p, p.value, sc, match_comp,
                                      is_value=True,
-                                     iter_level=iter_level):
+                                     iter_level=iter_level,
+                                     range_is_producer=vrange_prod):
                 return False
         if con.valuetype is not None and p.datatype != con.valuetype:
             return False
@@ -4999,7 +5053,8 @@ class FastReader:
 
     def _string_pred(self, p: Primitive, val: Optional[str], sc,
                      comparator, is_value: bool,
-                     iter_level: bool = False) -> bool:
+                     iter_level: bool = False,
+                     range_is_producer: bool = False) -> bool:
         """Mirror of _string_cond for =, !=, ~= (ranges bail)."""
         comp = resolve_comparator(comparator)
         nonnull = [v for v in sc.values if v is not None]
@@ -5058,13 +5113,20 @@ class FastReader:
             lit = nonnull[0] if nonnull else None
             if lit is None:
                 return False
-            if iter_level and is_value and comp == "default":
-                # ITERATOR-level vrange membership is the BIN SPAN:
-                # the producer scans whole string bins up to (from)
-                # the bound's bin and the exact comparison is an
-                # acceptance-level refinement (probed round 8:
-                # `value<"b"` pre-evaluates "b" — same bin — but
-                # not "ban" — the next bin)
+            if (
+                iter_level and is_value and comp == "default"
+                and range_is_producer
+            ):
+                # ITERATOR-level vrange membership when the range IS
+                # the producer (no other bin predicate): the scan
+                # covers whole string bins up to (from) the bound's
+                # bin and the exact comparison is an acceptance-level
+                # refinement (probed round 8: `value<"b"`
+                # pre-evaluates "b" — same bin — but not "ban" — the
+                # next bin).  With another bin as producer (eq/prefix
+                # bins), the range is an and-CHECK evaluated at the
+                # comparator's fuzzy order (writepaged seed 125:
+                # `value>="12" value="12"` keeps "+12")
                 if val is None:
                     return sc.op in (">", ">=")  # the null tail
                 bo = string_bin_order(val)
@@ -5072,7 +5134,10 @@ class FastReader:
                 if bo is None or lo is None:
                     return False
                 return bo <= lo if sc.op in ("<", "<=") else bo >= lo
-            if iter_level and is_value and comp == "number":
+            if (
+                iter_level and is_value and comp == "number"
+                and range_is_producer
+            ):
                 lo_bin = number_bin_lookup(lit)
                 if lo_bin is not None:
                     so = number_scan_order(val)

@@ -439,6 +439,21 @@ class Assembler:
             # shapes; the bare-gmap horizon is the round-6 model,
             # re-pinned by differential seed 16)
             horizon = min(horizon, first_id + 1)
+        elif (
+            mode in ("gmap", "vip")
+            and ctx.get("root_vfam") is None
+            and ctx.get("root_cands") == 1
+            and len(ids) == 1
+        ):
+            # bare SINGLE-ELEMENT gmap/vip probes under a
+            # non-value-family root with a single CANDIDATE pin the
+            # element + 1 too (probed round 8, writepaged fuzz seed
+            # 151 + directed shapes); multi-candidate roots — even
+            # with one surviving match — and multi-element raw sets
+            # keep the horizon (differential seed 16's bare-gmap
+            # re-pin, test_my_probe_fixed_pins), as do value-family
+            # roots
+            horizon = min(horizon, first_id + 1)
         cur = freeze_cursor(
             ctx["con"], st, delivered, horizon, ctx["resolve"],
         )
