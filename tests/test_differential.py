@@ -1291,6 +1291,53 @@ def check_replica_seed(spark, seed: int) -> list[str]:
             problems.append(
                 f"replica read differs for {rd}:\n  got: {g}\n  exp: {w}"
             )
+    # REPLICA-RESUMED cursors (round 8): a chain frozen on the master
+    # thaws on the replica and vice versa — the signed envelope only
+    # covers the constraint and store horizon, both identical after
+    # catch-up, so ALTERNATING pages must replay the master-only
+    # chain byte-for-byte
+    import re as _re2
+
+    cur_reads = [
+        "read (pagesize=2 result=(cursor (guid value)) "
+        + f"({_gen_constraint(rng)}))"
+        for _ in range(2)
+    ]
+    cur_reads.append(
+        'read (pagesize=2 sort=(value) result=(cursor (guid value)) '
+        "(any))"
+    )
+    for rd in cur_reads:
+        def chain(ask_seq):
+            out, reply, hops = [], ask_seq[0](rd), 0
+            out.append(reply)
+            while hops < 5:
+                m = _re2.search(
+                    r'"((?:cursor|sort|position):[^"]*)"', reply
+                )
+                if not m or m.group(1) == "null:":
+                    break
+                esc = m.group(1).replace("\\", "\\\\").replace(
+                    '"', '\\"'
+                )
+                reply = ask_seq[(hops + 1) % len(ask_seq)](
+                    rd.replace(
+                        "result=(cursor",
+                        f'cursor="{esc}" result=(cursor', 1,
+                    )
+                )
+                out.append(reply)
+                hops += 1
+            return out
+
+        solo = chain([master.request])
+        alt = chain([master.request, replica.request])
+        if solo != alt:
+            problems.extend(
+                f"replica-resumed page differs for {rd}:\n"
+                f"  alternating: {g}\n  master-only: {w}"
+                for g, w in zip(alt, solo) if g != w
+            )
     return problems
 
 
