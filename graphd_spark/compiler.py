@@ -228,7 +228,12 @@ def sub_cursor_mode(sub, ignore_sort: bool = False) -> Optional[str]:
     if sub.linkage is None:
         return None
     if sub.linkage[0] == "iam":
-        if (sub.sort and not ignore_sort) or not _iter_expressible(sub):
+        # same clause split as the my-side modes (round 8): gens,
+        # counted sub-subs, prev/next, and check-only strcons ride
+        # as acceptance checks over the single-target probe
+        if (sub.sort and not ignore_sort) or not _sub_iter_shape_ok(
+            sub
+        ):
             return None
         return "iam"
     if sub.linkage[1] == "bi":

@@ -399,7 +399,17 @@ class Assembler:
                 for p in sub_con.result.walk()
             )
         )
-        if value_sort_root:
+        sub_has_vrange = any(
+            sc.op in ("<", "<=", ">", ">=")
+            for sc in sub_con.value_strcons
+        )
+        if value_sort_root or sub_has_vrange:
+            # a value RANGE among the sub's own predicates keeps a
+            # string vrange producer that spans the whole store, so
+            # [n:] stays the horizon — the sub-side analog of the
+            # tier-0 sort-root rule (probed round 8, cursor fuzz
+            # seed 3716: `right->(value<"ab" pagesize=0)` keeps the
+            # store horizon under a single-match hmap root)
             pass
         elif ctx.get("probe_high") is not None:
             horizon = min(horizon, ctx["probe_high"])

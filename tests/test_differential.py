@@ -502,12 +502,18 @@ def gen_cursor_reads(rng: random.Random, burst=None) -> list[str]:
                 # iterator freezes (descending = the '~' forms);
                 # value/name keys the per-parent sort: boundary
                 # cursors with the incremental-sorter truncation and
-                # the one-shot-thaw multi-parent degradation
-                st += "sort=" + rng.choice(
-                    ["timestamp", "(-timestamp)", "guid", "(-guid)",
-                     "value", "(-value)", "name", "(-name)",
-                     "(value -name)", "(name guid)"]
-                ) + " "
+                # the one-shot-thaw multi-parent degradation.
+                # NEVER a descending perfect key over a value range —
+                # the reference binary asserts out
+                # (graphd-iterator-and.c:1558 direction mismatch;
+                # writepaged seed 359 killed the oracle)
+                opts = ["timestamp", "(-timestamp)", "guid",
+                        "(-guid)", "value", "(-value)", "name",
+                        "(-name)", "(value -name)", "(name guid)"]
+                if "value<" in pred or "value>" in pred:
+                    opts = [o for o in opts
+                            if o not in ("(-timestamp)", "(-guid)")]
+                st += "sort=" + rng.choice(opts) + " "
             root = rng.choice([
                 f"value={_q(rng.choice(_VALUES))}",
                 "value~=" + _q(rng.choice(["a*", "b*"])),
