@@ -2663,3 +2663,17 @@ def test_mixed_branch_conjunction(spark, ref_bin):
         f"  got: {g}\n  exp: {w}"
         for g, w in zip(got, want) if g != w
     )
+
+
+@pytest.mark.xfail(
+    strict=False,
+    reason="OPEN (round 8, writepaged seed 454): a name-sorted sub "
+    "cursor chain under interleaved thaw-cluster writes ends one page "
+    "early — the engine freezes null: at [o:5] where the reference "
+    "emits one more boundary cursor.  The page CONTENT matches; only "
+    "the exhaustion verdict diverges.  Every neighboring shape "
+    "(writepaged 0-453, 455-500; cursors 0-4000) is 0-divergent.",
+)
+def test_writepaged_seed_454_open(spark, ref_bin):
+    problems = check_writepaged_seed(spark, 454)
+    assert not problems, "\n".join(p[:300] for p in problems)
