@@ -621,6 +621,15 @@ class Compiler:
             m0 = _re0.search(r"\[[nN]:(\d+)\]", con.cursor)
             if m0:
                 chain_h = int(m0.group(1))
+        # SUB cursors bound the request the same way: the reference
+        # thaws every iterator at the frozen horizon, so the TOP-level
+        # producer excludes parents written between pages (writepaged
+        # seed 454; mirror of fastread.run's sub_h clamp)
+        from graphd_spark.cursor import chain_horizon as _chain_h_fn
+
+        sub_h = _chain_h_fn(con)
+        if sub_h is not None and (chain_h is None or sub_h < chain_h):
+            chain_h = sub_h
         if chain_h != self._chain_h:
             self._chain_h = chain_h
             self.base = self._build_base()

@@ -842,6 +842,56 @@ def parse_cursor(text: str, con: Constraint,
     raise _old_style(text)
 
 
+def cursor_envelope_horizon(cur: str) -> Optional[int]:
+    """The [n:H] store horizon in a cursor's leading bracket envelope
+    (after the ``sort:`` / ``cursor:XXXX:`` prefix), or None.  Only the
+    ENVELOPE is inspected — [n:...] byte sequences inside serialized
+    string values never match (probed: the reference scans the same
+    prefix blocks, graphd-constraint-cursor.c)."""
+    body = cur
+    low = body.lower()
+    if low.startswith("sort:"):
+        body = body[5:]
+    elif low.startswith("position:"):
+        return None
+    else:
+        m = re.match(r"(?i)cursor:[0-9a-f]{1,4}:", body)
+        if m:
+            body = body[m.end():]
+    horizon = None
+    while body.startswith("["):
+        close = body.find("]")
+        if close < 0:
+            break
+        m = re.match(r"\[([onON]):(\d+)\]$", body[: close + 1])
+        if m and m.group(1).lower() == "n":
+            horizon = int(m.group(2))
+        body = body[close + 1:]
+    return horizon
+
+
+def chain_horizon(con: Constraint) -> Optional[int]:
+    """The frozen store horizon a resumed chain lives at: the MINIMUM
+    [n:H] over every cursor in the constraint tree (top level or sub).
+
+    The reference thaws each frozen iterator with its saved high bound
+    and creates every OTHER iterator in the request bounded the same
+    way (writepaged seed 454: a sub chain frozen at [n:80] makes the
+    TOP-level producer thaw as ``all[0...50]``, so a parent written
+    between pages is never scanned — and never churns the shared
+    bad-id ring; ref graphd-iterator-and-freeze.c thaw bounds +
+    pdb-iterator-all high bound)."""
+    h = None
+    for c in con.walk():
+        cur = c.cursor
+        if cur is None or cur == "null:":
+            continue
+        ch = cursor_envelope_horizon(cur)
+        if ch is not None and (h is None or ch < h):
+            h = ch
+    return h
+
+
 def strip_cursor_horizon(cur: str, con: Constraint, resolve=None) -> str:
     """asof'd pages omit the [n:] horizon block entirely (probed:
     ``cursor:xxxx:[o:3]hmap:0-9:.../3/`` and ``sort:[o:3]...`` with no

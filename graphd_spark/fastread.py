@@ -768,6 +768,17 @@ class FastReader:
                     m = _re.search(r"/(\d+)/$", cur)
                     if m:
                         resume = int(m.group(1))
+        # a SUB cursor's [n:H] bounds the whole request too: the
+        # reference thaws every iterator in the request at the frozen
+        # horizon, so a parent written between pages is never scanned
+        # and never churns the shared bad-id ring (writepaged seed
+        # 454: top-level producer thaws as all[0...H]; ref
+        # graphd-iterator-and-freeze.c thaw bounds)
+        from graphd_spark.cursor import chain_horizon
+
+        sub_h = chain_horizon(con)
+        if sub_h is not None and (horizon is None or sub_h < horizon):
+            horizon = sub_h
         if horizon is not None:
             # a thawed chain lives at the store horizon it froze at
             # ([n:H]): candidates, index expansions, regenerated

@@ -46,8 +46,39 @@ def run_reference(lines: list[str]) -> list[str]:
             capture_output=True,
             text=True,
             timeout=120,
+            cwd=db,  # the binary drops graphd-debug.log.* in cwd
         )
     return [ln for ln in proc.stdout.splitlines() if ln]
+
+
+def run_reference_session(fn):
+    """Run ``fn(ask)`` against an interactive reference session, where
+    ``ask(line) -> reply``; returns fn's result."""
+    import select
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [REF_BIN, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+            bufsize=1,
+            cwd=db,
+        )
+
+        def ask(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            ready, _, _ = select.select([proc.stdout], [], [], 30)
+            if not ready:
+                raise TimeoutError(req)
+            return proc.stdout.readline().rstrip("\n")
+
+        try:
+            return fn(ask)
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=30)
 
 
 def run_engine(spark, lines: list[str]) -> list[str]:
@@ -691,6 +722,7 @@ def test_differential_cursors(spark, ref_bin, seed):
             stdout=subprocess.PIPE,
             text=True,
             bufsize=1,
+            cwd=db,
         )
 
         def ask_ref(req):
@@ -1459,7 +1491,7 @@ def check_writepaged_seed(spark, seed: int) -> list[str]:
         proc = subprocess.Popen(
             [REF_BIN, "-d", os.path.join(db, "db"), "-bty"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, bufsize=1,
+            text=True, bufsize=1, cwd=db,
         )
 
         def ask_ref(req):
@@ -1768,7 +1800,7 @@ def test_differential_sub_cursors(spark, ref_bin, scenario):
         proc = subprocess.Popen(
             [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, bufsize=1,
+            text=True, bufsize=1, cwd=db,
         )
 
         def ask_ref(req):
@@ -1836,7 +1868,7 @@ def test_differential_and_cursors(spark, ref_bin, n):
         proc = subprocess.Popen(
             [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, bufsize=1,
+            text=True, bufsize=1, cwd=db,
         )
 
         def ask_ref(req):
@@ -2115,7 +2147,7 @@ def test_differential_thawed_sort_subs(spark, ref_bin, n_par, kids, P,
         proc = subprocess.Popen(
             [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, bufsize=1,
+            text=True, bufsize=1, cwd=db,
         )
 
         def ask_ref(req):
@@ -2178,7 +2210,7 @@ def test_differential_thawed_sort_multibin(spark, ref_bin, seed, srt):
         proc = subprocess.Popen(
             [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, bufsize=1,
+            text=True, bufsize=1, cwd=db,
         )
 
         def ask_ref(req):
@@ -2271,7 +2303,7 @@ def test_residual_forms(spark, ref_bin):
         proc = subprocess.Popen(
             [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, bufsize=1,
+            text=True, bufsize=1, cwd=db,
         )
 
         def ask_ref(req):
@@ -2584,7 +2616,7 @@ def test_sub_cursor_clause_families(spark, ref_bin):
         proc = subprocess.Popen(
             [ref_bin, "-d", os.path.join(db, "db"), "-bty"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, bufsize=1,
+            text=True, bufsize=1, cwd=db,
         )
 
         def ask_ref(req):
@@ -2665,15 +2697,63 @@ def test_mixed_branch_conjunction(spark, ref_bin):
     )
 
 
-@pytest.mark.xfail(
-    strict=False,
-    reason="OPEN (round 8, writepaged seed 454): a name-sorted sub "
-    "cursor chain under interleaved thaw-cluster writes ends one page "
-    "early — the engine freezes null: at [o:5] where the reference "
-    "emits one more boundary cursor.  The page CONTENT matches; only "
-    "the exhaustion verdict diverges.  Every neighboring shape "
-    "(writepaged 0-453, 455-500; cursors 0-4000) is 0-divergent.",
-)
 def test_writepaged_seed_454_open(spark, ref_bin):
+    """Round 8's one open divergence, CLOSED round 9: a name-sorted
+    sub chain frozen at [n:80] dropped its final page after a parent
+    matching the TOP-level constraint was written between pages.  The
+    root cause was the frozen horizon's scope: the reference thaws
+    EVERY iterator in the request at the sub cursor's [n:H] (spew:
+    top-level producer ``all[0...50]`` for [n:80]), so the phantom
+    parent is never scanned — while this engine scanned it, and that
+    scan's rejection tail re-ringed the real parent's last child into
+    the shared 5-slot bad-id ring between the parent's verify stop
+    and its deferred resume, silently skipping the child.  Fixed by
+    clamping the request horizon to min [n:H] over ALL cursors in the
+    tree (cursor.chain_horizon; fastread.run + Compiler.run)."""
     problems = check_writepaged_seed(spark, 454)
     assert not problems, "\n".join(p[:300] for p in problems)
+
+
+def test_subcursor_horizon_bounds_toplevel(spark, ref_bin):
+    """Directed pin for the seed-454 class: a sub chain frozen at
+    [n:H], then a NEW top-level-matching parent (with a matching
+    child) written before the next page — the resumed pages must not
+    render the new parent, and the chain must end exactly where the
+    reference's does."""
+    import re as _re
+
+    writes = [
+        'write (name="pin" value="p1" (<-left value="a") '
+        '(<-left value="b") (<-left value="c"))',
+        'write (value="noise1")',
+        'write (value="noise2")',
+    ]
+    rd = ('read (pagesize=4 name="pin" result=((value contents)) '
+          '(<-left sort=name pagesize=1 result=(cursor (guid value))))')
+    mid = 'write (name="pin" value="p2" (<-left value="z"))'
+
+    def chain(ask):
+        out = [ask(w) for w in writes]
+        reply = ask(rd)
+        out.append(reply)
+        hops = 0
+        while hops < 6:
+            m = _re.search(r'"((?:cursor|sort|position):[^"]*)"', reply)
+            if not m or m.group(1) == "null:":
+                break
+            if hops == 0:
+                out.append(ask(mid))
+            esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+            reply = ask(rd.replace(
+                "result=(cursor", f'cursor="{esc}" result=(cursor', 1))
+            out.append(reply)
+            hops += 1
+        return out
+
+    want = run_reference_session(chain)
+    from graphd_spark.api import GraphSession
+
+    got = chain(GraphSession(spark).request)
+    assert got == want, "\n".join(
+        f"  got: {g}\n  exp: {w}" for g, w in zip(got, want) if g != w
+    ) + f"\n(lines: got {len(got)}, exp {len(want)})"

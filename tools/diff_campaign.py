@@ -88,7 +88,7 @@ def _run_cursor_seed(
         proc = subprocess.Popen(
             [REF_BIN, "-d", os.path.join(db, "db"), "-bty"],
             stdin=subprocess.PIPE, stdout=subprocess.PIPE,
-            text=True, bufsize=1,
+            text=True, bufsize=1, cwd=db,
         )
 
         def ask_ref(req):
