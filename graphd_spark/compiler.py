@@ -550,13 +550,16 @@ class Compiler:
             df = df.filter(
                 F.col("id") <= self._asof_horizon(self.asof)
             )
-        if self._chain_h is not None:
-            df = df.filter(F.col("id") < self._chain_h)
         # the generation index as a column: one lineage window shared by
         # every constraint node (ref libpdb/pdb-generation; this is the
-        # precomputable `current` view at scale)
+        # precomputable `current` view at scale).  Computed BEFORE the
+        # chain-horizon filter: a thawed [n:H] bounds only the
+        # CANDIDATE ids; newest/live read the LIVE generation index,
+        # so a tombstone or version bump landing between pages drops
+        # the old row from a running chain (directed write-into-window
+        # fuzz, round 9; mirror of fastread's gen_horizon split)
         w_lin = Window.partitionBy("lineage")
-        return df.withColumn(
+        df = df.withColumn(
             "__maxgen", F.max("generation").over(w_lin)
         ).withColumn(
             # the successor guid (next= patterns/sorts); Catalyst
@@ -564,6 +567,7 @@ class Compiler:
             "__next",
             F.lead("guid", 1).over(w_lin.orderBy("generation")),
         )
+        return df
 
     def _raw_df(self):
         """The raw primitive log clamped at the evaluation horizon:
@@ -613,26 +617,20 @@ class Compiler:
         """
         import re as _re0
 
-        chain_h = None
-        if con.cursor is not None and con.cursor != "null:":
-            # [n:H] rides every reference-format cursor prefix; the
-            # chain lives at that frozen horizon (the generational
-            # newest view included), so bind it BEFORE compiling
-            m0 = _re0.search(r"\[[nN]:(\d+)\]", con.cursor)
-            if m0:
-                chain_h = int(m0.group(1))
-        # SUB cursors bound the request the same way: the reference
-        # thaws every iterator at the frozen horizon, so the TOP-level
-        # producer excludes parents written between pages (writepaged
-        # seed 454; mirror of fastread.run's sub_h clamp)
-        from graphd_spark.cursor import chain_horizon as _chain_h_fn
+        # per-node candidate high bounds from cursor [n:H] envelopes,
+        # propagated like the reference's set_boundary: a cursored
+        # 'my' sub bounds its ancestors (writepaged seed 454: the
+        # top-level producer thaws as all[0...H]) while 'my' subs of
+        # a cursored node stay open — a hot-key child appended
+        # between pages still renders (directed write-into-window
+        # fuzz, round 9; mirror of fastread.run).  The legacy
+        # chain_h base filter keeps only the ROOT's bound (the base
+        # frame feeds the root producer; per-sub bounds apply at
+        # _attach_sub child enumeration via _node_highs).
+        from graphd_spark.cursor import cursor_high_bounds
 
-        sub_h = _chain_h_fn(con)
-        if sub_h is not None and (chain_h is None or sub_h < chain_h):
-            chain_h = sub_h
-        if chain_h != self._chain_h:
-            self._chain_h = chain_h
-            self.base = self._build_base()
+        self._node_highs = cursor_high_bounds(con)
+        self._chain_h = self._node_highs.get(id(con))
         plan, df = self._compile(con)
         # cursor= resumes a previous page: the token carries the
         # position in the query's deterministic total order (sort keys
@@ -3053,6 +3051,13 @@ class Compiler:
 
     def _compile(self, con: Constraint, exists_only: bool = False):
         df = self.base
+        # per-node cursor [n:] bound (set_boundary propagation) — the
+        # base frame itself stays live so 'my' subs of a cursored
+        # node render post-freeze children (write-into-window fuzz)
+        _nh = getattr(self, "_node_highs", None)
+        _b = _nh.get(id(con)) if _nh else None
+        if _b is not None:
+            df = df.filter(F.col("id") < _b)
         pred = self._intrinsic_pred(con)
         if pred is not None:
             df = df.filter(pred)

@@ -870,26 +870,83 @@ def cursor_envelope_horizon(cur: str) -> Optional[int]:
     return horizon
 
 
-def chain_horizon(con: Constraint) -> Optional[int]:
-    """The frozen store horizon a resumed chain lives at: the MINIMUM
-    [n:H] over every cursor in the constraint tree (top level or sub).
+def _boundary_mandatory(con: Constraint) -> bool:
+    """GRAPHD_CONSTRAINT_IS_MANDATORY for boundary propagation: an
+    optional (count>=0) or anti (count=0) sub proves nothing about its
+    parent's ids."""
+    if con.count_eq == 0:
+        return False
+    return not (con.count_min == 0 and con.count_eq is None)
 
-    The reference thaws each frozen iterator with its saved high bound
-    and creates every OTHER iterator in the request bounded the same
-    way (writepaged seed 454: a sub chain frozen at [n:80] makes the
-    TOP-level producer thaw as ``all[0...50]``, so a parent written
-    between pages is never scanned — and never churns the shared
-    bad-id ring; ref graphd-iterator-and-freeze.c thaw bounds +
-    pdb-iterator-all high bound)."""
-    h = None
+
+def cursor_high_bounds(con: Constraint) -> dict[int, int]:
+    """Per-node EXCLUSIVE id high bounds from cursor [n:H] envelopes,
+    propagated exactly like the reference's set_boundary
+    (graphd-constraint-iterator.c:229-271): a primitive can only point
+    at an already-written (smaller-id) one, so a high bound on a node
+    cascades to every node it POINTS AT, minus one —
+
+    - [n:H] narrows the cursor-bearing node's own high to H
+      (graphd-constraint-cursor.c:70 ``con_high = min(con_high, H)``);
+    - high H on a node whose linkage is 'my' (its L points at the
+      parent, e.g. ``<-left``) gives the parent H-1 — IF the node is
+      mandatory and not an or-branch (writepaged seed 454: the
+      top-level producer thaws as ``all[0...50]`` under a sub chain
+      frozen at [n:80]);
+    - high H on a node gives each 'iam' sub (the node's L points at
+      the sub, e.g. ``left->``) H-1;
+    - nothing propagates INTO a 'my' sub: a ``<-left`` child may be
+      written AFTER its parent froze, so a top-level cursor's [n:H]
+      must NOT bound sub contents (directed write-into-window fuzz,
+      round 9: a hot-key child appended between pages DOES render).
+
+    Returns {id(node): exclusive_high}."""
+    highs: dict[int, int] = {}
+
+    def or_member(n: Constraint) -> bool:
+        p = n.parent
+        if p is None:
+            return False
+        return any(n in chain for chain in p.or_chains)
+
+    def set_high(n: Constraint, h: int) -> None:
+        cur = highs.get(id(n))
+        if cur is not None and cur <= h:
+            return
+        highs[id(n)] = h
+        p = n.parent
+        if (
+            p is not None
+            and n.linkage is not None
+            and n.linkage[0] == "my"
+            and n.linkage[1] != "bi"
+            and _boundary_mandatory(n)
+            and not or_member(n)
+        ):
+            set_high(p, h - 1)
+        kids = list(n.subs)
+        for chain in n.or_chains:
+            # or-branch subs live on the enclosing node's con_head in
+            # the reference (hoisted at parse), so they receive the
+            # node's downward bounds like root subs
+            for b in chain:
+                kids.extend(b.subs)
+        for s in kids:
+            if (
+                s.linkage is not None
+                and s.linkage[0] == "iam"
+                and s.linkage[1] != "bi"
+            ):
+                set_high(s, h - 1)
+
     for c in con.walk():
         cur = c.cursor
         if cur is None or cur == "null:":
             continue
         ch = cursor_envelope_horizon(cur)
-        if ch is not None and (h is None or ch < h):
-            h = ch
-    return h
+        if ch is not None:
+            set_high(c, ch)
+    return highs
 
 
 def strip_cursor_horizon(cur: str, con: Constraint, resolve=None) -> str:

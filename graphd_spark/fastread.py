@@ -666,6 +666,23 @@ class FastReader:
         self.horizon: Optional[int] = (
             None if asof is None else self._asof_horizon(asof)
         )
+        #: generational horizon: newest/live and lineage-pointer
+        #: evaluation clamp here.  asof= sets it (time travel really
+        #: rewinds the lineage view) — but a thawed chain's [n:H]
+        #: does NOT: the reference bounds only the CANDIDATE id sets
+        #: at the frozen horizon and evaluates newest-ness against
+        #: the LIVE generation index, so a tombstone or version bump
+        #: landing between pages drops the old row from a running
+        #: chain (directed write-into-window fuzz, round 9; ref
+        #: graphd_match -> pdb_generation checks read the current
+        #: gmap, while thawed iterators carry frozen high bounds)
+        self.gen_horizon: Optional[int] = self.horizon
+        #: per-node EXCLUSIVE high bounds from cursor [n:H] envelopes
+        #: (cursor.cursor_high_bounds; bound in run())
+        self._node_high: dict = {}
+        #: the bound of the node whose candidate set / frozen state
+        #: is CURRENTLY being (re)generated (see _helper_high)
+        self._cur_high = None
 
     def _asof_horizon(self, asof: str) -> int:
         from graphd_spark.model import guid_serial
@@ -768,37 +785,36 @@ class FastReader:
                     m = _re.search(r"/(\d+)/$", cur)
                     if m:
                         resume = int(m.group(1))
-        # a SUB cursor's [n:H] bounds the whole request too: the
-        # reference thaws every iterator in the request at the frozen
-        # horizon, so a parent written between pages is never scanned
-        # and never churns the shared bad-id ring (writepaged seed
-        # 454: top-level producer thaws as all[0...H]; ref
-        # graphd-iterator-and-freeze.c thaw bounds)
-        from graphd_spark.cursor import chain_horizon
+        # per-node candidate high bounds from every cursor [n:H] in
+        # the tree, propagated exactly like the reference's
+        # set_boundary (a primitive only points at smaller ids):
+        # ancestors of a cursored 'my' sub get bounded — writepaged
+        # seed 454's top-level producer thaws as all[0...H] — while
+        # 'my' subs of a cursored node stay OPEN: a hot-key child
+        # appended between pages still renders in contents (directed
+        # write-into-window fuzz, round 9).  self.horizon itself
+        # stays asof-only; chain bounds are per node.
+        from graphd_spark.cursor import cursor_high_bounds
 
-        sub_h = chain_horizon(con)
-        if sub_h is not None and (horizon is None or sub_h < horizon):
-            horizon = sub_h
-        if horizon is not None:
-            # a thawed chain lives at the store horizon it froze at
-            # ([n:H]): candidates, index expansions, regenerated
-            # provenance bounds, and re-frozen [n:] all clamp at H —
-            # writes landing between pages never enter a running
-            # chain (probed round 8: write-interleaved chains
-            # re-freeze [n:H] and the original fixed-isa provenance
-            # verbatim, and end at the frozen set's exhaustion)
-            self.horizon = (
-                horizon - 1
-                if self.horizon is None
-                else min(self.horizon, horizon - 1)
-            )
+        self._node_high = cursor_high_bounds(con)
+        root_high = self._node_high.get(id(con))
+        if horizon is not None and (
+            root_high is None or horizon < root_high
+        ):
+            root_high = horizon
         ck = None
         if self._eval_cache is not None and self._cache_key is not None:
-            # the chain horizon narrows evaluation, so it keys the
-            # eval cache too (a fresh chain at the same store count
-            # must not inherit a clamped candidate set)
+            # chain bounds narrow evaluation, so they key the eval
+            # cache too (a fresh chain at the same store count must
+            # not inherit a clamped candidate set); the fingerprint
+            # walks the tree in deterministic parse order
+            bounds_fp = tuple(
+                (i, self._node_high[id(n)])
+                for i, n in enumerate(con.walk())
+                if id(n) in self._node_high
+            )
             ck = (self._cache_key, self.store._version,
-                  self.store.count(), self.horizon)
+                  self.store.count(), self.horizon, bounds_fp)
         hit = self._eval_cache.get(ck) if ck is not None else None
         if hit is not None:
             # shallow-copy the cached plan: cursor/cursor_ctx/countlimit
@@ -813,8 +829,10 @@ class FastReader:
                 self._eval_cache[ck] = (plan.__copy__(), list(matches))
                 while len(self._eval_cache) > 32:
                     self._eval_cache.pop(next(iter(self._eval_cache)))
-        if horizon is not None:
-            matches = [(p, r) for p, r in matches if p.id < horizon]
+        if root_high is not None:
+            matches = [
+                (p, r) for p, r in matches if p.id < root_high
+            ]
         # iterator-position resume (mirror compiler.py:218-282)
         masq_raw = False
         if cstate is not None:
@@ -823,9 +841,16 @@ class FastReader:
                 # positives counted; mirror compiler.py fixed_masq
                 # branch) — inline ids ride the cursor, cached states
                 # regenerate from the constraint
-                raw = cstate.fixed_ids or self._isa_expansion_ids_f(
-                    con
-                )
+                _prev_ch = self._cur_high
+                if cstate.horizon is not None:
+                    self._cur_high = cstate.horizon
+                try:
+                    raw = (
+                        cstate.fixed_ids
+                        or self._isa_expansion_ids_f(con)
+                    )
+                finally:
+                    self._cur_high = _prev_ch
                 if raw:
                     if cstate.backward:
                         n = len(raw) - cstate.pos
@@ -1241,6 +1266,20 @@ class FastReader:
         )
 
     def _resume_filter(self, cstate, matches):
+        """Scope wrapper: a thawed iterator repositions within the
+        index state it froze ([n:H])."""
+        prev = self._cur_high
+        if cstate.horizon is not None:
+            self._cur_high = (
+                cstate.horizon if prev is None
+                else min(prev, cstate.horizon)
+            )
+        try:
+            return self._resume_filter_inner(cstate, matches)
+        finally:
+            self._cur_high = prev
+
+    def _resume_filter_inner(self, cstate, matches):
         """Reposition the candidate set at a thawed iterator state
         (mirror of Compiler.run's cstate branches,
         compiler.py:218-282)."""
@@ -1326,8 +1365,9 @@ class FastReader:
         ids = list(self.store._ptr_ids.get(
             (self._GMAP_WORDS[lk_letter], g), ()
         ))
-        if self.horizon is not None:
-            ids = [i for i in ids if i <= self.horizon]
+        _hb = self._helper_high()
+        if _hb is not None:
+            ids = [i for i in ids if i < _hb]
         return ids
 
     def _gmap_stats_f(self, lk_letter: str, src: int, last_id: int):
@@ -1383,8 +1423,9 @@ class FastReader:
             ids = list(st._name_ids.get(key.lower(), ()))
         else:
             ids = sorted(st._vnorm_ids.get(value_norm_key(key), ()))
-        if self.horizon is not None:
-            ids = [i for i in ids if i <= self.horizon]
+        _hb = self._helper_high()
+        if _hb is not None:
+            ids = [i for i in ids if i < _hb]
         return ids
 
     def _hmap_resume_ids(self, tname: str, masq: str) -> list[int]:
@@ -1400,8 +1441,9 @@ class FastReader:
             ids = list(st._name_ids.get(masq.lower(), ()))
         else:
             ids = sorted(st._vnorm_ids.get(_ascii_lower(masq), ()))
-        if self.horizon is not None:
-            ids = [i for i in ids if i <= self.horizon]
+        _hb = self._helper_high()
+        if _hb is not None:
+            ids = [i for i in ids if i < _hb]
         return ids
 
     def _hmap_cursor_source_f(self, con: Constraint):
@@ -1452,9 +1494,10 @@ class FastReader:
         for code, lst in self.store._word_ids.items():
             if (code & mask) == want:
                 ids.update(lst)
-        if self.horizon is not None:
-            # asof: bins only hold ids at/under the horizon
-            ids = {i for i in ids if i <= self.horizon}
+        _hb = self._helper_high()
+        if _hb is not None:
+            # asof/chain: bins only hold ids under the bound
+            ids = {i for i in ids if i < _hb}
         return sorted(ids)[: _FIXED_MATERIALIZE_MAX + 1]
 
     def _prefix_stats_f(self, prefix: str):
@@ -2183,8 +2226,9 @@ class FastReader:
         for i in hm[4]:
             g = st.rows[i - st._base].guid
             out.update(st._ptr_ids.get((lk, g), ()))
-        if self.horizon is not None:
-            out = {i for i in out if i <= self.horizon}
+        _hb = self._helper_high()
+        if _hb is not None:
+            out = {i for i in out if i < _hb}
         return sorted(out) or None
 
     def _isa_prefix_cursor_f(
@@ -2326,6 +2370,34 @@ class FastReader:
 
     def _iterator_cursor(self, con, cstate, page_prims, matches,
                          prior=0, backward=False, delivered=None):
+        """Scope wrapper for _iterator_cursor_inner: a refrozen
+        iterator regenerates its provenance (expansions, producer
+        positions, masquerades) within the bound it lives at — the
+        incoming [n:H] / the node's propagated bound — never the
+        grown live store (round 8: write-interleaved chains re-freeze
+        the original fixed-isa provenance verbatim)."""
+        prev = self._cur_high
+        bounds = [
+            b for b in (
+                prev,
+                cstate.horizon if cstate is not None else None,
+                self._node_high.get(id(con))
+                if self._node_high else None,
+            )
+            if b is not None
+        ]
+        if bounds:
+            self._cur_high = min(bounds)
+        try:
+            return self._iterator_cursor_inner(
+                con, cstate, page_prims, matches,
+                prior=prior, backward=backward, delivered=delivered,
+            )
+        finally:
+            self._cur_high = prev
+
+    def _iterator_cursor_inner(self, con, cstate, page_prims, matches,
+                         prior=0, backward=False, delivered=None):
         """Reference-format frozen cursor for an unsorted root page —
         full driver mirror of Compiler._iterator_cursor
         (compiler.py:688-886): continuations, guid= fixed sets,
@@ -2354,6 +2426,14 @@ class FastReader:
             # and omit [n:] entirely (probed: asof'd chains freeze
             # all:0-H / hmap:0-H with no [n:] block)
             count = min(count, self.horizon + 1)
+        if cstate is not None and cstate.horizon is not None:
+            # a resumed chain re-freezes [n:] and every bound at ITS
+            # frozen horizon, not the grown store count (round 8:
+            # write-interleaved chains re-freeze [n:H] verbatim)
+            count = min(count, cstate.horizon)
+        _rb = self._node_high.get(id(con)) if self._node_high else None
+        if _rb is not None:
+            count = min(count, _rb)
         if cstate is not None and cstate.form in (
             "all", "without", "fixed", "gmap"
         ):
@@ -3182,6 +3262,18 @@ class FastReader:
             row[newcol] = None if first is None else first.get(src)
 
     def _eval_set(self, con: Constraint, exists_only: bool):
+        """Scope wrapper: the node's cursor [n:] bound applies to its
+        candidate/index generation (see _helper_high)."""
+        prev = self._cur_high
+        self._cur_high = (
+            self._node_high.get(id(con)) if self._node_high else None
+        )
+        try:
+            return self._eval_set_inner(con, exists_only)
+        finally:
+            self._cur_high = prev
+
+    def _eval_set_inner(self, con: Constraint, exists_only: bool):
         """Mirror of Compiler._compile + evaluation: returns
         (SetPlan, matches) with matches an id-ordered list of
         (prim, rowdict)."""
@@ -3245,8 +3337,15 @@ class FastReader:
             stop_at = (con.start or 0) + rps
         matches = []
         ncand = 0
+        # the node's propagated cursor [n:] bound applies DURING the
+        # scan, not as a post-filter: an out-of-bound candidate must
+        # never run its sub verify (its rejections would churn the
+        # shared bad-id ring — writepaged seed 454)
+        _nb = self._node_high.get(id(con))
         for p in self._candidates(con):
             if self.horizon is not None and p.id > self.horizon:
+                continue
+            if _nb is not None and p.id >= _nb:
                 continue
             ncand += 1
             row = self._row_for(p, con, spec, build_row=not exists_only)
@@ -4070,9 +4169,10 @@ class FastReader:
                     raise Unsupported("thaw-ancestor-shape")
                 defer_set = True
                 stop_kids = ss.count_min
+            _hb = self._sub_high(sub)
             cand_ids = [
                 cid for cid in self._child_ids(p, sub)
-                if self.horizon is None or cid <= self.horizon
+                if _hb is None or cid < _hb
             ]
             ci = 0
             while ci < len(cand_ids):
@@ -4287,11 +4387,9 @@ class FastReader:
                     continue
                 kids = []
                 has_cands = False
+                _hb = self._sub_high(sub)
                 for cid in self._child_ids(p, sub):
-                    if (
-                        self.horizon is not None
-                        and cid > self.horizon
-                    ):
+                    if _hb is not None and cid >= _hb:
                         continue
                     has_cands = True
                     c = self.store.rows[cid - self.store._base]
@@ -4470,8 +4568,9 @@ class FastReader:
 
     def _sub_exists(self, p: Primitive, sub: Constraint,
                     child_spec: "_NodeSpec") -> bool:
+        _hb = self._sub_high(sub)
         for cid in self._child_ids(p, sub):
-            if self.horizon is not None and cid > self.horizon:
+            if _hb is not None and cid >= _hb:
                 continue
             c = self.store.rows[cid - self.store._base]
             if self._row_for(c, sub, child_spec, build_row=False) \
@@ -4740,12 +4839,13 @@ class FastReader:
                 continue
             if sub.linkage is None:
                 return False
+            _hb = self._sub_high(sub)
             if not any(
                 self._iter_match(
                     self.store.rows[cid - self.store._base], sub
                 )
                 for cid in self._child_ids(p, sub)
-                if self.horizon is None or cid <= self.horizon
+                if _hb is None or cid < _hb
             ):
                 return False
         return True
@@ -4887,10 +4987,41 @@ class FastReader:
                 return False
         return True
 
+    def _helper_high(self):
+        """EXCLUSIVE id bound for the index helpers (_gmap_index_ids
+        and friends): the asof horizon combined with the CURRENT
+        evaluation scope's cursor [n:] bound (_cur_high, set around
+        root-level candidate generation, cursor reposition, and
+        refreeze — sub machinery scopes its own cstate bounds)."""
+        ah = None if self.horizon is None else self.horizon + 1
+        ch = self._cur_high
+        if ah is None:
+            return ch
+        if ch is None:
+            return ah
+        return min(ah, ch)
+
+    def _sub_high(self, sub: Constraint):
+        """EXCLUSIVE candidate-id bound for `sub`'s children: the asof
+        horizon combined with the sub's propagated cursor [n:] high
+        (cursor.cursor_high_bounds).  'iam' subs of a bounded node
+        need no entry — a pointee always has a smaller id than its
+        bounded pointer — but 'my' subs on the path to a cursored
+        chain (nested thaws) are enumerated per parent and must clamp
+        here."""
+        ah = None if self.horizon is None else self.horizon + 1
+        nh = self._node_high.get(id(sub)) if self._node_high else None
+        if ah is None:
+            return nh
+        if nh is None:
+            return ah
+        return min(ah, nh)
+
     def _maxgen(self, p: Primitive) -> int:
         """Max generation of p's lineage WITHIN the asof horizon
-        (mirror: the compiler computes __maxgen over the horizon-
-        filtered base frame)."""
+        (mirror: the compiler computes __maxgen over the gen-horizon-
+        filtered base frame).  NOT clamped by a thawed chain's [n:H]:
+        newest-ness reads the live generation index (gen_horizon)."""
         newest = p
         while True:
             nxt = self.store.next_version.get(newest.guid)
@@ -4898,7 +5029,8 @@ class FastReader:
                 break
             np = self.store.get(nxt)
             if np is None or (
-                self.horizon is not None and np.id > self.horizon
+                self.gen_horizon is not None
+                and np.id > self.gen_horizon
             ):
                 break
             newest = np

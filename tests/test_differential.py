@@ -1539,6 +1539,182 @@ def test_differential_writepaged(spark, ref_bin, seed):
     assert not problems, "\n".join(problems)
 
 
+# -- directed write-INTO-the-sorted-window chains (round 9) ----------------
+#
+# The seed-454 divergence class, generated on purpose instead of by
+# accident: every interleaved write lands INSIDE a running chain's
+# sorted window — hot-key child appends on the chain's own sort key
+# (direct left= linkage to a delivered parent), tombstones of
+# already-delivered parents and children (guid~= live=false), version
+# bumps that move a row across the page boundary, and whole new
+# top-level-matching parents (the exact seed-454 shape).  The frozen
+# [n:H] horizon must pin ALL of it out of the running chain — the
+# top-level page included — while the writes themselves succeed and
+# the next uncursored read would see them.
+
+_WINDOW_VALUES = ["apple", "Banana", "b", "cherry pie", "12", "zebra",
+                  "aa", "ab", "x", "007"]
+_WINDOW_SORTS = ["sort=name", "sort=value", "sort=(-value)",
+                 "sort=(value -name)", "sort=(value guid)"]
+
+
+def gen_writeinto_prologue(rng: random.Random):
+    """Noise + a dense sorted cluster; returns
+    (lines, pname, parent_slots) where parent_slots index the cluster
+    parents' write lines (their replies carry parent + child guids)."""
+    pname = "wnd" + str(rng.randrange(3))
+    lines = [_gen_write(rng) for _ in range(rng.randrange(2, 6))]
+    n_parents = rng.randrange(2, 5)
+    first = len(lines)
+    for _ in range(n_parents):
+        kids = "".join(
+            f" (<-left value={_q(rng.choice(_WINDOW_VALUES))})"
+            for _ in range(rng.randrange(3, 7))
+        )
+        lines.append(
+            f"write (name={_q(pname)} "
+            f"value={_q(rng.choice(_WINDOW_VALUES))}{kids})"
+        )
+    return lines, pname, list(range(first, first + n_parents))
+
+
+def _gen_window_action(rng: random.Random, pname: str, parent_slots):
+    """One abstract mid-chain write, rendered per-session against the
+    session's captured guids (identical across sessions — the write
+    streams match)."""
+    r = rng.random()
+    pslot = rng.choice(parent_slots)
+    v = rng.choice(_WINDOW_VALUES)
+    if r < 0.3:
+        # hot-key append: a new child of a DELIVERED parent, on the
+        # chain's own sort key (the value pool the window sorts over)
+        return ("append", pslot, v)
+    if r < 0.45:
+        return ("tomb_child", pslot, rng.randrange(6), None)
+    if r < 0.6:
+        # version bump moving a child across the sorted boundary
+        return ("bump_child", pslot, rng.randrange(6), v)
+    if r < 0.7:
+        return ("tomb_parent", pslot, None, None)
+    if r < 0.8:
+        # bump the PARENT's sort key (top-level sorted chains)
+        return ("bump_parent", pslot, None, v)
+    # the seed-454 shape: a whole new top-level-matching parent
+    kidvals = [rng.choice(_WINDOW_VALUES)
+               for _ in range(rng.randrange(1, 4))]
+    return ("new_parent", v, kidvals, None)
+
+
+def check_writeinto_seed(spark, seed: int) -> list[str]:
+    """Directed window-write chains; returns divergence descriptions."""
+    import re as _re
+
+    rng = random.Random(50_000 + seed)
+    lines, pname, parent_slots = gen_writeinto_prologue(rng)
+    reads = []
+    for _ in range(rng.randrange(2, 4)):
+        srt = rng.choice(_WINDOW_SORTS)
+        ps = rng.randrange(1, 4)
+        if rng.random() < 0.25:
+            # TOP-level sorted chain over the cluster parents: parent
+            # tombstones/bumps aim straight at its window
+            reads.append(
+                f"read (pagesize={ps} {srt} name={_q(pname)} "
+                f"result=(cursor (guid value contents)) "
+                f"(<-left result=((value))))"
+            )
+        else:
+            reads.append(
+                f"read (pagesize=2 name={_q(pname)} "
+                f"result=((value contents)) "
+                f"(<-left {srt} pagesize={ps} "
+                f"result=(cursor (guid value))))"
+            )
+    sched = {}
+    for i in range(len(reads)):
+        for hop in range(6):
+            if rng.random() < 0.8:
+                sched[(i, hop)] = _gen_window_action(
+                    rng, pname, parent_slots
+                )
+
+    def session(ask):
+        out, guids = [], []
+        for ln in lines:
+            r = ask(ln)
+            out.append(r)
+            guids.append(_re.findall(r"[0-9a-f]{32}", r))
+
+        def render(a):
+            kind = a[0]
+            if kind == "new_parent":
+                kids = "".join(
+                    f" (<-left value={_q(kv)})" for kv in a[2]
+                )
+                return (f"write (name={_q(pname)} "
+                        f"value={_q(a[1])}{kids})")
+            gl = guids[a[1]]
+            if kind == "append":
+                return f"write (value={_q(a[2])} left={gl[0]})"
+            if kind == "tomb_parent":
+                return f"write (guid~={gl[0]} live=false)"
+            if kind == "bump_parent":
+                return f"write (guid~={gl[0]} value={_q(a[3])})"
+            cg = gl[1 + a[2] % max(1, len(gl) - 1)]
+            if kind == "tomb_child":
+                return f"write (guid~={cg} live=false)"
+            return f"write (guid~={cg} value={_q(a[3])})"
+
+        for i, read in enumerate(reads):
+            reply = ask(read)
+            out.append(reply)
+            hops = 0
+            while hops < 6:
+                m = _re.search(
+                    r'"((?:cursor|sort|position):[^"]*)"', reply
+                )
+                if not m or m.group(1) == "null:":
+                    break
+                a = sched.get((i, hops))
+                if a is not None:
+                    out.append(ask(render(a)))
+                esc = m.group(1).replace("\\", "\\\\").replace(
+                    '"', '\\"'
+                )
+                reply = ask(
+                    read.replace(
+                        "result=(cursor",
+                        f'cursor="{esc}" result=(cursor', 1,
+                    )
+                )
+                out.append(reply)
+                hops += 1
+        return out
+
+    want = run_reference_session(session)
+    from graphd_spark.api import GraphSession
+
+    got = session(GraphSession(spark).request)
+    problems = []
+    if got != want:
+        problems.append("script:\n  " + "\n  ".join(lines + reads))
+        problems.extend(
+            f"window page differs:\n  got: {g}\n  exp: {w}"
+            for g, w in zip(got, want) if g != w
+        )
+        if len(got) != len(want):
+            problems.append(
+                f"(lines: got {len(got)}, exp {len(want)})"
+            )
+    return problems
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_differential_writeinto(spark, ref_bin, seed):
+    problems = check_writeinto_seed(spark, seed)
+    assert not problems, "\n".join(p[:500] for p in problems)
+
+
 #: directed sub-cursor scenarios (round-6 probes): each is
 #: (writes, reads); writes may reference {gN} = the first guid of the
 #: N-th write/read reply, so versioning scripts stay id-stable.

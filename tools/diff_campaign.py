@@ -3,7 +3,8 @@ through both the reference binary and this engine, report divergences.
 
 Usage: python tools/diff_campaign.py [start] [end]
            [--cursors | --sortcursors | --versions | --roundtrip
-            | --replica | --orchains | --writes]
+            | --replica | --orchains | --writes | --writepaged
+            | --writeinto]
 
 --roundtrip: writes -> dump -> restore into a fresh store -> reads,
   compared against the reference binary (payload byte-equality,
@@ -33,6 +34,7 @@ from tests.test_differential import (  # noqa: E402
     gen_cursor_writes,
     check_replica_seed,
     check_roundtrip_seed,
+    check_writeinto_seed,
     check_writepaged_seed,
     gen_or_script,
     gen_roundtrip,
@@ -122,6 +124,7 @@ def main() -> int:
     roundtrip = "--roundtrip" in sys.argv
     replica = "--replica" in sys.argv
     writepaged = "--writepaged" in sys.argv
+    writeinto = "--writeinto" in sys.argv
     orchains = "--orchains" in sys.argv
     writes = "--writes" in sys.argv
     sortcursors = "--sortcursors" in sys.argv
@@ -137,12 +140,14 @@ def main() -> int:
     spark = get_spark("diff_campaign")
     bad = []
     for seed in range(start, end):
-        if roundtrip or replica or writepaged:
+        if roundtrip or replica or writepaged or writeinto:
             problems = (
                 check_roundtrip_seed(spark, seed)
                 if roundtrip
                 else check_writepaged_seed(spark, seed)
                 if writepaged
+                else check_writeinto_seed(spark, seed)
+                if writeinto
                 else check_replica_seed(spark, seed)
             )
             if problems:
