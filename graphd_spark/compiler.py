@@ -641,6 +641,7 @@ class Compiler:
         resume = 0
         horizon = None
         resume_guid = None
+        sort_body = None
         sort_o = 0
         cstate = None
         if con.cursor is not None:
@@ -834,6 +835,7 @@ class Compiler:
                     m = _re.search(r"g([0-9a-f]{32})$", body)
                     if m:
                         resume_guid = m.group(1)
+                        sort_body = body  # full frozen key payload
                         sort_o = resume
                         resume = 0
                 elif not saw_offset and horizon is None:
@@ -1069,13 +1071,13 @@ class Compiler:
                     _SORTSIM_CAP + 1
                 ).count() <= _SORTSIM_CAP:
                     sim_info = self._sortsim_run(
-                        con, plan, df, P_sim, resume_guid
+                        con, plan, df, P_sim, resume_guid, sort_body
                     )
         if sim_info is not None:
             resume = 0
         elif resume_guid is not None:
             resume, df = self._key_resume_offset(
-                df, con, plan, resume_guid
+                df, con, plan, resume_guid, sort_body
             )
         pagesize = (
             con.pagesize if con.pagesize is not None else DEFAULT_PAGESIZE
@@ -2927,7 +2929,8 @@ class Compiler:
             return None
         return int(row["b"])
 
-    def _key_resume_offset(self, df, con, plan, guid: str):
+    def _key_resume_offset(self, df, con, plan, guid: str,
+                           sort_body=None):
         """(offset, df) for a resumed ``sort:`` cursor: the offset of
         the element AFTER the cursor element in this query's total
         order — computed as a distributed count of rows ordering
@@ -2941,7 +2944,12 @@ class Compiler:
         index, where null-key rows don't exist, and a null boundary
         resumes in the null bin (probed: sort=(name) chains drop
         null-name rows after a named boundary, answer EMPTY when only
-        null-name rows remain, and vice versa)."""
+        null-name rows remain, and vice versa).
+
+        A boundary element tombstoned/versioned away between pages
+        (round-9 writeinto family) repositions by comparing its
+        FROZEN serialized keys instead (no +1: the element itself is
+        no longer in df)."""
         comps = self._sort_components(con, plan)
         tagged = df.select(
             F.col("id"),
@@ -2950,8 +2958,12 @@ class Compiler:
         cur = tagged.filter(
             F.col("id") == guid_serial(guid)
         ).head()
+        present = cur is not None
         if cur is None:
-            return 0, df
+            frozen = self._frozen_sort_tuple(con, plan, sort_body)
+            if frozen is None or len(frozen) != len(comps):
+                return 0, df
+            cur = {f"__k{i}": v for i, v in enumerate(frozen)}
         if comps:
             k0 = cur["__k0"]
             c0 = comps[0][0]
@@ -2980,7 +2992,9 @@ class Compiler:
             before = before | (eq_prefix & lt)
             eq_prefix = eq_prefix & k.eqNullSafe(v)
         n_before = tagged.filter(before).count()
-        return n_before + 1, df
+        # +1 skips the boundary element itself — only when it still
+        # exists in df (a vanished boundary contributes no row)
+        return n_before + (1 if present else 0), df
 
     def _sort_cursor(self, con, plan, rows, consumed: int,
                      horizon) -> str:
@@ -2990,7 +3004,95 @@ class Compiler:
             consumed, horizon,
         )
 
-    def _sortsim_run(self, con, plan, df, P_sim: int, resume_guid):
+    def _frozen_sort_tuple(self, con, plan, body):
+        """Mirror of FastReader._frozen_sort_grid in the Spark-path
+        key domain (_sort_key_col: binary comparator keys, id ints,
+        guid strings): the cursor boundary's sort-key tuple
+        reconstructed from the FROZEN serialized payload, for resumes
+        whose boundary element was tombstoned or versioned away
+        between pages (round-9 writeinto family — the reference
+        repositions by comparing the frozen keys, graphd-sort.c
+        graphd_sort_cursor_set; restarting re-delivers page 1).
+        Returns a tuple aligned with _sort_components (id tiebreak
+        last) or None to fall back to the restart."""
+        if body is None or not con.sort:
+            return None
+        from graphd_spark.fastread import _deserialize_sort_values
+        from graphd_spark.model import ts_from_string
+
+        vals, bid = _deserialize_sort_values(body)
+        if vals is None:
+            return None
+        fail = object()
+
+        def conv(sk, comp, tag, raw):
+            if tag == "null":
+                return None
+            k = sk.pattern.kind
+            if k in ("value", "name"):
+                if tag not in ("s", "a"):
+                    return fail
+                return (
+                    fuzzy_key(raw)
+                    if k == "value" and comp == "default"
+                    else literal_key(raw, comp)
+                )
+            if k == "guid":
+                return guid_serial(raw) if tag == "g" else fail
+            if k == "timestamp":
+                if tag != "t":
+                    return fail
+                try:
+                    return ts_from_string(raw)
+                except Exception:
+                    return fail
+            if k in ("generation", "datatype"):
+                try:
+                    return (
+                        int(raw) if tag in ("#", "d") else fail
+                    )
+                except ValueError:
+                    return fail
+            if k in ("live", "archival"):
+                return raw == "1" if tag == "b" else fail
+            if k in ("left", "right", "typeguid", "scope",
+                     "previous", "next", "type"):
+                return raw if tag == "g" else fail
+            if k == "variable":
+                if (
+                    plan.var_cols.get(sk.pattern.var) is not None
+                    and plan.var_kind_cols.get(sk.pattern.var) is None
+                    and plan.var_kinds.get(sk.pattern.var)
+                    in ("value", "name", "type", "literal")
+                    and tag in ("s", "a")
+                ):
+                    return literal_key(raw, comp)
+                return fail
+            return fail
+
+        out = []
+        for i0, sk in enumerate(con.sort):
+            if i0 >= len(vals):
+                return None
+            comp = None
+            if con.sort_comparators and i0 < len(con.sort_comparators):
+                comp = con.sort_comparators[i0]
+            comp = resolve_comparator(comp or con.comparator or "default")
+            col = self._sort_key_col(sk.pattern, con, plan, comp)
+            if col is None:
+                continue
+            tag, raw = vals[i0]
+            kv = conv(sk, comp, tag, raw)
+            if kv is fail:
+                return None
+            out.append(kv)
+            if sk.pattern.kind == "guid":
+                break
+        out.append(bid)
+        return tuple(out)
+
+    def _sortsim_run(self, con, plan, df, P_sim: int, resume_guid,
+                     sort_body=None):
         """Collect candidate sort keys in producer (id) order and run
         the incremental-sorter simulation (sortsim.simulate) — the
         Spark-path mirror of the fast path's call.  Returns
@@ -3029,7 +3131,13 @@ class Compiler:
         if resume_guid is not None:
             sid = guid_serial(resume_guid)
             grid = next((k for k, i in entries if i == sid), None)
-            # a vanished boundary element restarts at page 1
+            if grid is None:
+                # boundary tombstoned/versioned between pages: the
+                # reference repositions by COMPARING the frozen keys
+                # (round 9, writeinto family)
+                grid = self._frozen_sort_tuple(con, plan, sort_body)
+                if grid is not None and len(grid) != len(comps):
+                    grid = None
         arr, accepted, trailing = simulate(
             entries, P_sim, specs, grid=grid
         )
@@ -3512,39 +3620,13 @@ class Compiler:
             return df.filter(pred) if pred is not None else df
 
         flags = []
-        chain_sps: list = []  # this chain's branch SubPlans, branch order
+        chain_sps: list = []  # this chain's SubPlans, parse order
         for b in chain:
-            pred = self._branch_pred(b)
-            flag = pred if pred is not None else F.lit(True)
-            bvars: dict = {}
-            bkinds: dict = {}
-            bpats: list = []  # (var, sub_plan, arr_col, cnt_col, pattern)
-            bsps: list = []
-            for sub in b.subs:
-                df, sp, sflag = self._attach_sub(
-                    df, b, sub, exists_only=False, or_mode=True
-                )
-                if sflag is not None:
-                    flag = flag & sflag
-                if sp.mode == "agg":
-                    plan.or_sub_plans.append(sp)
-                    bsps.append(sp)
-                    for var, vcol in sp.plan.var_cols.items():
-                        bvars[var] = F.try_element_at(
-                            F.col(sp.arr_col), F.lit(1)
-                        )[vcol]
-                        bkinds[var] = sp.plan.var_kinds[var]
-                    for var, pat in sp.plan.pending_pattern_vars:
-                        bpats.append(
-                            (var, sp.plan, sp.arr_col, sp.cnt_col, pat)
-                        )
-            for var, pat in b.assignments:
-                expr = self._var_expr(pat)
-                if expr is not None:
-                    bvars[var] = expr
-                    bkinds[var] = pat.kind
-            flags.append((flag, bvars, bkinds, bpats, bsps))
-            chain_sps.extend(bsps)
+            df, flag, cases, bpats, bsps, slot_sps = self._branch_flag(
+                df, b, plan
+            )
+            flags.append((flag, cases, bpats, bsps))
+            chain_sps.extend(slot_sps)
         plan.or_chain_subs.append(chain_sps)
 
         # merge variables: the FIRST matching branch's bindings apply —
@@ -3553,29 +3635,53 @@ class Compiler:
         # nothing), matching the reference's in-order or evaluation
         all_vars: dict = {}
         prior = None
-        for flag, bvars, bkinds, bpats, bsps in flags:
+        for flag, cases, bpats, bsps in flags:
             eff = flag if prior is None else (flag & ~prior)
-            if bsps:
-                # materialize the first-match flag: this branch's
-                # contents slots render null unless it's effective
-                self._n += 1
-                ecol = f"v{self._n}"
-                df = df.withColumn(
-                    ecol, F.when(eff, F.lit(True)).otherwise(F.lit(False))
-                )
-                for sp in bsps:
+            ecol = None
+            for sp, guard in bsps:
+                # first-match flag: this branch's contents slots
+                # render null unless it's effective; an INNER-branch
+                # sub additionally needs its inner first-match guard
+                # (winner slot filled, losers null — probed round 9)
+                if guard is None:
+                    if ecol is None:
+                        self._n += 1
+                        ecol = f"v{self._n}"
+                        df = df.withColumn(
+                            ecol,
+                            F.when(eff, F.lit(True)).otherwise(F.lit(False)),
+                        )
                     sp.eff_col = ecol
-            for var in bvars:
-                all_vars.setdefault(var, []).append(
-                    (eff, bvars[var], bkinds[var])
-                )
-                plan.var_kinds.setdefault(var, bkinds[var])
-            for var, sub_plan, arr_col, cnt_col, pat in bpats:
+                else:
+                    self._n += 1
+                    gc = f"v{self._n}"
+                    df = df.withColumn(
+                        gc,
+                        F.when(eff & guard, F.lit(True)).otherwise(
+                            F.lit(False)
+                        ),
+                    )
+                    sp.eff_col = gc
+            for var, vlist in cases.items():
+                for guard, vexpr, kind in vlist:
+                    all_vars.setdefault(var, []).append(
+                        (eff if guard is None else (eff & guard),
+                         vexpr, kind)
+                    )
+                    plan.var_kinds.setdefault(var, kind)
+            for var, sub_plan, arr_col, cnt_col, pat, guard in bpats:
                 # guard the set-shaped var's array: null unless this
-                # branch is the first match
+                # branch (and, for inner subs, the inner branch) is
+                # the first match
                 self._n += 1
                 gcol = f"v{self._n}"
-                df = df.withColumn(gcol, F.when(eff, F.col(arr_col)))
+                df = df.withColumn(
+                    gcol,
+                    F.when(
+                        eff if guard is None else (eff & guard),
+                        F.col(arr_col),
+                    ),
+                )
                 plan.var_patterns[var] = (sub_plan, gcol, cnt_col, pat)
                 plan.var_cols.pop(var, None)
                 plan.var_kind_cols.pop(var, None)
@@ -3609,9 +3715,104 @@ class Compiler:
                 plan.var_kind_cols[var] = kcol
 
         pred = None
-        for flag, _, _, _, _ in flags:
+        for flag, _, _, _ in flags:
             pred = flag if pred is None else (pred | flag)
         return df.filter(pred)
+
+    def _branch_flag(self, df, b: Constraint, plan: SetPlan):
+        """One or-branch's match flag plus its variable/slot payload,
+        recursing into sub-bearing NESTED chains (the round-8 refusal,
+        lifted round 9).
+
+        Probed against the reference (ref graphd/graphd-read-or.c
+        recursive rom slots; graphd/graphd-pattern-frame.c): the
+        observable semantics over the hoisted parse are plain
+        first-match recursion — an inner chain matches when any inner
+        branch's intrinsics AND sub count bounds hold; the winning
+        inner branch's sub slots render (losers null), its $vars bind,
+        and slot order follows parse order.
+
+        Returns (df, flag, cases, bpats, bsps, slot_sps):
+          cases:    var -> [(guard|None, expr, kind)]
+          bpats:    [(var, sub_plan, arr_col, cnt_col, pat, guard|None)]
+          bsps:     [(SubPlan, guard|None)] — guard is the inner
+                    first-match expr for inner-branch subs
+          slot_sps: SubPlans in this branch's parse order
+        """
+        pred = self._branch_pred(b, skip_sub_chains=True)
+        flag = pred if pred is not None else F.lit(True)
+        cases: dict = {}
+        bpats: list = []
+        bsps: list = []
+        sub_sps: list = []    # per b.subs index (None = non-agg)
+        chain_slots: list = []  # per b.or_chains index
+        for sub in b.subs:
+            df, sp, sflag = self._attach_sub(
+                df, b, sub, exists_only=False, or_mode=True
+            )
+            if sflag is not None:
+                flag = flag & sflag
+            sub_sps.append(sp if sp.mode == "agg" else None)
+            if sp.mode == "agg":
+                plan.or_sub_plans.append(sp)
+                bsps.append((sp, None))
+                for var, vcol in sp.plan.var_cols.items():
+                    cases.setdefault(var, []).append((
+                        None,
+                        F.try_element_at(
+                            F.col(sp.arr_col), F.lit(1)
+                        )[vcol],
+                        sp.plan.var_kinds[var],
+                    ))
+                for var, pat in sp.plan.pending_pattern_vars:
+                    bpats.append(
+                        (var, sp.plan, sp.arr_col, sp.cnt_col, pat, None)
+                    )
+        for var, pat in b.assignments:
+            expr = self._var_expr(pat)
+            if expr is not None:
+                cases.setdefault(var, []).append((None, expr, pat.kind))
+        for ch in b.or_chains:
+            slots_here: list = []
+            if all(self._branch_is_intrinsic(x) for x in ch):
+                chain_slots.append(slots_here)
+                continue  # folded into _branch_pred
+            cpred = None
+            prior = None
+            for x in ch:
+                df, xflag, xcases, xpats, xsps, xslots = (
+                    self._branch_flag(df, x, plan)
+                )
+                eff = xflag if prior is None else (xflag & ~prior)
+                for sp, g in xsps:
+                    bsps.append((sp, eff if g is None else (eff & g)))
+                for var, xlist in xcases.items():
+                    for g, v, k in xlist:
+                        cases.setdefault(var, []).append(
+                            (eff if g is None else (eff & g), v, k)
+                        )
+                for var, spl, arr, cnt, pat, g in xpats:
+                    bpats.append((
+                        var, spl, arr, cnt, pat,
+                        eff if g is None else (eff & g),
+                    ))
+                slots_here.extend(xslots)
+                prior = xflag if prior is None else (prior | xflag)
+                cpred = xflag if cpred is None else (cpred | xflag)
+            if cpred is not None:
+                flag = flag & cpred
+            chain_slots.append(slots_here)
+        slot_sps: list = []
+        n_sub = n_chain = 0
+        for kind, _item in b.ordered_clauses():
+            if kind == "sub":
+                if sub_sps[n_sub] is not None:
+                    slot_sps.append(sub_sps[n_sub])
+                n_sub += 1
+            else:
+                slot_sps.extend(chain_slots[n_chain])
+                n_chain += 1
+        return df, flag, cases, bpats, bsps, slot_sps
 
     def _branch_is_intrinsic(self, b: Constraint) -> bool:
         # nested or-chains stay intrinsic as long as every branch
@@ -3628,25 +3829,25 @@ class Compiler:
             )
         )
 
-    def _branch_pred(self, b: Constraint):
+    def _branch_pred(self, b: Constraint, skip_sub_chains: bool = False):
         """An or-BRANCH's intrinsic match predicate including its
         NESTED or-chains, folded recursively (None = always true).
         Post-round-8, bare nested chains splice at parse
         (parser._is_bare_chain), so a chain surviving INSIDE a branch
         is always conjoined with other clauses of that branch; its
-        branches fold when intrinsic, but INNER branches carrying
-        subs or assignments would need the full recursive slot/
-        winner machinery (the reference gives each inner branch sub
-        its own contents slot and $var binding — probed round 8,
-        test_mixed_branch_conjunction's read-9 family) — refuse
-        loudly rather than matching everything (the pre-round-7
-        behavior silently ignored nested chains)."""
+        branches fold when intrinsic.  INNER branches carrying subs
+        or assignments take the recursive slot/winner machinery
+        (_branch_flag, round 9) — skip_sub_chains=True leaves those
+        chains to the caller; without it they are a hard error (the
+        pre-round-7 behavior silently ignored nested chains)."""
         conds = []
         p = self._intrinsic_pred(b, in_branch=True)
         if p is not None:
             conds.append(p)
         for chain in b.or_chains:
             if not all(self._branch_is_intrinsic(x) for x in chain):
+                if skip_sub_chains:
+                    continue
                 raise GraphdError(
                     "SYSTEM",
                     "nested or-chains with subconstraints or "

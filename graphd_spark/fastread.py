@@ -580,11 +580,20 @@ def _nested_intrinsic(b) -> bool:
     )
 
 
+def _iter_cspec_branches(cspec):
+    """All branch entries of a chain spec, INNER chains included
+    (round 9: sub-bearing nested chains recurse into entry[5])."""
+    for entry in cspec[0]:
+        yield entry
+        for _ch, icspec in entry[5]:
+            yield from _iter_cspec_branches(icspec)
+
+
 def check_supported(con: Constraint) -> None:
     """Raise Unsupported unless every feature of the tree is mirrored."""
     from graphd_spark.compiler import effective_sub_cursor_mode
 
-    def _walk(node, in_branch, depth):
+    def _walk(node, in_branch, depth, cdepth=0):
         if node is not con:
             wants = (
                 node.cursor is not None
@@ -593,6 +602,11 @@ def check_supported(con: Constraint) -> None:
                 ))
             )
             if wants:
+                if cdepth >= 2:
+                    # cursors under an INNER or-branch (round 9's
+                    # recursive chains): the probe/freeze machinery
+                    # is depth-1-probed only — compiler fallback
+                    raise Unsupported("inner-branch-cursor")
                 mode = effective_sub_cursor_mode(node)
                 if mode is None:
                     raise Unsupported("sub-cursor-shape")
@@ -608,18 +622,14 @@ def check_supported(con: Constraint) -> None:
                 # one-shot model unprobed.
         for chain in node.or_chains:
             for b in chain:
-                if b.or_chains and not _nested_intrinsic(b):
-                    # nested chains fold only when every branch
-                    # below is intrinsic (no subs/assignments);
-                    # sub-bearing nested chains are refused by the
-                    # compiler too (_branch_pred)
-                    raise Unsupported("nested-or-chain-subs")
-                _walk(b, True, depth + 1)
+                # sub-bearing nested chains recurse since round 9
+                # (_build_branch_spec / _eval_branch)
+                _walk(b, True, depth + 1, cdepth + 1)
         for _var, pat in node.assignments:
             if any(p.kind == "cursor" for p in pat.walk()):
                 raise Unsupported("cursor-assignment")
         for s in node.subs:
-            _walk(s, in_branch, depth + 1)
+            _walk(s, in_branch, depth + 1, cdepth)
 
     _walk(con, False, 0)
 
@@ -714,6 +724,7 @@ class FastReader:
         resume = 0
         horizon = None
         resume_guid = None
+        sort_body = None
         sort_o = 0
         cstate = None
         if con.cursor is not None:
@@ -779,6 +790,7 @@ class FastReader:
                     m = _re.search(r"g([0-9a-f]{32})$", body)
                     if m:
                         resume_guid = m.group(1)
+                        sort_body = body  # full frozen key payload
                         sort_o = resume
                         resume = 0
                 elif not saw_offset and horizon is None:
@@ -959,7 +971,16 @@ class FastReader:
                     b = next(
                         (k for k, pr in entries if pr[0].id == sid), None
                     )
-                    grid = b  # vanished boundary restarts at page 1
+                    if b is None:
+                        # boundary tombstoned/versioned between pages
+                        # (writeinto seed 62): the reference
+                        # repositions by COMPARING the frozen
+                        # serialized keys, not by finding the element
+                        # — reconstruct its key tuple from the payload
+                        b = self._frozen_sort_grid(con, plan, sort_body)
+                        if b is not None and len(b) != len(keyfns):
+                            b = None
+                    grid = b
                 arr, accepted, trailing = simulate(
                     entries, P_sim, specs, grid=grid
                 )
@@ -976,15 +997,58 @@ class FastReader:
             # and the thawed scan re-enters through the boundary's
             # FIRST-KEY NULL CLASS — the key's index (non-null
             # boundary, where null-key rows don't exist) or the null
-            # bin (null boundary); probed round 5.  A vanished
-            # element restarts (offset 0).
+            # bin (null boundary); probed round 5.  A boundary
+            # element tombstoned/versioned away between pages resumes
+            # by COMPARING the frozen serialized keys (round 9,
+            # writeinto family — restarting re-delivers page 1).
             from graphd_spark.model import guid_serial
+            from graphd_spark.sortsim import _full_cmp
 
             sid = guid_serial(resume_guid)
             resume = 0
             b_row = next(
                 ((p, r) for p, r in matches if p.id == sid), None
             )
+            if b_row is None and con.sort:
+                frozen = self._frozen_sort_grid(con, plan, sort_body)
+                if frozen is not None:
+                    keyfns = []
+                    for i0, sk in enumerate(con.sort):
+                        comp = None
+                        if con.sort_comparators and i0 < len(
+                            con.sort_comparators
+                        ):
+                            comp = con.sort_comparators[i0]
+                        comp = resolve_comparator(
+                            comp or con.comparator or "default"
+                        )
+                        fn = self._sort_key_fn(sk.pattern, comp, plan)
+                        if fn is None:
+                            continue
+                        keyfns.append(
+                            (fn, sk.descending,
+                             sk.pattern.kind
+                             not in ("variable", "contents"))
+                        )
+                        if sk.pattern.kind == "guid":
+                            break
+                    keyfns.append((lambda p, row: p.id, False, True))
+                    specs = [(d, pre) for _f, d, pre in keyfns]
+                    if keyfns and len(frozen) == len(keyfns):
+                        b_null = frozen[0] is None
+                        matches = [
+                            (p, r) for p, r in matches
+                            if (keyfns[0][0](p, r) is None) == b_null
+                        ]
+                        resume = sum(
+                            1 for p, r in matches
+                            if _full_cmp(
+                                tuple(
+                                    f(p, r) for f, _d, _p in keyfns
+                                ),
+                                frozen, specs,
+                            ) <= 0
+                        )
             if b_row is not None and con.sort:
                 fn0 = None
                 for i0, sk in enumerate(con.sort):
@@ -2853,6 +2917,106 @@ class FastReader:
 
         matches.sort(key=key)
 
+    def _frozen_sort_grid(self, con, plan, body):
+        """Reconstruct the cursor boundary's sort-key tuple from the
+        FROZEN serialized payload, for resumes whose boundary element
+        no longer exists in the candidate set (tombstoned or
+        versioned between pages — the round-9 writeinto family).
+        The reference repositions by comparing the frozen keys
+        (graphd-sort.c graphd_sort_cursor_set prefilter), so losing
+        the element must not restart the chain (probed: writeinto
+        seed 62 — a name-sorted chain whose delivered parent is
+        tombstoned between pages resumes past (key, guid); restarting
+        re-delivers page 1).  Returns a tuple aligned with
+        _sort_key_fn's key domain + the id tiebreak, or None when a
+        component can't be reconstructed (caller falls back to the
+        pre-round-9 restart)."""
+        if body is None or not con.sort:
+            return None
+        vals, bid = _deserialize_sort_values(body)
+        if vals is None:
+            return None
+        from graphd_spark.model import guid_serial, ts_from_string
+
+        fail = object()
+
+        def conv(sk, comp, tag, raw):
+            if tag == "null":
+                return None
+            k = sk.pattern.kind
+            if k == "value":
+                if tag not in ("s", "a"):
+                    return fail
+                return (
+                    fuzzy_key(raw) if comp == "default"
+                    else literal_key(raw, comp)
+                )
+            if k == "name":
+                return (
+                    literal_key(raw, comp)
+                    if tag in ("s", "a") else fail
+                )
+            if k == "guid":
+                return guid_serial(raw) if tag == "g" else fail
+            if k == "timestamp":
+                if tag != "t":
+                    return fail
+                try:
+                    return ts_from_string(raw)
+                except Exception:
+                    return fail
+            if k == "generation":
+                try:
+                    return int(raw) if tag == "#" else fail
+                except ValueError:
+                    return fail
+            if k == "datatype":
+                try:
+                    return int(raw) if tag == "d" else fail
+                except ValueError:
+                    return fail
+            if k in ("live", "archival"):
+                return raw == "1" if tag == "b" else fail
+            if k in ("left", "right", "typeguid", "scope",
+                     "previous", "next", "type"):
+                # these key fns yield the raw guid STRING (hex order
+                # == id order, fixed length)
+                return raw if tag == "g" else fail
+            if k == "variable":
+                if (
+                    plan.var_cols.get(sk.pattern.var) is not None
+                    and plan.var_kind_cols.get(sk.pattern.var) is None
+                    and plan.var_kinds.get(sk.pattern.var)
+                    in ("value", "name", "type", "literal")
+                    and tag in ("s", "a")
+                ):
+                    return literal_key(raw, comp)
+                return fail
+            return fail
+
+        out = []
+        for i0, sk in enumerate(con.sort):
+            if i0 >= len(vals):
+                return None
+            comp = None
+            if con.sort_comparators and i0 < len(con.sort_comparators):
+                comp = con.sort_comparators[i0]
+            comp = resolve_comparator(
+                comp or con.comparator or "default"
+            )
+            fn = self._sort_key_fn(sk.pattern, comp, plan)
+            if fn is None:
+                continue
+            tag, raw = vals[i0]
+            kv = conv(sk, comp, tag, raw)
+            if kv is fail:
+                return None
+            out.append(kv)
+            if sk.pattern.kind == "guid":
+                break
+        out.append(bid)
+        return tuple(out)
+
     def _sort_key_fn(self, pat, comparator: str, plan: SetPlan):
         k = pat.kind
         if k == "value" and comparator == "default":
@@ -3067,118 +3231,45 @@ class FastReader:
             )
         # or-chains with subconstraints / assignments (mirror of
         # _apply_or_chain's flag + first-match-binding machinery);
-        # pure-intrinsic chains carry no branch specs
+        # pure-intrinsic chains carry no branch specs.  Sub-bearing
+        # NESTED chains recurse (round 9, mirror of _branch_flag):
+        # each inner branch gets its own entry whose slots and $vars
+        # gate on the outer AND inner first-match.
         chains = []
         for chain in con.or_chains:
             if all(
-                not b.subs and not b.assignments for b in chain
+                not b.subs and not b.assignments
+                and _nested_intrinsic(b)
+                for b in chain
             ):
                 chains.append((chain, None))
                 plan.or_chain_subs.append([])
                 continue
-            branch_specs = []
-            chain_sps = []
-            for b in chain:
-                b_pat = (
-                    b.result
-                    if b.result is not None
-                    else default_read_pattern()
-                )
-                bsubs = []
-                bvars = []   # (var, kind, 'import', newcol, src_arr, src_vcol)
-                bpats = []   # (var, sub_plan, guard_col, cnt_col, pat)
-                for sub in b.subs:
-                    if sub.linkage is None:
-                        raise GraphdError(
-                            "SEMANTICS",
-                            "subconstraint is not connected to its"
-                            " parent",
-                        )
-                    sub_need = pattern_shows_contents(b_pat, b) or bool(
-                        sub.assignments
-                    ) or self._has_deep_assignments(sub)
-                    sub_plan, child_spec = self._build_specs(
-                        sub, exists_only=not sub_need
-                    )
-                    self._n += 1
-                    cnt, arr = f"n{self._n}", f"c{self._n}"
-                    sp = SubPlan(
-                        "agg", sub_plan, cnt_col=cnt, arr_col=arr
-                    )
-                    plan.or_sub_plans.append(sp)
-                    chain_sps.append(sp)
-                    rps = sub.resultpagesize
-                    if rps is None:
-                        rps = (
-                            sub.pagesize
-                            if sub.pagesize is not None
-                            else DEFAULT_PAGESIZE
-                        )
-                    cm = (
-                        sub.count_min
-                        if sub.count_min is not None
-                        # implicit minimum follows start=
-                        # (ref graphd-semantic.c:740-743)
-                        else (sub.start or 0) + 1
-                    )
-                    b_cstate, b_cfilter, b_ssim = (
-                        self._sub_cursor_setup_f(sub, sub_plan)
-                    )
-                    bsubs.append(_SubSpec(
-                        sub, "agg", sp, cm, True, rps, sub.start or 0,
-                        child_spec, [], cstate=b_cstate,
-                        cfilter=b_cfilter, ssim=b_ssim,
-                    ))
-                    for var, vcol in sub_plan.var_cols.items():
-                        self._n += 1
-                        newcol = f"v{self._n}"
-                        bvars.append(
-                            (var, sub_plan.var_kinds[var], newcol,
-                             arr, vcol)
-                        )
-                    for var, vpat in sub_plan.pending_pattern_vars:
-                        self._n += 1
-                        gcol = f"v{self._n}"
-                        bpats.append((var, sub_plan, gcol, arr, cnt, vpat))
-                for var, pat in b.assignments:
-                    fn = _scalar_var_fn(pat)
-                    if fn is None:
-                        raise Unsupported("or-branch-set-var")
-                    self._n += 1
-                    newcol = f"v{self._n}"
-                    bvars.append((var, pat.kind, newcol, None, fn))
-                ecol = None
-                if bsubs:
-                    # first-match flag: this branch's contents slots
-                    # render null unless it's effective (mirror of
-                    # _apply_or_chain's eff_col)
-                    self._n += 1
-                    ecol = f"v{self._n}"
-                    for ss in bsubs:
-                        ss.sp.eff_col = ecol
-                branch_specs.append((b, bsubs, bvars, bpats, ecol))
+            chain_sps: list = []
+            flat_bvars: list = []  # (var, kind, newcol) in case order
+            branch_specs = [
+                self._build_branch_spec(b, plan, chain_sps, flat_bvars)
+                for b in chain
+            ]
             plan.or_chain_subs.append(chain_sps)
             # merged output columns, first matching branch wins;
             # branches binding different kinds carry a per-row kind
-            # column (mirror of _apply_or_chain's var_kind_cols)
-            merged = {}  # var -> [vcol, [(bi, newcol, kind)], kcol]
-            for bi, (_b, _bs, bvars, _bp, _e) in enumerate(branch_specs):
-                for var, kind, newcol, _arr, _src in bvars:
-                    if var not in merged:
-                        self._n += 1
-                        merged[var] = [f"v{self._n}", [], None]
-                        plan.var_kinds.setdefault(var, kind)
-                    merged[var][1].append((bi, newcol, kind))
+            # column (mirror of _apply_or_chain's var_kind_cols).
+            # Inner-branch bindings flatten into the same merge, in
+            # the compiler's case order (own subs, assignments, then
+            # inner chains).
+            merged = {}  # var -> [vcol, [(newcol, kind)], kcol]
+            for var, kind, newcol in flat_bvars:
+                if var not in merged:
+                    self._n += 1
+                    merged[var] = [f"v{self._n}", [], None]
+                    plan.var_kinds.setdefault(var, kind)
+                merged[var][1].append((newcol, kind))
             for var, entry in merged.items():
-                if len({k for _bi, _nc, k in entry[1]}) > 1:
+                if len({k for _nc, k in entry[1]}) > 1:
                     self._n += 1
                     entry[2] = f"v{self._n}"
                     plan.var_kind_cols[var] = entry[2]
-            for bi, (_b, _bs, _bv, bpats, _e) in enumerate(branch_specs):
-                for var, sub_plan, gcol, _arr, cnt, vpat in bpats:
-                    plan.var_patterns[var] = (sub_plan, gcol, cnt, vpat)
-                    plan.var_cols.pop(var, None)
-                    plan.var_kind_cols.pop(var, None)
             for var, (vcol, _cases, _kcol) in merged.items():
                 plan.var_cols[var] = vcol
             chains.append((chain, (branch_specs, merged)))
@@ -3219,6 +3310,133 @@ class FastReader:
                 n_chain += 1
         plan.contents_slots = slots
         return plan, _NodeSpec(subs, assigns, chains)
+
+    def _build_branch_spec(self, b: Constraint, plan, chain_sps: list,
+                           flat_bvars: list):
+        """One or-branch's spec entry: (b, bsubs, bvars, bpats, ecol,
+        inner_cspecs).  Mirror of Compiler._branch_flag (round 9):
+        sub-bearing NESTED chains of the branch recurse into
+        inner_cspecs = [(chain, (inner_branch_specs, None))], whose
+        slots and bindings gate on the outer branch's first-match AND
+        the inner one (commit walk in _eval_or_chain).  Appends agg
+        SubPlans to chain_sps in the branch's PARSE order (the
+        reference's con_head slot order, probed: inner-chain slots
+        come before a conjoined sub written after them) and
+        (var, kind, newcol) case entries to flat_bvars for the
+        chain-level var merge."""
+        b_pat = (
+            b.result
+            if b.result is not None
+            else default_read_pattern()
+        )
+        bsubs = []
+        bvars = []   # (var, kind, newcol, src_arr, src_vcol|fn)
+        bpats = []   # (var, sub_plan, guard_col, src_arr, cnt_col, pat)
+        sub_sps: list = []        # per b.subs index (None = non-agg)
+        chain_slot_lists: list = []  # per b.or_chains index
+        inner_cspecs: list = []
+        for sub in b.subs:
+            if sub.linkage is None:
+                raise GraphdError(
+                    "SEMANTICS",
+                    "subconstraint is not connected to its"
+                    " parent",
+                )
+            sub_need = pattern_shows_contents(b_pat, b) or bool(
+                sub.assignments
+            ) or self._has_deep_assignments(sub)
+            sub_plan, child_spec = self._build_specs(
+                sub, exists_only=not sub_need
+            )
+            self._n += 1
+            cnt, arr = f"n{self._n}", f"c{self._n}"
+            sp = SubPlan(
+                "agg", sub_plan, cnt_col=cnt, arr_col=arr
+            )
+            plan.or_sub_plans.append(sp)
+            sub_sps.append(sp)
+            rps = sub.resultpagesize
+            if rps is None:
+                rps = (
+                    sub.pagesize
+                    if sub.pagesize is not None
+                    else DEFAULT_PAGESIZE
+                )
+            cm = (
+                sub.count_min
+                if sub.count_min is not None
+                # implicit minimum follows start=
+                # (ref graphd-semantic.c:740-743)
+                else (sub.start or 0) + 1
+            )
+            b_cstate, b_cfilter, b_ssim = (
+                self._sub_cursor_setup_f(sub, sub_plan)
+            )
+            bsubs.append(_SubSpec(
+                sub, "agg", sp, cm, True, rps, sub.start or 0,
+                child_spec, [], cstate=b_cstate,
+                cfilter=b_cfilter, ssim=b_ssim,
+            ))
+            for var, vcol in sub_plan.var_cols.items():
+                self._n += 1
+                newcol = f"v{self._n}"
+                bvars.append(
+                    (var, sub_plan.var_kinds[var], newcol,
+                     arr, vcol)
+                )
+                flat_bvars.append(
+                    (var, sub_plan.var_kinds[var], newcol)
+                )
+            for var, vpat in sub_plan.pending_pattern_vars:
+                self._n += 1
+                gcol = f"v{self._n}"
+                bpats.append((var, sub_plan, gcol, arr, cnt, vpat))
+                plan.var_patterns[var] = (sub_plan, gcol, cnt, vpat)
+                plan.var_cols.pop(var, None)
+                plan.var_kind_cols.pop(var, None)
+        for var, pat in b.assignments:
+            fn = _scalar_var_fn(pat)
+            if fn is None:
+                raise Unsupported("or-branch-set-var")
+            self._n += 1
+            newcol = f"v{self._n}"
+            bvars.append((var, pat.kind, newcol, None, fn))
+            flat_bvars.append((var, pat.kind, newcol))
+        for ch in b.or_chains:
+            slots_here: list = []
+            chain_slot_lists.append(slots_here)
+            if all(
+                not x.subs and not x.assignments
+                and _nested_intrinsic(x)
+                for x in ch
+            ):
+                continue  # folds into _match_branch
+            inner_branch_specs = [
+                self._build_branch_spec(x, plan, slots_here, flat_bvars)
+                for x in ch
+            ]
+            inner_cspecs.append((ch, (inner_branch_specs, None)))
+        ecol = None
+        if bsubs:
+            # first-match flag: this branch's contents slots
+            # render null unless it's effective (mirror of
+            # _apply_or_chain's eff_col; inner-branch subs carry
+            # their OWN ecol, set only along the effective path)
+            self._n += 1
+            ecol = f"v{self._n}"
+            for ss in bsubs:
+                ss.sp.eff_col = ecol
+        # slot order: this branch's parse order
+        n_sub = n_chain = 0
+        for kind, _item in b.ordered_clauses():
+            if kind == "sub":
+                if sub_sps[n_sub] is not None:
+                    chain_sps.append(sub_sps[n_sub])
+                n_sub += 1
+            else:
+                chain_sps.extend(chain_slot_lists[n_chain])
+                n_chain += 1
+        return (b, bsubs, bvars, bpats, ecol, inner_cspecs)
 
     def _has_deep_assignments(self, con: Constraint) -> bool:
         """Mirror of Compiler._has_deep_assignments: any assignment
@@ -3289,7 +3507,8 @@ class FastReader:
             for _chain, cspec in sp.chains:
                 if cspec is None:
                     continue
-                for _b, bsubs, _bv, _bp, _e in cspec[0]:
+                for _b, bsubs, _bv, _bp, _e, _ic in \
+                        _iter_cspec_branches(cspec):
                     for ss in bsubs:
                         if ss.ssim is not None:
                             out.append(ss.ssim)
@@ -3390,7 +3609,8 @@ class FastReader:
                 for _chain, cspec in node_spec.chains:
                     if cspec is None:
                         continue
-                    for _b, bsubs, _bv, _bp, _e in cspec[0]:
+                    for _b, bsubs, _bv, _bp, _e, _ic in \
+                            _iter_cspec_branches(cspec):
                         for ss in bsubs:
                             if ss.sp.arr_col is None:
                                 continue
@@ -4348,223 +4568,271 @@ class FastReader:
         """Mirror of _apply_or_chain's non-intrinsic path: every
         branch's sub aggregates left-join onto the row, per-branch
         flags AND intrinsics with sub count bounds, the chain requires
-        one flag, and the FIRST matching branch's bindings apply."""
+        one flag, and the FIRST matching branch's bindings apply.
+        Sub-bearing NESTED chains recurse (round 9): evaluation is
+        two-phase — _eval_branch computes flags and slot contents at
+        every depth, then the commit walk binds the winning path's
+        $vars/ecols (inner slots of a losing outer branch stay null,
+        probed against the reference)."""
         branch_specs, merged = cspec
-        flags = []
-        branch_var_vals = []  # per branch: {newcol: value}
-        for b, bsubs, bvars, bpats, _ecol in branch_specs:
-            flag = self._match_branch(p, b)
-            vals = {}
-            for ss in bsubs:
-                sub, sp = ss.sub, ss.sp
-                bthaw = ss.ssim.thaw if ss.ssim is not None else None
-                if bthaw is not None:
-                    # thawed sorted cursor sub inside an or-branch:
-                    # the same exact model as root-level subs
-                    # (_ThawScan verify here, resume for rendered
-                    # parents in render order via _resume_walk's
-                    # chain traversal)
-                    n, child_rows = bthaw.verify(p, ss)
-                    if row is not None:
-                        self._thaw_by_row.setdefault(
-                            id(row), []
-                        ).append((p, ss, child_rows, row))
-                        if n == 0:
-                            row[sp.cnt_col] = None
-                            row[sp.arr_col] = None
-                        else:
-                            row[sp.cnt_col] = n
-                            row[sp.arr_col] = child_rows
-                    bthaw_o = self._sub_thaw_offset(p, ss)
-                    flag = flag and (n + bthaw_o) >= ss.count_min
-                    first = child_rows[0] if child_rows else None
-                    for var, _k, newcol, arr, src in bvars:
-                        if arr == sp.arr_col:
-                            vals[newcol] = (
-                                None if first is None else
-                                first.get(src)
-                            )
-                    continue
-                kids = []
-                has_cands = False
-                _hb = self._sub_high(sub)
-                for cid in self._child_ids(p, sub):
-                    if _hb is not None and cid >= _hb:
-                        continue
-                    has_cands = True
-                    c = self.store.rows[cid - self.store._base]
-                    if ss.cfilter is not None and not ss.cfilter(c):
-                        continue  # thawed sub-cursor restriction
-                    crow = self._row_for(
-                        c, sub, ss.child_spec, build_row=True
-                    )
-                    if crow is _NO_MATCH:
-                        continue
-                    kids.append((c, crow))
-                if ss.ssim is not None:
-                    # fresh / grid-legacy sorted branch sub: the
-                    # bounded incremental sorter per parent, same as
-                    # root-level agg subs
-                    sfirst = not ss.ssim.consumed
-                    if ss.ssim.grid is not None and not has_cands:
-                        # kid-less parent: null iterator, one-shot
-                        # untouched, no eval logged (seed 3134 rule)
-                        n, page_kids, trailing = 0, [], False
-                        child_rows = []
-                        ss.ssim.sim[id(child_rows)] = (
-                            trailing, ss.ssim.P
-                        )
-                    else:
-                        n, page_kids, trailing = self._sub_sort_page(
-                            ss, kids
-                        )
-                        child_rows = [
-                            r for _c, r
-                            in page_kids[ss.lo:ss.lo + ss.rps]
-                        ]
-                        ss.ssim.sim[id(child_rows)] = (
-                            trailing, ss.ssim.P
-                        )
-                        if ss.ssim.grid is not None:
-                            acc = n >= ss.count_min
-                            ss.ssim.evals.append(acc)
-                            if sfirst:
-                                ss.ssim.first_key = id(child_rows)
-                    if row is not None:
-                        if n == 0:
-                            row[sp.cnt_col] = None
-                            row[sp.arr_col] = None
-                        else:
-                            row[sp.cnt_col] = n
-                            row[sp.arr_col] = child_rows
-                    bthaw_o = self._sub_thaw_offset(p, ss)
-                    passes = True
-                    if sub.count_eq is not None:
-                        passes = (n + bthaw_o) == sub.count_eq
-                    else:
-                        if ss.count_min > 0:
-                            passes = passes and (
-                                n + bthaw_o >= ss.count_min
-                            )
-                        if sub.count_max is not None:
-                            passes = passes and (
-                                n + bthaw_o <= sub.count_max
-                            )
-                    flag = flag and passes
-                    first = child_rows[0] if child_rows else None
-                    for var, _k, newcol, arr, src in bvars:
-                        if arr == sp.arr_col:
-                            vals[newcol] = (
-                                None if first is None else
-                                first.get(src)
-                            )
-                    continue
-                n = len(kids)
-                probe_entry = None
-                probe_my = False
-                if ss.rps == 0:
-                    # pagesize=0 probe subs inside or-branches probe
-                    # EXACTLY like root-level ones — MY-form included
-                    # (probed: a my-form branch over a non-empty kid
-                    # set freezes the advancing gmap/vip/fixed probe
-                    # and wins the branch; the round-6 "my-form
-                    # counts 0" reading came from stores whose branch
-                    # subs had no candidates at all — cursor fuzz
-                    # seed 612)
-                    if kids and ss.lo < n:
-                        k = max(1, ss.lo)
-                        from graphd_spark.compiler import (
-                            sub_sort_backward as _ssb,
-                        )
-                        ki = n - k if _ssb(sub) else k - 1
-                        probe_entry = (
-                            kids[ki][0].id, p.guid, k,
-                        )
-                if sub.sort is not None:
-                    self._apply_sort(sub, sp.plan, kids)
-                child_rows = [
-                    r for _c, r in kids[ss.lo:ss.lo + ss.rps]
-                ]
-                if (
-                    probe_entry is not None
-                    and getattr(sp.plan, "cursor_ctx", None) is not None
-                ):
-                    sp.plan.cursor_ctx.setdefault("probe", {})[
-                        id(child_rows)
-                    ] = probe_entry
+        results = [
+            self._eval_branch(p, bentry, row) for bentry in branch_specs
+        ]
+        if row is not None:
+            self._null_or_chain(row, cspec)
+            self._commit_or_chain(row, branch_specs, results, merged,
+                                  set())
+        return any(r[0] for r in results)
+
+    def _eval_branch(self, p: Primitive, bentry, row):
+        """Phase 1 for one branch entry: (flag, vals, inner_results).
+        Slot contents (cnt/arr cols) are written into `row`
+        unconditionally — the ecol written by the commit walk gates
+        their rendering."""
+        b, bsubs, bvars, bpats, _ecol, inner_cspecs = bentry
+        skip = (
+            {id(ch) for ch, _ic in inner_cspecs}
+            if inner_cspecs else None
+        )
+        flag = self._match_branch(p, b, skip=skip)
+        vals = {}
+        for ss in bsubs:
+            sub, sp = ss.sub, ss.sp
+            bthaw = ss.ssim.thaw if ss.ssim is not None else None
+            if bthaw is not None:
+                # thawed sorted cursor sub inside an or-branch:
+                # the same exact model as root-level subs
+                # (_ThawScan verify here, resume for rendered
+                # parents in render order via _resume_walk's
+                # chain traversal)
+                n, child_rows = bthaw.verify(p, ss)
                 if row is not None:
-                    if probe_my:
-                        row[sp.cnt_col] = 0
-                        row[sp.arr_col] = child_rows  # ("null:")
-                    elif n == 0:
-                        row[sp.cnt_col] = None  # left-join miss
+                    self._thaw_by_row.setdefault(
+                        id(row), []
+                    ).append((p, ss, child_rows, row))
+                    if n == 0:
+                        row[sp.cnt_col] = None
                         row[sp.arr_col] = None
                     else:
                         row[sp.cnt_col] = n
                         row[sp.arr_col] = child_rows
-                # bounds flag over cnt_eff (coalesced 0)
-                if sub.count_eq is not None:
-                    passes = n == sub.count_eq
+                bthaw_o = self._sub_thaw_offset(p, ss)
+                flag = flag and (n + bthaw_o) >= ss.count_min
+                first = child_rows[0] if child_rows else None
+                for var, _k, newcol, arr, src in bvars:
+                    if arr == sp.arr_col:
+                        vals[newcol] = (
+                            None if first is None else
+                            first.get(src)
+                        )
+                continue
+            kids = []
+            has_cands = False
+            _hb = self._sub_high(sub)
+            for cid in self._child_ids(p, sub):
+                if _hb is not None and cid >= _hb:
+                    continue
+                has_cands = True
+                c = self.store.rows[cid - self.store._base]
+                if ss.cfilter is not None and not ss.cfilter(c):
+                    continue  # thawed sub-cursor restriction
+                crow = self._row_for(
+                    c, sub, ss.child_spec, build_row=True
+                )
+                if crow is _NO_MATCH:
+                    continue
+                kids.append((c, crow))
+            if ss.ssim is not None:
+                # fresh / grid-legacy sorted branch sub: the
+                # bounded incremental sorter per parent, same as
+                # root-level agg subs
+                sfirst = not ss.ssim.consumed
+                if ss.ssim.grid is not None and not has_cands:
+                    # kid-less parent: null iterator, one-shot
+                    # untouched, no eval logged (seed 3134 rule)
+                    n, page_kids, trailing = 0, [], False
+                    child_rows = []
+                    ss.ssim.sim[id(child_rows)] = (
+                        trailing, ss.ssim.P
+                    )
                 else:
-                    passes = True
+                    n, page_kids, trailing = self._sub_sort_page(
+                        ss, kids
+                    )
+                    child_rows = [
+                        r for _c, r
+                        in page_kids[ss.lo:ss.lo + ss.rps]
+                    ]
+                    ss.ssim.sim[id(child_rows)] = (
+                        trailing, ss.ssim.P
+                    )
+                    if ss.ssim.grid is not None:
+                        acc = n >= ss.count_min
+                        ss.ssim.evals.append(acc)
+                        if sfirst:
+                            ss.ssim.first_key = id(child_rows)
+                if row is not None:
+                    if n == 0:
+                        row[sp.cnt_col] = None
+                        row[sp.arr_col] = None
+                    else:
+                        row[sp.cnt_col] = n
+                        row[sp.arr_col] = child_rows
+                bthaw_o = self._sub_thaw_offset(p, ss)
+                passes = True
+                if sub.count_eq is not None:
+                    passes = (n + bthaw_o) == sub.count_eq
+                else:
                     if ss.count_min > 0:
-                        passes = passes and n >= ss.count_min
+                        passes = passes and (
+                            n + bthaw_o >= ss.count_min
+                        )
                     if sub.count_max is not None:
-                        passes = passes and n <= sub.count_max
+                        passes = passes and (
+                            n + bthaw_o <= sub.count_max
+                        )
                 flag = flag and passes
                 first = child_rows[0] if child_rows else None
                 for var, _k, newcol, arr, src in bvars:
                     if arr == sp.arr_col:
                         vals[newcol] = (
-                            None if first is None else first.get(src)
+                            None if first is None else
+                            first.get(src)
                         )
+                continue
+            n = len(kids)
+            probe_entry = None
+            probe_my = False
+            if ss.rps == 0:
+                # pagesize=0 probe subs inside or-branches probe
+                # EXACTLY like root-level ones — MY-form included
+                # (probed: a my-form branch over a non-empty kid
+                # set freezes the advancing gmap/vip/fixed probe
+                # and wins the branch; the round-6 "my-form
+                # counts 0" reading came from stores whose branch
+                # subs had no candidates at all — cursor fuzz
+                # seed 612)
+                if kids and ss.lo < n:
+                    k = max(1, ss.lo)
+                    from graphd_spark.compiler import (
+                        sub_sort_backward as _ssb,
+                    )
+                    ki = n - k if _ssb(sub) else k - 1
+                    probe_entry = (
+                        kids[ki][0].id, p.guid, k,
+                    )
+            if sub.sort is not None:
+                self._apply_sort(sub, sp.plan, kids)
+            child_rows = [
+                r for _c, r in kids[ss.lo:ss.lo + ss.rps]
+            ]
+            if (
+                probe_entry is not None
+                and getattr(sp.plan, "cursor_ctx", None) is not None
+            ):
+                sp.plan.cursor_ctx.setdefault("probe", {})[
+                    id(child_rows)
+                ] = probe_entry
+            if row is not None:
+                if probe_my:
+                    row[sp.cnt_col] = 0
+                    row[sp.arr_col] = child_rows  # ("null:")
+                elif n == 0:
+                    row[sp.cnt_col] = None  # left-join miss
+                    row[sp.arr_col] = None
+                else:
+                    row[sp.cnt_col] = n
+                    row[sp.arr_col] = child_rows
+            # bounds flag over cnt_eff (coalesced 0)
+            if sub.count_eq is not None:
+                passes = n == sub.count_eq
+            else:
+                passes = True
+                if ss.count_min > 0:
+                    passes = passes and n >= ss.count_min
+                if sub.count_max is not None:
+                    passes = passes and n <= sub.count_max
+            flag = flag and passes
+            first = child_rows[0] if child_rows else None
             for var, _k, newcol, arr, src in bvars:
-                if arr is None:  # scalar branch assignment
-                    vals[newcol] = src(p)
-            flags.append(flag)
-            branch_var_vals.append((vals, bvars, bpats))
-        # first-match bindings: eff = flag & ~prior is true for at
-        # most one branch; that branch's values (and guarded arrays)
-        # bind, every other output column stays null
-        if row is not None:
+                if arr == sp.arr_col:
+                    vals[newcol] = (
+                        None if first is None else first.get(src)
+                    )
+        for var, _k, newcol, arr, src in bvars:
+            if arr is None:  # scalar branch assignment
+                vals[newcol] = src(p)
+        inner_results = []
+        for _ch, icspec in inner_cspecs:
+            ires = [
+                self._eval_branch(p, ibe, row) for ibe in icspec[0]
+            ]
+            flag = flag and any(r[0] for r in ires)
+            inner_results.append((icspec, ires))
+        return (flag, vals, inner_results)
+
+    def _null_or_chain(self, row, cspec) -> None:
+        """Default every output column of the chain (all nesting
+        levels) before the commit walk binds the winning path's."""
+        branch_specs, merged = cspec
+        if merged:
             for var, (vcol, _cases, kcol) in merged.items():
                 row.setdefault(vcol, None)
                 if kcol is not None:
                     row.setdefault(kcol, None)
-            for _b, _bs, _bv, bpats, ecol in branch_specs:
-                for _var, _sp, gcol, _arr, _cnt, _vp in bpats:
-                    row.setdefault(gcol, None)
-                if ecol is not None:
-                    row[ecol] = False
-            prior = False
-            for bi, flag in enumerate(flags):
-                eff = flag and not prior
-                if eff:
-                    vals, bvars, bpats = branch_var_vals[bi]
-                    ecol = branch_specs[bi][4]
-                    for wss in branch_specs[bi][1]:
-                        # winning-branch tally: an iam probe's [n:]
-                        # pins the parent id when exactly one parent
-                        # won this branch, the store horizon for 2+
-                        # (probed; see _sub_probe_cursor)
-                        wctx = getattr(
-                            wss.sp.plan, "cursor_ctx", None
-                        )
-                        if wctx is not None:
-                            wctx["branch_winners"] = (
-                                wctx.get("branch_winners", 0) + 1
-                            )
-                    if ecol is not None:
-                        row[ecol] = True
-                    for var, _k, newcol, _arr, _src in bvars:
-                        vcol, _cases, kcol = merged[var]
-                        row[vcol] = vals.get(newcol)
-                        if kcol is not None:
-                            row[kcol] = _k
-                    for _var, _sp, gcol, arr, _cnt, _vp in bpats:
-                        row[gcol] = row.get(arr)
-                prior = prior or flag
-        return any(flags)
+        for _b, _bs, _bv, bpats, ecol, inner_cspecs in branch_specs:
+            for _var, _sp, gcol, _arr, _cnt, _vp in bpats:
+                row.setdefault(gcol, None)
+            if ecol is not None:
+                row[ecol] = False
+            for _ch, icspec in inner_cspecs:
+                self._null_or_chain(row, icspec)
+
+    def _commit_or_chain(self, row, branch_specs, results, merged,
+                         done_vcols) -> None:
+        """First-match commit walk: eff = flag & ~prior is true for
+        at most one branch per chain; that branch's values (and
+        guarded arrays) bind, its effective INNER branches commit
+        recursively, every other output column stays null.  merged is
+        the TOP chain's var merge (inner bindings flattened into it
+        at build); done_vcols makes the first case in parse order win
+        when several branches of the winning path bind one var
+        (mirror of _apply_or_chain's when-cascade)."""
+        prior = False
+        for bentry, (flag, vals, inner_results) in zip(
+            branch_specs, results
+        ):
+            eff = flag and not prior
+            prior = prior or flag
+            if not eff:
+                continue
+            _b, bsubs, bvars, bpats, ecol, _inner = bentry
+            for wss in bsubs:
+                # winning-branch tally: an iam probe's [n:] pins the
+                # parent id when exactly one parent won this branch,
+                # the store horizon for 2+ (probed; see
+                # _sub_probe_cursor)
+                wctx = getattr(wss.sp.plan, "cursor_ctx", None)
+                if wctx is not None:
+                    wctx["branch_winners"] = (
+                        wctx.get("branch_winners", 0) + 1
+                    )
+            if ecol is not None:
+                row[ecol] = True
+            for var, _k, newcol, _arr, _src in bvars:
+                vcol, _cases, kcol = merged[var]
+                if vcol in done_vcols:
+                    continue
+                done_vcols.add(vcol)
+                row[vcol] = vals.get(newcol)
+                if kcol is not None:
+                    row[kcol] = _k
+            for _var, _sp, gcol, arr, _cnt, _vp in bpats:
+                row[gcol] = row.get(arr)
+            for icspec, ires in inner_results:
+                self._commit_or_chain(
+                    row, icspec[0], ires, merged, done_vcols
+                )
 
     def _sub_exists(self, p: Primitive, sub: Constraint,
                     child_spec: "_NodeSpec") -> bool:
@@ -4783,14 +5051,20 @@ class FastReader:
 
     # -- intrinsic matcher (mirror of _intrinsic_pred) ---------------------
 
-    def _match_branch(self, p: Primitive, b: Constraint) -> bool:
+    def _match_branch(self, p: Primitive, b: Constraint,
+                      skip=None) -> bool:
         """An or-BRANCH's match including its recursively-intrinsic
         NESTED chains (mirror of Compiler._branch_pred; probed:
         `{ { A | B } | C }` matches A|B|C row-wise).  An empty branch
-        matches everything, so a chain with one folds to true."""
+        matches everything, so a chain with one folds to true.
+        `skip` names chains (by id) evaluated separately — the
+        branch's sub-bearing nested chains, which _eval_branch
+        recurses into (round 9)."""
         if not self._match_intrinsic(p, b, in_branch=True):
             return False
         for chain in b.or_chains:
+            if skip is not None and id(chain) in skip:
+                continue
             if not any(self._match_branch(p, x) for x in chain):
                 return False
         return True

@@ -977,30 +977,40 @@ def _gen_or_read(rng: random.Random) -> str:
             # NESTED chain inside the branch: intrinsic branches fold
             # as a recursive disjunction (round 7); SUB-BEARING inner
             # branches splice into the enclosing chain via the
-            # parse-level flatten (round 8, probed byte-identical
-            # against the reference incl. cursors and $vars).  The
-            # branch stays PURE (no sibling subs/assignments): a
-            # branch conjoining a chain with its own clauses is the
-            # engine's one documented-refused or-family (the
-            # reference answers those with semantics the round-8
-            # probes could not pin down — see fastread's docstring).
-            pure_chain = True
+            # parse-level flatten when bare (round 8) and run the
+            # recursive first-match machinery when the branch
+            # conjoins the chain with its own clauses (round 9,
+            # _branch_flag / _build_branch_spec — the family rounds
+            # 7-8 refused).  pure_chain now only guards a MINORITY of
+            # emissions so the conjoined shapes fuzz too.
+            pure_chain = rng.random() < 0.4
             r3 = rng.random()
-            if r3 < 0.4:
+            if r3 < 0.45:
                 arrow2 = rng.choice(["<-left", "<-right"])
                 isub = f"({arrow2} value={_q(rng.choice(_VALUES))}"
                 if rng.random() < 0.3:
                     isub += " result=((value))"
+                elif bind and rng.random() < 0.25:
+                    isub += " $t=value"
+                    bound = True
                 isub += ")"
                 ijoin = " || " if rng.random() < 0.25 else " | "
-                bp.append(
-                    f"{{ {isub}{ijoin}"
-                    f"value={_q(rng.choice(_VALUES))} }}"
+                ialt = (
+                    f"value={_q(rng.choice(_VALUES))}"
+                    if rng.random() < 0.6
+                    else f"(<-left name={_q(rng.choice(_NAMES))})"
                 )
-            elif r3 < 0.55:
-                # depth-3: chain inside chain inside branch
+                bp.append(f"{{ {isub}{ijoin}{ialt} }}")
+            elif r3 < 0.6:
+                # depth-3: chain inside chain inside branch (inner
+                # levels may carry subs since round 9)
+                inner2 = (
+                    f"(<-right value={_q(rng.choice(_VALUES))})"
+                    if rng.random() < 0.4
+                    else f"value={_q(rng.choice(_VALUES))}"
+                )
                 bp.append(
-                    f"{{ {{ value={_q(rng.choice(_VALUES))} | "
+                    f"{{ {{ {inner2} | "
                     f"name={_q(rng.choice(_NAMES))} }} | "
                     f"value={_q(rng.choice(_VALUES))} }}"
                 )
@@ -1711,6 +1721,25 @@ def check_writeinto_seed(spark, seed: int) -> list[str]:
 
 @pytest.mark.parametrize("seed", list(range(8)))
 def test_differential_writeinto(spark, ref_bin, seed):
+    problems = check_writeinto_seed(spark, seed)
+    assert not problems, "\n".join(p[:500] for p in problems)
+
+
+@pytest.mark.parametrize(
+    "seed", [62, 71, 88, 123, 196, 224, 240, 242, 249, 253, 271, 301,
+             454, 497]
+)
+def test_writeinto_vanished_boundary(spark, ref_bin, seed):
+    """The 14 writeinto seeds the round-9 wide campaign caught, all
+    one root cause: a sort cursor whose BOUNDARY element is
+    tombstoned or versioned away between pages restarted at page 1
+    (re-delivering everything) because the boundary lookup came back
+    empty.  The reference repositions by COMPARING the frozen
+    serialized sort keys (graphd-sort.c graphd_sort_cursor_set), so
+    the element need not exist — fixed by reconstructing the key
+    tuple from the cursor payload (FastReader._frozen_sort_grid /
+    Compiler._frozen_sort_tuple) in the sortsim grid, sort-root
+    resume, and Spark _key_resume_offset paths."""
     problems = check_writeinto_seed(spark, seed)
     assert not problems, "\n".join(p[:500] for p in problems)
 

@@ -315,11 +315,12 @@ def test_nested_chain_subs_served(spark):
         'name="y" } } result=((value)))'
     )
     assert r == 'ok (("p0"))', r
-    # the refused family: a branch conjoining a SUB-BEARING chain
-    # with its own clauses (intrinsic inner chains in mixed branches
-    # still fold, round 7)
+    # round 9 lifted the last refusal: a branch CONJOINING a
+    # sub-bearing nested chain with its own clauses serves via the
+    # recursive first-match machinery (_branch_flag; probed
+    # byte-identical, tests/test_differential.py inner-sub matrix)
     r2 = gs.request(
         'read ({ { (<-left value="k1") | name="y" } value="p0" } '
         '| { value="zz" } result=((value)))'
     )
-    assert r2.startswith("error"), r2
+    assert r2 == 'ok (("p0"))', r2
