@@ -76,7 +76,9 @@ _DEMOTED_C = (  # demoted in r7 (three family-redundant picks to fill the
 # set B again — every B query carries a fresh r7-green driver row, and
 # the A/B(/C) alternation keeps each query driver-verified at least
 # every other round.
-_DEMOTED = _DEMOTED_B
+# r9 (VERDICT r8 item 3): restore the 7 r8-demoted B-set rows; demote
+# A + C again (all seven carry fresh r8-green driver rows).
+_DEMOTED = _DEMOTED_A + _DEMOTED_C
 
 
 def _reordered(d: dict) -> dict:

@@ -70,10 +70,64 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> dict:
+    """Idle-box protocol (round 9, VERDICT r8 item 5): time a fixed
+    single-threaded CPU loop and compare against the stored idle
+    reference (.bench_calibration.json, recorded once on a quiet
+    machine).  A ratio above 1.05 means ambient load is inflating the
+    wall clock — the run retries briefly, then proceeds with
+    status="loaded" so the reader knows headline deltas in that run
+    are suspect.  This turns the round-8 written finding (±20%
+    headline drift under concurrent fuzz campaigns) into a recorded,
+    per-run signal instead of a warning comment."""
+    import hashlib
+
+    def one() -> float:
+        buf = b"x" * 65536
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(2000):
+            h.update(buf)
+        h.digest()
+        return time.perf_counter() - t0
+
+    one()  # warm the loop itself
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_calibration.json",
+    )
+    ref = None
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                ref = json.load(f)["sec"]
+        except Exception:
+            ref = None
+    best = None
+    for _attempt in range(3):
+        t = min(one() for _ in range(3))
+        best = t if best is None or t < best else best
+        if ref is None or best <= ref * 1.05:
+            break
+        time.sleep(2.0)  # transient spike: give it a beat and retry
+    if ref is None:
+        with open(path, "w") as f:
+            json.dump({"sec": round(best, 5)}, f)
+        return {"ref_sec": round(best, 5), "sec": round(best, 5),
+                "ratio": 1.0, "status": "recorded"}
+    ratio = best / ref
+    return {"ref_sec": ref, "sec": round(best, 5),
+            "ratio": round(ratio, 3),
+            "status": "ok" if ratio <= 1.05 else "loaded"}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else 0.0
+
+    calibration = _calibrate()
+    print(f"# calibration: {calibration}", file=sys.stderr)
 
     spark = get_spark("graphd_spark_bench")
     # warm the JVM + load table metadata outside the timed region
@@ -111,7 +165,10 @@ def main() -> None:
     # round-6 level with zero changes to those queries.  Treat
     # headline deltas under ~5% as noise; serving qps numbers are
     # single-threaded and far less load-sensitive.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # N=5 medians (round 9, idle-box protocol): the wider sample
+    # narrows the median's noise floor so sub-5% per-query deltas are
+    # readable when calibration says the box was quiet
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = inventory.QUERIES[name]
@@ -134,7 +191,13 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    serving = _serving_bench(spark, sf_dir)
+    # SPARK_GRAFT_BENCH_SERVING=0 skips the serving microbench (the
+    # sf1 scale spot-check only compares the inventory headline)
+    serving = (
+        _serving_bench(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_BENCH_SERVING", "1") != "0"
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -146,6 +209,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "serving": serving,
+                "calibration": calibration,
             }
         )
     )
