@@ -298,6 +298,25 @@ def _gen_cursor_constraint(rng: random.Random) -> str:
         return " ".join(links)
     if r < 0.65:
         return "value~=" + _q(rng.choice(["a*", "b*", "c*", "z*"]))
+    if r < 0.75:
+        # round 9: a branch conjoining a SUB-BEARING nested chain
+        # (the recursive first-match machinery) under the top-level
+        # cursor — the freeze must cover the winning inner branch's
+        # sub iterator and the signature the recursive clause split
+        inner = (
+            f"(<-left value={_q(rng.choice(_VALUES))})"
+            if rng.random() < 0.7
+            else f"(<-right name={_q(rng.choice(_NAMES))})"
+        )
+        conj = rng.choice([
+            "value~=" + _q(rng.choice(["a*", "b*"])) + " ",
+            f"name={_q(rng.choice(_NAMES))} ",
+            "",
+        ])
+        return (
+            f"{{ {{ {inner} | value={_q(rng.choice(_VALUES))} }} "
+            f"{conj}| value={_q(rng.choice(_VALUES))} }}"
+        )
     sub = rng.choice(
         [f'value={_q(rng.choice(_VALUES))}',
          f'name={_q(rng.choice(_NAMES))}']
