@@ -71,18 +71,28 @@ HEADLINE = [
 
 
 def _calibrate() -> dict:
-    """Idle-box protocol (round 9, VERDICT r8 item 5): time a fixed
-    single-threaded CPU loop and compare against the stored idle
-    reference (.bench_calibration.json, recorded once on a quiet
-    machine).  A ratio above 1.05 means ambient load is inflating the
-    wall clock — the run retries briefly, then proceeds with
-    status="loaded" so the reader knows headline deltas in that run
-    are suspect.  This turns the round-8 written finding (±20%
-    headline drift under concurrent fuzz campaigns) into a recorded,
-    per-run signal instead of a warning comment."""
+    """Idle-box protocol (round 9, VERDICT r8 item 5): time two fixed
+    single-threaded probes — a cache-resident CPU loop (sha256) and a
+    memory-latency random-stride walk — and compare against the
+    stored idle reference (.bench_calibration.json, recorded once on
+    a quiet machine).  A ratio above 1.05 on EITHER probe means
+    ambient conditions are inflating the wall clock — the run retries
+    briefly, then proceeds with status="loaded" so the reader knows
+    deltas in that run are suspect.  This turns the round-8 written
+    finding (±20% headline drift under concurrent fuzz campaigns)
+    into a recorded, per-run signal instead of a warning comment.
+
+    Why two probes: the round-9 A/B (same code, HEAD vs its parent,
+    quiet guest) measured serving qps at 0.57-0.77x of the round-8
+    driver numbers while the CPU probe drifted only 4% — the serving
+    hot loop is memory-latency-bound (big dict walks over a 1.2M-row
+    store) and host-level memory-bandwidth contention is invisible to
+    a cache-resident loop.  Serving comparisons across rounds should
+    therefore lean on the SAME-RUN A/B ratio or the mem probe, not
+    raw qps."""
     import hashlib
 
-    def one() -> float:
+    def one_cpu() -> float:
         buf = b"x" * 65536
         t0 = time.perf_counter()
         h = hashlib.sha256()
@@ -91,7 +101,19 @@ def _calibrate() -> dict:
         h.digest()
         return time.perf_counter() - t0
 
-    one()  # warm the loop itself
+    _MEM = bytearray(64 << 20)
+
+    def one_mem() -> float:
+        # random-stride byte walk: ~200k dependent cache misses
+        mask = (64 << 20) - 1
+        t0 = time.perf_counter()
+        i = s = 0
+        for _ in range(200_000):
+            s += _MEM[i]
+            i = (i * 1103515245 + 12345 + s) & mask
+        return time.perf_counter() - t0
+
+    one_cpu(); one_mem()  # warm the loops themselves
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_calibration.json",
@@ -100,25 +122,40 @@ def _calibrate() -> dict:
     if os.path.exists(path):
         try:
             with open(path) as f:
-                ref = json.load(f)["sec"]
+                j = json.load(f)
+            ref = (j["sec"], j.get("mem_sec"))
         except Exception:
             ref = None
-    best = None
+    best = best_m = None
     for _attempt in range(3):
-        t = min(one() for _ in range(3))
+        t = min(one_cpu() for _ in range(3))
+        tm = min(one_mem() for _ in range(3))
         best = t if best is None or t < best else best
-        if ref is None or best <= ref * 1.05:
+        best_m = tm if best_m is None or tm < best_m else best_m
+        if ref is None or (
+            best <= ref[0] * 1.05
+            and (ref[1] is None or best_m <= ref[1] * 1.05)
+        ):
             break
         time.sleep(2.0)  # transient spike: give it a beat and retry
     if ref is None:
         with open(path, "w") as f:
-            json.dump({"sec": round(best, 5)}, f)
+            json.dump(
+                {"sec": round(best, 5), "mem_sec": round(best_m, 5)}, f
+            )
         return {"ref_sec": round(best, 5), "sec": round(best, 5),
-                "ratio": 1.0, "status": "recorded"}
-    ratio = best / ref
-    return {"ref_sec": ref, "sec": round(best, 5),
-            "ratio": round(ratio, 3),
-            "status": "ok" if ratio <= 1.05 else "loaded"}
+                "mem_ref_sec": round(best_m, 5),
+                "mem_sec": round(best_m, 5),
+                "ratio": 1.0, "mem_ratio": 1.0, "status": "recorded"}
+    ratio = best / ref[0]
+    mem_ratio = (best_m / ref[1]) if ref[1] else 1.0
+    return {"ref_sec": ref[0], "sec": round(best, 5),
+            "mem_ref_sec": ref[1], "mem_sec": round(best_m, 5),
+            "ratio": round(ratio, 3), "mem_ratio": round(mem_ratio, 3),
+            "status": (
+                "ok" if ratio <= 1.05 and mem_ratio <= 1.05
+                else "loaded"
+            )}
 
 
 def main() -> None:

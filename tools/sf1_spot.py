@@ -19,6 +19,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1"
 REPLICAS = 10
