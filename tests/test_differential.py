@@ -1568,6 +1568,129 @@ def test_differential_writepaged(spark, ref_bin, seed):
     assert not problems, "\n".join(problems)
 
 
+def check_writeasof_seed(spark, seed: int) -> list[str]:
+    """Round-9 novelty dimension: asof'd cursor chains over a store
+    that GROWS past the asof horizon mid-chain.  asof= pins the whole
+    chain to the store state at the horizon (asof'd cursor envelopes
+    omit [n:] — the asof IS the horizon), so interleaved writes,
+    version bumps, and tombstones landing between pages must stay
+    invisible to every later page, while the writes themselves
+    succeed and allocate identical ids in both sessions."""
+    import re as _re
+    import select
+    import subprocess
+    import tempfile
+
+    rng = random.Random(80_000 + seed)
+    lines, burst = gen_cursor_writes(rng)
+    reads0 = gen_cursor_reads(rng, burst)
+    pool = gen_interleave_writes(rng, burst, n=len(reads0) * 5)
+    sched = {}
+    k = 0
+    for i in range(len(reads0)):
+        for hop in range(5):
+            if rng.random() < 0.65:
+                sched[(i, hop)] = pool[k]
+            k += 1
+
+    def paginate(ask, reads):
+        out = []
+        for i, read in enumerate(reads):
+            reply = ask(read)
+            out.append(reply)
+            hops = 0
+            while hops < 5:
+                m = _re.search(
+                    r'"((?:cursor|sort|position):[^"]*)"', reply
+                )
+                if not m or m.group(1) == "null:":
+                    break
+                w = sched.get((i, hops))
+                if w is not None:
+                    out.append(ask(w))
+                esc = m.group(1).replace("\\", "\\\\").replace(
+                    '"', '\\"'
+                )
+                reply = ask(
+                    read.replace(
+                        "result=(cursor",
+                        f'cursor="{esc}" result=(cursor',
+                        1,
+                    )
+                )
+                out.append(reply)
+                hops += 1
+        return out
+
+    def asof_reads(writes_replies):
+        # predictable mode: primitive id i carries timestamp
+        # 1970-01-01T00:00:00.{i+1:04d} — an asof at the LAST
+        # prologue id covers the prologue exactly and puts every
+        # interleaved write past the horizon
+        nids = sum(
+            len(_re.findall(r"[0-9a-f]{32}", r))
+            for r in writes_replies
+        )
+        ts = f"1970-01-01T00:00:00.{max(nids, 1):04d}"
+        return [
+            r if "asof=" in r
+            else r.replace("read (", f"read (asof={ts} ", 1)
+            for r in reads0
+        ]
+
+    with tempfile.TemporaryDirectory(prefix="gdref_") as db:
+        proc = subprocess.Popen(
+            [REF_BIN, "-d", os.path.join(db, "db"), "-bty"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            text=True, bufsize=1, cwd=db,
+        )
+
+        def ask_ref(req):
+            proc.stdin.write(req + "\n")
+            proc.stdin.flush()
+            ready, _, _ = select.select([proc.stdout], [], [], 30)
+            if not ready:
+                raise TimeoutError(req)
+            return proc.stdout.readline().rstrip("\n")
+
+        try:
+            ref_writes = [ask_ref(ln) for ln in lines]
+            reads = asof_reads(ref_writes)
+            ref_pages = paginate(ask_ref, reads)
+        finally:
+            proc.stdin.close()
+            proc.wait(timeout=30)
+
+    from graphd_spark.api import GraphSession
+
+    gs = GraphSession(spark)
+    got_writes = [gs.request(ln) for ln in lines]
+    got_pages = paginate(gs.request, reads)
+    problems = []
+    if got_writes != ref_writes:
+        problems.extend(
+            f"prologue write differs:\n  got: {g}\n  exp: {w}"
+            for g, w in zip(got_writes, ref_writes) if g != w
+        )
+    if got_pages != ref_pages:
+        problems.append("script:\n  " + "\n  ".join(lines + reads))
+        problems.extend(
+            f"asof page differs:\n  got: {g}\n  exp: {w}"
+            for g, w in zip(got_pages, ref_pages) if g != w
+        )
+        if len(got_pages) != len(ref_pages):
+            problems.append(
+                f"(pages: got {len(got_pages)}, exp {len(ref_pages)})"
+            )
+    return problems
+
+
+@pytest.mark.parametrize("seed", list(range(8)))
+def test_differential_writeasof(spark, ref_bin, seed):
+    problems = check_writeasof_seed(spark, seed)
+    assert not problems, "\n".join(p[:500] for p in problems)
+
+
 # -- directed write-INTO-the-sorted-window chains (round 9) ----------------
 #
 # The seed-454 divergence class, generated on purpose instead of by

@@ -34,6 +34,7 @@ from tests.test_differential import (  # noqa: E402
     gen_cursor_writes,
     check_replica_seed,
     check_roundtrip_seed,
+    check_writeasof_seed,
     check_writeinto_seed,
     check_writepaged_seed,
     gen_or_script,
@@ -125,6 +126,7 @@ def main() -> int:
     replica = "--replica" in sys.argv
     writepaged = "--writepaged" in sys.argv
     writeinto = "--writeinto" in sys.argv
+    writeasof = "--writeasof" in sys.argv
     orchains = "--orchains" in sys.argv
     writes = "--writes" in sys.argv
     sortcursors = "--sortcursors" in sys.argv
@@ -140,7 +142,7 @@ def main() -> int:
     spark = get_spark("diff_campaign")
     bad = []
     for seed in range(start, end):
-        if roundtrip or replica or writepaged or writeinto:
+        if roundtrip or replica or writepaged or writeinto or writeasof:
             problems = (
                 check_roundtrip_seed(spark, seed)
                 if roundtrip
@@ -148,6 +150,8 @@ def main() -> int:
                 if writepaged
                 else check_writeinto_seed(spark, seed)
                 if writeinto
+                else check_writeasof_seed(spark, seed)
+                if writeasof
                 else check_replica_seed(spark, seed)
             )
             if problems:

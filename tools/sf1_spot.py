@@ -12,6 +12,16 @@ well under 10x the time on local[32] (Spark amortizes fixed overhead);
 anything super-linear beyond shuffle constants is flagged.
 
 Usage: python tools/sf1_spot.py [--build-only|--run-only]
+
+Round-9 measured result (sf1_spot_results_r9.json, local[32]):
+10x data -> 2.31x headline wall (49.7s -> 115.0s), zero queries over
+10x.  Worst factors: restore_bulk 5.95x (row-heaviest op, closest to
+linear in actual data work), collect_contents 3.66x, topk_per_group
+3.13x, ann_ivf_topk 2.95x; the text/quality kernels sit near 1.1x
+(fixed job overhead dominates at these scales).  Nothing
+super-linear: the design audit's claim (bucketed/banded dedup joins,
+broadcast ANN sides, salted boilerplate join, O(log n) components)
+now has a measured point behind it.
 """
 import json
 import os
