@@ -651,6 +651,12 @@ class FastReader:
         self._thaw_active = False
         self._thaw_by_row: dict = {}   # id(parent row) -> thaw resumes
         self._defer_by_row: dict = {}  # id(parent row) -> set resumes
+        #: round 9: resumed UNSORTED or-branch sub cursors — the
+        #: request-shared per-constraint 5-slot bad-id ring
+        #: (graphd-bad-cache.c) and the deferred pass-2 records
+        #: (graphd-read-set.c "defer results"); see _cursub_pass1
+        self._cursub_ring: dict = {}   # id(sub con) -> [slots*5, idx]
+        self._cursub_defer: list = []
         self._spec_depth = 0
         #: per-request cache of timestamp-range id bounds, keyed by
         #: constraint identity (the reference compiles them once per
@@ -2392,6 +2398,166 @@ class FastReader:
         )
         return sign_cursor(con, body, self.types.resolve)
 
+    def _or_union_ids_f(self, con) -> Optional[list]:
+        """Iterator-level pre-evaluated candidate ids of an or-chain
+        ROOT (ascending, deduped): the union over branches of each
+        branch's iterator — hmap bins for value=/name= equalities
+        (normalization collisions included), gmap spans for type=,
+        linksto/fan-in expansions for branch subs, intersections for
+        conjoined clauses, recursion for nested chains (ref
+        graphd-constraint-iterator.c or-union; graphd-iterator-or.c).
+        None when the root shape or a branch clause falls outside the
+        modeled family, or the union exceeds the materialization cap
+        — callers keep their existing fallbacks."""
+        from graphd_spark.compiler import _FIXED_MATERIALIZE_MAX
+
+        if len(con.or_chains) != 1 or con.subs:
+            return None
+        if con.sort is not None:
+            # a PERFECT leading timestamp/guid key rides the union's
+            # id order (graphd_sort_needed false — writepaged seed
+            # 39); real sorts route through the sorter (unmodeled)
+            first0 = con.sort[0]
+            if first0.pattern.kind not in ("timestamp", "guid") \
+                    or first0.descending:
+                return None
+
+        def raw_bin(tname, key):
+            # UNCLAMPED bin members: the frozen pre-evaluated set is
+            # the raw index content — an asof read's acceptance
+            # filter does NOT narrow the frozen union (seed 4160:
+            # the reference freezes ids past the asof horizon)
+            if tname == "name":
+                return set(self.store._name_ids.get(key.lower(), ()))
+            from graphd_spark.comparators import value_norm_key
+
+            return set(
+                self.store._vnorm_ids.get(value_norm_key(key), ())
+            )
+        if (
+            con.value_strcons or con.name_strcons or con.type_strcons
+            or con.guid or con.links or con.next or con.prev
+        ):
+            return None  # conjoined root predicates: and-iterator
+        st = self.store
+
+        def sub_parent_ids(sub) -> Optional[set]:
+            kind, lk = sub.linkage or (None, None)
+            if kind not in ("my", "iam") or lk == "bi":
+                return None
+            if sub.subs or sub.or_chains or sub.guid:
+                return None
+            child_ids: Optional[set] = None
+            for tname, scs in (
+                ("value", sub.value_strcons),
+                ("name", sub.name_strcons),
+            ):
+                for sc in scs:
+                    if sc.op != "=" or len(sc.values) != 1 \
+                            or not sc.values[0]:
+                        return None
+                    b = raw_bin(tname, sc.values[0])
+                    child_ids = b if child_ids is None \
+                        else (child_ids & b)
+            if sub.type_strcons:
+                return None
+            if kind == "my":
+                if child_ids is None:
+                    # bare linkage: every pointed-at parent
+                    return {
+                        st.by_guid[g].id
+                        for (l, g) in st._ptr_ids
+                        if l == lk and g in st.by_guid
+                    }
+                out = set()
+                for cid in child_ids:
+                    g = getattr(st.rows[cid - st._base], lk, None)
+                    t = st.by_guid.get(g) if g is not None else None
+                    if t is not None:
+                        out.add(t.id)
+                return out
+            # iam: parent.lk == child.guid
+            if child_ids is None:
+                return None  # bare iam: every linking primitive
+            out = set()
+            for cid in child_ids:
+                g = st.rows[cid - st._base].guid
+                out.update(st._ptr_ids.get((lk, g), ()))
+            return out
+
+        def branch_ids(b) -> Optional[set]:
+            if b.false:
+                return set()
+            if (
+                b.guid or b.links or b.next or b.prev
+                or b.assignments
+            ):
+                return None
+            sets: list = []
+            for tname, scs in (
+                ("value", b.value_strcons), ("name", b.name_strcons)
+            ):
+                for sc in scs:
+                    if sc.op != "=" or len(sc.values) != 1 \
+                            or not sc.values[0]:
+                        return None
+                    sets.append(raw_bin(tname, sc.values[0]))
+            if b.type_strcons:
+                return None
+            for sub in b.subs:
+                sp_ids = sub_parent_ids(sub)
+                if sp_ids is None:
+                    return None
+                sets.append(sp_ids)
+            for ch in b.or_chains:
+                u: set = set()
+                for x in ch:
+                    xi = branch_ids(x)
+                    if xi is None:
+                        return None
+                    u |= xi
+                sets.append(u)
+            if b.timestamps:
+                lo_hi = self._ts_bounds(b)
+                if lo_hi is None:
+                    return None
+                lo, hi = lo_hi
+                if not sets:
+                    return None  # pure ts branch: range producer
+                sets = [
+                    {i for i in s if lo <= i < hi} for s in sets
+                ]
+            if not sets:
+                return None  # unconstrained branch matches all
+            out = sets[0]
+            for s in sets[1:]:
+                out &= s
+            return out
+
+        union: set = set()
+        for b in con.or_chains[0]:
+            bi = branch_ids(b)
+            if bi is None:
+                return None
+            union |= bi
+            if len(union) > _FIXED_MATERIALIZE_MAX:
+                return None
+        ids = sorted(
+            i for i in union if st._base <= i < st.next_id
+        )
+        return ids or None
+
+    def _ts_bounds(self, con) -> Optional[tuple]:
+        """(low, high) id bounds a branch's timestamp envelope
+        compiles to at iterator level, or None when unmodeled."""
+        try:
+            ent = self._ts_id_bounds.get(id(con))
+            if ent is not None:
+                return ent
+        except Exception:
+            return None
+        return None
+
     def _or_linksto_cursor_f(
         self, con, cstate, page_prims, prior, count
     ) -> Optional[str]:
@@ -2741,6 +2907,20 @@ class FastReader:
         )
         if sub_gmap is not None:
             return sub_gmap
+        # or-chain roots freeze the ITERATOR-LEVEL union of the
+        # branch candidate sets as a plain fixed iterator — bin
+        # members and linksto expansions, acceptance-rejected ids
+        # included (round 9, cursor seeds 4160/4209: the accepted-set
+        # fallback froze fixed:4 where the reference emits fixed:11)
+        or_ids = self._or_union_ids_f(con)
+        if or_ids is not None and last_id in or_ids:
+            st = CursorState(
+                form="fixed", fixed_ids=or_ids,
+                pos=or_ids.index(last_id) + 1,
+            )
+            return freeze_cursor(
+                con, st, delivered, count, self.types.resolve
+            )
         # linkage-driven roots: small candidate sets materialize into
         # a fixed iterator; larger ones keep their isa/linksto shape
         # (mirror compiler.py:847-886)
@@ -3572,6 +3752,22 @@ class FastReader:
                 matches.append((p, row))
                 if stop_at is not None and len(matches) >= stop_at:
                     break
+        if self._cursub_defer:
+            # pass 2 of the resumed branch-sub cursor model: rendered
+            # parents' deferred evals continue in parent order (ring
+            # state as poisoned by every pass 1 above)
+            rendered: set = set()
+
+            def _collect_rows(rws):
+                for r in rws:
+                    if isinstance(r, dict):
+                        rendered.add(id(r))
+                        for v in r.values():
+                            if isinstance(v, list):
+                                _collect_rows(v)
+
+            _collect_rows([r for _p, r in matches if r is not None])
+            self._cursub_finalize(rendered)
         if self._thaw_active and (self._thaw_by_row or self._defer_by_row):
             lo = con.start or 0
 
@@ -4291,6 +4487,49 @@ class FastReader:
                     return _NO_MATCH
                 continue
             # agg: per-parent exact count + ordered page array
+            if ss.cstate is not None and ss.ssim is None:
+                rem = self._cursub_remainder(ss)
+                if rem is not None:
+                    # resumed unsorted PLAIN sub cursor: the same
+                    # two-pass ring model as or-branch subs — a
+                    # count>=0 sub evaluates (and drains) for every
+                    # root candidate, so an earlier parent's pass
+                    # poisons a later pinned parent's resume (cursor
+                    # seed 321); mandatory subs restrict the root to
+                    # linked parents (no drain for the rest)
+                    mandatory = (
+                        not sub.is_optional
+                        and sub.count_eq != 0
+                        and (
+                            sub.count_min is None or sub.count_min > 0
+                        )
+                    )
+                    rec = self._cursub_pass1(
+                        p, ss, rem,
+                        build_row=row is not None,
+                        sibling_candidacy=lambda m=mandatory: not m,
+                    )
+                    if rec is None or not rec["flag"]:
+                        if mandatory and not ss.outer:
+                            return _NO_MATCH
+                        if row is not None:
+                            row[sp.cnt_col] = None
+                            row[sp.arr_col] = None
+                            first = None
+                            for newcol, src in ss.var_imports:
+                                row[newcol] = None
+                        continue
+                    rec["prow"] = row
+                    if row is not None:
+                        row[sp.cnt_col] = rec["n"]
+                        row[sp.arr_col] = rec["rows"]
+                        first = rec["rows"][0] if rec["rows"] else None
+                        for newcol, src in ss.var_imports:
+                            row[newcol] = (
+                                None if first is None
+                                else first.get(src)
+                            )
+                    continue
             thaw = ss.ssim.thaw if ss.ssim is not None else None
             if thaw is not None:
                 # thawed sorted cursor sub: exact reference model —
@@ -4564,6 +4803,211 @@ class FastReader:
             return 0
         return 0
 
+    # -- resumed unsorted or-branch sub cursors (round 9) -----------------
+    #
+    # Spew-trace-derived model of the reference's resumed page for an
+    # or-BRANCH subconstraint carrying an UNSORTED cursor (ref
+    # graphd-read-set.c grsc_next/grsc_are_we_done "(defer results)",
+    # graphd-read-set-cursor.c, graphd-bad-cache.c, and
+    # graphd-read-set.c:2208 grsc_subconstraint_iterator's cursor
+    # branch — `clone(con_it)` for EVERY parent, no per-parent
+    # fan-in):
+    #
+    # 1. Every EVALUATED parent iterates a clone of the thawed frozen
+    #    set from /pos/; rejected candidates enter the request-shared
+    #    per-CONSTRAINT 5-slot bad-id ring; ring members reject
+    #    instantly on later encounters (cache poisoning across
+    #    parents is observable and mirrored: probe q1 — the pinned
+    #    parent's chain ends a page early because another parent's
+    #    branch check drained the set first).
+    # 2. countcon_min defaults to [o:]+1 when no explicit count>=
+    #    (graphd-constraint-cursor.c:48-50); count bounds compare the
+    #    ABSOLUTE frame (count + o) for every parent.
+    # 3. A parent's sub eval DEFERS once absolute >= countcon_min
+    #    (instantly at zero accepts when o >= an explicit minimum —
+    #    the parent then "wins" the branch with an empty ("null:")
+    #    slot, probe atleast2); EOF before the minimum fails the
+    #    branch.  Deferred evals continue at render time, in parent
+    #    order, consulting the ring as poisoned by every later
+    #    parent's pass 1 — the continuation delivers up to
+    #    start+pagesize rendered accepts plus ONE lookahead; EOF
+    #    before the lookahead clears the cursor to null:.
+    # 4. Parents never produced by the reference's root union
+    #    (not linked from the remainder, no other branch candidacy)
+    #    are NEVER evaluated and must not drain the ring (probe
+    #    two-parents: the root iterator on the resumed page was
+    #    fixed[1: A] — parent B vanished without touching the set).
+
+    def _cursub_remainder(self, ss):
+        """Raw remaining candidate ids (ascending) of an unsorted
+        thawed branch-sub cursor, or None when the shape is outside
+        the modeled family (legacy path)."""
+        cst = ss.cstate
+        if (
+            cst is None
+            or getattr(cst, "backward", False)
+            or ss.ssim is not None
+            or ss.rps == 0
+            or ss.sub.sort is not None
+            or ss.sub.count_eq is not None
+            or ss.sub.count_max is not None
+            # a live _ThawScan elsewhere imposes its own global
+            # consumption discipline — keep the legacy ordering-aware
+            # path there
+            or self._thaw_active
+        ):
+            return None
+        kind, lk = ss.sub.linkage or (None, None)
+        if kind != "my" or lk == "bi":
+            return None
+        if ss.sub.result is not None and any(
+            pat.kind in ("count", "estimate", "estimate-count")
+            for pat in ss.sub.result.walk()
+        ):
+            return None  # count demands disable the defer; unmodeled
+        if cst.form == "fixed":
+            ids = list(cst.fixed_ids or ())
+            pos = cst.pos or 0
+        elif cst.form == "vip":
+            ids = list(cst.fixed_ids or ())
+            pos = cst.inner_pos or 0
+        elif cst.form == "gmap":
+            if cst.src is None:
+                return None
+            # the frozen span bounds itself (gmap:LO-HI); the scoped
+            # _cur_high refreeze clamp must NOT narrow the remainder
+            from graphd_spark.model import guid_compose
+
+            g = guid_compose(self.store.db_id, cst.src)
+            ids = [
+                i
+                for i in self.store._ptr_ids.get(
+                    (_GMAP_NAMES[cst.lk], g), ()
+                )
+                if i >= (cst.low or 0)
+                and (cst.high is None or i < cst.high)
+            ]
+            pos = cst.pos or 0
+        else:
+            return None
+        _hb = self._sub_high(ss.sub)
+        rem = [
+            i for i in ids[pos:]
+            if (_hb is None or i < _hb)
+            and self.store._base <= i < self.store.next_id
+        ]
+        return rem
+
+    def _cursub_ring_check(self, sub, cid) -> bool:
+        ent = self._cursub_ring.get(id(sub))
+        return ent is not None and cid in ent[0]
+
+    def _cursub_ring_add(self, sub, cid) -> None:
+        ent = self._cursub_ring.setdefault(id(sub), [[None] * 5, 0])
+        ent[0][ent[1]] = cid
+        ent[1] = (ent[1] + 1) % 5
+
+    def _cursub_pass1(self, p: Primitive, ss, rem, build_row,
+                      sibling_candidacy):
+        """Match-phase evaluation for one parent; returns the record
+        dict (flag/n/child_rows + deferred state) or None when this
+        parent is not a root candidate at all (no drain — rule 4)."""
+        sub = ss.sub
+        _kind, lk = sub.linkage
+        linked = any(
+            getattr(self.store.rows[cid - self.store._base], lk, None)
+            == p.guid
+            for cid in rem
+        )
+        if not linked and not sibling_candidacy():
+            return None
+        o = ss.cstate.offset or 0
+        count_min = (
+            sub.count_min if sub.count_min is not None else o + 1
+        )
+        accepts: list = []
+        child_rows: list = []
+        i = 0
+        deferred = o >= count_min  # instant defer (explicit count<=o)
+        while not deferred and i < len(rem):
+            cid = rem[i]
+            i += 1
+            if self._cursub_ring_check(sub, cid):
+                continue
+            c = self.store.rows[cid - self.store._base]
+            if getattr(c, lk, None) != p.guid:
+                self._cursub_ring_add(sub, cid)
+                continue
+            crow = self._row_for(
+                c, sub, ss.child_spec, build_row=build_row
+            )
+            if crow is _NO_MATCH:
+                self._cursub_ring_add(sub, cid)
+                continue
+            accepts.append((c, crow))
+            if len(accepts) + o >= count_min:
+                deferred = True
+        if not deferred:
+            return {"flag": False, "n": 0, "rows": child_rows,
+                    "done": True, "ss": ss, "p": p, "idx": i,
+                    "rem": rem, "accepts": accepts}
+        for _c, r in accepts[ss.lo:ss.lo + ss.rps]:
+            child_rows.append(r)
+        rec = {
+            "flag": True, "n": len(accepts), "rows": child_rows,
+            "done": False, "ss": ss, "p": p, "idx": i, "rem": rem,
+            "accepts": accepts, "build_row": build_row,
+        }
+        self._cursub_defer.append(rec)
+        return rec
+
+    def _cursub_finalize(self, rendered_rows: set) -> None:
+        """Render-phase continuation (pass 2), in parent order: each
+        deferred record whose parent row actually rendered continues
+        its clone to the page bound plus one lookahead; EOF first
+        clears the cursor to null: (ctx["resumed"] verdicts consumed
+        by Assembler._sub_cursor)."""
+        for rec in self._cursub_defer:
+            if rec["done"]:
+                continue
+            rec["done"] = True
+            prow = rec.get("prow")
+            if prow is None or id(prow) not in rendered_rows:
+                continue
+            ss, p, rem = rec["ss"], rec["p"], rec["rem"]
+            sub = ss.sub
+            _kind, lk = sub.linkage
+            accepts = rec["accepts"]
+            i = rec["idx"]
+            stop = ss.lo + ss.rps + 1  # the +1 = cursor lookahead
+            while i < len(rem) and len(accepts) < stop:
+                cid = rem[i]
+                i += 1
+                if self._cursub_ring_check(sub, cid):
+                    continue
+                c = self.store.rows[cid - self.store._base]
+                if getattr(c, lk, None) != p.guid:
+                    self._cursub_ring_add(sub, cid)
+                    continue
+                crow = self._row_for(
+                    c, sub, ss.child_spec,
+                    build_row=rec["build_row"],
+                )
+                if crow is _NO_MATCH:
+                    self._cursub_ring_add(sub, cid)
+                    continue
+                accepts.append((c, crow))
+            child_rows = rec["rows"]
+            del child_rows[:]
+            for _c, r in accepts[ss.lo:ss.lo + ss.rps]:
+                child_rows.append(r)
+            prow[ss.sp.cnt_col] = len(accepts)
+            prow[ss.sp.arr_col] = child_rows
+            keep = len(accepts) >= stop
+            ctx = getattr(ss.sp.plan, "cursor_ctx", None)
+            if ctx is not None:
+                ctx.setdefault("resumed", {})[id(child_rows)] = keep
+
     def _eval_or_chain(self, p: Primitive, cspec, row) -> bool:
         """Mirror of _apply_or_chain's non-intrinsic path: every
         branch's sub aggregates left-join onto the row, per-branch
@@ -4576,7 +5020,13 @@ class FastReader:
         probed against the reference)."""
         branch_specs, merged = cspec
         results = [
-            self._eval_branch(p, bentry, row) for bentry in branch_specs
+            self._eval_branch(
+                p, bentry, row,
+                siblings=[
+                    e[0] for e in branch_specs if e is not bentry
+                ],
+            )
+            for bentry in branch_specs
         ]
         if row is not None:
             self._null_or_chain(row, cspec)
@@ -4584,11 +5034,13 @@ class FastReader:
                                   set())
         return any(r[0] for r in results)
 
-    def _eval_branch(self, p: Primitive, bentry, row):
+    def _eval_branch(self, p: Primitive, bentry, row, siblings=()):
         """Phase 1 for one branch entry: (flag, vals, inner_results).
         Slot contents (cnt/arr cols) are written into `row`
         unconditionally — the ecol written by the commit walk gates
-        their rendering."""
+        their rendering.  `siblings` are the chain's other branch
+        constraints (root-candidacy check of the resumed branch-sub
+        cursor model, rule 4)."""
         b, bsubs, bvars, bpats, _ecol, inner_cspecs = bentry
         skip = (
             {id(ch) for ch, _ic in inner_cspecs}
@@ -4598,6 +5050,47 @@ class FastReader:
         vals = {}
         for ss in bsubs:
             sub, sp = ss.sub, ss.sp
+            if ss.cstate is not None and ss.ssim is None:
+                rem = self._cursub_remainder(ss)
+                if rem is not None:
+                    # resumed unsorted branch-sub cursor: the
+                    # spew-derived two-pass model (see the round-9
+                    # block above _cursub_remainder)
+                    rec = self._cursub_pass1(
+                        p, ss, rem,
+                        build_row=row is not None,
+                        # root-union candidacy via a sibling branch:
+                        # iterator-level intrinsics (the reference's
+                        # union runs pre-generation-filter)
+                        sibling_candidacy=lambda: any(
+                            self._iter_intrinsic(
+                                p, b2, in_branch=True, iter_level=True
+                            )
+                            for b2 in siblings
+                        ),
+                    )
+                    if rec is None or not rec["flag"]:
+                        flag = False
+                        if row is not None:
+                            row[sp.cnt_col] = None
+                            row[sp.arr_col] = None
+                        continue
+                    rec["prow"] = row
+                    child_rows = rec["rows"]
+                    if row is not None:
+                        # the deferred slot RENDERS even when empty
+                        # (("null:") — probe atleast2); pass 2
+                        # finalizes cnt/arr and the keep/null verdict
+                        row[sp.cnt_col] = rec["n"]
+                        row[sp.arr_col] = child_rows
+                    first = child_rows[0] if child_rows else None
+                    for var, _k, newcol, arr, src in bvars:
+                        if arr == sp.arr_col:
+                            vals[newcol] = (
+                                None if first is None
+                                else first.get(src)
+                            )
+                    continue
             bthaw = ss.ssim.thaw if ss.ssim is not None else None
             if bthaw is not None:
                 # thawed sorted cursor sub inside an or-branch:
@@ -4765,7 +5258,13 @@ class FastReader:
         inner_results = []
         for _ch, icspec in inner_cspecs:
             ires = [
-                self._eval_branch(p, ibe, row) for ibe in icspec[0]
+                self._eval_branch(
+                    p, ibe, row,
+                    siblings=[
+                        e[0] for e in icspec[0] if e is not ibe
+                    ],
+                )
+                for ibe in icspec[0]
             ]
             flag = flag and any(r[0] for r in ires)
             inner_results.append((icspec, ires))

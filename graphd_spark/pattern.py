@@ -201,10 +201,19 @@ class Assembler:
             probe = (ctx.get("probe") or {}).get(id(rows))
         if probe is not None:
             return self._sub_probe_cursor(ctx, probe)
+        # resumed unsorted branch-sub cursor (round 9): the verdict
+        # was decided by the render-time continuation against the
+        # shared bad-id ring (fastread._cursub_finalize) — False
+        # clears to null: even with accepted elements remaining in
+        # the frozen set, True keeps the cursor even when the local
+        # count says everything was delivered
+        resumed = (ctx.get("resumed") or {}).get(id(rows))
+        if resumed is False:
+            return None
         if not rows:
             return None
         lo = ctx.get("lo", 0)
-        if lo + len(rows) >= (total or 0):
+        if resumed is not True and lo + len(rows) >= (total or 0):
             return None  # every accepted element delivered -> null:
         last = guid_serial(rows[-1]["guid"])
         delivered = ctx["offset"] + lo + len(rows)

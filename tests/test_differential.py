@@ -1691,6 +1691,110 @@ def test_differential_writeasof(spark, ref_bin, seed):
     assert not problems, "\n".join(p[:500] for p in problems)
 
 
+#: directed probes for the resumed UNSORTED or-branch sub cursor
+#: model (round 9; fastread._cursub_pass1/_cursub_finalize): the
+#: request-shared per-constraint 5-slot bad-id ring is poisoned by
+#: every evaluated parent's branch check over the thawed set — the
+#: pinned parent's chain can end a page early, a parent evaluated
+#: FIRST can make a later pinned parent vanish, and an explicit
+#: count>= at or below [o:] defers instantly, winning the branch
+#:  with an empty ("null:") slot.  Each case pages to exhaustion
+#: against the live reference binary.
+_CURSUB_RING_CASES = [
+    # (writes, read) — q1: sibling parent's drain poisons the ring
+    (['write (name="p" value="A" (<-left value="k1") (<-left value="k2")'
+      ' (<-left value="k3") (<-left value="k4"))',
+      'write (name="p" value="C")'],
+     'read (name="p" pagesize=4 result=((value contents)) '
+     '{ (<-left value~="k*" pagesize=1 result=(cursor (guid value))) '
+     '| value="C" })'),
+    # C-first: the earlier parent drains before the pinned one runs
+    (['write (name="p" value="C")',
+      'write (name="p" value="A" (<-left value="k1") (<-left value="k2")'
+      ' (<-left value="k3") (<-left value="k4"))'],
+     'read (name="p" pagesize=4 result=((value contents)) '
+     '{ (<-left value~="k*" pagesize=1 result=(cursor (guid value))) '
+     '| value="C" })'),
+    # explicit count>= <= [o:]: instant defer, ("null:") empty slot
+    (['write (name="p" value="A" (<-left value="k1") (<-left value="k2")'
+      ' (<-left value="k3") (<-left value="k4") (<-left value="k5"))',
+      'write (name="p" value="C")'],
+     'read (name="p" pagesize=4 result=((value contents)) '
+     '{ (<-left value~="k*" count>=2 pagesize=2 '
+     'result=(cursor (guid value))) | value="C" })'),
+    # no sibling candidacy: full-length chain, ring untouched
+    (['write (name="p" value="A" (<-left value="k1") (<-left value="k2")'
+      ' (<-left value="k3") (<-left value="k4"))',
+      'write (name="p" value="C")'],
+     'read (name="p" value="A" pagesize=4 result=((value contents)) '
+     '{ (<-left value~="k*" pagesize=1 result=(cursor (guid value))) '
+     '| value="zz" })'),
+    # two parents matching the cursored branch: thaw pins to one
+    (['write (name="p" value="A" (<-left value="k1") (<-left value="k2")'
+      ' (<-left value="k3"))',
+      'write (name="p" value="B" (<-left value="k4") (<-left value="k5")'
+      ' (<-left value="k6"))'],
+     'read (name="p" pagesize=4 result=((value contents)) '
+     '{ (<-left value~="k*" pagesize=1 result=(cursor (guid value))) '
+     '| value="zz" })'),
+    # sibling matches the cursored branch too (own child): drains
+    (['write (name="p" value="A" (<-left value="k1") (<-left value="k2")'
+      ' (<-left value="k3"))',
+      'write (name="p" value="C" (<-left value="k9"))'],
+     'read (name="p" pagesize=4 result=((value contents)) '
+     '{ (<-left value~="k*" pagesize=1 result=(cursor (guid value))) '
+     '| value="C" })'),
+    # || short-circuit variant
+    (['write (name="p" value="A" (<-left value="k1") (<-left value="k2")'
+      ' (<-left value="k3") (<-left value="k4"))',
+      'write (name="p" value="C")'],
+     'read (name="p" pagesize=4 result=((value contents)) '
+     '{ (<-left value~="k*" pagesize=1 result=(cursor (guid value))) '
+     '|| value="C" })'),
+    # or-union root freeze: iterator-level bin/linksto union
+    # (seeds 4160/4209 class — acceptance-rejected ids included)
+    (['write (name="q" value="b" (<-right name="color" value="w1"))',
+      'write (name="q" value="Apple")',
+      'write (name="q" value="apple")',
+      'write (value="b")',
+      'write (value="+12")'],
+     'read (pagesize=1 result=(cursor (guid value)) '
+     '{ { (<-right name="color") | value="b" } | value="Apple" })'),
+]
+
+
+@pytest.mark.parametrize("case", range(len(_CURSUB_RING_CASES)))
+def test_cursub_ring_model(spark, ref_bin, case):
+    import re as _re
+
+    writes, rd = _CURSUB_RING_CASES[case]
+
+    def session(ask):
+        out = [ask(w) for w in writes]
+        reply = ask(rd)
+        out.append(reply)
+        hops = 0
+        while hops < 8:
+            m = _re.search(r'"((?:cursor|sort|position):[^"]*)"', reply)
+            if not m or m.group(1) == "null:":
+                break
+            esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+            reply = ask(rd.replace(
+                "result=(cursor", f'cursor="{esc}" result=(cursor', 1
+            ))
+            out.append(reply)
+            hops += 1
+        return out
+
+    want = run_reference_session(session)
+    from graphd_spark.api import GraphSession
+
+    got = session(GraphSession(spark).request)
+    assert got == want, "\n".join(
+        f"  got: {g}\n  exp: {w}" for g, w in zip(got, want) if g != w
+    ) + f"\n(lines: got {len(got)}, exp {len(want)})"
+
+
 # -- directed write-INTO-the-sorted-window chains (round 9) ----------------
 #
 # The seed-454 divergence class, generated on purpose instead of by
