@@ -247,8 +247,32 @@ def _var_used_in(node, v: str) -> bool:
     )
 
 
+def _keeps_sub_results(con: Constraint, keep_result: bool) -> bool:
+    """gva_remove_unused_results gate: a con_head owner whose
+    patterns never sample ``contents`` has every sub's result=
+    REMOVED before the signature runs (the signed fallback is the
+    NULL-pattern "result=()"), and the removal cascades — a sub
+    whose own (possibly removed) patterns lack contents drops its
+    children's results in turn.  A root without result= carries the
+    default read pattern, which samples contents.  Calibrated round
+    9 (cursor seed 4323: an inner-branch cursor sub under a
+    contents-less root signs "result=()" + its pagesize, not the
+    cursor-bearing result pattern)."""
+    pats = [q for _, q in con.assignments]
+    if con.result is not None and keep_result:
+        pats.append(con.result)
+    elif con.result is None and con.parent is None:
+        return True  # default read pattern samples contents
+    if con.sort:
+        pats.extend(sk.pattern for sk in con.sort)
+    return any(
+        p.kind == "contents" for q in pats for p in q.walk()
+    )
+
+
 def _signature(con: Constraint, parts: list[str], resolve=None,
-               asof: bool = False, ancestors=()) -> None:
+               asof: bool = False, ancestors=(),
+               keep_result: bool = True) -> None:
     if con.parent is not None and con.linkage is not None:
         kind, lk = con.linkage
         lk = _LINKAGE_NAMES.get(lk, lk)
@@ -277,13 +301,20 @@ def _signature(con: Constraint, parts: list[str], resolve=None,
     if con.live not in ("unspecified", "true"):
         _sep(parts, "live=*" if con.live == "dontcare" else f"live={con.live}")
 
-    if con.result is not None:
+    if con.result is not None and keep_result:
         # the implicit default result pattern never signs (it compares
         # pointer-equal to graphd_pattern_read_default and is skipped)
         _sep(parts, f"result={pattern_to_string(con.result)}")
-    elif con.parent is not None:
-        # subconstraints without result= sign the NULL-pattern
-        # fallback (calibrated against cursor3/cursor4 checksums)
+    elif con.parent is not None and not (
+        keep_result and con.result is None
+    ):
+        # a sub whose result was REMOVED as unused (parent samples no
+        # contents; gva_remove_unused_results), and a result-less sub
+        # under a contents-LESS parent, sign the NULL-pattern
+        # fallback (calibrated against cursor3/cursor4 checksums); a
+        # result-less sub under a CONTENTS parent default-fills with
+        # graphd_pattern_read_default, which never signs (round-9
+        # matrix: d2-nocur under a contents root)
         _sep(parts, "result=()")
 
     if con.sort is not None:
@@ -433,8 +464,9 @@ def _signature(con: Constraint, parts: list[str], resolve=None,
             _sep(parts, f"{var}={pattern_to_string(pat)}")
 
     anc = (con,) + tuple(ancestors)
+    keep_sub = _keeps_sub_results(con, keep_result)
     for sub in con.subs:
-        _signature(sub, parts, resolve, asof, anc)
+        _signature(sub, parts, resolve, asof, anc, keep_sub)
     for chain in con.or_chains:
         for b in chain:
             # or-branch INTRINSICS never sign: the reference's
@@ -448,11 +480,13 @@ def _signature(con: Constraint, parts: list[str], resolve=None,
             # chain-free sub; or-branch sub-cursor fuzz pins the
             # sub-bearing case)
             for sub in b.subs:
-                _signature(sub, parts, resolve, asof, anc)
+                _signature(sub, parts, resolve, asof, anc, keep_sub)
             for ch2 in b.or_chains:
                 for b2 in ch2:
                     for sub in b2.subs:
-                        _signature(sub, parts, resolve, asof, anc)
+                        _signature(
+                            sub, parts, resolve, asof, anc, keep_sub
+                        )
 
     if con.parent is not None:
         parts.append(")")

@@ -602,11 +602,6 @@ def check_supported(con: Constraint) -> None:
                 ))
             )
             if wants:
-                if cdepth >= 2:
-                    # cursors under an INNER or-branch (round 9's
-                    # recursive chains): the probe/freeze machinery
-                    # is depth-1-probed only — compiler fallback
-                    raise Unsupported("inner-branch-cursor")
                 mode = effective_sub_cursor_mode(node)
                 if mode is None:
                     raise Unsupported("sub-cursor-shape")

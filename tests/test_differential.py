@@ -302,11 +302,18 @@ def _gen_cursor_constraint(rng: random.Random) -> str:
         # round 9: a branch conjoining a SUB-BEARING nested chain
         # (the recursive first-match machinery) under the top-level
         # cursor — the freeze must cover the winning inner branch's
-        # sub iterator and the signature the recursive clause split
+        # sub iterator and the signature the recursive clause split.
+        # ~20% give the INNER sub its own cursor (the pagination
+        # driver then lands cursor= on it): depth-2 branch-sub
+        # chains ride the same _cursub ring/defer model as depth 1
+        icur = (
+            " pagesize=1 result=(cursor (guid value))"
+            if rng.random() < 0.2 else ""
+        )
         inner = (
-            f"(<-left value={_q(rng.choice(_VALUES))})"
+            f"(<-left value={_q(rng.choice(_VALUES))}{icur})"
             if rng.random() < 0.7
-            else f"(<-right name={_q(rng.choice(_NAMES))})"
+            else f"(<-right name={_q(rng.choice(_NAMES))}{icur})"
         )
         conj = rng.choice([
             "value~=" + _q(rng.choice(["a*", "b*"])) + " ",
@@ -1760,6 +1767,33 @@ _CURSUB_RING_CASES = [
       'write (value="+12")'],
      'read (pagesize=1 result=(cursor (guid value)) '
      '{ { (<-right name="color") | value="b" } | value="Apple" })'),
+    # unused-result removal in the cursor SIGNATURE (seed 4323
+    # class): an inner-branch cursor sub under a contents-LESS root
+    # signs "result=()" + pagesize, not the cursor-bearing pattern
+    # (gva_remove_unused_results runs before the signature)
+    (['write (value="ax" (<-right name="label" value="w1")'
+      ' (<-right name="label" value="w2"))',
+      'write (value="aa")', 'write (value="+12")',
+      'write (value="zz")'],
+     'read (pagesize=1 result=(cursor (guid value)) '
+     '{ { (<-right name="label" pagesize=1 '
+     'result=(cursor (guid value))) | value="aa" } value~="a*" '
+     '| value="+12" })'),
+    # result-less sub under a CONTENTS root default-fills (signs
+    # nothing), vs the "result=()" fallback under a plain root
+    (['write (value="ax" (<-right name="label" value="w1")'
+      ' (<-right name="label" value="w2"))',
+      'write (value="aa")', 'write (value="+12")'],
+     'read (pagesize=1 result=(cursor (guid value contents)) '
+     '{ { (<-right name="label" pagesize=1) | value="aa" } '
+     'value~="a*" | value="+12" })'),
+    # depth-1 mixed branch (intrinsics + cursor sub) under contents
+    (['write (value="ax" (<-right name="label" value="w1")'
+      ' (<-right name="label" value="w2"))',
+      'write (value="aa")', 'write (value="+12")'],
+     'read (pagesize=1 result=(cursor (guid value contents)) '
+     '{ (<-right name="label" pagesize=1 '
+     'result=(cursor (guid value))) value~="a*" | value="+12" })'),
 ]
 
 
