@@ -2437,6 +2437,11 @@ class FastReader:
         st = self.store
 
         def sub_parent_ids(sub) -> Optional[set]:
+            # linksto/fan-in expansions run under the request's asof
+            # id horizon (the pdb iterators carry con_high), while
+            # raw hmap BINS keep their beyond-horizon members
+            # (cursor seeds 4449 vs 4160)
+            _ah = self.horizon
             kind, lk = sub.linkage or (None, None)
             if kind not in ("my", "iam") or lk == "bi":
                 return None
@@ -2456,28 +2461,33 @@ class FastReader:
                         else (child_ids & b)
             if sub.type_strcons:
                 return None
+            if child_ids is not None and _ah is not None:
+                child_ids = {c for c in child_ids if c <= _ah}
             if kind == "my":
                 if child_ids is None:
                     # bare linkage: every pointed-at parent
-                    return {
+                    out = {
                         st.by_guid[g].id
                         for (l, g) in st._ptr_ids
                         if l == lk and g in st.by_guid
                     }
+                else:
+                    out = set()
+                    for cid in child_ids:
+                        g = getattr(st.rows[cid - st._base], lk, None)
+                        t = st.by_guid.get(g) if g is not None else None
+                        if t is not None:
+                            out.add(t.id)
+            else:
+                # iam: parent.lk == child.guid
+                if child_ids is None:
+                    return None  # bare iam: every linking primitive
                 out = set()
                 for cid in child_ids:
-                    g = getattr(st.rows[cid - st._base], lk, None)
-                    t = st.by_guid.get(g) if g is not None else None
-                    if t is not None:
-                        out.add(t.id)
-                return out
-            # iam: parent.lk == child.guid
-            if child_ids is None:
-                return None  # bare iam: every linking primitive
-            out = set()
-            for cid in child_ids:
-                g = st.rows[cid - st._base].guid
-                out.update(st._ptr_ids.get((lk, g), ()))
+                    g = st.rows[cid - st._base].guid
+                    out.update(st._ptr_ids.get((lk, g), ()))
+            if _ah is not None:
+                out = {i for i in out if i <= _ah}
             return out
 
         def branch_ids(b) -> Optional[set]:

@@ -58,6 +58,25 @@ def production_is_id_ordered(con) -> bool:
     already exact there (probed: ``read (any sort=(-value))`` over
     nulls pages the true descending prefix, null bin first).
     """
+    def _branch_indexed(b) -> bool:
+        return bool(
+            b.guid
+            or b.type_strcons
+            or any(b.links.values())
+            or any(sc.op in ("=", "~=") for sc in b.value_strcons)
+            or any(sc.op in ("=", "~=") for sc in b.name_strcons)
+            or any(
+                (s.linkage or (None, None))[0] in ("iam", "my")
+                and not s.is_optional
+                and s.count_eq != 0
+                for s in b.subs
+            )
+            or any(
+                all(_branch_indexed(x) for x in ch)
+                for ch in b.or_chains
+            )
+        )
+
     return bool(
         con.guid
         or con.type_strcons
@@ -69,6 +88,16 @@ def production_is_id_ordered(con) -> bool:
             and not s.is_optional
             and s.count_eq != 0
             for s in con.subs
+        )
+        # an or-chain whose branches each pin an index drives the
+        # reference's or-union producer — id-ordered, unordered
+        # w.r.t. the sort root, so the truncation machine applies
+        # (round 9, cursor seed 4396: the bounded sorter's null-FIRST
+        # precompare polarity drops a late named candidate that the
+        # full sort would keep)
+        or any(
+            all(_branch_indexed(b) for b in ch)
+            for ch in con.or_chains
         )
     )
 

@@ -1797,6 +1797,54 @@ _CURSUB_RING_CASES = [
 ]
 
 
+@pytest.mark.xfail(
+    strict=True,
+    reason="OPEN (round 9, cursor seed 4466): a pagesize-0 count-min "
+    "probe whose sub carries a CHECK-ONLY clause (counted sub-sub) "
+    "falls back to a POSITIONLESS re-check when its positioned "
+    "producer drains — the reference re-finds the already-consumed "
+    "element forever ([o:] grows, /pos/ frozen verbatim), while this "
+    "engine ends the chain in EMPTY (matching the probed BARE-probe "
+    "rule, which 2-kid stores confirm both probes follow while "
+    "elements remain).  The fallback only engages with acceptance "
+    "clauses present AND the producer drained; bare ps0 probes end "
+    "EMPTY as probed round 6.",
+)
+def test_ps0_checkonly_probe_drained_open(spark, ref_bin):
+    import re as _re
+
+    writes = ['write (value="aa" (<-right value="kid"))',
+              'write (value="ab")']
+    rd = ('read (pagesize=2 value~="a*" result=((value contents)) '
+          '(<-right (<-left count=0) pagesize=0 '
+          'result=(cursor (guid value))))')
+
+    def session(ask):
+        out = [ask(w) for w in writes]
+        reply = ask(rd)
+        out.append(reply)
+        hops = 0
+        while hops < 3:
+            m = _re.search(r'"(cursor:[^"]*)"', reply)
+            if not m:
+                break
+            esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+            reply = ask(rd.replace(
+                "result=(cursor", f'cursor="{esc}" result=(cursor', 1
+            ))
+            out.append(reply)
+            hops += 1
+        return out
+
+    want = run_reference_session(session)
+    from graphd_spark.api import GraphSession
+
+    got = session(GraphSession(spark).request)
+    assert got == want, "\n".join(
+        f"  got: {g}\n  exp: {w}" for g, w in zip(got, want) if g != w
+    )
+
+
 @pytest.mark.parametrize("case", range(len(_CURSUB_RING_CASES)))
 def test_cursub_ring_model(spark, ref_bin, case):
     import re as _re
