@@ -1800,15 +1800,22 @@ _CURSUB_RING_CASES = [
 @pytest.mark.xfail(
     strict=True,
     reason="OPEN (round 9, cursor seed 4466): a pagesize-0 count-min "
-    "probe whose sub carries a CHECK-ONLY clause (counted sub-sub) "
-    "falls back to a POSITIONLESS re-check when its positioned "
-    "producer drains — the reference re-finds the already-consumed "
-    "element forever ([o:] grows, /pos/ frozen verbatim), while this "
-    "engine ends the chain in EMPTY (matching the probed BARE-probe "
-    "rule, which 2-kid stores confirm both probes follow while "
-    "elements remain).  The fallback only engages with acceptance "
-    "clauses present AND the producer drained; bare ps0 probes end "
-    "EMPTY as probed round 6.",
+    "probe whose sub carries a SUB-SUB (counted or otherwise) "
+    "re-finds the consumed element when thawed at /1/ over a "
+    "SINGLE-element producer — the reference pages [o:] upward "
+    "forever with /1/ frozen verbatim, while this engine ends the "
+    "chain in EMPTY.  Probed discriminators: ONLY sub-sub-bearing "
+    "probes do this (value!=, newest/oldest, prev=null, globs, "
+    "equalities all end EMPTY like bare probes); and a TWO-element "
+    "producer advances /1/ -> /2/ -> EMPTY normally even with the "
+    "sub-sub, so the fallback is not a plain positionless re-check "
+    "(re-checking at pos-1 also fails the 2-kid case).  Spew: both "
+    "shapes thaw the same string to gmap:r(0):[1@0..1@0], but the "
+    "bare probe's grsc NEXT returns done while the sub-sub shape's "
+    "grsc clone re-yields id 1 — the statistics phase the sub-sub "
+    "forces appears to hand the grsc a clone whose thawed position "
+    "did not stick (pdb clone has_position semantics).  Start round "
+    "10 at pdb-iterator-gmap clone/thaw position flags.",
 )
 def test_ps0_checkonly_probe_drained_open(spark, ref_bin):
     import re as _re
