@@ -4380,6 +4380,60 @@ class FastReader:
 
         return {"mode": "fixed", "lk": lkname, "index": index}
 
+    def _ps0_checkcleared_refind(self, p, ss, build_row):
+        """Cursor seed 4466, spew-derived: ``pdb_iterator_check``
+        clears ``it_has_position`` (pdb.h:769), and a SINGLE-element
+        thawed span under a SUB-SUB-bearing pagesize-0 probe gets
+        checked against con_it (the sub-sub forces acceptance-level
+        checks; single-id spans also take the optimizer's check
+        shortcut) — so the grsc's gmap clone RESETS to the span start
+        (pdb-iterator-gmap.c:419-425) and the count-min probe
+        re-finds the already-consumed element every page, [o:]
+        growing with /pos/ refrozen verbatim.  Multi-element spans
+        keep their position and drain to EMPTY (probed: 1-kid vs
+        2-kid matrices; only sub-sub-bearing shapes re-find).
+        Returns the re-found (prim, row) or None."""
+        cst = ss.cstate
+        sub = ss.sub
+        if (
+            cst is None
+            or ss.rps != 0
+            or not sub.subs
+            or getattr(cst, "backward", False)
+        ):
+            return None
+        if cst.form == "gmap":
+            if cst.src is None:
+                return None
+            from graphd_spark.model import guid_compose
+
+            g = guid_compose(self.store.db_id, cst.src)
+            span = [
+                i
+                for i in self.store._ptr_ids.get(
+                    (_GMAP_NAMES[cst.lk], g), ()
+                )
+                if i >= (cst.low or 0)
+                and (cst.high is None or i < cst.high)
+            ]
+        elif cst.form in ("fixed", "vip"):
+            span = list(cst.fixed_ids or ())
+        else:
+            return None
+        if len(span) != 1 or (cst.pos or 0) < 1:
+            return None
+        cid = span[0]
+        if not (self.store._base <= cid < self.store.next_id):
+            return None
+        c = self.store.rows[cid - self.store._base]
+        kind, lk = sub.linkage or (None, None)
+        if kind == "my" and getattr(c, lk, None) != p.guid:
+            return None
+        crow = self._row_for(c, sub, ss.child_spec, build_row=build_row)
+        if crow is _NO_MATCH:
+            return None
+        return (c, crow)
+
     def _sub_child_filter(self, sub, cstate):
         """Thawed-resume candidate restriction, mirror of the
         child_df filters in Compiler._sub_cursor_setup.  None = no
@@ -4701,6 +4755,12 @@ class FastReader:
                         if first:
                             ss.ssim.first_key = id(child_rows)
             else:
+                if ss.rps == 0 and not kids:
+                    refound = self._ps0_checkcleared_refind(
+                        p, ss, build_row=sp.arr_col is not None
+                    )
+                    if refound is not None:
+                        kids.append(refound)
                 n = len(kids)
                 # pagesize=0 count-min probe: consumes max(1, start)
                 # accepted kids in PRODUCER order (the sort context is
@@ -5198,6 +5258,12 @@ class FastReader:
                             first.get(src)
                         )
                 continue
+            if ss.rps == 0 and not kids:
+                refound = self._ps0_checkcleared_refind(
+                    p, ss, build_row=row is not None
+                )
+                if refound is not None:
+                    kids.append(refound)
             n = len(kids)
             probe_entry = None
             probe_my = False

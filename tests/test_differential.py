@@ -1797,27 +1797,18 @@ _CURSUB_RING_CASES = [
 ]
 
 
-@pytest.mark.xfail(
-    strict=True,
-    reason="OPEN (round 9, cursor seed 4466): a pagesize-0 count-min "
-    "probe whose sub carries a SUB-SUB (counted or otherwise) "
-    "re-finds the consumed element when thawed at /1/ over a "
-    "SINGLE-element producer — the reference pages [o:] upward "
-    "forever with /1/ frozen verbatim, while this engine ends the "
-    "chain in EMPTY.  Probed discriminators: ONLY sub-sub-bearing "
-    "probes do this (value!=, newest/oldest, prev=null, globs, "
-    "equalities all end EMPTY like bare probes); and a TWO-element "
-    "producer advances /1/ -> /2/ -> EMPTY normally even with the "
-    "sub-sub, so the fallback is not a plain positionless re-check "
-    "(re-checking at pos-1 also fails the 2-kid case).  Spew: both "
-    "shapes thaw the same string to gmap:r(0):[1@0..1@0], but the "
-    "bare probe's grsc NEXT returns done while the sub-sub shape's "
-    "grsc clone re-yields id 1 — the statistics phase the sub-sub "
-    "forces appears to hand the grsc a clone whose thawed position "
-    "did not stick (pdb clone has_position semantics).  Start round "
-    "10 at pdb-iterator-gmap clone/thaw position flags.",
-)
-def test_ps0_checkonly_probe_drained_open(spark, ref_bin):
+def test_ps0_checkcleared_refind(spark, ref_bin):
+    """Cursor seed 4466, CLOSED round 9: pdb_iterator_check clears
+    it_has_position (pdb.h:769), and a SINGLE-element thawed span
+    under a SUB-SUB-bearing pagesize-0 probe gets checked against
+    con_it — so the grsc's gmap clone RESETS to the span start
+    (pdb-iterator-gmap.c:419-425) and the count-min probe re-finds
+    the consumed element every page, [o:] growing with /pos/
+    refrozen verbatim.  Probed discriminators: only sub-sub-bearing
+    probes re-find (value!=, newest/oldest, prev=null, globs,
+    equalities all end EMPTY like bare probes), and multi-element
+    spans keep their position and drain to EMPTY.  Mirrored by
+    FastReader._ps0_checkcleared_refind."""
     import re as _re
 
     writes = ['write (value="aa" (<-right value="kid"))',
