@@ -179,6 +179,17 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
         _F.col("l_quantity") > 0
     ).groupBy("l_returnflag").count().count()
+    # warm the Arrow Python worker pool the same way: the first
+    # mapInPandas stage otherwise pays one Python interpreter spawn +
+    # pandas import PER CORE inside whichever query happens to run
+    # Python first (measured: +30 s on media_features' first sample at
+    # 32 cores on a cold pool).  One tiny pass with one task per core
+    # moves that session-setup cost out of the timed region — workers
+    # are reused afterwards (spark.python.worker.reuse default).
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 8, numPartitions=par).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).count()
     # building the graph-store session (31 protocol writes into the
     # parquet log) is data load, not query execution — do it here so
     # the gql_* timings measure the compiled read plans

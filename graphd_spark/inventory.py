@@ -676,12 +676,18 @@ def _restore_bulk_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from graphd_spark.dump import bulk_restore
     from graphd_spark.model import PREDICTABLE_DB_ID, guid_compose
 
+    from graphd_spark.session import scan_bytes
+
     (li,) = _t(spark, sf_dir, "lineitem")
     # spread the narrow source before synthesizing tuple text: the
     # chain probe and the Python parse then both run cluster-wide,
-    # and the wide text rows are never shuffled
+    # and the wide text rows are never shuffled.  Width decided from
+    # file metadata (scan_bytes), not df.rdd.getNumPartitions(), which
+    # compiles the physical plan just to count partitions.
     par = spark.sparkContext.defaultParallelism
-    if li.rdd.getNumPartitions() < par:
+    nbytes = scan_bytes(li)
+    scanned_wide = nbytes is not None and nbytes >= par * (128 << 20)
+    if not scanned_wide:
         li = li.repartition(par)
     # every piece of the value text formats identically in Spark and
     # DuckDB (strings, a floored bigint, an explicit yyyy-MM-dd) so the
@@ -696,15 +702,25 @@ def _restore_bulk_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
         "l_orderkey",
         "l_linenumber",
-    ).crossJoin(spark.range(2).select(F.col("id").alias("copy")))
+        # two primitives per source row: a plain per-row explode of a
+        # 2-literal array (was crossJoin(range(2)), which planned as a
+        # BroadcastNestedLoopJoin — an extra broadcast exchange + join
+        # node for what is a projection)
+        F.explode(F.array(F.lit(0).cast("long"), F.lit(1).cast("long")))
+        .alias("copy"),
+    )
     prefix = guid_compose(PREDICTABLE_DB_ID, 0)[:16]
     serial = (
         F.col("l_orderkey").cast("long") * 16
         + F.col("l_linenumber").cast("long") * 2
         + F.col("copy")
     )
-    esc = F.regexp_replace(
-        F.regexp_replace(F.col("text"), r"\\", r"\\\\"), '"', r'\\"'
+    # literal (non-regex) replaces: same escaping, no regex engine in
+    # the 2x-per-row hot projection
+    esc = F.replace(
+        F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
     )
     # guid low half = 0x8000... | serial (the graph-guid layout);
     # bitwiseOR, not addition — ANSI mode rejects the overflow trick
@@ -722,10 +738,12 @@ def _restore_bulk_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # chains=False: every synthesized tuple is generation 0 (prev="0"),
     # so the chain probe's extra full evaluation of the line source is
-    # skipped — the whole restore is then ONE pass over the text
+    # skipped — the whole restore is then ONE pass over the text.
+    # spread=False: the source was widened above; skip the partition
+    # probe (it would compile this plan a second time).
     return bulk_restore(
         spark, src.select(line.alias("value")), PREDICTABLE_DB_ID,
-        chains=False,
+        chains=False, spread=False,
     )
 
 

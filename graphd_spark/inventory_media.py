@@ -159,20 +159,42 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition memory shape are the real 100 TB path.  The function
     is a closure so workers need no repo import."""
     (docs,) = _t(spark, sf_dir, "documents")
-    blobs = _with_blob(_spread(docs))
+    # mb_per_slot: the stub decode is cheap per row but pays a real
+    # per-partition cost (one Arrow Python worker each), so width
+    # follows input bytes — one full batch at toy scale, every core
+    # at corpus scale (guide §4.2: keep Arrow batches large)
+    blobs = _with_blob(_spread(docs, mb_per_slot=4))
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # STUB decoder: deterministic byte statistics stand in for
         # pixel math (media libs absent).  len is a power of two, so
         # the mean is exact in doubles — bit-identical to the oracle.
+        # Vectorized per batch (guide §4.2): one concatenated uint8
+        # view + offset-sliced reduceat replaces the per-row Python
+        # sum() loop; doubles stay exact (byte sums are small ints).
+        import numpy as np
+
         for pdf in batches:
+            blobs_col = pdf["media"]
+            lens = np.fromiter(
+                (len(b) for b in blobs_col), dtype=np.int64, count=len(pdf)
+            )
+            if len(pdf) and lens.sum():
+                flat = np.frombuffer(b"".join(blobs_col), dtype=np.uint8)
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                sums = np.add.reduceat(flat.astype(np.int64), starts)
+                # reduceat folds a zero-length slice into its neighbor;
+                # the synthesized blobs are fixed 32 bytes, so guard
+                # only for generality
+                mean = np.where(lens > 0, sums / np.maximum(lens, 1), 0.0)
+            else:
+                mean = np.zeros(len(lens), dtype=np.float64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": pdf["media"].map(len).astype("int32"),
-                    "mean_byte": pdf["media"].map(
-                        lambda b: sum(b) / len(b)
-                    ),
+                    "n_bytes": lens.astype("int32"),
+                    "mean_byte": mean,
                 }
             )
 

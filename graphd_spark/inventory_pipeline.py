@@ -31,17 +31,49 @@ def _tokens(col):
     return F.split(F.trim(col), _TOKEN_RE)
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Widen a narrow scan to core count before an explode-heavy stage.
+from graphd_spark.session import scan_bytes as _scan_bytes  # noqa: E402
+
+#: scan partition size assumed by _spread's width estimate; matches
+#: spark.sql.files.maxPartitionBytes' default (128 MB)
+_MAX_PARTITION_BYTES = 128 << 20
+
+
+def _spread(df: DataFrame, mb_per_slot: float | None = None) -> DataFrame:
+    """Widen a narrow scan before an explode-/Python-heavy stage.
 
     Toy-scale parquet (a single file below maxPartitionBytes) scans as
     ONE partition, so all the per-token/per-shingle hashing upstream of
     the first shuffle runs on one core.  At production scale the scan
     already has >= defaultParallelism splits and this returns the input
-    unchanged — no shuffle is added where the data is already wide."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    unchanged — no shuffle is added where the data is already wide.
+
+    The width is derived from the input size (guide: scale-adaptive
+    partitioning, not a constant): by default CPU-heavy JVM stages
+    (shingle/token hashing) widen to full core count; a stage whose
+    per-row work is cheap but whose per-*partition* overhead is real
+    (an Arrow Python worker per partition) passes ``mb_per_slot`` so a
+    594 KB toy input keeps a single well-filled batch instead of
+    fanning 32 near-empty Python workers (measured 2-4x slower than
+    one worker at sf0.1), while anything cluster-sized still reaches
+    every core.  File metadata replaces the old
+    ``df.rdd.getNumPartitions()`` probe, which compiled the physical
+    plan (~40 ms + codegen per call) just to count partitions."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    nbytes = _scan_bytes(df)
+    if nbytes is None:
+        # non-scan input (no file metadata): the old exact probe
+        if df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
+        return df
+    scan_parts = max(1, nbytes // _MAX_PARTITION_BYTES)
+    if scan_parts >= par:
+        return df  # already wide at the scan
+    if mb_per_slot is None:
+        width = par
+    else:
+        width = min(par, max(1, -(-nbytes // int(mb_per_slot * (1 << 20)))))
+    if width > scan_parts:
+        return df.repartition(width)
     return df
 
 
@@ -278,7 +310,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _spread(docs).select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # per-doc set size == length of the (already-distinct) shingle
+    # array, computed map-side on a second narrow scan — replaces a
+    # groupBy over the exploded relation, i.e. drops one full
+    # explode+shuffle pass (shuffle bytes: one row per shingle
+    # instance -> one row per doc)
+    sizes = docs.select(
+        "doc_id", F.size(_shingles(F.col("text"))).alias("n")
+    )
     rare = sh.withColumn(
         "df", F.count("*").over(W.partitionBy("shingle"))
     ).filter(F.col("df") <= _DF_CAP).drop("df")
@@ -1013,18 +1052,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOT spread: the bucket ids compute map-side from broadcast
     # literals — a repartition shuffles the embedding arrays for
     # no parallelism gain (A/B at sf0.1: 2.1s vs 3.5s for IVF)
-    # per-dimension mean by label -> centroid arrays (tiny result)
+    # per-dimension mean by label -> centroid arrays (tiny result).
+    # One groupBy with 64 avg expressions over array elements — the
+    # posexplode formulation multiplied rows 64x and needed a second
+    # shuffle + collect_list/sort to reassemble the arrays (2 Exchange
+    # -> 1, no row explosion; same doubles averaged, and the cosine
+    # ranking downstream rounds to 1e-6 before ordering by design)
     cent = (
-        emb.select(
-            "label", F.posexplode("embedding").alias("pos", "v")
-        )
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
-        .groupBy("label")
+        emb.groupBy("label")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: s["c"],
+            F.array(
+                *[
+                    F.avg(F.col("embedding")[i].cast("double"))
+                    for i in range(_EMB_DIM)
+                ]
             ).alias("centroid")
         )
         .select(F.col("label").alias("c_id"), "centroid")

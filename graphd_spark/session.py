@@ -54,12 +54,62 @@ def get_spark(app_name: str = "graphd_spark", cpus: int | None = None) -> SparkS
     return spark
 
 
+def scan_bytes(df) -> int | None:
+    """On-disk bytes feeding a scan-rooted frame, from file metadata
+    only (no plan compilation, no job).  None when the frame has no
+    resolvable local input files."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    return total
+
+
+#: (applicationId, sf_dir, file signature) -> {name: DataFrame}.  The
+#: cache holds table *plans* (lazy scans + the events ts rebuild), never
+#: rows: every action over a cached frame still reads the parquet.
+#: Building those plans costs ~90 ms/table of driver round-trips
+#: (schema read, temp-view registration), and every inventory query
+#: calls load_tables — uncached, that metadata work dominated the
+#: simple queries' bench time (~0.9 s of a ~1.0 s total at sf0.1).
+_TABLES_CACHE: dict[tuple, dict] = {}
+
+
+def _sf_signature(sf_dir: str) -> tuple:
+    """Cheap freshness token: (name, mtime_ns, size) per table file, so
+    a rewritten directory (test fixtures) is never served stale."""
+    sig = []
+    for name in TESTDATA_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            st = os.stat(path)
+            sig.append((name, st.st_mtime_ns, st.st_size))
+        except OSError:
+            continue
+    return tuple(sig)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
     """Load the driver's parquet tables from ``sf_dir`` and register temp views.
 
     Returns {name: DataFrame}.  Missing files are skipped (early SFs may
-    lack some tables).
+    lack some tables).  Results are memoized per (session, dir, file
+    signature) — see ``_TABLES_CACHE``.
     """
+    sf_dir = os.path.abspath(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, _sf_signature(sf_dir))
+    cached = _TABLES_CACHE.get(key)
+    if cached is not None:
+        return cached
     # the driver's events table stores TIMESTAMP(NANOS) which Spark 4
     # refuses by default; read nanos as long and rebuild a (lossless for
     # micro-granular data) TimestampType column.
@@ -78,4 +128,5 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
                     )
             df.createOrReplaceTempView(name)
             out[name] = df
+    _TABLES_CACHE[key] = out
     return out
