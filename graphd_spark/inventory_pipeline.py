@@ -440,23 +440,19 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             % _MH_MOD
         ).alias("h0"),
     ).localCheckpoint(eager=False)
-    hs = F.transform(
-        F.sequence(F.lit(0), F.lit(_MINHASH_K - 1)),
-        lambda k: (
-            (2 * k.cast("bigint") + 1) * F.col("h0")
-            + 12345 * k.cast("bigint")
-            + 7
-        )
-        % _MH_MOD,
-    )
-    sigs = (
-        based.select("doc_id", hs.alias("hs"))
-        .groupBy("doc_id")
-        .agg(
-            F.array(
-                *[F.min(F.col("hs")[i]) for i in range(_MINHASH_K)]
-            ).alias("sig")
-        )
+    # K affine transforms of the checkpointed h0 as direct aggregate
+    # expressions — no per-row K-element array construction (the
+    # transform+element_at form allocated one array per shingle row
+    # just to index it back out in the K min-aggregates)
+    def _affine(k: int):
+        return (
+            (2 * k + 1) * F.col("h0") + F.lit(12345 * k + 7)
+        ) % _MH_MOD
+
+    sigs = based.groupBy("doc_id").agg(
+        F.array(
+            *[F.min(_affine(k)) for k in range(_MINHASH_K)]
+        ).alias("sig")
     )
     bands = sigs.select(
         "doc_id",
@@ -518,14 +514,23 @@ def _simhash_col(spark: SparkSession, docs: DataFrame) -> DataFrame:
         "tok_hash",
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
     ).localCheckpoint(eager=False)
-    contribs = F.expr(
-        "transform(sequence(0, 31), bit -> "
-        "CASE WHEN (shiftright(tok_hash, bit) & 1) = 1 THEN 1 ELSE -1 END)"
-    )
-    weighted = toks.select("doc_id", contribs.alias("c")).groupBy(
-        "doc_id"
-    ).agg(
-        F.array(*[F.sum(F.col("c")[i]) for i in range(32)]).alias("w")
+    # per-bit +-1 sums as 32 direct aggregate expressions over the
+    # checkpointed tok_hash — no per-row 32-element array construction
+    # (the transform+element_at form allocated one array per token row
+    # just to index it back out in the aggregates)
+    weighted = toks.groupBy("doc_id").agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("tok_hash"), i)
+                        .bitwiseAND(F.lit(1)) == 1,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1))
+                )
+                for i in range(32)
+            ]
+        ).alias("w")
     )
     sim = F.expr(
         "aggregate(zip_with(w, sequence(0, 31), (wt, bit) -> "
@@ -916,7 +921,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=_EMB_DUP_TAU
     )
     (emb,) = _t(spark, sf_dir, "embeddings")
-    emb = _spread(emb)
+    # NOT spread (r9, same rationale as ann_lsh_topk/ann_ivf_topk):
+    # the bucket id and the normalization compute map-side from
+    # broadcast literals; a repartition shuffles the embedding arrays
+    # for no parallelism gain, and the bucket-cap window re-shuffles
+    # on bucket right after anyway
     planes = _plane_coeffs()
     plane_arr = F.array(
         *[F.array(*[F.lit(c) for c in row]) for row in planes]
@@ -1053,19 +1062,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literals — a repartition shuffles the embedding arrays for
     # no parallelism gain (A/B at sf0.1: 2.1s vs 3.5s for IVF)
     # per-dimension mean by label -> centroid arrays (tiny result).
-    # One groupBy with 64 avg expressions over array elements — the
-    # posexplode formulation multiplied rows 64x and needed a second
-    # shuffle + collect_list/sort to reassemble the arrays (2 Exchange
-    # -> 1, no row explosion; same doubles averaged, and the cosine
-    # ranking downstream rounds to 1e-6 before ordering by design)
+    # Examined r9: a single groupBy with 64 avg(embedding[i])
+    # expressions (1 Exchange instead of 2) measured ~2x SLOWER at
+    # sf0.1 — 64 aggregate expressions push the generated aggregate
+    # past codegen's method budget.  The posexplode form is also
+    # scale-safe: the 64x row multiplication is map-side only (partial
+    # aggregation reduces each partition to one row per (label, pos)
+    # before the shuffle), so it stays.
     cent = (
-        emb.groupBy("label")
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .groupBy("label")
         .agg(
-            F.array(
-                *[
-                    F.avg(F.col("embedding")[i].cast("double"))
-                    for i in range(_EMB_DIM)
-                ]
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
             ).alias("centroid")
         )
         .select(F.col("label").alias("c_id"), "centroid")
@@ -1126,7 +1140,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster embedding statistics (norm profile by label)."""
     (emb,) = _t(spark, sf_dir, "embeddings")
-    emb = _spread(emb)
+    # NOT spread (r9): one HOF norm per row is trivial CPU; the
+    # repartition shuffled the embedding arrays for no gain (at scale
+    # the scan is already wide and _spread is a no-op anyway)
     return emb.groupBy("label").agg(
         F.count("*").alias("n"),
         F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
@@ -1552,8 +1568,17 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         _spread(docs.select("doc_id", toks.alias("words")))
         .select("doc_id", F.explode(sh).alias("sh"))
     )
-    dfreq = inst.groupBy("sh").agg(
-        F.countDistinct("doc_id").alias("ndocs")
+    # document frequency = count over per-doc-DEDUPED shingle
+    # instances: array_distinct runs map-side inside the explode, so
+    # the aggregate is a plain two-phase count (1 Exchange) instead of
+    # a distinct-aggregate (2 Exchanges + an extra hash phase), and
+    # the exploded dfreq relation shrinks by each doc's internal
+    # repetitions before it is shuffled
+    dfreq = (
+        _spread(docs.select("doc_id", toks.alias("words")))
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").alias("ndocs"))
     )
     # heavy-hitter split, SINGLE instance scan: the hot dictionary is
     # tiny by definition (at most total_instances / HH_NDOCS rows), so
