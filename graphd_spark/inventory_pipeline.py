@@ -1196,12 +1196,12 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
     )
     rounds = 0
     converged = False
-    _r = E.agg(
-        F.count("*").alias("n"),
-        F.sum("src").alias("ss"),
-        F.sum("dst").alias("sd"),
-    ).head()
-    prev_sig = (_r["n"], _r["ss"], _r["sd"])
+    # prev_sig starts unknown: the first round's signature job doubles
+    # as E's checkpoint materialization, so no separate warm-up action
+    # is spent on the input signature (r9; one Spark job saved per
+    # call).  An already-converged input just pays one confirming
+    # round instead.
+    prev_sig = None
     while rounds < max_rounds:
         rounds += 1
         # large-star: every neighbor bigger than u links to
@@ -1211,11 +1211,14 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
             E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         m_ls = F.least(F.min("dst").over(W.partitionBy("src")), F.col("src"))
+        # no intermediate distinct here (r9): the small-star min is
+        # insensitive to duplicate (src, m) rows (min over a multiset),
+        # the row count stays bounded by 2|E|, and the round's final
+        # distinct dedups — dropping it removes one exchange per round
         ls = (
             nbr.withColumn("m", m_ls)
             .filter(F.col("dst") > F.col("src"))
             .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .distinct()
         )
         # small-star on the oriented output (src > dst everywhere):
         # u and all its smaller neighbors link to m = min of them
@@ -1237,7 +1240,16 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
             F.sum("dst").alias("sd"),
         ).head()
         new_sig = (sig_row["n"], sig_row["ss"], sig_row["sd"])
-        if new_sig == prev_sig and new_E.exceptAll(E).isEmpty():
+        if new_sig[0] == 0:
+            # empty edge set: trivially a fixpoint, no comparison job
+            E = new_E
+            converged = True
+            break
+        if (
+            prev_sig is not None
+            and new_sig == prev_sig
+            and new_E.exceptAll(E).isEmpty()
+        ):
             E = new_E
             converged = True
             break
