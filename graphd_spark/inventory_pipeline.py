@@ -427,11 +427,13 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     sh = _spread(docs).select(
         "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
     )
-    # one md5 per shingle, then K affine transforms as an array column.
-    # The checkpoint is a collapse barrier: without it Catalyst inlines
-    # this projection into all K min-aggregates below and recomputes
-    # the md5 K times per row (measured 3x slower).  At cluster scale
-    # this is a persist of (doc_id, h0) — 16 bytes/row.
+    # one md5 per shingle, then K affine transforms of it in the
+    # aggregates.  No collapse barrier needed (r9): Spark 4's
+    # CollapseProject refuses to duplicate the expensive md5 into the
+    # K min-aggregates (verified on the optimized plan: one md5
+    # occurrence, sf0.1 A/B a wash), so the old localCheckpoint here
+    # only cost a persist of the exploded (doc_id, h0) relation —
+    # the pipeline's biggest intermediate — for nothing.
     based = sh.select(
         "doc_id",
         (
@@ -439,7 +441,7 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             .cast("bigint")
             % _MH_MOD
         ).alias("h0"),
-    ).localCheckpoint(eager=False)
+    )
     # K affine transforms of the checkpointed h0 as direct aggregate
     # expressions — no per-row K-element array construction (the
     # transform+element_at form allocated one array per shingle row
@@ -503,21 +505,23 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
 def _simhash_col(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """doc_id -> 32-bit simhash, computed with ONE row per token.
 
-    The per-bit +-1 contributions live in a 32-wide array column and
-    aggregate as 32 element-wise sums in a single groupBy(doc_id) — no
-    32x row multiplication."""
-    # checkpoint = collapse barrier: keeps the md5 out of the 32
-    # sum-aggregate expressions below (Catalyst would inline it 32x)
+    The per-bit +-1 contributions aggregate as 32 direct sums in a
+    single groupBy(doc_id) — no 32x row multiplication."""
+    # no collapse barrier needed (r9): Spark 4's CollapseProject
+    # refuses to duplicate the expensive md5 into the 32 sum-aggregate
+    # expressions (verified on the optimized plan: one md5 occurrence,
+    # sf0.1 A/B a wash), so the old localCheckpoint here only cost a
+    # persist of the exploded (doc_id, tok_hash) relation — the
+    # pipeline's biggest intermediate — for nothing
     toks = _spread(docs).select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     ).withColumn(
         "tok_hash",
         F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
-    ).localCheckpoint(eager=False)
-    # per-bit +-1 sums as 32 direct aggregate expressions over the
-    # checkpointed tok_hash — no per-row 32-element array construction
-    # (the transform+element_at form allocated one array per token row
-    # just to index it back out in the aggregates)
+    )
+    # per-bit +-1 sums as 32 direct aggregate expressions — no per-row
+    # 32-element array construction (the transform+element_at form
+    # allocated one array per token row just to index it back out)
     weighted = toks.groupBy("doc_id").agg(
         F.array(
             *[

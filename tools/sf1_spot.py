@@ -22,6 +22,17 @@ linear in actual data work), collect_contents 3.66x, topk_per_group
 super-linear: the design audit's claim (bucketed/banded dedup joins,
 broadcast ANN sides, salted boilerplate join, O(log n) components)
 now has a measured point behind it.
+
+Post-optimization re-run (sf1_spot_results_r9opt.json, N=3 medians):
+10x data -> 5.59x headline wall (23.8s -> 133.2s).  The factors ROSE
+vs the pre-optimization run because the optimization round removed
+the fixed per-query overhead that previously padded the sf0.1
+denominator — they now approximate the honest data-work scaling.  Two
+entries sit at/over 10x: corpus_vocab_topk 10.02x (exactly linear in
+exploded tokens) and restore_bulk 12.42x (1.24x per unit data — the
+checksum countDistinct shuffle grows with rows; within shuffle
+constants).  Everything else is sub-linear; nothing super-linear
+beyond shuffle constants.
 """
 import json
 import os
@@ -114,7 +125,13 @@ def build(spark):
         print(f"built {t}: {n} -> {n * REPLICAS}", file=sys.stderr)
 
 
-def run_bench(sf_dir: str, runs: int = 1) -> dict:
+def run_bench(sf_dir: str, runs: int | None = None) -> dict:
+    if runs is None:
+        # N=3 medians by default: the r9 optimization session measured
+        # single-sample runs inflated up to 5x by host-level memory
+        # contention; the median filters those spikes out of the
+        # scaling factors (override with SF1_SPOT_RUNS)
+        runs = int(os.environ.get("SF1_SPOT_RUNS", "3"))
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_BENCH_RUNS"] = str(runs)
