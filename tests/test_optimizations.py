@@ -1,0 +1,161 @@
+"""Focused tests for round-9 optimization internals.
+
+Each optimization that changed an operator's internals gets a direct
+pin here: the split-based dump tokenizer, the columnar tuple parse,
+the size-adaptive _spread, and the load_tables metadata memo.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from conftest import SF_SMOKE
+
+from graphd_spark.dump import (
+    _tokenize_line,
+    _tokenize_line_re,
+    parse_tuple_batch,
+    parse_tuple_columns,
+    TUPLE_RAW_COLUMNS,
+)
+
+
+# -- split tokenizer vs regex tokenizer ----------------------------------
+
+TRICKY_LINES = [
+    # plain tuple, quoted value with spaces
+    '(00ab null null string "A 1 B" 0 true true false '
+    "1970-01-01T00:00:00.0000Z 0 0 0)",
+    # all fields quoted
+    '(00ab "ty" "nm" 2 "v w" 0 false true true 1970Z 1 2 3)',
+    # adjacent quoted strings with empty outside segment
+    '"a""b"',
+    # empty quoted string
+    '(1 null null string "" 0 true true false 1970Z 0 0 0)',
+    # parens glued to atoms, extra whitespace
+    '  ( 1 null null  null null 0 true true false 1970Z 0 0 0 )  ',
+    # escaped quote and backslash (regex path)
+    r'(1 null null string "a \" b \\ c" 0 true true false 1970Z 0 0 0)',
+    # unbalanced quote (regex path; quote glues into atom)
+    '(1 null null string "abc 0 true true false 1970Z 0 0 0)',
+    # quote mid-token (regex path; quote glues into atom)
+    '(1 null null string ab"cd 0 true true false 1970Z 0 0 0)',
+    # tabs as separators
+    '(1\tnull\tnull\tstring\t"v"\t0\ttrue\ttrue\tfalse\t1970Z\t0\t0\t0)',
+]
+
+
+@pytest.mark.parametrize("line", TRICKY_LINES)
+def test_tokenizer_fast_path_matches_regex(line):
+    assert _tokenize_line(line) == _tokenize_line_re(line)
+
+
+def test_tokenizer_fast_path_is_taken_for_plain_lines():
+    """The common dump shape must NOT fall back to the regex scanner
+    (the fast path is the point); spot-check by monkeypatching."""
+    line = (
+        '(00ab null null string "A 1 B" 0 true true false '
+        "1970-01-01T00:00:00.0000Z 0 0 0)"
+    )
+    import graphd_spark.dump as dump
+
+    called = []
+    orig = dump._tokenize_line_re
+    try:
+        dump._tokenize_line_re = lambda ln: called.append(ln) or orig(ln)
+        toks = dump._tokenize_line(line)
+    finally:
+        dump._tokenize_line_re = orig
+    assert not called
+    assert toks[0] == (False, "00ab")
+    assert toks[4] == (True, "A 1 B")
+
+
+# -- columnar parse == row parse -----------------------------------------
+
+
+def test_parse_tuple_columns_matches_row_parse():
+    lines = [
+        '(0000001240003456800000000000000a null null string "x y" 0 '
+        "true true false 1970-01-01T00:00:00.0000Z 0 0 0)",
+        '(0000001240003456800000000000000b "t" "n" 2 "v" '
+        "0000001240003456800000000000000a false false true "
+        "1971-02-03T04:05:06.0000Z 0000001240003456800000000000000a "
+        "0 0000001240003456800000000000000a)",
+        "",  # blank lines are skipped by both
+        r'(0000001240003456800000000000000c null null string "q\"q" 0 '
+        "true true false 1970-01-01T00:00:00.0000Z 0 0 null)",
+    ]
+    rows = parse_tuple_batch(lines, 0x124, derived=False)
+    cols = parse_tuple_columns(lines, 0x124)
+    assert list(cols) == list(TUPLE_RAW_COLUMNS)
+    for i, row in enumerate(rows):
+        for k in TUPLE_RAW_COLUMNS:
+            assert cols[k][i] == row[k], (i, k)
+
+
+def test_parse_tuple_columns_short_tuple_raises():
+    with pytest.raises(ValueError, match="short tuple"):
+        parse_tuple_columns(["(1 2 3)"], 0x124)
+
+
+# -- size-adaptive _spread -----------------------------------------------
+
+
+def test_spread_widens_small_scan_to_core_count(spark):
+    from graphd_spark import inventory_pipeline as ip
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    par = spark.sparkContext.defaultParallelism
+    out = ip._spread(docs)
+    assert out.rdd.getNumPartitions() == par
+
+
+def test_spread_respects_byte_budget(spark):
+    """A tiny input with a per-slot byte budget keeps one partition
+    (one well-filled Arrow batch) instead of fanning out."""
+    from graphd_spark import inventory_pipeline as ip
+
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    out = ip._spread(docs, mb_per_slot=64)
+    assert out is docs  # no repartition inserted
+
+
+def test_spread_falls_back_for_non_scan_input(spark):
+    from graphd_spark import inventory_pipeline as ip
+
+    df = spark.range(10).toDF("x")  # no input files
+    par = spark.sparkContext.defaultParallelism
+    out = ip._spread(df)
+    # the fallback (exact partition probe) keeps the old behavior:
+    # never narrower than the input, at least core-count wide
+    assert out.rdd.getNumPartitions() >= min(par, df.rdd.getNumPartitions())
+    assert out.count() == 10
+
+
+# -- load_tables memoization ---------------------------------------------
+
+
+def test_load_tables_memoizes_per_session_and_signature(spark, tmp_path):
+    from graphd_spark.session import load_tables
+
+    a = load_tables(spark, SF_SMOKE)
+    b = load_tables(spark, SF_SMOKE)
+    assert a is b  # plan cache hit
+
+    # a rewritten directory (new signature) must miss the cache
+    d = tmp_path / "sfx"
+    d.mkdir()
+    shutil.copy(
+        os.path.join(SF_SMOKE, "nation.parquet"), d / "nation.parquet"
+    )
+    first = load_tables(spark, str(d))
+    assert set(first) == {"nation"}
+    # touch the file -> new mtime -> new signature -> fresh load
+    os.utime(d / "nation.parquet", ns=(1, 1))
+    second = load_tables(spark, str(d))
+    assert second is not first
+    assert second["nation"].count() == first["nation"].count()
