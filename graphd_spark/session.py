@@ -45,6 +45,14 @@ def get_spark(app_name: str = "graphd_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame-debugging hook sets a JVM-side origin
+        # (extra py4j round trips + a Python stack walk) on EVERY
+        # DataFrame API call; the constraint-tree compiler makes
+        # hundreds of such calls per request, and disabling the hook
+        # measured a 30% faster compile (0.195 s -> 0.136 s per
+        # compiled read).  Costs only error-message call-site
+        # enrichment — nothing at executor/query time.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
