@@ -688,7 +688,12 @@ def _restore_bulk_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
     nbytes = scan_bytes(li)
     scanned_wide = nbytes is not None and nbytes >= par * (128 << 20)
     if not scanned_wide:
-        li = li.repartition(par)
+        # hash-repartition on a deterministic key: a keyless
+        # repartition(n) first pays a local sort of its input
+        # (sortBeforeRepartition, for retry determinism); hashing on
+        # the natural key skips the sort and is retry-safe by
+        # construction
+        li = li.repartition(par, "l_orderkey")
     # every piece of the value text formats identically in Spark and
     # DuckDB (strings, a floored bigint, an explicit yyyy-MM-dd) so the
     # oracle can rebuild it byte-for-byte
@@ -723,17 +728,16 @@ def _restore_bulk_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('\\"'),
     )
     # guid low half = 0x8000... | serial (the graph-guid layout);
-    # bitwiseOR, not addition — ANSI mode rejects the overflow trick
-    guid = F.concat(
-        F.lit(prefix),
-        F.lower(
-            F.lpad(F.hex(F.lit(-(2 ** 63)).bitwiseOR(serial)), 16, "0")
-        ),
-    )
+    # bitwiseOR, not addition — ANSI mode rejects the overflow trick.
+    # One format_string renders prefix + %016x + the value directly:
+    # Java's %016x prints the two's-complement long lowercase and
+    # zero-padded, replacing the old hex->lpad->lower->concat chain
+    # (4 string expressions per synthesized row) with a single pass.
     line = F.format_string(
-        '(%s null null string "%s" 0 true true false '
+        '(%s%016x null null string "%s" 0 true true false '
         "1970-01-01T00:00:00.0000Z 0 0 0)",
-        guid,
+        F.lit(prefix),
+        F.lit(-(2 ** 63)).bitwiseOR(serial),
         esc,
     )
     # chains=False: every synthesized tuple is generation 0 (prev="0"),
