@@ -76,6 +76,62 @@ DEFAULT_PAGESIZE = 1024  # ref graphd/graphd-sort.c:21-22
 _FIXED_MATERIALIZE_MAX = 100
 
 
+# -- py4j round-trip caches ------------------------------------------------
+#
+# Every F.col()/F.lit() costs two py4j round trips (a getattr on the
+# JVM functions object + the call); the constraint compiler issues
+# hundreds per compiled read, and the round trip — not Python — is
+# the cost (profiled: ~1.5 ms each on a loaded gateway, ~60% of
+# compile wall time in aggregate with the DataFrame ops).  Columns
+# are immutable unresolved expressions, so one JVM handle per
+# (SparkContext, name/literal) serves every plan.  Keyed on the
+# active SparkContext id: a restarted context (tests) misses and
+# rebuilds; stale entries are a few hundred tiny proxies.
+
+_JCACHE: dict = {}
+
+
+def _ctx_id() -> int:
+    from pyspark import SparkContext
+
+    return id(SparkContext._active_spark_context)
+
+
+def _c(name: str):
+    """Cached ``F.col(name)``."""
+    key = (_ctx_id(), "col", name)
+    col = _JCACHE.get(key)
+    if col is None:
+        col = _JCACHE[key] = getattr(F, "col")(name)
+    return col
+
+
+def _l(value):
+    """Cached ``F.lit(value)`` for hashable scalars (type-keyed, so
+    True/1/1.0 stay distinct literals); unhashable values fall
+    through to a plain F.lit."""
+    _flit = getattr(F, "lit")
+    try:
+        key = (_ctx_id(), "lit", type(value), value)
+        lit = _JCACHE.get(key)
+    except TypeError:
+        return _flit(value)
+    if lit is None:
+        lit = _JCACHE[key] = _flit(value)
+    return lit
+
+
+def _cc(tag: str, build):
+    """Cached constant compound expression: ``build()`` runs once per
+    SparkContext (e.g. the newest-generation distance predicate that
+    every compiled read re-derives)."""
+    key = (_ctx_id(), "cc", tag)
+    e = _JCACHE.get(key)
+    if e is None:
+        e = _JCACHE[key] = build()
+    return e
+
+
 def number_sort_root_keep(con, store) -> bool:
     """True when the NUMBERS sort-root never produces: a 1-element
     raw NAME bin anywhere in the constraint's mandatory MY-form
@@ -545,10 +601,21 @@ class Compiler:
         self._n = 0
 
     def _build_base(self):
-        df = self.store.to_df(self.spark)
+        src = self.store.to_df(self.spark)
+        # the base skeleton is query-independent: store.to_df returns
+        # the SAME DataFrame object until the next commit (per-version
+        # memo), so (source identity, asof) keys an identical plan.
+        # Memoizing it skips ~6 DataFrame/Window round trips per
+        # compiled read (a quarter of compile wall time); no rows are
+        # cached — the plan is lazy, every action still scans the log.
+        key = (_ctx_id(), "base", id(self.store), self.asof)
+        hit = _JCACHE.get(key)
+        if hit is not None and hit[0] is self.store and hit[1] is src:
+            return hit[2]
+        df = src
         if self.asof is not None:
             df = df.filter(
-                F.col("id") <= self._asof_horizon(self.asof)
+                _c("id") <= self._asof_horizon(self.asof)
             )
         # the generation index as a column: one lineage window shared by
         # every constraint node (ref libpdb/pdb-generation; this is the
@@ -567,6 +634,7 @@ class Compiler:
             "__next",
             F.lead("guid", 1).over(w_lin.orderBy("generation")),
         )
+        _JCACHE[key] = (self.store, src, df)
         return df
 
     def _raw_df(self):
@@ -577,10 +645,10 @@ class Compiler:
         df = self.store.to_df(self.spark)
         if self.asof is not None:
             df = df.filter(
-                F.col("id") <= self._asof_horizon(self.asof)
+                _c("id") <= self._asof_horizon(self.asof)
             )
         if self._chain_h is not None:
-            df = df.filter(F.col("id") < self._chain_h)
+            df = df.filter(_c("id") < self._chain_h)
         return df
 
     # -- asof -------------------------------------------------------------
@@ -671,37 +739,37 @@ class Compiler:
                     # the DESCENDING id range (ids are dense in an
                     # all-span, so the boundary is high - pos)
                     df = df.filter(
-                        (F.col("id") >= cstate.low)
-                        & (F.col("id") < cstate.high - cstate.pos)
+                        (_c("id") >= cstate.low)
+                        & (_c("id") < cstate.high - cstate.pos)
                     )
                 else:
                     df = df.filter(
-                        F.col("id") >= max(cstate.pos, cstate.low)
+                        _c("id") >= max(cstate.pos, cstate.low)
                     )
                     if cstate.high is not None:
-                        df = df.filter(F.col("id") < cstate.high)
+                        df = df.filter(_c("id") < cstate.high)
             elif cstate.form == "fixed":
                 allowed = (
                     cstate.fixed_ids[: len(cstate.fixed_ids) - cstate.pos]
                     if cstate.backward
                     else cstate.fixed_ids[cstate.pos:]
                 )
-                df = df.filter(F.col("id").isin(allowed))
+                df = df.filter(_c("id").isin(allowed))
             elif cstate.form == "gmap":
                 # resume past the first `pos` elements of the linkage
                 # index (index order == id order; ref
                 # pdb-iterator-gmap.c it_gmap_offset); backward scans
                 # consume from the top of the index
                 if cstate.high is not None:
-                    df = df.filter(F.col("id") < cstate.high)
+                    df = df.filter(_c("id") < cstate.high)
                 if cstate.pos:
                     b = self._gmap_pos_boundary(cstate)
                     if b is None:
-                        df = df.filter(F.lit(False))
+                        df = df.filter(_l(False))
                     elif cstate.backward:
-                        df = df.filter(F.col("id") < b)
+                        df = df.filter(_c("id") < b)
                     else:
-                        df = df.filter(F.col("id") > b)
+                        df = df.filter(_c("id") > b)
             elif cstate.form == "hmap":
                 # skip the bin's first `pos` elements (bin order ==
                 # id order; pdb-iterator-hmap.c it_hmap_offset).  The
@@ -719,25 +787,25 @@ class Compiler:
                         )
 
                         flt = (
-                            F.col("value_norm") == _alow(cstate.masq)
+                            _c("value_norm") == _alow(cstate.masq)
                         )
                     else:
                         flt = (
-                            F.lower(F.col("name"))
+                            F.lower(_c("name"))
                             == cstate.masq.lower()
                         )
                     pool = self._raw_df().filter(flt)
                     if cstate.backward:
                         b = (
-                            pool.orderBy(F.col("id").desc())
+                            pool.orderBy(_c("id").desc())
                             .limit(cstate.pos)
                             .agg(F.min("id").alias("b"))
                             .head()
                         )
                         df = (
-                            df.filter(F.col("id") < int(b["b"]))
+                            df.filter(_c("id") < int(b["b"]))
                             if b is not None and b["b"] is not None
-                            else df.filter(F.lit(False))
+                            else df.filter(_l(False))
                         )
                     else:
                         b = (
@@ -747,9 +815,9 @@ class Compiler:
                             .head()
                         )
                         df = (
-                            df.filter(F.col("id") > int(b["b"]))
+                            df.filter(_c("id") > int(b["b"]))
                             if b is not None and b["b"] is not None
-                            else df.filter(F.lit(False))
+                            else df.filter(_l(False))
                         )
             elif cstate.form == "fixed_masq":
                 # a masqueraded fixed set repositions in its RAW id
@@ -764,7 +832,7 @@ class Compiler:
                         if cstate.backward
                         else raw[cstate.pos:]
                     )
-                    df = df.filter(F.col("id").isin(allowed))
+                    df = df.filter(_c("id").isin(allowed))
                     masq_raw = True
                 else:
                     # no raw set recoverable: position == offset into
@@ -777,11 +845,11 @@ class Compiler:
                 # (graphd-iterator-and-freeze.c thaw,
                 # graphd-iterator-or.c:3009; tests slip, isa)
                 if cstate.tail == "$":
-                    df = df.filter(F.lit(False))
+                    df = df.filter(_l(False))
                 elif cstate.backward:
-                    df = df.filter(F.col("id") < cstate.pos)
+                    df = df.filter(_c("id") < cstate.pos)
                 else:
-                    df = df.filter(F.col("id") > cstate.pos)
+                    df = df.filter(_c("id") > cstate.pos)
             elif cstate.form == "isa_it":
                 # the isa's position is its last delivered target; the
                 # read layer resumes by the cumulative [o:] offset
@@ -845,7 +913,7 @@ class Compiler:
                     if m:
                         resume = int(m.group(1))
         if horizon is not None:
-            df = df.filter(F.col("id") < horizon)
+            df = df.filter(_c("id") < horizon)
         order = self._sort_exprs(con, plan)
         # graphd_sort_needed (graphd-sort.c:1722-1758): a leading
         # timestamp/guid sort key over a SORTED iterator needs no
@@ -892,9 +960,9 @@ class Compiler:
                 sort_skipped = True
                 perfect_backward = bool(first0.descending)
                 order = [
-                    F.col("id").desc()
+                    _c("id").desc()
                     if perfect_backward
-                    else F.col("id").asc()
+                    else _c("id").asc()
                 ]
         if con.sort and not sort_skipped:
             first = con.sort[0]
@@ -957,9 +1025,9 @@ class Compiler:
                 # nulls) never surface (ref graphd-comparator-number.c
                 # number_vrange_start, pdb-bins.c:242-280; test
                 # sortnumber r3/r6/r7)
-                key0 = sort_key_column(F.col("value"), "number")
+                key0 = sort_key_column(_c("value"), "number")
                 df = df.filter(
-                    F.col("value").isNotNull() & (key0 < F.lit(b"\x02"))
+                    _c("value").isNotNull() & (key0 < _l(b"\x02"))
                 )
         if con.sort is None and any(
             sc.op in ("<", "<=", ">", ">=") for sc in con.value_strcons
@@ -998,9 +1066,9 @@ class Compiler:
 
                 order = [
                     string_bin_order_column(
-                        F.col("value")
+                        _c("value")
                     ).asc_nulls_last(),
-                    F.col("id").asc(),
+                    _c("id").asc(),
                 ]
             elif vcomp == "number" and all(
                 number_bin_lookup(v) is not None
@@ -1018,9 +1086,9 @@ class Compiler:
 
                 order = [
                     number_scan_order_column(
-                        F.col("value")
+                        _c("value")
                     ).asc_nulls_last(),
-                    F.col("id").asc(),
+                    _c("id").asc(),
                 ]
             elif vcomp == "datetime":
                 # datetime scans traverse negative-year bins in
@@ -1032,9 +1100,9 @@ class Compiler:
 
                 order = [
                     datetime_scan_order_column(
-                        F.col("value")
+                        _c("value")
                     ).asc_nulls_last(),
-                    F.col("id").asc(),
+                    _c("id").asc(),
                 ]
         # the reference's bounded incremental sorter over id-ordered
         # production (mirror of the fast path; sortsim.py): tight
@@ -1105,8 +1173,8 @@ class Compiler:
             if page_ids:
                 got = {
                     r["id"]: r["__e"]
-                    for r in df.filter(F.col("id").isin(page_ids))
-                    .select(F.col("id"), elem.alias("__e"))
+                    for r in df.filter(_c("id").isin(page_ids))
+                    .select(_c("id"), elem.alias("__e"))
                     .collect()
                 }
                 page = [got[i] for i in page_ids]
@@ -1275,7 +1343,7 @@ class Compiler:
                 # descending sort (probed: sort=(-timestamp)
                 # pagesize=0 freezes all:0-N/1/)
                 probe_order = (
-                    [F.col("id").asc()] if sort_skipped else order
+                    [_c("id").asc()] if sort_skipped else order
                 )
                 # only the LAST probed element positions the cursor
                 # ([o:] carries the consumed count separately), so
@@ -1429,11 +1497,11 @@ class Compiler:
                         cstate.lk, cstate.src
                     ).agg(
                         F.sum(
-                            F.when(F.col("id") >= last_id, 1)
+                            F.when(_c("id") >= last_id, 1)
                             .otherwise(0)
                         ).alias("tail"),
                         F.max(
-                            F.when(F.col("id") == last_id, 1)
+                            F.when(_c("id") == last_id, 1)
                             .otherwise(0)
                         ).alias("hit"),
                     ).head()
@@ -1532,7 +1600,7 @@ class Compiler:
                 tname, key, lo, hi, pos_df = hm
                 row = pos_df.agg(
                     F.sum(
-                        F.when(F.col("id") <= last_id, 1).otherwise(0)
+                        F.when(_c("id") <= last_id, 1).otherwise(0)
                     ).alias("pos"),
                     F.max("id").alias("mx"),
                 ).head()
@@ -1931,7 +1999,7 @@ class Compiler:
         live = [
             guids[r[col]]
             for r in self._raw_df()
-            .filter(F.col(col).isin(*guids))
+            .filter(_c(col).isin(*guids))
             .select(col).distinct().collect()
         ]
         if len(live) != 1:
@@ -1979,8 +2047,8 @@ class Compiler:
         return [
             r["id"]
             for r in raw
-            .filter(F.col("value").isNotNull())
-            .filter(_in_bins(F.col("value")))
+            .filter(_c("value").isNotNull())
+            .filter(_in_bins(_c("value")))
             .select("id")
             .orderBy("id")
             .limit(_FIXED_MATERIALIZE_MAX + 1)
@@ -2054,9 +2122,9 @@ class Compiler:
         if tname == "value":
             return (
                 normalize_value(key),
-                F.col("value_norm") == value_norm_key(key),
+                _c("value_norm") == value_norm_key(key),
             )
-        return key, F.lower(F.col("name")) == key.lower()
+        return key, F.lower(_c("name")) == key.lower()
 
     def _linksto_member(self, sub, lk) -> Optional[dict]:
         """An or-of-gmaps linksto member: links whose ``lk`` column
@@ -2072,9 +2140,9 @@ class Compiler:
         if n_src < 2:
             return None
         raw = self._raw_df()
-        srcs = raw.filter(src_flt).select(F.col("guid").alias("__src"))
+        srcs = raw.filter(src_flt).select(_c("guid").alias("__src"))
         span = (
-            raw.join(srcs, raw[lk] == F.col("__src"))
+            raw.join(srcs, raw[lk] == _c("__src"))
             .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
             .head()
         )
@@ -2439,7 +2507,7 @@ class Compiler:
         if m["kind"] == "gmap":
             df = self._gmap_index_df(m["letter"], m["src"])
             df = (
-                df.filter(F.col("id").isin(within))
+                df.filter(_c("id").isin(within))
                 if within is not None
                 else df.limit(self._AND_PRODUCER_MAX + 1)
             )
@@ -2450,11 +2518,11 @@ class Compiler:
         if m["kind"] == "linksto":
             raw = self._raw_df()
             srcs = raw.filter(m["src_flt"]).select(
-                F.col("guid").alias("__src")
+                _c("guid").alias("__src")
             )
-            df = raw.join(srcs, raw[m["lk"]] == F.col("__src"))
+            df = raw.join(srcs, raw[m["lk"]] == _c("__src"))
             df = (
-                df.filter(F.col("id").isin(within))
+                df.filter(_c("id").isin(within))
                 if within is not None
                 else df.limit(self._AND_PRODUCER_MAX + 1)
             )
@@ -2799,9 +2867,9 @@ class Compiler:
         if typeguid is not None and endpoint is not None:
             elk, src = endpoint
             span = raw.filter(
-                (F.col("typeguid") == typeguid)
+                (_c("typeguid") == typeguid)
                 & (
-                    F.col(elk)
+                    _c(elk)
                     == guid_compose(self.store.db_id, src)
                 )
             ).agg(
@@ -2819,7 +2887,7 @@ class Compiler:
                 else endpoint
             )
             span = raw.filter(
-                F.col(elk) == guid_compose(self.store.db_id, src)
+                _c(elk) == guid_compose(self.store.db_id, src)
             ).agg(
                 F.min("id").alias("lo"), F.max("id").alias("hi")
             ).head()
@@ -2884,7 +2952,7 @@ class Compiler:
 
         g = guid_compose(self.store.db_id, src)
         df = self._raw_df().filter(
-            F.col(self._GMAP_COLS[lk]) == g
+            _c(self._GMAP_COLS[lk]) == g
         )
         return df
 
@@ -2895,7 +2963,7 @@ class Compiler:
             F.min("id").alias("lo"),
             F.max("id").alias("hi"),
             F.sum(
-                F.when(F.col("id") <= last_id, 1).otherwise(0)
+                F.when(_c("id") <= last_id, 1).otherwise(0)
             ).alias("pos"),
         ).head()
         if row is None or row["lo"] is None:
@@ -2907,13 +2975,13 @@ class Compiler:
         resume boundary): ascending for forward scans, from the top
         of the index for backward ones."""
         idx = self._gmap_index_df(cstate.lk, cstate.src).filter(
-            F.col("id") >= cstate.low
+            _c("id") >= cstate.low
         )
         if cstate.backward:
             if cstate.high is not None:
-                idx = idx.filter(F.col("id") < cstate.high)
+                idx = idx.filter(_c("id") < cstate.high)
             row = (
-                idx.orderBy(F.col("id").desc())
+                idx.orderBy(_c("id").desc())
                 .limit(cstate.pos)
                 .agg(F.min("id").alias("b"))
                 .head()
@@ -2952,11 +3020,11 @@ class Compiler:
         no longer in df)."""
         comps = self._sort_components(con, plan)
         tagged = df.select(
-            F.col("id"),
+            _c("id"),
             *[c.alias(f"__k{i}") for i, (c, _d, _k) in enumerate(comps)],
         )
         cur = tagged.filter(
-            F.col("id") == guid_serial(guid)
+            _c("id") == guid_serial(guid)
         ).head()
         present = cur is not None
         if cur is None:
@@ -2969,22 +3037,22 @@ class Compiler:
             c0 = comps[0][0]
             df = df.filter(c0.isNull() if k0 is None else c0.isNotNull())
             tagged = tagged.filter(
-                F.col("__k0").isNull()
+                _c("__k0").isNull()
                 if k0 is None
-                else F.col("__k0").isNotNull()
+                else _c("__k0").isNotNull()
             )
-        before = F.lit(False)
-        eq_prefix = F.lit(True)
+        before = _l(False)
+        eq_prefix = _l(True)
         for i, (_c, desc, _k) in enumerate(comps):
-            k = F.col(f"__k{i}")
+            k = _c(f"__k{i}")
             cv = cur[f"__k{i}"]
             if isinstance(cv, bytearray):
                 cv = bytes(cv)
-            v = F.lit(cv)
+            v = _l(cv)
             if cv is None:
                 # null = +inf: only non-null beats it ascending,
                 # nothing beats it descending
-                lt = k.isNotNull() if not desc else F.lit(False)
+                lt = k.isNotNull() if not desc else _l(False)
             elif desc:
                 lt = k.isNull() | (k > v)
             else:
@@ -3103,7 +3171,7 @@ class Compiler:
         comps = self._sort_components(con, plan)
         tagged = (
             df.select(
-                F.col("id"),
+                _c("id"),
                 *[
                     c.alias(f"__k{i}")
                     for i, (c, _d, _k) in enumerate(comps)
@@ -3164,9 +3232,12 @@ class Compiler:
         # node render post-freeze children (write-into-window fuzz)
         _nh = getattr(self, "_node_highs", None)
         _b = _nh.get(id(con)) if _nh else None
-        if _b is not None:
-            df = df.filter(F.col("id") < _b)
         pred = self._intrinsic_pred(con)
+        # one filter node for boundary + intrinsics (one DataFrame
+        # round trip / analysis pass instead of two)
+        if _b is not None:
+            bound = _c("id") < _b
+            pred = bound if pred is None else (bound & pred)
         if pred is not None:
             df = df.filter(pred)
         plan = SetPlan(con=con)
@@ -3224,7 +3295,7 @@ class Compiler:
             newcol = f"v{self._n}"
             df = df.withColumn(
                 newcol,
-                F.try_element_at(F.col(sp.arr_col), F.lit(1))[vcol],
+                F.try_element_at(_c(sp.arr_col), _l(1))[vcol],
             )
             plan.var_cols[var] = newcol
             plan.var_kinds[var] = sp.plan.var_kinds[var]
@@ -3246,9 +3317,9 @@ class Compiler:
                 "previous": "prev",
                 "valuetype": "datatype",
             }.get(k, k)
-            return F.col(col)
+            return _c(col)
         if k == "literal":
-            return F.lit(pat.literal)
+            return _l(pat.literal)
         return None
 
     # -- subconstraints ----------------------------------------------------
@@ -3283,14 +3354,14 @@ class Compiler:
             # child contributes one (endpoint, child) pair per non-null
             # endpoint, so the join stays a hash join on one key
             # instead of an OR-of-equalities nested loop.
-            child_key = F.col("__bikey")
-            parent_key = F.col("guid")
+            child_key = _c("__bikey")
+            parent_key = _c("guid")
         elif kind == "my":
-            child_key = F.col(lk)        # child.lk -> parent.guid
-            parent_key = F.col("guid")
+            child_key = _c(lk)        # child.lk -> parent.guid
+            parent_key = _c("guid")
         else:
-            child_key = F.col("guid")    # parent.lk -> child.guid
-            parent_key = F.col(lk)
+            child_key = _c("guid")    # parent.lk -> child.guid
+            parent_key = _c(lk)
 
         count_min = (
             sub.count_min
@@ -3328,12 +3399,12 @@ class Compiler:
             keys = child_df.select(child_key.alias("__k")).distinct()
             if sub.count_eq == 0:
                 out = df.join(
-                    keys, parent_key == F.col("__k"), "left_anti"
+                    keys, parent_key == _c("__k"), "left_anti"
                 )
                 return out, SubPlan("anti", sub_plan), None
             if count_min >= 1:
                 out = df.join(
-                    keys, parent_key == F.col("__k"), "left_semi"
+                    keys, parent_key == _c("__k"), "left_semi"
                 )
                 return out, SubPlan("semi", sub_plan), None
             return df, SubPlan("skip", sub_plan), None  # optional, unused
@@ -3370,16 +3441,16 @@ class Compiler:
         # subconstraint offsets the page (test/unit/start-unsorted.sh)
         lo = sub.start or 0
         agg = kdf.groupBy("__k").agg(
-            F.count(F.lit(1)).alias(cnt),
+            F.count(_l(1)).alias(cnt),
             F.transform(
                 F.array_sort(
                     F.collect_list(
                         F.when(
-                            (F.col("__rn") > F.lit(lo))
-                            & (F.col("__rn") <= F.lit(lo + rps)),
+                            (_c("__rn") > _l(lo))
+                            & (_c("__rn") <= _l(lo + rps)),
                             F.struct(
-                                F.col("__rn").alias("o"),
-                                F.col("__e").alias("e"),
+                                _c("__rn").alias("o"),
+                                _c("__e").alias("e"),
                             ),
                         )
                     )
@@ -3388,7 +3459,7 @@ class Compiler:
             ).alias(arr),
         )
 
-        cnt_eff = F.coalesce(F.col(cnt), F.lit(0))
+        cnt_eff = F.coalesce(_c(cnt), _l(0))
         bounds = []
         if sub.count_eq is not None:
             bounds.append(cnt_eff == sub.count_eq)
@@ -3397,7 +3468,7 @@ class Compiler:
                 bounds.append(cnt_eff >= count_min)
             if sub.count_max is not None:
                 bounds.append(cnt_eff <= sub.count_max)
-        flag = F.lit(True)
+        flag = _l(True)
         for b in bounds:
             flag = flag & b
 
@@ -3452,7 +3523,7 @@ class Compiler:
             if cstate is not None:
                 if cstate.horizon is not None:
                     child_df = child_df.filter(
-                        F.col("id") < cstate.horizon
+                        _c("id") < cstate.horizon
                     )
                 if cstate.form == "fixed":
                     ids = cstate.fixed_ids
@@ -3462,7 +3533,7 @@ class Compiler:
                         else ids[cstate.pos:]
                     )
                     child_df = child_df.filter(
-                        F.col("id").isin(allowed)
+                        _c("id").isin(allowed)
                     )
                 elif cstate.form == "vip":
                     # a thawed vip pins the sub to that parent's
@@ -3471,39 +3542,39 @@ class Compiler:
                     # subs then yield nothing and drop them)
                     lk_col = self._GMAP_COLS[cstate.lk]
                     child_df = child_df.filter(
-                        (F.col(lk_col) == guid_compose(
+                        (_c(lk_col) == guid_compose(
                             self.store.db_id, cstate.src))
-                        & (F.col("typeguid") == cstate.tg)
+                        & (_c("typeguid") == cstate.tg)
                         & (
-                            F.col("id") < cstate.pos
+                            _c("id") < cstate.pos
                             if cstate.backward
-                            else F.col("id") > cstate.pos
+                            else _c("id") > cstate.pos
                         )
                     )
                 elif cstate.form in ("all", "without"):
                     child_df = child_df.filter(
-                        F.col("id") >= max(cstate.pos, cstate.low)
+                        _c("id") >= max(cstate.pos, cstate.low)
                     )
                 elif cstate.form == "gmap":
                     # the thawed per-parent iterator: only that
                     # parent's children, past the consumed prefix
                     lk_col = self._GMAP_COLS[cstate.lk]
                     child_df = child_df.filter(
-                        F.col(lk_col)
+                        _c(lk_col)
                         == guid_compose(self.store.db_id, cstate.src)
                     )
                     if cstate.pos:
                         b = self._gmap_pos_boundary(cstate)
                         if b is None:
-                            child_df = child_df.filter(F.lit(False))
+                            child_df = child_df.filter(_l(False))
                         else:
                             child_df = child_df.filter(
-                                F.col("id") < b
+                                _c("id") < b
                                 if cstate.backward
-                                else F.col("id") > b
+                                else _c("id") > b
                             )
         elif sub.cursor == "null:":
-            child_df = child_df.filter(F.lit(False))
+            child_df = child_df.filter(_l(False))
         if not wants_cursor:
             return child_df
         if self.asof is not None:
@@ -3649,7 +3720,7 @@ class Compiler:
                         ecol = f"v{self._n}"
                         df = df.withColumn(
                             ecol,
-                            F.when(eff, F.lit(True)).otherwise(F.lit(False)),
+                            F.when(eff, _l(True)).otherwise(_l(False)),
                         )
                     sp.eff_col = ecol
                 else:
@@ -3657,8 +3728,8 @@ class Compiler:
                     gc = f"v{self._n}"
                     df = df.withColumn(
                         gc,
-                        F.when(eff & guard, F.lit(True)).otherwise(
-                            F.lit(False)
+                        F.when(eff & guard, _l(True)).otherwise(
+                            _l(False)
                         ),
                     )
                     sp.eff_col = gc
@@ -3679,7 +3750,7 @@ class Compiler:
                     gcol,
                     F.when(
                         eff if guard is None else (eff & guard),
-                        F.col(arr_col),
+                        _c(arr_col),
                     ),
                 )
                 plan.var_patterns[var] = (sub_plan, gcol, cnt_col, pat)
@@ -3700,9 +3771,9 @@ class Compiler:
                 )
                 if mixed:
                     kexpr = (
-                        F.when(flag, F.lit(kind))
+                        F.when(flag, _l(kind))
                         if kexpr is None
-                        else kexpr.when(flag, F.lit(kind))
+                        else kexpr.when(flag, _l(kind))
                     )
             self._n += 1
             vcol = f"v{self._n}"
@@ -3740,7 +3811,7 @@ class Compiler:
           slot_sps: SubPlans in this branch's parse order
         """
         pred = self._branch_pred(b, skip_sub_chains=True)
-        flag = pred if pred is not None else F.lit(True)
+        flag = pred if pred is not None else _l(True)
         cases: dict = {}
         bpats: list = []
         bsps: list = []
@@ -3760,7 +3831,7 @@ class Compiler:
                     cases.setdefault(var, []).append((
                         None,
                         F.try_element_at(
-                            F.col(sp.arr_col), F.lit(1)
+                            _c(sp.arr_col), _l(1)
                         )[vcol],
                         sp.plan.var_kinds[var],
                     ))
@@ -3888,7 +3959,7 @@ class Compiler:
         for n in names:
             if n not in seen:
                 seen.add(n)
-                fields.append(F.col(n))
+                fields.append(_c(n))
         return F.struct(*fields)
 
     # -- sorting -----------------------------------------------------------
@@ -3911,7 +3982,7 @@ class Compiler:
             if col is None:
                 continue
             comps.append((col, sk.descending, sk.pattern.kind))
-        comps.append((F.col("id"), False, "guid"))
+        comps.append((_c("id"), False, "guid"))
         return comps
 
     def _sort_exprs(self, con: Constraint, plan: SetPlan):
@@ -3929,21 +4000,21 @@ class Compiler:
         if k == "value" and comparator == "default":
             # sorted natively by the stored fuzzy key — no Python in
             # the sort path
-            return F.col("value_fkey")
+            return _c("value_fkey")
         if k in ("value", "name"):
-            return sort_key_column(F.col(k), comparator)
+            return sort_key_column(_c(k), comparator)
         if k == "guid":
-            return F.col("id")
+            return _c("id")
         if k in ("timestamp", "generation", "datatype"):
-            return F.col(k)
+            return _c(k)
         if k == "valuetype":
-            return F.col("datatype")
+            return _c("datatype")
         if k in ("left", "right", "typeguid", "scope"):
-            return F.col(k)
+            return _c(k)
         if k == "type":
-            return F.col("typeguid")
+            return _c("typeguid")
         if k in ("live", "archival"):
-            return F.col(k)
+            return _c(k)
         if k in (
             "count", "cursor", "estimate", "iterator", "timeout",
             "estimate-count",
@@ -3951,11 +4022,11 @@ class Compiler:
             # ref graphd-sort-compile.c rejections (test/unit/sort20.sh)
             raise GraphdError("SEMANTICS", f"cannot sort by {k}")
         if k == "previous":
-            return F.col("prev")
+            return _c("prev")
         if k == "next":
-            return F.col("__next")  # successor guid, precomputed
+            return _c("__next")  # successor guid, precomputed
         if k == "meta":
-            return F.when(F.col("left").isNull(), 1).otherwise(2)
+            return F.when(_c("left").isNull(), 1).otherwise(2)
         if k == "variable":
             vcol = plan.var_cols.get(pat.var)
             if vcol is not None:
@@ -3965,20 +4036,20 @@ class Compiler:
                 if plan.var_kinds.get(pat.var) in (
                     "value", "name", "type", "literal"
                 ):
-                    return sort_key_column(F.col(vcol), comparator)
-                return F.col(vcol)
+                    return sort_key_column(_c(vcol), comparator)
+                return _c(vcol)
             entry = plan.var_patterns.get(pat.var)
             if entry is not None:
                 _sp, acol, ccol, vpat = entry
                 if any(p.kind == "count" for p in vpat.walk()):
                     # $v=count: order by the child-set count
-                    return F.coalesce(F.col(ccol), F.lit(0))
+                    return F.coalesce(_c(ccol), _l(0))
                 # set-shaped var: order by the array of element keys
                 # (arrays compare element-wise, so this reproduces the
                 # reference's list comparison)
                 field = self._pattern_scalar_field(vpat)
                 if field is not None:
-                    arr = F.transform(F.col(acol), lambda x: x[field])
+                    arr = F.transform(_c(acol), lambda x: x[field])
                     return sort_key_column(arr, "__fuzzy_list")
             return None
         if k == "literal":
@@ -3991,7 +4062,7 @@ class Compiler:
             for sp in plan.sub_plans:
                 if sp.mode == "agg":
                     arr = F.transform(
-                        F.col(sp.arr_col), lambda x: x["value"]
+                        _c(sp.arr_col), lambda x: x["value"]
                     )
                     return sort_key_column(arr, "__fuzzy_list")
             return None
@@ -4007,7 +4078,7 @@ class Compiler:
         text < number < guid < timestamp < boolean < datatype), then
         within-type.  One binary key: rank byte + per-type
         order-preserving bytes (identical bytes on the fast path)."""
-        kc, v = F.col(kcol), F.col(vcol)
+        kc, v = _c(kcol), _c(vcol)
         text = kc.isin("value", "name", "type", "literal")
         num = kc.isin("generation", "valuetype", "count")
         guid = kc.isin(
@@ -4015,12 +4086,12 @@ class Compiler:
             "previous", "next",
         )
         rank = (
-            F.when(text, F.lit(b"1"))
-            .when(num, F.lit(b"3"))
-            .when(guid, F.lit(b"4"))
-            .when(kc == "timestamp", F.lit(b"7"))
-            .when(kc.isin("live", "archival"), F.lit(b"8"))
-            .otherwise(F.lit(b"9"))  # datatype
+            F.when(text, _l(b"1"))
+            .when(num, _l(b"3"))
+            .when(guid, _l(b"4"))
+            .when(kc == "timestamp", _l(b"7"))
+            .when(kc.isin("live", "archival"), _l(b"8"))
+            .otherwise(_l(b"9"))  # datatype
         )
         key = (
             F.when(text, sort_key_column(v, comparator))
@@ -4046,15 +4117,15 @@ class Compiler:
     def _intrinsic_pred(self, con: Constraint, in_branch: bool = False):
         conds = []
         if con.false:
-            return F.lit(False)
+            return _l(False)
         if con.live == TRUE:
-            conds.append(F.col("live"))
+            conds.append(_c("live"))
         elif con.live == FALSE:
-            conds.append(~F.col("live"))
+            conds.append(~_c("live"))
         if con.archival == TRUE:
-            conds.append(F.col("archival"))
+            conds.append(_c("archival"))
         elif con.archival == FALSE:
-            conds.append(~F.col("archival"))
+            conds.append(~_c("archival"))
         # meta markers never filter at match time: GRAPHD_META_NODE is
         # read only by constraint-to-string, and the matcher has no
         # meta check (graphd-match.c; differential seed 4 — the
@@ -4067,16 +4138,16 @@ class Compiler:
             conds.append(self._dateline_cond(con.dateline))
 
         if con.guid:
-            conds.append(self._guid_col_pred(F.col("guid"), con.guid))
+            conds.append(self._guid_col_pred(_c("guid"), con.guid))
         for lk, gcs in con.links.items():
             if gcs:
-                conds.append(self._guid_col_pred(F.col(lk), gcs))
+                conds.append(self._guid_col_pred(_c(lk), gcs))
         # empty-set cons are the consumed prev=null/next=null rewrite
         # markers (parser._normalize_version_pointers): they sign
         # "=()" in cursor envelopes but carry no match semantics
         live_prev = [gc for gc in con.prev if gc.guids]
         if live_prev:
-            conds.append(self._guid_col_pred(F.col("prev"), live_prev))
+            conds.append(self._guid_col_pred(_c("prev"), live_prev))
         for gc in con.next:
             if gc.guids:
                 conds.append(self._next_cond(gc))
@@ -4087,17 +4158,17 @@ class Compiler:
             conds.append(self._type_cond(sc))
         for sc in self._merged_strcons(con.name_strcons, match_comp):
             conds.append(
-                self._string_cond(F.col("name"), sc, match_comp,
+                self._string_cond(_c("name"), sc, match_comp,
                                   is_value=False)
             )
         for sc in self._merged_strcons(con.value_strcons, match_comp):
             conds.append(
-                self._string_cond(F.col("value"), sc, match_comp,
+                self._string_cond(_c("value"), sc, match_comp,
                                   is_value=True)
             )
 
         if con.valuetype is not None:
-            conds.append(F.col("datatype") == con.valuetype)
+            conds.append(_c("datatype") == con.valuetype)
 
         if con.timestamps:
             # one inclusive [min, max] envelope, NOT per-op row
@@ -4110,9 +4181,9 @@ class Compiler:
                     "SYNTAX",
                     f"cannot parse timestamp {e.args[0]!r}",
                 )
-            c = F.col("timestamp")
+            c = _c("timestamp")
             if ts_false:
-                conds.append(F.lit(False))
+                conds.append(_l(False))
             else:
                 if tmin_e is not None:
                     conds.append(c >= tmin_e)
@@ -4134,30 +4205,35 @@ class Compiler:
             if tmin is not None and tmin > 0:
                 b = self.store.timestamp_to_id(tmin, "ge")
                 if b is None:
-                    conds.append(F.lit(False))
+                    conds.append(_l(False))
                 else:
-                    conds.append(F.col("id") >= b)
+                    conds.append(_c("id") >= b)
             if tmax is not None:
                 b = self.store.timestamp_to_id(tmax, "le")
                 if b is None:
-                    conds.append(F.lit(False))
+                    conds.append(_l(False))
                 else:
-                    conds.append(F.col("id") < b + 1)
+                    conds.append(_c("id") < b + 1)
 
         # generation: default newest=0 — only current versions match
         # (ref graphd/graphd.h:458-472).  A next= constraint naming a
         # real successor implies non-newest candidates, so it lifts
         # the default (test/unit/guid2.sh: next=G finds the versioned
         # predecessor)
-        dist = F.col("__maxgen") - F.col("generation")
+        dist = _cc("gendist", lambda: _c("__maxgen") - _c("generation"))
         if con.gens:
             for g in con.gens:
-                target = dist if g.field == "newest" else F.col("generation")
-                conds.append(_OPS[g.op](target, F.lit(g.n)))
+                target = dist if g.field == "newest" else _c("generation")
+                conds.append(_OPS[g.op](target, _l(g.n)))
         elif not any(
             g is not None for gc in con.next for g in gc.guids
         ):
-            conds.append(dist == 0)
+            # the default newest=0 predicate appears in every compiled
+            # node: one cached JVM expression
+            conds.append(_cc("gendist0", lambda: (
+                _cc("gendist", lambda: _c("__maxgen") - _c("generation"))
+                == 0
+            )))
 
         if not conds:
             return None
@@ -4175,8 +4251,8 @@ class Compiler:
         try:
             n = int(count, 16)  # dateline counts are hexadecimal
         except ValueError:
-            return F.lit(False)  # unparseable dateline matches nothing
-        c = F.col("id")
+            return _l(False)  # unparseable dateline matches nothing
+        c = _c("id")
         return {
             "=": c == n, "!=": c != n,
             "<": c < n, "<=": c < n,
@@ -4277,10 +4353,10 @@ class Compiler:
                 p = col.isin(nonnull)
             if None in include:
                 p = col.isNull() if p is None else (p | col.isNull())
-            parts.append(p if p is not None else F.lit(False))
+            parts.append(p if p is not None else _l(False))
         for s in standalone:
             nonnull = [g for g in s if g is not None]
-            p = col.isin(nonnull) if nonnull else F.lit(False)
+            p = col.isin(nonnull) if nonnull else _l(False)
             if None in s:
                 p = p | col.isNull()
             parts.append(p)
@@ -4308,7 +4384,7 @@ class Compiler:
                 if p is not None:
                     guids.extend(self.store.lineage_members(p.lineage))
             if not guids:
-                return F.lit(False)
+                return _l(False)
             return col.isin(guids)
         nonnull = [g for g in gc.guids if g is not None]
         has_null = any(g is None for g in gc.guids)
@@ -4319,7 +4395,7 @@ class Compiler:
             if has_null:
                 parts.append(col.isNull())
             if not parts:
-                return F.lit(False)
+                return _l(False)
             pred = parts[0]
             for p in parts[1:]:
                 pred = pred | p
@@ -4350,27 +4426,27 @@ class Compiler:
                 tp = self.store.get(t)
                 if tp is not None and tp.prev is not None:
                     prevs.append(tp.prev)
-        newest = (F.col("__maxgen") - F.col("generation")) == 0
+        newest = (_c("__maxgen") - _c("generation")) == 0
         if gc.op in ("=", "~="):
             if prevs:
-                parts.append(F.col("guid").isin(prevs))
+                parts.append(_c("guid").isin(prevs))
             if has_null:
                 parts.append(newest)  # no successor
             if not parts:
-                return F.lit(False)
+                return _l(False)
             pred = parts[0]
             for p in parts[1:]:
                 pred = pred | p
             return pred
         pred = ~newest  # must have a successor
         if prevs:
-            pred = pred & ~F.col("guid").isin(prevs)
+            pred = pred & ~_c("guid").isin(prevs)
         return pred
 
     def _type_cond(self, sc):
         """type="name": bind names to typeguids pre-plan
         (ref graphd-read.c:36-135); matching is lineage-canonical."""
-        col = F.col("typeguid_lin")
+        col = _c("typeguid_lin")
         guids = []
         has_null = False
         for nm in sc.values:
@@ -4388,7 +4464,7 @@ class Compiler:
             if has_null:
                 parts.append(col.isNull())
             if not parts:
-                return F.lit(False)
+                return _l(False)
             pred = parts[0]
             for p in parts[1:]:
                 pred = pred | p
@@ -4397,7 +4473,7 @@ class Compiler:
         if has_null:
             p2 = col.isNotNull()
             pred = p2 if pred is None else (pred & p2)
-        return pred if pred is not None else F.lit(True)
+        return pred if pred is not None else _l(True)
 
     def _string_cond(self, col, sc, comparator, is_value: bool = False):
         comp = resolve_comparator(comparator)
@@ -4416,12 +4492,12 @@ class Compiler:
             # iterator GRAPHD_OP_EQ + vrange_check_value; numberequal
             # r8: ' 1' fuzzy-equals '1' but hashes as '1', not '1e0',
             # so it never surfaces) — both must match
-            eq_col = F.col("value_fkey")
+            eq_col = _c("value_fkey")
             eq_lits = [fuzzy_key(v) for v in nonnull]
             norm_lits = [value_norm_key(v) for v in nonnull]
         elif is_value and comp == "number":
             # strict: only parseable numbers equal a number literal
-            eq_col = F.col("value_num")
+            eq_col = _c("value_num")
             eq_lits = [
                 value_norm_key(v) if decode_number(
                     v, scientific=True
@@ -4429,7 +4505,7 @@ class Compiler:
                 for v in nonnull
             ]
         elif is_value and comp == "datetime":
-            eq_col = F.col("value_norm")
+            eq_col = _c("value_norm")
             eq_lits = [value_norm_key(v) for v in nonnull]
         elif comp in ("case", "octet"):
             eq_col = col
@@ -4446,13 +4522,13 @@ class Compiler:
                 # literal keeps matching stored empty/whitespace values
                 # through the regular comparator path (david_6.sh)
                 parts.append(
-                    col.isNull() & (F.col("datatype") == 2)
+                    col.isNull() & (_c("datatype") == 2)
                 )
             if nonnull and is_value and comp == "default":
                 p = None
                 for k, n in zip(eq_lits, norm_lits):
-                    t = (eq_col == F.lit(k)) & (
-                        F.col("value_norm") == F.lit(n)
+                    t = (eq_col == _l(k)) & (
+                        _c("value_norm") == _l(n)
                     )
                     p = t if p is None else (p | t)
                 parts.append(p)
@@ -4461,7 +4537,7 @@ class Compiler:
             if has_null:
                 parts.append(col.isNull())
             if not parts:
-                return F.lit(False)
+                return _l(False)
             pred = parts[0]
             for p in parts[1:]:
                 pred = pred | p
@@ -4481,7 +4557,7 @@ class Compiler:
             if has_null:
                 p2 = col.isNotNull()
                 pred = p2 if pred is None else (pred & p2)
-            return pred if pred is not None else F.lit(True)
+            return pred if pred is not None else _l(True)
         if sc.op in ("<", "<=", ">", ">="):
             # range under the comparator's ordering: compare
             # order-preserving sort keys (null values never match —
@@ -4489,12 +4565,12 @@ class Compiler:
             # which don't contain nulls)
             lit = nonnull[0] if nonnull else None
             if lit is None:
-                return F.lit(False)
+                return _l(False)
             if is_value and comp == "default":
-                key = F.col("value_fkey")
+                key = _c("value_fkey")
             else:
                 key = sort_key_column(col, comp)
-            pred = _OPS[sc.op](key, F.lit(literal_key(lit, comp)))
+            pred = _OPS[sc.op](key, _l(literal_key(lit, comp)))
             if is_value and comp == "datetime":
                 # datetime ranges enumerate the three date bin
                 # segments only (negative years / years / times, ref
@@ -4513,7 +4589,7 @@ class Compiler:
                     # literal doesn't decode: the reference builds no
                     # vrange (ENOTSUP); only parseable numbers match —
                     # number keys sort below the \x02 non-number class
-                    pred = pred & (key < F.lit(b"\x02"))
+                    pred = pred & (key < _l(b"\x02"))
                 else:
                     # enumeration = bins from/to the literal's bin;
                     # each bin's value-hash bucket can carry
@@ -4528,9 +4604,9 @@ class Compiler:
                     scan = number_scan_order_column(col)
                     pred = pred & scan.isNotNull()
                     if sc.op in (">", ">="):
-                        pred = pred & (scan >= F.lit(2 * lo_bin))
+                        pred = pred & (scan >= _l(2 * lo_bin))
                     else:
-                        pred = pred & (scan <= F.lit(2 * lo_bin + 1))
+                        pred = pred & (scan <= _l(2 * lo_bin + 1))
             elif is_value and sc.op in (">", ">="):
                 # null values compare greater than any string under
                 # the default ordering (graph_fuzzycmp NULL rule), so
@@ -4563,7 +4639,7 @@ class Compiler:
                 else:
                     g = glob_column(col, v, case_sensitive=cs)
                 pred = g if pred is None else (pred | g)
-            return pred if pred is not None else F.lit(False)
+            return pred if pred is not None else _l(False)
         raise GraphdError("SEMANTICS", f"unsupported operator {sc.op!r}")
 
 
