@@ -76,60 +76,10 @@ DEFAULT_PAGESIZE = 1024  # ref graphd/graphd-sort.c:21-22
 _FIXED_MATERIALIZE_MAX = 100
 
 
-# -- py4j round-trip caches ------------------------------------------------
-#
-# Every F.col()/F.lit() costs two py4j round trips (a getattr on the
-# JVM functions object + the call); the constraint compiler issues
-# hundreds per compiled read, and the round trip — not Python — is
-# the cost (profiled: ~1.5 ms each on a loaded gateway, ~60% of
-# compile wall time in aggregate with the DataFrame ops).  Columns
-# are immutable unresolved expressions, so one JVM handle per
-# (SparkContext, name/literal) serves every plan.  Keyed on the
-# active SparkContext id: a restarted context (tests) misses and
-# rebuilds; stale entries are a few hundred tiny proxies.
-
-_JCACHE: dict = {}
-
-
-def _ctx_id() -> int:
-    from pyspark import SparkContext
-
-    return id(SparkContext._active_spark_context)
-
-
-def _c(name: str):
-    """Cached ``F.col(name)``."""
-    key = (_ctx_id(), "col", name)
-    col = _JCACHE.get(key)
-    if col is None:
-        col = _JCACHE[key] = getattr(F, "col")(name)
-    return col
-
-
-def _l(value):
-    """Cached ``F.lit(value)`` for hashable scalars (type-keyed, so
-    True/1/1.0 stay distinct literals); unhashable values fall
-    through to a plain F.lit."""
-    _flit = getattr(F, "lit")
-    try:
-        key = (_ctx_id(), "lit", type(value), value)
-        lit = _JCACHE.get(key)
-    except TypeError:
-        return _flit(value)
-    if lit is None:
-        lit = _JCACHE[key] = _flit(value)
-    return lit
-
-
-def _cc(tag: str, build):
-    """Cached constant compound expression: ``build()`` runs once per
-    SparkContext (e.g. the newest-generation distance predicate that
-    every compiled read re-derives)."""
-    key = (_ctx_id(), "cc", tag)
-    e = _JCACHE.get(key)
-    if e is None:
-        e = _JCACHE[key] = build()
-    return e
+# py4j round-trip caches: cached F.col/F.lit/constant-expression
+# handles and the shared handle store (_JCACHE, also used for the
+# compiler's base-frame memo) — see jexpr.py
+from graphd_spark.jexpr import _JCACHE, _c, _cc, _ctx_id, _l  # noqa: E402
 
 
 def number_sort_root_keep(con, store) -> bool:

@@ -20,6 +20,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from graphd_spark.jexpr import _c, _l
 from graphd_spark.session import load_tables
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -76,9 +77,9 @@ def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (li,) = _t(spark, sf_dir, "lineitem")
     return li.filter(
-        (F.col("l_shipdate") >= "1995-01-01")
-        & (F.col("l_shipdate") < "1996-01-01")
-        & (F.col("l_quantity") > 45)
+        (_c("l_shipdate") >= "1995-01-01")
+        & (_c("l_shipdate") < "1996-01-01")
+        & (_c("l_quantity") > 45)
     ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
 
@@ -98,7 +99,7 @@ def fixed_guid_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (nation,) = _t(spark, sf_dir, "nation")
     return nation.filter(
-        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_14")
+        _c("n_name").isin("NATION_3", "NATION_7", "NATION_14")
     ).select("n_nationkey", "n_name")
 
 
@@ -137,7 +138,7 @@ def linkage_join_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "region", "nation", "customer", "orders"
     )
     dims = (
-        region.filter(F.col("r_name") == "ASIA")
+        region.filter(_c("r_name") == "ASIA")
         .join(nation, nation.n_regionkey == region.r_regionkey)
         .select("n_nationkey")
     )
@@ -147,7 +148,7 @@ def linkage_join_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("o_orderkey").alias("order_cnt"),
-            _money_sum(F.col("o_totalprice")).alias("total_spend"),
+            _money_sum(_c("o_totalprice")).alias("total_spend"),
         )
     )
 
@@ -168,7 +169,7 @@ def semi_join_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes the child payload.
     """
     supplier, lineitem = _t(spark, sf_dir, "supplier", "lineitem")
-    children = lineitem.filter(F.col("l_quantity") >= 49)
+    children = lineitem.filter(_c("l_quantity") >= 49)
     return supplier.join(
         children, supplier.s_suppkey == children.l_suppkey, "left_semi"
     ).select("s_suppkey", "s_name")
@@ -190,7 +191,7 @@ def anti_join_count0(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate (the common reference shape: `(<-left value>... count=0)`).
     """
     customer, orders = _t(spark, sf_dir, "customer", "orders")
-    children = orders.filter(F.col("o_totalprice") > 60000)
+    children = orders.filter(_c("o_totalprice") > 60000)
     return customer.join(
         children, customer.c_custkey == children.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -236,7 +237,7 @@ def cardinality_atleast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_custkey")
         .agg(F.count("*").alias("order_cnt"))
-        .filter(F.col("order_cnt") >= 15)
+        .filter(_c("order_cnt") >= 15)
     )
 
 
@@ -261,7 +262,7 @@ def isa_distinct_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     part, lineitem = _t(spark, sf_dir, "part", "lineitem")
     pointed = (
         lineitem.filter(
-            (F.col("l_shipdate") >= "1995-06-01") & (F.col("l_shipdate") < "1995-07-01")
+            (_c("l_shipdate") >= "1995-06-01") & (_c("l_shipdate") < "1995-07-01")
         )
         .select("l_partkey")
         .distinct()
@@ -295,8 +296,8 @@ def or_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (part,) = _t(spark, sf_dir, "part")
     proj = ["p_partkey", "p_brand", "p_size"]
-    b1 = part.filter(F.col("p_size") < 10).select(*proj)
-    b2 = part.filter(F.col("p_brand") == "Brand#3").select(*proj)
+    b1 = part.filter(_c("p_size") < 10).select(*proj)
+    b2 = part.filter(_c("p_brand") == "Brand#3").select(*proj)
     return b1.unionByName(b2).dropDuplicates(["p_partkey"])
 
 
@@ -316,7 +317,7 @@ def without_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (orders,) = _t(spark, sf_dir, "orders")
     all_cust = orders.select("o_custkey").distinct()
-    open_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    open_cust = orders.filter(_c("o_orderstatus") == "O").select("o_custkey").distinct()
     return all_cust.subtract(open_cust)
 
 
@@ -396,7 +397,7 @@ def collect_contents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_orderkey").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.col("l_linenumber"))),
+                F.array_sort(F.collect_list(_c("l_linenumber"))),
                 lambda x: x.cast("string"),
             ),
             ",",
@@ -428,7 +429,7 @@ def sort_multikey_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (li,) = _t(spark, sf_dir, "lineitem")
     return (
-        li.orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        li.orderBy(_c("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
         .select("l_orderkey", "l_linenumber", "l_extendedprice")
         .limit(100)
     )
@@ -464,7 +465,7 @@ def page_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = ["o_orderdate", "o_orderkey"]
     boundary = (
         orders.select(*keys).orderBy(*keys).limit(1000).orderBy(
-            *[F.col(c).desc() for c in keys]
+            *[_c(c).desc() for c in keys]
         ).limit(1)
     ).collect()
     page = orders.select(*keys)
@@ -496,10 +497,10 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per-parent correlated limits".  row_number over (parent) window;
     AQE handles skewed parents."""
     (orders,) = _t(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(_c("o_totalprice").desc(), "o_orderkey")
     return (
         orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rk"))
-        .filter(F.col("rk") <= 3)
+        .filter(_c("rk") <= 3)
     )
 
 
@@ -525,11 +526,11 @@ def newest_version_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     view = row_number over lineage by id desc).  Identical shape: latest
     event per user with a total tiebreak."""
     (events,) = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    w = W.partitionBy("user_id").orderBy(_c("ts").desc(), _c("event_id").desc())
     return (
         events.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_id").alias("latest_event"))
+        .filter(_c("rn") == 1)
+        .select("user_id", _c("event_id").alias("latest_event"))
     )
 
 
@@ -555,12 +556,12 @@ def timestamp_range_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = _t(spark, sf_dir, "orders")
     return (
         orders.filter(
-            (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+            (_c("o_orderdate") >= "1995-01-01") & (_c("o_orderdate") < "1996-01-01")
         )
         .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
         .agg(
             F.count("*").alias("order_cnt"),
-            _money_sum(F.col("o_totalprice")).alias("revenue"),
+            _money_sum(_c("o_totalprice")).alias("revenue"),
         )
     )
 
@@ -588,10 +589,10 @@ def comparator_number_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     since the strings are uniform."""
     (part,) = _t(spark, sf_dir, "part")
     priced = part.select(
-        "p_partkey", F.format_string("%.2f", F.col("p_retailprice")).alias("price_str")
+        "p_partkey", F.format_string("%.2f", _c("p_retailprice")).alias("price_str")
     )
     return priced.orderBy(
-        F.col("price_str").cast("double").desc(), "p_partkey"
+        _c("price_str").cast("double").desc(), "p_partkey"
     ).limit(50)
 
 
@@ -644,7 +645,7 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.sum(_c("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
     )
 
 
@@ -711,21 +712,21 @@ def _restore_bulk_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 2-literal array (was crossJoin(range(2)), which planned as a
         # BroadcastNestedLoopJoin — an extra broadcast exchange + join
         # node for what is a projection)
-        F.explode(F.array(F.lit(0).cast("long"), F.lit(1).cast("long")))
+        F.explode(F.array(_l(0).cast("long"), _l(1).cast("long")))
         .alias("copy"),
     )
     prefix = guid_compose(PREDICTABLE_DB_ID, 0)[:16]
     serial = (
-        F.col("l_orderkey").cast("long") * 16
-        + F.col("l_linenumber").cast("long") * 2
-        + F.col("copy")
+        _c("l_orderkey").cast("long") * 16
+        + _c("l_linenumber").cast("long") * 2
+        + _c("copy")
     )
     # literal (non-regex) replaces: same escaping, no regex engine in
     # the 2x-per-row hot projection
     esc = F.replace(
-        F.replace(F.col("text"), F.lit("\\"), F.lit("\\\\")),
-        F.lit('"'),
-        F.lit('\\"'),
+        F.replace(_c("text"), _l("\\"), _l("\\\\")),
+        _l('"'),
+        _l('\\"'),
     )
     # guid low half = 0x8000... | serial (the graph-guid layout);
     # bitwiseOR, not addition — ANSI mode rejects the overflow trick.
@@ -736,8 +737,8 @@ def _restore_bulk_primitives(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = F.format_string(
         '(%s%016x null null string "%s" 0 true true false '
         "1970-01-01T00:00:00.0000Z 0 0 0)",
-        F.lit(prefix),
-        F.lit(-(2 ** 63)).bitwiseOR(serial),
+        _l(prefix),
+        _l(-(2 ** 63)).bitwiseOR(serial),
         esc,
     )
     # chains=False: every synthesized tuple is generation 0 (prev="0"),

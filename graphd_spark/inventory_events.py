@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from graphd_spark.inventory import q, _t
+from graphd_spark.jexpr import _c, _l
 
 # session gap: events further apart than this start a new session
 _GAP_US = 1_800_000_000  # 30 min in microseconds
@@ -78,13 +79,13 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest ``event_id`` wins (mirrored in the oracle's QUALIFY).
     """
     (events,) = _t(spark, sf_dir, "events")
-    ev = events.filter(F.col("event_type").isin("view", "click")).select(
+    ev = events.filter(_c("event_type").isin("view", "click")).select(
         "event_id",
         "user_id",
         "ts",
         # views sort before clicks at the same timestamp: ASOF is >=
-        F.when(F.col("event_type") == "view", F.lit(0))
-        .otherwise(F.lit(1))
+        F.when(_c("event_type") == "view", _l(0))
+        .otherwise(_l(1))
         .alias("src"),
     )
     w = (
@@ -92,25 +93,25 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "src", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    is_view = F.col("src") == 0
+    is_view = _c("src") == 0
     carried = ev.select(
         "event_id",
         "user_id",
         "ts",
         "src",
-        F.last(F.when(is_view, F.col("event_id")), ignorenulls=True)
+        F.last(F.when(is_view, _c("event_id")), ignorenulls=True)
         .over(w)
         .alias("view_id"),
-        F.last(F.when(is_view, F.col("ts")), ignorenulls=True)
+        F.last(F.when(is_view, _c("ts")), ignorenulls=True)
         .over(w)
         .alias("view_ts"),
     )
-    return carried.filter(F.col("src") == 1).select(
-        F.col("event_id").alias("click_id"),
+    return carried.filter(_c("src") == 1).select(
+        _c("event_id").alias("click_id"),
         "user_id",
-        F.col("ts").alias("click_ts"),
+        _c("ts").alias("click_ts"),
         "view_id",
-        (_us(F.col("ts")) - _us(F.col("view_ts"))).alias(
+        (_us(_c("ts")) - _us(_c("view_ts"))).alias(
             "gap_us"
         ),
     )
@@ -157,16 +158,16 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (events,) = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = _us(F.col("ts")) - _us(F.lag("ts").over(w))
+    gap_us = _us(_c("ts")) - _us(F.lag("ts").over(w))
     flagged = events.select(
         "user_id",
         "ts",
         "event_id",
         "value",
         F.when(
-            gap_us.isNull() | (gap_us > _GAP_US), F.lit(1)
+            gap_us.isNull() | (gap_us > _GAP_US), _l(1)
         )
-        .otherwise(F.lit(0))
+        .otherwise(_l(0))
         .alias("new_sess"),
     )
     tagged = flagged.withColumn(
@@ -179,7 +180,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,2)"))
+        F.sum(_c("value").cast("decimal(18,2)"))
         .cast("double")
         .alias("total_value"),
     )

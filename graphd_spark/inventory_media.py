@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 )
 
 from graphd_spark.inventory import q, _t
+from graphd_spark.jexpr import _c, _l
 from graphd_spark.inventory_pipeline import _spread
 
 
@@ -41,14 +42,14 @@ def _with_blob(docs: DataFrame) -> DataFrame:
     everything downstream treats it as opaque bytes.
     """
     blob_hex = F.concat(
-        F.md5(F.col("text")), F.md5(F.concat(F.col("text"), F.lit("#")))
+        F.md5(_c("text")), F.md5(F.concat(_c("text"), _l("#")))
     )
     return docs.select(
         "doc_id",
         F.unhex(blob_hex).alias("media"),
         F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            F.array(_l("image"), _l("audio"), _l("video")),
+            (_c("doc_id") % 3 + 1).cast("int"),
         ).alias("media_type"),
     )
 
@@ -83,8 +84,8 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blobs.select(
         "doc_id",
         "media_type",
-        F.length(F.col("media")).cast("int").alias("n_bytes"),
-        F.lower(F.hex(F.substring(F.col("media"), 1, 4))).alias("magic"),
+        F.length(_c("media")).cast("int").alias("n_bytes"),
+        F.lower(F.hex(F.substring(_c("media"), 1, 4))).alias("magic"),
     )
 
 
@@ -112,15 +113,15 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
+                F.sequence(_l(0), _l(3)),
                 lambda i: F.lower(
-                    F.hex(F.expr("media").substr(i * 8 + 1, F.lit(8)))
+                    F.hex(F.expr("media").substr(i * 8 + 1, _l(8)))
                 ),
             )
         ).alias("frame", "chunk_hex"),
     )
     return out.select(
-        "doc_id", F.col("frame").cast("bigint").alias("frame"), "chunk_hex"
+        "doc_id", _c("frame").cast("bigint").alias("frame"), "chunk_hex"
     )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from graphd_spark.inventory import q, _t
+from graphd_spark.jexpr import _c, _l
 
 # words-as-tokens: the corpus is space-separated lowercase words; the
 # tokenizer is shared by every query here and by the DuckDB oracles
@@ -95,7 +96,7 @@ def _spread(df: DataFrame, mb_per_slot: float | None = None) -> DataFrame:
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) + vocabulary size per doc."""
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    toks = _tokens(_c("text"))
     return docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -125,7 +126,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     length and stopword signals), all with built-in array functions."""
     (docs,) = _t(spark, sf_dir, "documents")
     stop = ["the", "a", "of", "on", "in", "and"]
-    toks = _tokens(F.col("text"))
+    toks = _tokens(_c("text"))
     base = docs.select(
         "doc_id",
         "n_chars",
@@ -138,8 +139,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_tokens",
         "n_stop",
-        F.round(F.col("n_stop") / F.col("n_tokens"), 4).alias("stop_ratio"),
-        F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias("avg_tok_len"),
+        F.round(_c("n_stop") / _c("n_tokens"), 4).alias("stop_ratio"),
+        F.round(_c("n_chars") / _c("n_tokens"), 4).alias("avg_tok_len"),
     )
 
 
@@ -153,7 +154,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: canonicalize then hash."""
     (docs,) = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+        "doc_id", F.md5(F.lower(F.trim(_c("text")))).alias("fingerprint")
     )
 
 
@@ -172,7 +173,7 @@ def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.round(F.avg(F.col("n_chars").cast("double")), 2).alias("avg_chars"),
+        F.round(F.avg(_c("n_chars").cast("double")), 2).alias("avg_chars"),
     )
 
 
@@ -196,10 +197,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     choice (min id) is an order-independent aggregate."""
     (docs,) = _t(spark, sf_dir, "documents")
     return (
-        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        docs.select(F.md5(_c("text")).alias("text_hash"), "doc_id")
         .groupBy("text_hash")
         .agg(F.count("*").alias("dup_cnt"), F.min("doc_id").alias("keeper"))
-        .filter(F.col("dup_cnt") > 1)
+        .filter(_c("dup_cnt") > 1)
     )
 
 
@@ -224,12 +225,12 @@ def dedup_exact_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same scale shape as dedup_exact: the fingerprint md5 is computed
     map-side, the shuffle carries 32-byte keys."""
     (docs,) = _t(spark, sf_dir, "documents")
-    prefix = F.concat_ws(" ", F.slice(_tokens(F.col("text")), 1, 10))
+    prefix = F.concat_ws(" ", F.slice(_tokens(_c("text")), 1, 10))
     return (
         docs.select(F.md5(prefix).alias("prefix_hash"), "doc_id")
         .groupBy("prefix_hash")
         .agg(F.count("*").alias("dup_cnt"), F.min("doc_id").alias("keeper"))
-        .filter(F.col("dup_cnt") > 1)
+        .filter(_c("dup_cnt") > 1)
     )
 
 
@@ -308,7 +309,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     uncapped set sizes)."""
     (docs,) = _t(spark, sf_dir, "documents")
     sh = _spread(docs).select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(_shingles(_c("text"))).alias("shingle")
     )
     # per-doc set size == length of the (already-distinct) shingle
     # array, computed map-side on a second narrow scan — replaces a
@@ -316,37 +317,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+shuffle pass (shuffle bytes: one row per shingle
     # instance -> one row per doc)
     sizes = docs.select(
-        "doc_id", F.size(_shingles(F.col("text"))).alias("n")
+        "doc_id", F.size(_shingles(_c("text"))).alias("n")
     )
     rare = sh.withColumn(
         "df", F.count("*").over(W.partitionBy("shingle"))
-    ).filter(F.col("df") <= _DF_CAP).drop("df")
+    ).filter(_c("df") <= _DF_CAP).drop("df")
     a = rare.alias("a")
     b = rare.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (_c("a.shingle") == _c("b.shingle"))
+            & (_c("a.doc_id") < _c("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            _c("a.doc_id").alias("doc_a"), _c("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("shared"))
     )
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     jac = (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        pairs.join(sa, _c("doc_a") == _c("sa.doc_id"))
+        .join(sb, _c("doc_b") == _c("sb.doc_id"))
         .withColumn(
             "jaccard_raw",
-            F.col("shared") / (F.col("sa.n") + F.col("sb.n") - F.col("shared")),
+            _c("shared") / (_c("sa.n") + _c("sb.n") - _c("shared")),
         )
-        .filter(F.col("jaccard_raw") >= 0.30)
+        .filter(_c("jaccard_raw") >= 0.30)
     )
     return jac.select(
-        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 4).alias("jaccard")
+        "doc_a", "doc_b", F.round(_c("jaccard_raw"), 4).alias("jaccard")
     )
 
 
@@ -425,7 +426,7 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     dedup_components."""
     rows_per_band = _MINHASH_K // _BANDS
     sh = _spread(docs).select(
-        "doc_id", F.explode(_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(_shingles(_c("text"))).alias("shingle")
     )
     # one md5 per shingle, then K affine transforms of it in the
     # aggregates.  No collapse barrier needed (r9): Spark 4's
@@ -437,7 +438,7 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     based = sh.select(
         "doc_id",
         (
-            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            F.conv(F.substring(F.md5(_c("shingle")), 1, 15), 16, 10)
             .cast("bigint")
             % _MH_MOD
         ).alias("h0"),
@@ -448,7 +449,7 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     # just to index it back out in the K min-aggregates)
     def _affine(k: int):
         return (
-            (2 * k + 1) * F.col("h0") + F.lit(12345 * k + 7)
+            (2 * k + 1) * _c("h0") + _l(12345 * k + 7)
         ) % _MH_MOD
 
     sigs = based.groupBy("doc_id").agg(
@@ -462,11 +463,11 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
+                        _l(b).alias("band"),
                         F.array_join(
                             F.transform(
                                 F.slice(
-                                    F.col("sig"),
+                                    _c("sig"),
                                     b * rows_per_band + 1,
                                     rows_per_band,
                                 ),
@@ -479,10 +480,10 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    ).select("doc_id", _c("bs.band").alias("band"), _c("bs.sig").alias("sig"))
     capped = bands.withColumn(
         "bsize", F.count("*").over(W.partitionBy("band", "sig"))
-    ).filter(F.col("bsize") <= _BUCKET_CAP).drop("bsize")
+    ).filter(_c("bsize") <= _BUCKET_CAP).drop("bsize")
     # materialize once before the self-join: both branches read the
     # checkpointed buckets instead of recomputing the signature
     # pipeline (at cluster scale this is a persist of ~bands x docs
@@ -493,11 +494,11 @@ def _lsh_candidate_pairs(docs: DataFrame) -> DataFrame:
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (_c("a.band") == _c("b.band"))
+            & (_c("a.sig") == _c("b.sig"))
+            & (_c("a.doc_id") < _c("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(_c("a.doc_id").alias("doc_a"), _c("b.doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -514,10 +515,10 @@ def _simhash_col(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # persist of the exploded (doc_id, tok_hash) relation — the
     # pipeline's biggest intermediate — for nothing
     toks = _spread(docs).select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+        "doc_id", F.explode(_tokens(_c("text"))).alias("tok")
     ).withColumn(
         "tok_hash",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("bigint"),
+        F.conv(F.substring(F.md5(_c("tok")), 1, 8), 16, 10).cast("bigint"),
     )
     # per-bit +-1 sums as 32 direct aggregate expressions — no per-row
     # 32-element array construction (the transform+element_at form
@@ -527,10 +528,10 @@ def _simhash_col(spark: SparkSession, docs: DataFrame) -> DataFrame:
             *[
                 F.sum(
                     F.when(
-                        F.shiftright(F.col("tok_hash"), i)
-                        .bitwiseAND(F.lit(1)) == 1,
-                        F.lit(1),
-                    ).otherwise(F.lit(-1))
+                        F.shiftright(_c("tok_hash"), i)
+                        .bitwiseAND(_l(1)) == 1,
+                        _l(1),
+                    ).otherwise(_l(-1))
                 )
                 for i in range(32)
             ]
@@ -627,14 +628,14 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "simhash",
         F.explode(
-            F.array(*[F.lit(b) for b in range(4)])
+            F.array(*[_l(b) for b in range(4)])
         ).alias("band"),
     ).withColumn(
         "bkey", F.expr("shiftright(simhash, band * 8) & 255")
     )
     banded = banded.withColumn(
         "bsize", F.count("*").over(W.partitionBy("band", "bkey"))
-    ).filter(F.col("bsize") <= _BUCKET_CAP).drop("bsize")
+    ).filter(_c("bsize") <= _BUCKET_CAP).drop("bsize")
     # single materialization feeds both self-join branches
     banded = banded.localCheckpoint(eager=False)
     a = banded.alias("a")
@@ -642,22 +643,22 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (_c("a.band") == _c("b.band"))
+            & (_c("a.bkey") == _c("b.bkey"))
+            & (_c("a.doc_id") < _c("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            _c("a.doc_id").alias("doc_a"),
+            _c("b.doc_id").alias("doc_b"),
+            _c("a.simhash").alias("sim_a"),
+            _c("b.simhash").alias("sim_b"),
         )
         .distinct()
     )
     hamming = F.expr("CAST(bit_count(sim_a ^ sim_b) AS INT)")
     return cands.select(
         "doc_a", "doc_b", hamming.alias("hamming")
-    ).filter(F.col("hamming") <= 3)
+    ).filter(_c("hamming") <= 3)
 
 
 # ---------------------------------------------------------------------------
@@ -672,7 +673,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
+        _l(0.0),
         lambda acc, v: acc + v,
     )
 
@@ -681,7 +682,7 @@ def _norm(a):
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
+            _l(0.0),
             lambda acc, v: acc + v,
         )
     )
@@ -713,26 +714,26 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order ulps; ties break on n_id."""
     (emb,) = _t(spark, sf_dir, "embeddings")
     emb = _spread(emb)
-    qv = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    qv = emb.filter(_c("vec_id") < 10).select(
+        _c("vec_id").alias("q_id"), _c("embedding").alias("q_emb")
     )
-    cv = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_emb"))
+    cv = emb.select(_c("vec_id").alias("n_id"), _c("embedding").alias("n_emb"))
     sims = (
         cv.crossJoin(F.broadcast(qv))
-        .filter(F.col("n_id") != F.col("q_id"))
+        .filter(_c("n_id") != _c("q_id"))
         .select(
             "q_id",
             "n_id",
             (
-                _dot(F.col("q_emb"), F.col("n_emb"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("n_emb")))
+                _dot(_c("q_emb"), _c("n_emb"))
+                / (_norm(_c("q_emb")) * _norm(_c("n_emb")))
             ).alias("sim"),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.round(F.col("sim"), 6).desc(), "n_id")
+    w = W.partitionBy("q_id").orderBy(F.round(_c("sim"), 6).desc(), "n_id")
     return (
         sims.select("q_id", "n_id", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= 5)
+        .filter(_c("rank") <= 5)
     )
 
 
@@ -814,18 +815,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no parallelism gain (A/B at sf0.1: 2.1s vs 3.5s for IVF)
     planes = _plane_coeffs()
     plane_arr = F.array(
-        *[F.array(*[F.lit(c) for c in row]) for row in planes]
+        *[F.array(*[_l(c) for c in row]) for row in planes]
     )
     # bit p contributes 2^p; doubles are exact for 16-bit buckets
     bucket = F.aggregate(
         F.transform(
             plane_arr,
             lambda row, p: F.when(
-                _dot(F.col("embedding"), row) > 0,
-                F.pow(F.lit(2.0), p.cast("double")),
-            ).otherwise(F.lit(0.0)),
+                _dot(_c("embedding"), row) > 0,
+                F.pow(_l(2.0), p.cast("double")),
+            ).otherwise(_l(0.0)),
         ),
-        F.lit(0.0),
+        _l(0.0),
         lambda acc, v: acc + v,
     ).cast("bigint")
     bucketed = emb.select("vec_id", "embedding", bucket.alias("bucket"))
@@ -836,32 +837,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcap = W.partitionBy("bucket").orderBy("vec_id")
     capped = (
         bucketed.withColumn("__r", F.row_number().over(wcap))
-        .filter(F.col("__r") <= 64)
+        .filter(_c("__r") <= 64)
         .drop("__r")
     )
-    qv = bucketed.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("bucket").alias("q_bucket"),
+    qv = bucketed.filter(_c("vec_id") < 10).select(
+        _c("vec_id").alias("q_id"),
+        _c("embedding").alias("q_emb"),
+        _c("bucket").alias("q_bucket"),
     )
     sims = (
         capped.join(
-            F.broadcast(qv), F.col("bucket") == F.col("q_bucket")
+            F.broadcast(qv), _c("bucket") == _c("q_bucket")
         )
-        .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(_c("vec_id") != _c("q_id"))
         .select(
             "q_id",
-            F.col("vec_id").alias("n_id"),
+            _c("vec_id").alias("n_id"),
             (
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+                _dot(_c("q_emb"), _c("embedding"))
+                / (_norm(_c("q_emb")) * _norm(_c("embedding")))
             ).alias("sim"),
         )
     )
-    w = W.partitionBy("q_id").orderBy(F.round(F.col("sim"), 6).desc(), "n_id")
+    w = W.partitionBy("q_id").orderBy(F.round(_c("sim"), 6).desc(), "n_id")
     return sims.select(
         "q_id", "n_id", F.row_number().over(w).alias("rank")
-    ).filter(F.col("rank") <= 5)
+    ).filter(_c("rank") <= 5)
 
 
 #: embedding near-dup threshold: cosine at/above this marks a pair as
@@ -932,17 +933,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on bucket right after anyway
     planes = _plane_coeffs()
     plane_arr = F.array(
-        *[F.array(*[F.lit(c) for c in row]) for row in planes]
+        *[F.array(*[_l(c) for c in row]) for row in planes]
     )
     bucket = F.aggregate(
         F.transform(
             plane_arr,
             lambda row, p: F.when(
-                _dot(F.col("embedding"), row) > 0,
-                F.pow(F.lit(2.0), p.cast("double")),
-            ).otherwise(F.lit(0.0)),
+                _dot(_c("embedding"), row) > 0,
+                F.pow(_l(2.0), p.cast("double")),
+            ).otherwise(_l(0.0)),
         ),
-        F.lit(0.0),
+        _l(0.0),
         lambda acc, v: acc + v,
     ).cast("bigint")
     # normalize map-side so the pair join computes ONE dot product
@@ -951,13 +952,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = (
         emb.select(
             "vec_id", "embedding", bucket.alias("bucket"),
-            _norm(F.col("embedding")).alias("__nrm"),
+            _norm(_c("embedding")).alias("__nrm"),
         )
         .select(
             "vec_id", "bucket",
             F.transform(
                 "embedding",
-                lambda x: x.cast("double") / F.col("__nrm"),
+                lambda x: x.cast("double") / _c("__nrm"),
             ).alias("nemb"),
         )
     )
@@ -967,24 +968,24 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcap = W.partitionBy("bucket").orderBy("vec_id")
     bucketed = (
         bucketed.withColumn("__r", F.row_number().over(wcap))
-        .filter(F.col("__r") <= 64)
+        .filter(_c("__r") <= 64)
         .drop("__r")
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
-    sim = F.round(_dot(F.col("a.nemb"), F.col("b.nemb")), 4)
+    sim = F.round(_dot(_c("a.nemb"), _c("b.nemb")), 4)
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (_c("a.bucket") == _c("b.bucket"))
+            & (_c("a.vec_id") < _c("b.vec_id")),
         )
         .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
+            _c("a.vec_id").alias("id_a"),
+            _c("b.vec_id").alias("id_b"),
             sim.alias("sim"),
         )
-        .filter(F.col("sim") >= _EMB_DUP_TAU)
+        .filter(_c("sim") >= _EMB_DUP_TAU)
     )
 
 
@@ -1078,7 +1079,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label", F.posexplode("embedding").alias("pos", "v")
         )
         .groupBy("label", "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("c"))
+        .agg(F.avg(_c("v").cast("double")).alias("c"))
         .groupBy("label")
         .agg(
             F.transform(
@@ -1086,50 +1087,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: s["c"],
             ).alias("centroid")
         )
-        .select(F.col("label").alias("c_id"), "centroid")
+        .select(_c("label").alias("c_id"), "centroid")
     )
     csim = F.round(
-        _dot(F.col("embedding"), F.col("centroid"))
-        / (_norm(F.col("embedding")) * _norm(F.col("centroid"))),
+        _dot(_c("embedding"), _c("centroid"))
+        / (_norm(_c("embedding")) * _norm(_c("centroid"))),
         6,
     )
     w_vec = W.partitionBy("vec_id").orderBy(
-        csim.desc(), F.col("c_id")
+        csim.desc(), _c("c_id")
     )
     scored = emb.join(F.broadcast(cent)).withColumn(
         "rk", F.row_number().over(w_vec)
     )
-    assign = scored.filter(F.col("rk") == 1).select(
+    assign = scored.filter(_c("rk") == 1).select(
         "vec_id", "embedding", "c_id"
     )
     probes = (
-        scored.filter(F.col("vec_id") < 10)
-        .filter(F.col("rk") <= _IVF_NPROBE)
-        .select(F.col("vec_id").alias("q_id"), "c_id")
+        scored.filter(_c("vec_id") < 10)
+        .filter(_c("rk") <= _IVF_NPROBE)
+        .select(_c("vec_id").alias("q_id"), "c_id")
     )
-    qv = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("q_emb"),
+    qv = emb.filter(_c("vec_id") < 10).select(
+        _c("vec_id").alias("q_id"),
+        _c("embedding").alias("q_emb"),
     )
     sims = (
         probes.join(F.broadcast(qv), "q_id")
         .join(assign, "c_id")
-        .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(_c("vec_id") != _c("q_id"))
         .select(
             "q_id",
-            F.col("vec_id").alias("n_id"),
+            _c("vec_id").alias("n_id"),
             (
-                _dot(F.col("q_emb"), F.col("embedding"))
-                / (_norm(F.col("q_emb")) * _norm(F.col("embedding")))
+                _dot(_c("q_emb"), _c("embedding"))
+                / (_norm(_c("q_emb")) * _norm(_c("embedding")))
             ).alias("sim"),
         )
     )
     w = W.partitionBy("q_id").orderBy(
-        F.round(F.col("sim"), 6).desc(), "n_id"
+        F.round(_c("sim"), 6).desc(), "n_id"
     )
     return sims.select(
         "q_id", "n_id", F.row_number().over(w).alias("rank")
-    ).filter(F.col("rank") <= 5)
+    ).filter(_c("rank") <= 5)
 
 
 @q(
@@ -1149,7 +1150,7 @@ def embedding_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan is already wide and _spread is a no-op anyway)
     return emb.groupBy("label").agg(
         F.count("*").alias("n"),
-        F.round(F.avg(_norm(F.col("embedding"))), 4).alias("avg_norm"),
+        F.round(F.avg(_norm(_c("embedding"))), 4).alias("avg_norm"),
     )
 
 
@@ -1184,7 +1185,7 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
     """
     # canonicalize: oriented (big, small), no self-loops, distinct
     E = (
-        edges.filter(F.col("src") != F.col("dst"))
+        edges.filter(_c("src") != _c("dst"))
         .select(
             F.greatest("src", "dst").alias("src"),
             F.least("src", "dst").alias("dst"),
@@ -1193,8 +1194,8 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
         .localCheckpoint(eager=False)
     )
     all_nodes = (
-        E.select(F.col("src").alias("id"))
-        .unionByName(E.select(F.col("dst").alias("id")))
+        E.select(_c("src").alias("id"))
+        .unionByName(E.select(_c("dst").alias("id")))
         .distinct()
         .localCheckpoint(eager=False)
     )
@@ -1212,25 +1213,25 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
         # m = min(N(u) + {u}); smaller neighbors re-emit from the
         # other endpoint's perspective (adjacency is symmetric here)
         nbr = E.unionByName(
-            E.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            E.select(_c("dst").alias("src"), _c("src").alias("dst"))
         )
-        m_ls = F.least(F.min("dst").over(W.partitionBy("src")), F.col("src"))
+        m_ls = F.least(F.min("dst").over(W.partitionBy("src")), _c("src"))
         # no intermediate distinct here (r9): the small-star min is
         # insensitive to duplicate (src, m) rows (min over a multiset),
         # the row count stays bounded by 2|E|, and the round's final
         # distinct dedups — dropping it removes one exchange per round
         ls = (
             nbr.withColumn("m", m_ls)
-            .filter(F.col("dst") > F.col("src"))
-            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(_c("dst") > _c("src"))
+            .select(_c("dst").alias("src"), _c("m").alias("dst"))
         )
         # small-star on the oriented output (src > dst everywhere):
         # u and all its smaller neighbors link to m = min of them
         ss = ls.withColumn("m", F.min("dst").over(W.partitionBy("src")))
         new_E = (
-            ss.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
-            .unionByName(ss.select("src", F.col("m").alias("dst")))
-            .filter(F.col("src") != F.col("dst"))
+            ss.select(_c("dst").alias("src"), _c("m").alias("dst"))
+            .unionByName(ss.select("src", _c("m").alias("dst")))
+            .filter(_c("src") != _c("dst"))
             .distinct()
             .localCheckpoint(eager=False)
         )
@@ -1264,9 +1265,9 @@ def connected_components(edges: DataFrame, max_rounds: int = 50):
         )
     labels = all_nodes.join(
         E.groupBy("src").agg(F.min("dst").alias("label")),
-        all_nodes["id"] == F.col("src"),
+        all_nodes["id"] == _c("src"),
         "left",
-    ).select("id", F.coalesce("label", F.col("id")).alias("label"))
+    ).select("id", F.coalesce("label", _c("id")).alias("label"))
     return labels, rounds
 
 
@@ -1300,11 +1301,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     pairs = _lsh_candidate_pairs(docs).localCheckpoint(eager=False)
     edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        _c("doc_a").alias("src"), _c("doc_b").alias("dst")
     )
     labels, _ = connected_components(edges)
     return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("component")
+        _c("id").alias("doc_id"), _c("label").alias("component")
     )
 
 
@@ -1339,7 +1340,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     per = (
         docs.select(
-            "doc_id", F.explode(_tokens(F.col("text"))).alias("token")
+            "doc_id", F.explode(_tokens(_c("text"))).alias("token")
         )
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
@@ -1347,7 +1348,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = per.groupBy("token").agg(
         F.count("*").alias("df"), F.sum("cnt").alias("total")
     )
-    return agg.orderBy(F.col("total").desc(), F.col("token")).limit(100)
+    return agg.orderBy(_c("total").desc(), _c("token")).limit(100)
 
 
 # per-language keep-rates (percent) for stratified sampling; languages
@@ -1384,13 +1385,13 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         sorted(_SAMPLE_RATES.items()), "lang: string, rate: int"
     )
     bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(_c("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         % 100
     )
     return (
         docs.join(F.broadcast(spark_rates), "lang", "left")
-        .filter(bucket < F.coalesce(F.col("rate"), F.lit(_SAMPLE_DEFAULT)))
+        .filter(bucket < F.coalesce(_c("rate"), _l(_SAMPLE_DEFAULT)))
         .select("doc_id", "lang", "source")
     )
 
@@ -1444,7 +1445,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(distinct x tokens) transform+filter, which is a per-row
     quadratic at 100k-token documents), never a groupBy."""
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    toks = _tokens(_c("text"))
     base = docs.select(
         "doc_id",
         toks.alias("words"),
@@ -1457,7 +1458,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (current run, best run, previous word).  ``w == prev`` is NULL on
     # the first element, so when() falls through to run=1.
     def _run(acc, w):
-        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(_l(1))
         return F.struct(
             run.alias("run"),
             F.greatest(acc["best"], run).alias("best"),
@@ -1465,43 +1466,43 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     top_cnt = F.aggregate(
-        F.array_sort(F.col("words")),
+        F.array_sort(_c("words")),
         F.struct(
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-            F.lit(None).cast("string").alias("prev"),
+            _l(0).alias("run"),
+            _l(0).alias("best"),
+            _l(None).cast("string").alias("prev"),
         ),
         _run,
         lambda acc: acc["best"],
     ).cast("double")
-    n = F.size(F.col("words"))
+    n = F.size(_c("words"))
     grams = F.zip_with(
-        F.slice(F.col("words"), 1, n - 1),
-        F.slice(F.col("words"), 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+        F.slice(_c("words"), 1, n - 1),
+        F.slice(_c("words"), 2, n - 1),
+        lambda a, b: F.concat(a, _l(" "), b),
     )
     g = base.select(
         "doc_id", "n_tokens", "n_distinct",
         top_cnt.alias("top_cnt"), grams.alias("grams"),
     )
-    ng = F.size(F.col("grams")).cast("double")
-    dup2 = F.lit(1.0) - F.size(F.array_distinct(F.col("grams"))).cast(
+    ng = F.size(_c("grams")).cast("double")
+    dup2 = _l(1.0) - F.size(F.array_distinct(_c("grams"))).cast(
         "double"
     ) / ng
     return g.select(
         "doc_id",
-        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        _c("n_tokens").cast("bigint").alias("n_tokens"),
         F.round(
-            F.lit(1.0) - F.col("n_distinct") / F.col("n_tokens"), 4
+            _l(1.0) - _c("n_distinct") / _c("n_tokens"), 4
         ).alias("dup_word_frac"),
-        F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias(
+        F.round(_c("top_cnt") / _c("n_tokens"), 4).alias(
             "top_word_frac"
         ),
-        F.when(ng > 0, F.round(dup2, 4)).otherwise(F.lit(0.0)).alias(
+        F.when(ng > 0, F.round(dup2, 4)).otherwise(_l(0.0)).alias(
             "dup_2gram_frac"
         ),
         (
-            (F.col("top_cnt") / F.col("n_tokens") <= 0.3)
+            (_c("top_cnt") / _c("n_tokens") <= 0.3)
             & ((ng == 0) | (dup2 <= 0.75))
         ).alias("keep"),
     )
@@ -1569,15 +1570,15 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     the document-frequency aggregate — the unavoidable second pass of
     the inverted-index shape)."""
     (docs,) = _t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
-    n = F.size(F.col("words"))
+    toks = _tokens(_c("text"))
+    n = F.size(_c("words"))
     sh = F.transform(
-        F.sequence(F.lit(1), n - 2),
+        F.sequence(_l(1), n - 2),
         lambda i: F.concat_ws(
             " ",
-            F.element_at(F.col("words"), i),
-            F.element_at(F.col("words"), i + 1),
-            F.element_at(F.col("words"), i + 2),
+            F.element_at(_c("words"), i),
+            F.element_at(_c("words"), i + 1),
+            F.element_at(_c("words"), i + 2),
         ),
     )
     inst = (
@@ -1606,22 +1607,22 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ndocs, cold rows always match — one shuffle join with no hot
     # partition possible, and `inst` (the exploded 100 TB text scan)
     # feeds the join exactly once instead of once per hot/cold branch.
-    hot = dfreq.filter(F.col("ndocs") >= HH_NDOCS)
-    cold = dfreq.filter(F.col("ndocs") < HH_NDOCS)
+    hot = dfreq.filter(_c("ndocs") >= HH_NDOCS)
+    cold = dfreq.filter(_c("ndocs") < HH_NDOCS)
     tagged = inst.join(
         F.broadcast(hot.withColumnRenamed("ndocs", "hot_ndocs")),
         "sh", "left",
     ).withColumn(
         "salt",
         F.when(
-            F.col("hot_ndocs").isNotNull(),
-            F.pmod(F.hash("doc_id"), F.lit(_HH_SALT)),
-        ).otherwise(F.lit(0)),
+            _c("hot_ndocs").isNotNull(),
+            F.pmod(F.hash("doc_id"), _l(_HH_SALT)),
+        ).otherwise(_l(0)),
     )
     joined = tagged.join(
-        cold.withColumn("salt", F.lit(0)), ["sh", "salt"], "left"
+        cold.withColumn("salt", _l(0)), ["sh", "salt"], "left"
     ).withColumn("ndocs", F.coalesce("hot_ndocs", "ndocs"))
-    boiler = F.sum(F.when(F.col("ndocs") >= 5, 1).otherwise(0))
+    boiler = F.sum(F.when(_c("ndocs") >= 5, 1).otherwise(0))
     return joined.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shingles"),
         boiler.cast("bigint").alias("n_boiler"),
@@ -1673,7 +1674,7 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs,) = _t(spark, sf_dir, "documents")
     t = docs.select(
         "source", "doc_id",
-        F.size(_tokens(F.col("text"))).alias("n_tokens"),
+        F.size(_tokens(_c("text"))).alias("n_tokens"),
     )
     win = (
         W.partitionBy("source")
@@ -1681,9 +1682,9 @@ def pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(W.unboundedPreceding, -1)
     )
     c = t.withColumn(
-        "cum_before", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+        "cum_before", F.coalesce(F.sum("n_tokens").over(win), _l(0))
     )
-    pack = F.floor(F.col("cum_before") / _PACK_BUDGET)
+    pack = F.floor(_c("cum_before") / _PACK_BUDGET)
     return c.groupBy("source", pack.alias("pack_id")).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
