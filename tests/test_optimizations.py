@@ -159,3 +159,73 @@ def test_load_tables_memoizes_per_session_and_signature(spark, tmp_path):
     second = load_tables(spark, str(d))
     assert second is not first
     assert second["nation"].count() == first["nation"].count()
+
+
+# -- jexpr cached JVM expression handles ---------------------------------
+
+
+def test_jexpr_col_and_lit_handles_are_cached(spark):
+    from graphd_spark.jexpr import _c, _l
+
+    assert _c("foo") is _c("foo")
+    assert _c("foo") is not _c("bar")
+    assert _l(1) is _l(1)
+    assert _l("x") is _l("x")
+
+
+def test_jexpr_lit_is_type_keyed(spark):
+    # True == 1 == 1.0 in Python; the cache must not alias them into
+    # one JVM literal (a boolean column is not an int column)
+    from graphd_spark.jexpr import _l
+
+    assert _l(True) is not _l(1)
+    assert _l(1) is not _l(1.0)
+
+
+def test_jexpr_lit_unhashable_falls_through(spark):
+    from graphd_spark.jexpr import _JCACHE, _l
+
+    before = len(_JCACHE)
+    a = _l([1, 2])
+    b = _l([1, 2])
+    assert a is not b  # built fresh, not cached
+    assert len(_JCACHE) == before
+
+
+def test_jexpr_cc_builds_once(spark):
+    from pyspark.sql import functions as F
+
+    from graphd_spark.jexpr import _cc
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return F.col("x") + 1
+
+    e1 = _cc("test-jexpr-cc-pin", build)
+    e2 = _cc("test-jexpr-cc-pin", build)
+    assert e1 is e2
+    assert len(calls) == 1
+
+
+def test_jexpr_keys_are_context_scoped(spark, monkeypatch):
+    # a restarted SparkContext must MISS the cache: handles hold JVM
+    # references owned by the old gateway
+    import graphd_spark.jexpr as jx
+
+    h1 = jx._c("ctx_scoped_col")
+    monkeypatch.setattr(jx, "_ctx_id", lambda: -1)
+    h2 = jx._c("ctx_scoped_col")
+    assert h1 is not h2
+
+
+def test_jexpr_handles_compose_like_fresh_expressions(spark):
+    from pyspark.sql import functions as F
+
+    from graphd_spark.jexpr import _c, _l
+
+    df = spark.range(5)
+    cached = df.select((_c("id") + _l(1)).alias("x")).collect()
+    fresh = df.select((F.col("id") + F.lit(1)).alias("x")).collect()
+    assert cached == fresh
