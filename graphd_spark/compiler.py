@@ -2993,7 +2993,7 @@ class Compiler:
             )
         before = _l(False)
         eq_prefix = _l(True)
-        for i, (_c, desc, _k) in enumerate(comps):
+        for i, (_comp_col, desc, _kind) in enumerate(comps):
             k = _c(f"__k{i}")
             cv = cur[f"__k{i}"]
             if isinstance(cv, bytearray):

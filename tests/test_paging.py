@@ -83,3 +83,36 @@ def test_start_past_end_is_empty(spark):
     gs.store.commit()
     reply = gs.request("read (start=100 pagesize=5 result=((value)))")
     assert "not found" in reply
+
+
+def test_sorted_cursor_resume_key_offset_path(spark, monkeypatch):
+    """A sorted-cursor resume that MISSES the sortsim fast path must
+    reposition through Compiler._key_resume_offset (round-9 ADVICE: a
+    loop variable there shadowed the jexpr _c helper, so every such
+    resume raised UnboundLocalError; the suite only exercised the fast
+    path).  Force the miss by zeroing the sortsim candidate cap."""
+    import re
+
+    import graphd_spark.compiler as compiler_mod
+
+    gs = GraphSession(spark)
+    gs.fast_read_enabled = False
+    for i in range(10):
+        gs.store.append(value=f"v{(i * 7) % 10}")
+    gs.store.commit()
+
+    monkeypatch.setattr(compiler_mod, "_SORTSIM_CAP", 0)
+
+    first = gs.request(
+        "read (sort=$v $v=value pagesize=3 result=(cursor (value)))"
+    )
+    assert "v0" in first and "v2" in first and "v3" not in first, first
+    m = re.search(r'"((?:cursor|sort|position):[^"]*)"', first)
+    assert m and m.group(1) != "null:", first
+    esc = m.group(1).replace("\\", "\\\\").replace('"', '\\"')
+    second = gs.request(
+        f'read (sort=$v $v=value pagesize=3 cursor="{esc}" '
+        "result=(cursor (value)))"
+    )
+    assert "v3" in second and "v5" in second, second
+    assert "v2" not in second and "v6" not in second, second
