@@ -25,7 +25,15 @@ from graphd_spark.pattern import (
 )
 from graphd_spark.store import PrimitiveStore, StoreError
 from graphd_spark.typesys import TypeSystem
-from graphd_spark.values import Guid, List, escape_string, render
+from graphd_spark.model import guid_compose, guid_serial
+from graphd_spark.values import (
+    Guid,
+    List,
+    Splice,
+    escape_string,
+    join_values,
+    render,
+)
 from graphd_spark.write import WriteError, WriteExecutor, WriteNode
 
 
@@ -212,8 +220,6 @@ class GraphSession:
                     if shape is not None:
                         shape.observe(line, toks, req)
         rid = req.modifiers.get("id")
-        from graphd_spark.model import guid_compose, guid_serial
-
         # modifiers echo per occurrence, in request order (ref
         # test/unit/param-order.sh); dateline echoes resolve to the
         # horizon AFTER the command ran, so they stay placeholders
@@ -877,8 +883,6 @@ class GraphSession:
 
     def _ok(self, value, rid: Optional[str], extra: Optional[str] = None
             ) -> str:
-        from graphd_spark.values import Splice, join_values
-
         lead = ["ok"]
         if extra is not None:
             lead.append(extra)

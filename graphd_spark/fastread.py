@@ -544,6 +544,13 @@ def shape_flags(con: Constraint) -> dict:
         memo["wants_estimate"] = bool(
             kinds & {"estimate", "estimate-count"}
         )
+        # cursor PRESENCE is structural (a cursor= token in the
+        # shape), so it memoizes: rebinding only swaps string
+        # contents, never None-ness — lets the cursorless hot path
+        # skip the [n:H] bounds walk entirely
+        memo["any_cursor"] = any(
+            c.cursor is not None for c in con.walk()
+        )
         con.fr_memo = memo
     if "unsupported" in memo:
         raise Unsupported(memo["unsupported"])
@@ -807,10 +814,17 @@ class FastReader:
         # appended between pages still renders in contents (directed
         # write-into-window fuzz, round 9).  self.horizon itself
         # stays asof-only; chain bounds are per node.
-        from graphd_spark.cursor import cursor_high_bounds
+        if flags["any_cursor"]:
+            from graphd_spark.cursor import cursor_high_bounds
 
-        self._node_high = cursor_high_bounds(con)
-        root_high = self._node_high.get(id(con))
+            self._node_high = cursor_high_bounds(con)
+            root_high = self._node_high.get(id(con))
+        else:
+            # no cursor= anywhere in the tree (shape-constant): no
+            # [n:H] envelopes exist, so the bounds walk is skipped
+            if self._node_high:
+                self._node_high = {}
+            root_high = None
         if horizon is not None and (
             root_high is None or horizon < root_high
         ):
@@ -821,11 +835,12 @@ class FastReader:
             # cache too (a fresh chain at the same store count must
             # not inherit a clamped candidate set); the fingerprint
             # walks the tree in deterministic parse order
+            nh = self._node_high
             bounds_fp = tuple(
-                (i, self._node_high[id(n)])
+                (i, nh[id(n)])
                 for i, n in enumerate(con.walk())
-                if id(n) in self._node_high
-            )
+                if id(n) in nh
+            ) if nh else ()
             ck = (self._cache_key, self.store._version,
                   self.store.count(), self.horizon, bounds_fp)
         hit = self._eval_cache.get(ck) if ck is not None else None

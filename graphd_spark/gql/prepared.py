@@ -238,6 +238,12 @@ class ShapeCache:
         self._parse = parse  # (line, toks) -> Request
         self._entries: dict[tuple, _Entry] = {}
         self._raw: dict[str, _Entry] = {}  # raw_template key -> entry
+        # exact-line fast path: a hot serving template repeats the
+        # SAME line, so the raw_template regex pass amortizes to one
+        # dict probe; the stored literals are deterministic in the
+        # line, and the patch is re-applied per request (the entry's
+        # target is shared across every line of the shape)
+        self._rawline: dict[str, tuple[_Entry, list[str]]] = {}
 
     # -- serving -----------------------------------------------------------
 
@@ -272,10 +278,21 @@ class ShapeCache:
         """Patched Request straight from the raw line — no tokenize.
         None on miss; the caller then takes the token path (whose
         ready hit registers the raw mapping for next time)."""
-        key, lits, _poss = raw_template(line)
-        e = self._raw.get(key)
-        if e is None or e.state != "ready" or len(lits) != len(e.slots):
-            return None
+        hit = self._rawline.get(line)
+        if hit is not None:
+            e, lits = hit
+        else:
+            key, lits, _poss = raw_template(line)
+            e = self._raw.get(key)
+            if (
+                e is None
+                or e.state != "ready"
+                or len(lits) != len(e.slots)
+            ):
+                return None
+            if len(self._rawline) >= _MAX_SHAPES:
+                self._rawline.pop(next(iter(self._rawline)))
+            self._rawline[line] = (e, lits)
         for text, sets in zip(lits, e.compiled):
             for kind, container, last in sets:
                 if kind == "a":
