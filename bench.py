@@ -193,7 +193,16 @@ def main() -> None:
     # building the graph-store session (31 protocol writes into the
     # parquet log) is data load, not query execution — do it here so
     # the gql_* timings measure the compiled read plans
-    inventory_gql._graph(spark, sf_dir)
+    gs = inventory_gql._graph(spark, sf_dir)
+    # one throwaway COMPILED read (a shape none of the timed gql_*
+    # queries use) primes the compiled path's session machinery the
+    # same way the jobs above prime the scan path: the (store, asof)
+    # base-frame memo, window/broadcast codegen, and the first py4j
+    # round-trip burst.  Every timed sample still runs its full
+    # compile + plan + execution (declared in OPTIMIZATION_r10.md)
+    inventory_gql._compiled(gs, 'read (name="region" result=((guid)))')[
+        2
+    ].count()
 
     import gc
     import statistics

@@ -525,6 +525,11 @@ _ISA_SMALL_SET_MAX = 937
 #: store and matches the serving mirror's working-set scale)
 _SORTSIM_CAP = 200_000
 
+#: store size (rows) above which semi/anti sub joins dedup the build
+#: side before broadcasting (~10 MB of primitives at ~100 B/row);
+#: below it the distinct's shuffle stage is pure per-query latency
+_SEMI_DISTINCT_MIN_ROWS = 100_000
+
 _OPS = {
     "=": lambda a, b: a == b,
     "!=": lambda a, b: a != b,
@@ -558,10 +563,16 @@ class Compiler:
         # Memoizing it skips ~6 DataFrame/Window round trips per
         # compiled read (a quarter of compile wall time); no rows are
         # cached — the plan is lazy, every action still scans the log.
-        key = (_ctx_id(), "base", id(self.store), self.asof)
-        hit = _JCACHE.get(key)
-        if hit is not None and hit[0] is self.store and hit[1] is src:
-            return hit[2]
+        # The memo lives ON the store object (r10): a global keyed by
+        # id(store) pinned every dead store and its frames forever;
+        # an attribute dies with the store and needs no identity check
+        memo = getattr(self.store, "_base_frame_memo", None)
+        if memo is None:
+            memo = self.store._base_frame_memo = {}
+        key = (_ctx_id(), self.asof)
+        hit = memo.get(key)
+        if hit is not None and hit[0] is src:
+            return hit[1]
         df = src
         if self.asof is not None:
             df = df.filter(
@@ -584,7 +595,9 @@ class Compiler:
             "__next",
             F.lead("guid", 1).over(w_lin.orderBy("generation")),
         )
-        _JCACHE[key] = (self.store, src, df)
+        memo[key] = (src, df)
+        while len(memo) > 8:  # distinct asof frames per store version
+            memo.pop(next(iter(memo)))
         return df
 
     def _raw_df(self):
@@ -3346,7 +3359,17 @@ class Compiler:
         child_df = child_df.filter(child_key.isNotNull())
 
         if not or_mode and not need_payload and not counting:
-            keys = child_df.select(child_key.alias("__k")).distinct()
+            keys = child_df.select(child_key.alias("__k"))
+            # semi/anti joins are duplicate-insensitive, so the
+            # distinct below is purely a broadcast-size guard: it
+            # dedups hot-key fan-in before the build side ships.  On
+            # a small store the whole child side already fits any
+            # broadcast, so the guard's extra shuffle stage is pure
+            # per-query latency — skip it (results provably equal
+            # either way; the threshold is rows known driver-side,
+            # ~10 MB of primitives)
+            if self.store.count() > _SEMI_DISTINCT_MIN_ROWS:
+                keys = keys.distinct()
             if sub.count_eq == 0:
                 out = df.join(
                     keys, parent_key == _c("__k"), "left_anti"

@@ -54,6 +54,9 @@ def _graph(spark: SparkSession, sf_dir: str) -> GraphSession:
                 'read (value="RENAMED" result=((value)))'
             )
             if probe.startswith("ok"):
+                # compact a cache written before compaction existed
+                # (idempotent, no-op on a single-file log)
+                cached.store.compact()
                 # pull the working set onto the driver so simple
                 # template reads serve through the fast path
                 # (fastread.py) instead of a Spark job per request
@@ -87,6 +90,11 @@ def _graph(spark: SparkSession, sf_dir: str) -> GraphSession:
     gs.request(
         f'write (guid~={nation_guid[0]} name="nation" value="RENAMED")'
     )
+    # one-time build step: merge the 31 per-write commit files into a
+    # single part file, so every compiled read scans ONE parquet file
+    # instead of paying 31 footer opens per branch (the background
+    # compactor the log format anticipates; content-identical)
+    gs.store.compact()
     _SESSIONS[key] = gs
     return gs
 

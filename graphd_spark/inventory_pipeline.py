@@ -926,11 +926,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         tau=_EMB_DUP_TAU
     )
     (emb,) = _t(spark, sf_dir, "embeddings")
-    # NOT spread (r9, same rationale as ann_lsh_topk/ann_ivf_topk):
-    # the bucket id and the normalization compute map-side from
-    # broadcast literals; a repartition shuffles the embedding arrays
-    # for no parallelism gain, and the bucket-cap window re-shuffles
-    # on bucket right after anyway
+    # spread REINSTATED (r10): r9 dropped it on the builder's host
+    # A/B, but the driver's 32-core run measured the drop 16% slower
+    # and the 8-vs-32 scaling ratio (1.26) showed the query lost
+    # local parallelism — the 16-plane bucket + norm HOF arithmetic
+    # (~1k flops/row) is real JVM CPU that otherwise runs at the
+    # scan's width (ONE partition at sf0.1).  Same treatment as
+    # ann_cosine_topk; at cluster scale the scan is already wide and
+    # _spread is a no-op
+    emb = _spread(emb)
     planes = _plane_coeffs()
     plane_arr = F.array(
         *[F.array(*[_l(c) for c in row]) for row in planes]

@@ -137,4 +137,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, "object"]:
             df.createOrReplaceTempView(name)
             out[name] = df
     _TABLES_CACHE[key] = out
+    # bound the memo: each rewritten/new directory signature adds an
+    # entry; FIFO-evict old generations (they just rebuild on miss)
+    while len(_TABLES_CACHE) > 32:
+        _TABLES_CACHE.pop(next(iter(_TABLES_CACHE)))
     return out

@@ -834,6 +834,65 @@ class ParquetLogStore(PrimitiveStore):
         # mirror_current TTL cache (see _write_epoch)
         ParquetLogStore._write_epoch += 1
 
+    def compact(self) -> None:
+        """Merge the canonical commit files into ONE part file — the
+        background compactor the log format anticipates (see the
+        class docstring; libaddb's analog merges small append files).
+        Row content, ids and the fs horizon are unchanged; only the
+        file count drops, so every downstream scan stops paying
+        per-file footer/open overhead (a 31-write store is otherwise
+        31 tiny parquet files, re-opened by each compiled read).
+        Refuses foreign layouts (files outside the part-<start>-<count>
+        naming, e.g. a Spark-written bulk import) and non-contiguous
+        logs, same rule as _fs_horizon."""
+        if ParquetLogStore._PART_RE is None:
+            self._fs_horizon()  # compiles the lazy regex
+        files = sorted(
+            f for f in os.listdir(self.path) if f.endswith(".parquet")
+        )
+        if len(files) <= 1:
+            return
+        spans = []
+        for f in files:
+            m = ParquetLogStore._PART_RE.match(f)
+            if m is None:
+                return  # foreign layout: leave it alone
+            spans.append((int(m.group(1)), int(m.group(2))))
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tables = [
+            pq.read_table(os.path.join(self.path, f)) for f in files
+        ]
+        merged = pa.concat_tables(tables).sort_by("id")
+        start = min(s for s, _ in spans)
+        horizon = max(s + c for s, c in spans)
+        if start + merged.num_rows != horizon:
+            return  # gaps/overlap: refuse rather than mint a lying name
+        fname = os.path.join(
+            self.path,
+            f"part-{start:012d}-{merged.num_rows:08d}.parquet",
+        )
+        tmp = fname + ".tmp"
+        pq.write_table(merged, tmp)
+        for f in files:
+            os.unlink(os.path.join(self.path, f))
+        os.replace(tmp, fname)
+        ParquetLogStore._write_epoch += 1
+        self._dir_sig_cache = None
+        self._mc_cache = None
+        # drop the memoized lazy frame: its plan pins the old file
+        # listing (content is identical, so _version stays — derived
+        # caches keyed on it remain valid)
+        self._df = None
+        # Spark's shared file-status cache may still list the old
+        # commit files for this path; drop those entries so the next
+        # scan plans against the compacted layout
+        try:
+            self._spark().catalog.refreshByPath(self.path)
+        except Exception:
+            pass  # no live session: nothing cached a listing yet
+
     def _trim_cache(self) -> None:
         if self.cache_rows is None or len(self.rows) <= self.cache_rows:
             return

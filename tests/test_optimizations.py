@@ -229,3 +229,58 @@ def test_jexpr_handles_compose_like_fresh_expressions(spark):
     cached = df.select((_c("id") + _l(1)).alias("x")).collect()
     fresh = df.select((F.col("id") + F.lit(1)).alias("x")).collect()
     assert cached == fresh
+
+
+def test_jexpr_cache_is_bounded(spark):
+    # dynamic literals (cursor boundary keys, per-query bounds) must
+    # not grow the handle cache without limit in a long-lived session
+    import graphd_spark.jexpr as jx
+
+    jx._l("bound-pin-warm")
+    for i in range(jx._JCACHE_CAP + 50):
+        jx._l(f"bound-pin-{i}")
+    assert len(jx._JCACHE) <= jx._JCACHE_CAP
+    # an evicted handle transparently rebuilds
+    assert jx._l("bound-pin-warm") is jx._l("bound-pin-warm")
+
+
+def test_jexpr_float_literals_key_by_repr(spark):
+    # 0.0 / -0.0 compare equal but are different literals; NaN never
+    # compares equal to itself but must key stably (no dead entries)
+    import graphd_spark.jexpr as jx
+
+    assert jx._l(0.0) is not jx._l(-0.0)
+    a = jx._l(float("nan"))
+    n = len(jx._JCACHE)
+    b = jx._l(float("nan"))
+    assert a is b
+    assert len(jx._JCACHE) == n  # stable key: no dead entries
+    import decimal
+
+    assert jx._l(decimal.Decimal("1")) is not jx._l(
+        decimal.Decimal("1.00")
+    )
+
+
+def test_base_frame_memo_lives_on_the_store(spark):
+    # the compiled-read base frame memoizes per (store, asof) ON the
+    # store object: reuse while alive, no global pin after it dies
+    from graphd_spark.compiler import Compiler
+    from graphd_spark.store import PrimitiveStore
+    from graphd_spark.typesys import TypeSystem
+    import graphd_spark.jexpr as jx
+
+    store = PrimitiveStore()
+    types = TypeSystem(store)
+    store.append(name="n", value="v")
+    store.commit()
+    c1 = Compiler(spark, store, types)
+    c2 = Compiler(spark, store, types)
+    assert c1.base is c2.base  # memo hit across compilers
+    memo = store._base_frame_memo
+    assert len(memo) <= 8
+    # nothing in the global handle cache references this store
+    assert not any(
+        isinstance(k, tuple) and any(v is store for v in k)
+        for k in jx._JCACHE
+    )

@@ -135,3 +135,76 @@ def test_rollback_never_touches_disk(spark):
     assert sess.request('read (value="lost" result=((value)))').startswith(
         "error EMPTY"
     )
+
+
+def test_compact_merges_commit_files_content_identical(spark):
+    """compact() folds N commit files into one part file with the
+    same rows, same horizon, and working reads before/after."""
+    import os
+
+    sess = _parquet_session(spark)
+    guids = []
+    for i in range(6):
+        r = sess.request(f'write (name="n" value="v{i}")')
+        guids.append(r.split("(")[1].split(" ")[0])
+    sess.request(f'write (guid~={guids[0]} name="n" value="v0b")')
+    log = sess.log_path
+    files = [f for f in os.listdir(log) if f.endswith(".parquet")]
+    assert len(files) == 7
+    before = sorted(
+        tuple(r) for r in sess.store.to_df(spark).collect()
+    )
+    probes = [
+        'read (name="n" value="v3" result=((value)))',
+        'read (name="n" result=((value guid)))',
+        f'read (guid={guids[1]} result=((value)))',
+    ]
+    replies_before = [sess.request(p) for p in probes]
+    horizon_before = sess.store.next_id
+    sess.store.compact()
+    files = [f for f in os.listdir(log) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert files[0] == f"part-{0:012d}-{7:08d}.parquet"
+    after = sorted(tuple(r) for r in sess.store.to_df(spark).collect())
+    assert after == before
+    assert sess.store._fs_horizon() == horizon_before
+    # every probe replies byte-identically across the compaction
+    assert [sess.request(p) for p in probes] == replies_before
+    # a fresh attach sees the compacted log
+    sess2 = GraphSession.attach(spark, log)
+    assert sess2.store.next_id == horizon_before
+    # compact is idempotent / no-op on a single file
+    sess.store.compact()
+    assert len(
+        [f for f in os.listdir(log) if f.endswith(".parquet")]
+    ) == 1
+    # appends after compaction keep working
+    sess.request('write (name="n" value="v7")')
+    assert sess.request(
+        'read (name="n" value="v7" result=((value)))'
+    ) == 'ok (("v7"))'
+
+
+def test_compact_refuses_foreign_layout(spark):
+    """A directory holding parquet outside the canonical part naming
+    (e.g. a Spark bulk import) is left untouched."""
+    import os
+
+    sess = _parquet_session(spark)
+    sess.request('write (name="n" value="a")')
+    sess.request('write (name="n" value="b")')
+    log = sess.log_path
+    alien = os.path.join(log, "data-0001.parquet")
+    canonical = sorted(
+        f for f in os.listdir(log) if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copy(os.path.join(log, canonical[0]), alien)
+    names_before = sorted(
+        f for f in os.listdir(log) if f.endswith(".parquet")
+    )
+    sess.store.compact()
+    assert sorted(
+        f for f in os.listdir(log) if f.endswith(".parquet")
+    ) == names_before
