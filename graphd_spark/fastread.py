@@ -665,6 +665,12 @@ class FastReader:
         #: constraint; graphd_read_compile_timestamps)
         self._ts_id_bounds: dict = {}
         self._ts_envelopes: dict = {}
+        #: per-request cache of merged string-constraint lists, keyed
+        #: by (constraint identity, iter_level): _iter_intrinsic runs
+        #: once per CANDIDATE, but the merge depends only on the
+        #: node's (rebound-per-request) strcons — constant within one
+        #: reader, which lives for exactly one request
+        self._msc_cache: dict = {}
         #: session-level (plan, matches) cache for repeated template
         #: shapes — the serving analog of the reference's iterator
         #: resource cache (graphd-iterator-resource.c): a cursor chain
@@ -5742,33 +5748,45 @@ class FastReader:
                 if gc.guids and not self._next_pred(p, gc):
                     return False
         match_comp = con.value_comparator or con.comparator
-        tscs, nscs, vscs = (
-            con.type_strcons, con.name_strcons, con.value_strcons
-        )
-        if iter_level:
-            # check-only string constraints (no hmap/prefix/vrange
-            # bins) never enter the pre-evaluated set
-            from graphd_spark.compiler import _strcon_is_bin
+        # merged per (node, iter_level) once per request: the merge
+        # walks only the node's strcons, identical for every candidate
+        mk = (id(con), iter_level)
+        merged = self._msc_cache.get(mk)
+        if merged is None:
+            tscs, nscs, vscs = (
+                con.type_strcons, con.name_strcons, con.value_strcons
+            )
+            if iter_level:
+                # check-only string constraints (no hmap/prefix/vrange
+                # bins) never enter the pre-evaluated set
+                from graphd_spark.compiler import _strcon_is_bin
 
-            tscs = [sc for sc in tscs if _strcon_is_bin(sc)]
-            nscs = [sc for sc in nscs if _strcon_is_bin(sc)]
-            vscs = [sc for sc in vscs if _strcon_is_bin(sc)]
-        for sc in self._merged_strcons(tscs, match_comp):
+                tscs = [sc for sc in tscs if _strcon_is_bin(sc)]
+                nscs = [sc for sc in nscs if _strcon_is_bin(sc)]
+                vscs = [sc for sc in vscs if _strcon_is_bin(sc)]
+            merged = self._msc_cache[mk] = (
+                self._merged_strcons(tscs, match_comp),
+                self._merged_strcons(nscs, match_comp),
+                self._merged_strcons(vscs, match_comp),
+                # is a value RANGE the producer?  Only when no other
+                # bin predicate (type/name/value equality or prefix)
+                # can produce
+                iter_level and not any(
+                    sc.op not in _RANGE_OPS
+                    for scs in (tscs, nscs, vscs)
+                    for sc in scs
+                ),
+            )
+        m_tscs, m_nscs, m_vscs, vrange_prod = merged
+        for sc in m_tscs:
             if not self._type_pred(p, sc):
                 return False
-        for sc in self._merged_strcons(nscs, match_comp):
+        for sc in m_nscs:
             if not self._string_pred(p, p.name, sc, match_comp,
                                      is_value=False,
                                      iter_level=iter_level):
                 return False
-        # is a value RANGE the producer?  Only when no other bin
-        # predicate (type/name/value equality or prefix) can produce
-        vrange_prod = iter_level and not any(
-            sc.op not in _RANGE_OPS
-            for scs in (tscs, nscs, vscs)
-            for sc in scs
-        )
-        for sc in self._merged_strcons(vscs, match_comp):
+        for sc in m_vscs:
             if not self._string_pred(p, p.value, sc, match_comp,
                                      is_value=True,
                                      iter_level=iter_level,
