@@ -617,7 +617,11 @@ class ParquetLogStore(PrimitiveStore):
     #: already refuses to cache hot directories), so the only thing
     #: the TTL can hide is a cross-process append landing within the
     #: window; in-process appends bump _write_epoch and re-check.
-    _MC_TTL_NS = 2_000_000  # 2 ms
+    #: 10 ms (r10, was 2 ms): the stat behind an expired TTL costs
+    #: ~90 us on overlay filesystems, which at 40k+ q/s made the
+    #: re-probe a measurable serving tax; 10 ms is still far inside
+    #: any replica-visibility contract the reference implies.
+    _MC_TTL_NS = 10_000_000  # 10 ms
 
     def mirror_current(self) -> bool:
         if not self._covers_all:

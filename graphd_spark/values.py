@@ -116,23 +116,29 @@ def escape_string(s: str) -> str:
 
 
 def render(v) -> str:
+    # exact-type dispatch (none of the value types are subclassed;
+    # the serving loop renders a handful of values per reply, and the
+    # old 8-step isinstance chain was measurable there)
+    r = _RENDERERS.get(type(v))
+    if r is not None:
+        return r(v)
     if v is Null:
         return "null"
     if v is Empty:
         return ""
-    if isinstance(v, Atom):
-        return v.text
-    if isinstance(v, Str):
-        return f'"{escape_string(v.text)}"'
-    if isinstance(v, Guid):
-        return v.text
-    if isinstance(v, Num):
-        return str(v.n)
-    if isinstance(v, Ts):
-        return ts_to_string(v.ts)
-    if isinstance(v, List):
-        return "(" + join_values(v.items) + ")"
     raise TypeError(f"unrenderable value {v!r}")
+
+
+_RENDERERS = {
+    Atom: lambda v: v.text,
+    Str: lambda v: f'"{escape_string(v.text)}"',
+    Guid: lambda v: v.text,
+    Num: lambda v: str(v.n),
+    Ts: lambda v: ts_to_string(v.ts),
+    List: lambda v: "(" + join_values(v.items) + ")",
+    _Null: lambda v: "null",
+    _Empty: lambda v: "",
+}
 
 
 def join_values(items, sep_pending: bool = True) -> str:
